@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Aggregations & window functions — SURVEY.md §2.4 (A1-A6). */
+object Aggregates {
+
+  /** A1 — count action (reference emptiness gate `events_df.count() == 0`,
+    * IndicateursStreaming.scala:64). As a query: global count. At scale this
+    * is a partial-count per partition + single-row merge, no full shuffle.
+    */
+  val a1Count = QueryDef(
+    "a1_count_rows",
+    """SELECT count(*) AS n FROM events""")(
+    (s, d) => Tables.events(s, d).agg(count(lit(1)).as("n")))
+
+  /** A2/A3 — the reference's LITERAL analytic-window semantics: `count(id)
+    * OVER (PARTITION BY quarter-hour)` keeps one output row per input row
+    * (IndicateursStreaming.scala:155-156 — no dedup; see SURVEY.md §7.4).
+    * Preserved verbatim here (the *intended* groupBy form is the flagship
+    * q1). PARTITION BY without ORDER BY → frame is the whole partition, and
+    * Spark plans a hash-partitioned sort once for both window functions.
+    */
+  val a2a3AnalyticWindow = QueryDef(
+    "a2a3_analytic_window",
+    """SELECT event_id,
+      |       strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       count(event_id) OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)) AS n_in_qh,
+      |       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)) AS n_high_in_qh
+      |FROM events ORDER BY event_id""".stripMargin)(
+    (s, d) => {
+      val qh = window(col("ts"), "15 minutes").getField("start")
+      val w = Window.partitionBy(qh)
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          date_format(qh, "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          count(col("event_id")).over(w).as("n_in_qh"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).over(w).as("n_high_in_qh"))
+        .orderBy("event_id")
+    })
+
+  /** A6 — sliding time window (reference: DStream `window(Minutes(3))`,
+    * TwitterKafkaStreaming.scala:186), as an event-time sliding window:
+    * 3-minute length, 1-minute slide. Each event lands in 3 buckets; the
+    * oracle reproduces that with an explicit 0/1/2-minute shift fan-out.
+    */
+  val a6SlidingWindow = QueryDef(
+    "a6_sliding_window",
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+      |FROM (SELECT time_bucket(INTERVAL 1 MINUTE, ts) - (k * INTERVAL 1 MINUTE) AS ws
+      |      FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k))
+      |GROUP BY 1 ORDER BY 1""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "3 minutes", "1 minute").getField("start").as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"))
+      .orderBy("window_start"))
+
+  /** A5-adjacent — per-day event counts + exact distinct users (covers
+    * to_date + countDistinct; the approximate variant is in `hllDistinct`).
+    * countDistinct plans as a two-phase partial-distinct aggregate — the
+    * shape that survives high-cardinality keys at scale.
+    */
+  val dailyDistinct = QueryDef(
+    "agg_daily_distinct_users",
+    """SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("d"))
+
+  /** approx_count_distinct (HLL++) — the 100 TB answer to distinct counts.
+    * No oracle: DuckDB's approx_distinct uses a different sketch; the driver
+    * records a rows-only check. Correct plumbing is asserted in ScalaTest
+    * (approx within 5% of exact at sf0.001).
+    */
+  val hllDistinct = QueryDef.unverified("agg_approx_distinct_users")(
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type"))
+
+  val all: Seq[QueryDef] = Seq(a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct)
+}

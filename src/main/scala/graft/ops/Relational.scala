@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Relational suite over the TPC-H-ish star schema — the join/agg surface
+  * the reference never had but any user of this engine needs the moment the
+  * warehouse tables are queried (SURVEY.md §2.4 note + north star).
+  *
+  * Scale notes baked into every query:
+  *  - dimension joins (region/nation/customer/supplier/part) are
+  *    `broadcast()`-hinted: at 100 TB the fact tables shuffle on nothing
+  *    for these joins;
+  *  - money aggregates route through DECIMAL so partial aggregation is
+  *    associative bit-for-bit (double sums are partition-order dependent →
+  *    would break both the oracle hash and cross-run reproducibility);
+  *  - final ORDER BY keys are total orders (explicit tiebreaks) so top-k
+  *    and limits are deterministic under any partitioning.
+  */
+object Relational {
+
+  private val dec = "decimal(18,2)"
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy groupBy with partial
+    * (map-side) aggregation; the filter is pushed to the parquet scan.
+    */
+  val pricingSummary = QueryDef(
+    "q_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS DOUBLE) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
+        sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity").cast(dec)).cast("double") / count(lit(1)).cast("double"))
+          .cast("double").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"))
+
+  /** Star-join revenue rollup by nation: lineitem ⋈ orders shuffles on the
+    * order key; customer/nation/region ride in as broadcasts (verify:
+    * .explain shows BroadcastHashJoin for all three). AQE handles skew.
+    */
+  val revenueByNation = QueryDef(
+    "q_join_revenue_by_nation",
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('EUROPE', 'ASIA')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin)(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name").isin("EUROPE", "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    })
+
+  /** Top-k with deterministic tiebreak: TakeOrderedAndProject — each
+    * partition keeps its local top 10, driver merges; no global sort.
+    */
+  val topkOrders = QueryDef(
+    "q_topk_orders",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)(
+    (s, d) => Tables.orders(s, d)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10))
+
+  /** EXISTS as left-semi join (no row multiplication, build side hashed once). */
+  val semiJoin = QueryDef(
+    "q_semi_join_customers",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin)(
+    (s, d) => Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"))
+
+  /** NOT EXISTS as left-anti join (customers with no high-value order —
+    * predicate chosen to be selective-but-nonempty on the testdata).
+    */
+  val antiJoin = QueryDef(
+    "q_anti_join_customers",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin)(
+    (s, d) => Tables.customer(s, d)
+      .join(
+        Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"))
+
+  /** DISTINCT → partial-distinct aggregate (map-side dedup before shuffle). */
+  val distinctSegments = QueryDef(
+    "q_distinct_segments",
+    """SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment""")(
+    (s, d) => Tables.customer(s, d)
+      .select("c_mktsegment").distinct().orderBy("c_mktsegment"))
+
+  /** ROLLUP grouping sets. NULLS FIRST pinned explicitly on both sides
+    * (Spark defaults nulls-first ascending; DuckDB defaults nulls-last).
+    */
+  val rollupPricing = QueryDef(
+    "q_rollup_pricing",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
+  /** Ranked window: top-3 orders per customer. One hash-partition by
+    * customer + in-partition sort; rank filter applied before any further
+    * shuffle, so only k rows per key survive.
+    */
+  val windowRank = QueryDef(
+    "q_window_top3_per_customer",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)(
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    })
+
+  /** Join fact-to-dimension with pre-aggregation BEFORE the join: aggregate
+    * lineitem per partkey first, then broadcast-join part — at scale this
+    * cuts the join input by the dedup factor of the key.
+    */
+  val partRevenue = QueryDef(
+    "q_part_revenue_preagg",
+    """SELECT p_brand,
+      |       CAST(SUM(rev) AS DOUBLE) AS brand_revenue,
+      |       CAST(SUM(n) AS BIGINT) AS n_lines
+      |FROM (SELECT l_partkey,
+      |             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev,
+      |             count(*) AS n
+      |      FROM lineitem GROUP BY l_partkey)
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin)(
+    (s, d) => {
+      val preagg = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("rev"),
+          count(lit(1)).as("n"))
+      preagg
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev")).cast("double").as("brand_revenue"),
+          sum(col("n")).cast("long").as("n_lines"))
+        .orderBy("p_brand")
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    pricingSummary, revenueByNation, topkOrders, semiJoin, antiJoin,
+    distinctSegments, rollupPricing, windowRank, partRevenue)
+}
