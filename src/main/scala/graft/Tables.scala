@@ -38,7 +38,10 @@ object Tables {
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // Integer division (`div`), NOT `/`: long / long is DOUBLE division in
+        // Spark and epoch-nanos (~1.7e18) exceed double's 2^53 exact range
+        // (ULP ~256 ns), which could land the truncated micros 1 off.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -28,7 +28,7 @@ object Aggregates {
     """SELECT event_id,
       |       strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       count(event_id) OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)) AS n_in_qh,
-      |       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)) AS n_high_in_qh
+      |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) OVER (PARTITION BY time_bucket(INTERVAL 15 MINUTE, ts)) AS BIGINT) AS n_high_in_qh
       |FROM events ORDER BY event_id""".stripMargin)(
     (s, d) => {
       val qh = window(col("ts"), "15 minutes").getField("start")

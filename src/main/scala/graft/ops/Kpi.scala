@@ -55,7 +55,7 @@ object Kpi {
   val quarterHourSql: String =
     """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       count(event_id) AS n_events,
-      |       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high,
+      |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
       |       round(100.0 * sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(event_id), 2) AS pct_high
       |FROM events
       |WHERE event_type IN ('purchase','view','click','signup','error')

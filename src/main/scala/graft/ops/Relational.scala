@@ -9,9 +9,10 @@ import graft.{QueryDef, Tables}
   * warehouse tables are queried (SURVEY.md §2.4 note + north star).
   *
   * Scale notes baked into every query:
-  *  - dimension joins (region/nation/customer/supplier/part) are
-  *    `broadcast()`-hinted: at 100 TB the fact tables shuffle on nothing
-  *    for these joins;
+  *  - only FIXED-cardinality dimensions (nation=25, region=5) carry a
+  *    `broadcast()` hint; tables that scale with data volume (customer,
+  *    part, ...) are left to AQE, which broadcasts them when they fit and
+  *    shuffles when they don't — a forced hint would OOM at 100 TB;
   *  - money aggregates route through DECIMAL so partial aggregation is
   *    associative bit-for-bit (double sums are partition-order dependent →
   *    would break both the oracle hash and cross-run reproducibility);
@@ -72,8 +73,11 @@ object Relational {
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d).filter(col("r_name").isin("EUROPE", "ASIA"))
+      // customer scales with the data — no forced broadcast (a hint would
+      // override AQE's size check and OOM at 100 TB); nation (25 rows) and
+      // region (5 rows) are fixed-cardinality and safe to pin broadcast.
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
@@ -154,7 +158,7 @@ object Relational {
     */
   val windowRank = QueryDef(
     "q_window_top3_per_customer",
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders)
@@ -190,8 +194,10 @@ object Relational {
         .agg(
           sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))).as("rev"),
           count(lit(1)).as("n"))
+      // part scales with the data — let AQE pick the join strategy rather
+      // than forcing a broadcast that OOMs at the 100 TB design point.
       preagg
-        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(sum(col("rev")).cast("double").as("brand_revenue"),
           sum(col("n")).cast("long").as("n_lines"))
