@@ -17,10 +17,31 @@ import org.apache.spark.sql.functions._
   * window-function sort, no row duplication.
   *
   * Written batch-first as a pure DataFrame→DataFrame function so it is
-  * DuckDB-comparable and directly liftable to Structured Streaming via
-  * `withWatermark + groupBy(window(...))` (see graft.streaming.Jobs).
+  * DuckDB-comparable; the streaming lift (withWatermark + the same
+  * [[aggregate]] stage) lives in graft.streaming.Jobs.
   */
 object Kpi {
+
+  /** The shared aggregation stage: 15-minute tumbling window over `ts`,
+    * event count, high-value count, pct. Works on both a batch DataFrame
+    * and a watermarked streaming DataFrame (groupBy(window(...)) is the
+    * streaming-compatible shape; an analytic window function would not be).
+    */
+  def aggregate(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        count(col("event_id")).as("n_events"),                          // A2
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"))   // A3+T14
+      // T10: derived metric with round(x, 2).
+      .withColumn("pct_high",
+        round(lit(100.0) * col("n_high") / col("n_events"), 2))
+
+  /** Formats the window struct for output/oracle comparison. */
+  def formatted(agg: DataFrame): DataFrame =
+    agg.select(
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("n_events"), col("n_high"), col("pct_high"))
 
   /** Per quarter-hour: event count, high-value count, pct high-value.
     *
@@ -32,24 +53,12 @@ object Kpi {
     * Output timestamps are formatted as strings so the DuckDB oracle hash
     * compares bit-identically (UTC pinned in the session).
     */
-  def quarterHour(events: DataFrame): DataFrame = {
-    events
+  def quarterHour(events: DataFrame): DataFrame =
+    formatted(aggregate(
       // T5: disjunctive equality filter (reference filtered lang en|fr,
       // IndicateursStreaming.scala:117); pushed down to the parquet scan.
-      .filter(col("event_type").isin("purchase", "view", "click", "signup", "error"))
-      // T13 done right: native tumbling window instead of CASE string math.
-      .groupBy(window(col("ts"), "15 minutes").getField("start").as("ws"))
-      .agg(
-        count(col("event_id")).as("n_events"),                          // A2
-        sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"))   // A3+T14
-      // T10: derived metric with round(x, 2).
-      .withColumn("pct_high",
-        round(lit(100.0) * col("n_high") / col("n_events"), 2))
-      .select(
-        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        col("n_events"), col("n_high"), col("pct_high"))
+      events.filter(col("event_type").isin("purchase", "view", "click", "signup", "error"))))
       .orderBy("window_start")
-  }
 
   /** DuckDB-equivalent SQL for [[quarterHour]]. */
   val quarterHourSql: String =
