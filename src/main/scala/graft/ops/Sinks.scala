@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Sinks — SURVEY.md §2.2 (K1-K8), batch + streaming-shared.
+  *
+  * The reference's output surface is: CSV overwrite (empty-batch marker,
+  * IndicateursStreaming.scala:66-75), CSV append (the KPI product,
+  * IndicateursStreaming.scala:84-88), console echo, and three Kafka
+  * producer profiles (KafkaStreaming.scala:158-187, ProducerKafa_Prod
+  * .scala:58-69) fed with hand-built Jackson JSON records
+  * (KafkaStreaming.scala:223-243). Here the record construction is
+  * `to_json(struct(...))` (codegen'd, no driver-side object churn) and the
+  * producer profiles become kafka-sink option maps.
+  */
+object Sinks {
+
+  /** K5 + P1 — single-file CSV overwrite (reference:
+    * `coalesce(1).write...Overwrite`, IndicateursStreaming.scala:66-75).
+    * `coalesce(1)` is narrow — it folds existing partitions without a
+    * shuffle, which is exactly right for the tiny marker/summary frames
+    * this is meant for; NEVER use on a large result (single-task write).
+    */
+  def csvOverwriteSingle(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** K6 + P2 — single-file CSV append (reference:
+    * `repartition(1).write...Append`, IndicateursStreaming.scala:84-88).
+    * `repartition(1)` shuffles so upstream stages keep their parallelism
+    * and only the final write is single-task — the reference's own comment
+    * (:71) prefers it over coalesce for non-trivial output. Append mode
+    * lets successive micro-batches accumulate files under one directory.
+    */
+  def csvAppendSingle(df: DataFrame, path: String): Unit =
+    df.repartition(1).write.mode("append").option("header", "false").csv(path)
+
+  /** K7 — console sink (reference: `df.show()`,
+    * ConsommationStreaming.scala:92; record printf KafkaStreaming.scala:123-127).
+    */
+  def console(df: DataFrame, numRows: Int = 20): Unit =
+    df.show(numRows, truncate = false)
+
+  /** K8 — Kafka-record construction: `to_json(struct(...))` replaces the
+    * reference's driver-side Jackson objectNode building
+    * (KafkaStreaming.scala:223-243). Runs inside whole-stage codegen on
+    * executors — at 100 TB there is no per-record driver object churn.
+    */
+  def kafkaShaped(df: DataFrame, key: Column, valueCols: Column*): DataFrame =
+    df.select(
+      key.cast("string").as("key"),
+      to_json(struct(valueCols: _*)).as("value"))
+
+  /** K1 — at-least-once producer profile (reference:
+    * KafkaStreaming.scala:158-167: acks=all, no idempotence). Keys are the
+    * structured-streaming kafka sink's passthrough options.
+    */
+  def kafkaAtLeastOnceOptions(bootstrap: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "kafka.acks" -> "all")
+
+  /** K2 — idempotent/exactly-once producer profile (reference:
+    * KafkaStreaming.scala:170-187: enable.idempotence, retries=3,
+    * max.in.flight=3, min.insync.replicas=2, acks=all). Combined with a
+    * streaming checkpoint this is Spark's effectively-once kafka write;
+    * the reference's ack-callback telemetry (:245-276) is covered by
+    * [[graft.streaming.Jobs.attachTelemetry]].
+    */
+  def kafkaExactlyOnceOptions(bootstrap: String, topic: String): Map[String, String] =
+    kafkaAtLeastOnceOptions(bootstrap, topic) ++ Map(
+      "kafka.enable.idempotence" -> "true",
+      "kafka.retries" -> "3",
+      "kafka.max.in.flight.requests.per.connection" -> "3")
+
+  /** K3 — prod-tuned batching profile (reference:
+    * ProducerKafa_Prod.scala:63-65: batch.size=16384, linger.ms=100, gzip).
+    */
+  def kafkaProdTunedOptions(bootstrap: String, topic: String): Map[String, String] =
+    kafkaExactlyOnceOptions(bootstrap, topic) ++ Map(
+      "kafka.batch.size" -> "16384",
+      "kafka.linger.ms" -> "100",
+      "kafka.compression.type" -> "gzip")
+
+  /** K4 — batch write to kafka (the foreachBatch body replacing the
+    * reference's per-partition producer pattern,
+    * TwitterKafkaStreaming.scala:196-211: Spark's kafka sink already opens
+    * one producer per task, cached across batches — the exact resource
+    * shape the reference hand-rolled). Requires the spark-sql-kafka
+    * connector on the cluster classpath (not in this build env).
+    */
+  def writeKafka(shaped: DataFrame, options: Map[String, String]): Unit =
+    shaped.write.format("kafka").options(options).save()
+
+  // ------------------------------------------------------------------
+  // Verifiable query surface
+  // ------------------------------------------------------------------
+
+  /** K8 as a verifiable query: order events shaped into Kafka records —
+    * the 11-field order JSON the reference producers emit
+    * (KafkaStreaming.scala:228-238) projected from `orders`, then parsed
+    * back and compared against the identity projection. A lossless
+    * round-trip proves the record construction preserves every value.
+    * (The literal JSON string is asserted in ScalaTest; DuckDB's float
+    * rendering inside JSON differs from Spark's, so the oracle compares
+    * the round-tripped typed values instead.)
+    */
+  val k8JsonRoundtrip = QueryDef(
+    "k8_to_json_roundtrip",
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Array(
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderpriority", StringType)))
+      val shaped = kafkaShaped(
+        Tables.orders(s, d),
+        col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("o_orderpriority"))
+      shaped
+        .select(col("key").cast("long").as("o_orderkey"),
+          from_json(col("value"), schema).as("v"))
+        .select(col("o_orderkey"), col("v.*"))
+        .orderBy("o_orderkey")
+    })
+
+  val all: Seq[QueryDef] = Seq(k8JsonRoundtrip)
+}

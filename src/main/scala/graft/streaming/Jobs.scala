@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import graft.ops.{Kpi, Sinks}
+
+/** Streaming jobs — the Structured-Streaming lift of the reference's
+  * flagship micro-batch pipeline (reference: IndicateursStreaming.scala:42-108:
+  * Kafka DStream → foreachRDD → parse → SQL quarter-hour KPIs → CSV append →
+  * commitAsync), covering SURVEY.md §2.6 rows F1-F9.
+  *
+  * Two lifts are provided, because the reference's semantics and the
+  * *intended* semantics differ (SURVEY.md §7.4):
+  *
+  *  - [[startKpiStateful]] — the semantic upgrade: event-time tumbling
+  *    window + watermark, exactly-once KPI rows emitted when each window
+  *    finalizes. State is bounded by the watermark; offsets/commits live in
+  *    the checkpoint WAL (subsumes F2/F3's HasOffsetRanges/commitAsync).
+  *  - [[startKpiPerBatch]] — the faithful shape: each micro-batch computes
+  *    its own quarter-hour aggregates over just that batch's rows and
+  *    appends them to CSV, exactly like the reference's foreachRDD body
+  *    (same duplicate-window-across-batches behavior).
+  *
+  * Both run any source from [[Sources]] — kafka, csv/parquet spool-dir,
+  * rate — because every source lands in the same explicit event schema.
+  */
+object Jobs {
+
+  /** The stateful KPI stream: watermark + the SAME aggregation stage the
+    * batch flagship uses ([[Kpi.aggregate]]), so batch and streaming
+    * results are provably the same code path. groupBy(window(...)) keeps
+    * per-window state; the watermark bounds it (F4-analog state cleanup)
+    * and late rows beyond `watermarkDelay` are dropped deterministically.
+    */
+  def kpiStream(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    Kpi.formatted(Kpi.aggregate(events.withWatermark("ts", watermarkDelay)))
+
+  /** F1 — micro-batch trigger (reference batch durations: 15 s / 600 s / 2 s,
+    * SparkBigData.scala:50). `AvailableNow` drains a backlog then stops —
+    * the replay/testing trigger.
+    */
+  def trigger(seconds: Long): Trigger =
+    if (seconds <= 0) Trigger.AvailableNow() else Trigger.ProcessingTime(seconds * 1000L)
+
+  /** Stateful lift → CSV append via foreachBatch (K6). Append output mode:
+    * each finalized window arrives exactly once, so the CSV accumulates
+    * one row per quarter-hour — the reference's intended product
+    * (IndicateursStreaming.scala:84-88) without its per-batch duplication.
+    *
+    * foreachBatch (not the streaming csv file sink) because the reference
+    * wants ONE file per batch (`repartition(1)`, :84) and an empty-batch
+    * marker (:66-75) — per-batch control the file sink doesn't offer.
+    * Checkpointing makes the whole pipeline effectively-once: the batch id
+    * + offsets are committed after the sink write, which is the
+    * commit-after-process choreography (F3) the reference hand-rolled.
+    */
+  def startKpiStateful(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trig: Trigger = Trigger.ProcessingTime("15 seconds"),
+      watermarkDelay: String = "30 minutes"): StreamingQuery =
+    kpiStream(events, watermarkDelay).writeStream
+      .outputMode("append")
+      .queryName("kpi_stateful")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchCsv(batch, batchId, outDir)
+      }
+      .start()
+
+  /** Faithful per-batch lift: aggregate ONLY the rows of this micro-batch
+    * (reference foreachRDD semantics, IndicateursStreaming.scala:48-101).
+    * The raw stream is passed through un-aggregated and the whole KPI
+    * query — filter, window bucket, counts, pct — runs as a *batch* plan
+    * inside foreachBatch, exactly as the reference ran Spark SQL per RDD.
+    */
+  def startKpiPerBatch(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      trig: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .queryName("kpi_per_batch")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trig)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchCsv(Kpi.quarterHour(batch), batchId, outDir)
+      }
+      .start()
+
+  /** Shared foreachBatch body: empty-batch guard (F7 — reference
+    * `!rdd.isEmpty()` ConsommationStreaming.scala:67 and the empty-marker
+    * CSV IndicateursStreaming.scala:64-75) + per-batch error isolation
+    * (F9 — reference wraps the whole batch in try/catch and keeps the
+    * stream alive, IndicateursStreaming.scala:50-101).
+    *
+    * The marker write is OVERWRITE of a fixed path (idempotent under
+    * batch replay); the data write is APPEND, whose replay safety comes
+    * from the checkpoint's batch-id commit protocol.
+    */
+  private[streaming] def appendBatchCsv(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    try {
+      if (batch.isEmpty) {
+        val marker = Sources.localRows(batch.sparkSession,
+          Seq(s"no events in batch $batchId"), "libelle")
+        Sinks.csvOverwriteSingle(marker, s"$outDir/_empty_marker")
+      } else {
+        Sinks.csvAppendSingle(batch, s"$outDir/data")
+      }
+    } catch {
+      case e: Throwable =>
+        // F9: log and keep the stream alive — one poisoned batch must not
+        // kill a long-running pipeline. The checkpoint has NOT committed
+        // this batch, so a restart replays it.
+        System.err.println(s"[graft.streaming] batch $batchId failed: ${e.getMessage}")
+    }
+
+  /** Kafka-shaped output stream (K1/K2/K8): shape rows into (key, value
+    * JSON) records. On a cluster with the kafka connector this feeds
+    * `.writeStream.format("kafka").options(Sinks.kafkaExactlyOnceOptions(...))`;
+    * the shaping is the verifiable part here (see Sinks.k8JsonRoundtrip).
+    */
+  def kafkaShapedKpi(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    Sinks.kafkaShaped(
+      kpiStream(events, watermarkDelay),
+      col("window_start"),
+      col("window_start"), col("n_events"), col("n_high"), col("pct_high"))
+
+  /** Streaming telemetry (replaces the reference's producer ack callback
+    * logging offset/topic/partition/timestamp, KafkaStreaming.scala:245-276):
+    * a StreamingQueryListener reporting per-batch rows, processing time and
+    * watermark. Returns the listener so callers/tests can detach it.
+    */
+  def attachTelemetry(spark: SparkSession): StreamingQueryListener = {
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+        System.err.println(s"[graft.streaming] started ${e.name} (${e.id})")
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        System.err.println(
+          s"[graft.streaming] ${e.progress.name} batch=${e.progress.batchId} " +
+            s"rows=${e.progress.numInputRows} " +
+            s"durationMs=${e.progress.durationMs.getOrDefault("triggerExecution", -1L)} " +
+            s"watermark=${e.progress.eventTime.getOrDefault("watermark", "-")}")
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        System.err.println(s"[graft.streaming] terminated ${e.id} err=${e.exception.getOrElse("none")}")
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
+}

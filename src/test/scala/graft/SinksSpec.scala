@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sinks
+
+/** Sinks K1-K8 — single-file writers, JSON record construction, producer
+  * option profiles (SURVEY.md §2.2).
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csvOverwriteSingle writes exactly one part file and overwrites prior content") {
+    val dir = tmpDir("csv-ow") + "/out"
+    Sinks.csvOverwriteSingle(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir)
+    Sinks.csvOverwriteSingle(Seq((9, "z")).toDF("id", "s"), dir)
+    val parts = new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val rows = spark.read.option("header", "true").csv(dir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("9"))
+  }
+
+  test("csvAppendSingle accumulates one part file per call") {
+    val dir = tmpDir("csv-ap") + "/out"
+    Sinks.csvAppendSingle(Seq((1, "a")).toDF("id", "s"), dir)
+    Sinks.csvAppendSingle(Seq((2, "b")).toDF("id", "s"), dir)
+    val parts = new java.io.File(dir).listFiles.filter(_.getName.startsWith("part-"))
+    assert(parts.length == 2)
+    assert(spark.read.csv(dir).count() == 2)
+  }
+
+  test("kafkaShaped builds the exact JSON record the reference producer emitted") {
+    // Reference: Jackson objectNode with 11 puts (KafkaStreaming.scala:228-238).
+    val df = Seq((1001L, 42L, "Paris", 2, 187.5)).toDF("orderid", "customerid", "city", "numunit", "totalprice")
+    val out = Sinks.kafkaShaped(df, col("orderid"),
+      col("orderid"), col("customerid"), col("city"), col("numunit"), col("totalprice"))
+    val r = out.head()
+    assert(out.columns.toSeq == Seq("key", "value"))
+    assert(r.getString(0) == "1001")
+    assert(r.getString(1) ==
+      """{"orderid":1001,"customerid":42,"city":"Paris","numunit":2,"totalprice":187.5}""")
+  }
+
+  test("to_json/from_json round-trip is lossless (K8 query body)") {
+    val out = Sinks.k8JsonRoundtrip.fn(spark, "/root/testdata/sf0.001")
+    val orig = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+    assert(out.except(orig).isEmpty && orig.except(out).isEmpty)
+  }
+
+  test("producer profiles: idempotent adds exactly-once params; prod-tuned adds batching") {
+    val alo = Sinks.kafkaAtLeastOnceOptions("b:9092", "t")
+    assert(alo("kafka.acks") == "all" && !alo.contains("kafka.enable.idempotence"))
+    val eo = Sinks.kafkaExactlyOnceOptions("b:9092", "t")
+    assert(eo("kafka.enable.idempotence") == "true" && eo("kafka.retries") == "3")
+    val pt = Sinks.kafkaProdTunedOptions("b:9092", "t")
+    assert(pt("kafka.batch.size") == "16384" && pt("kafka.linger.ms") == "100" &&
+      pt("kafka.compression.type") == "gzip")
+  }
+}

@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.Kpi
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured-Streaming lift — parity with batch, watermark append
+  * semantics, per-batch faithful mode, checkpoint recovery, empty-batch
+  * marker (SURVEY.md §5 item 3).
+  */
+class StreamingJobsSpec extends SparkSpec {
+
+  private def fixtureEvents: DataFrame =
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("stateful kpiStream over a file-replayed fixture matches batch aggregation exactly") {
+    val dir = tmpDir("stream-in")
+    // 4 parquet files → 4 micro-batches with maxFilesPerTrigger=1.
+    fixtureEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val batchExpected = Kpi.formatted(Kpi.aggregate(spark.read.parquet(dir)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    val streamIn = Sources.parquetSpoolDir(spark, dir, maxFilesPerTrigger = 1)
+    // Update mode + upsert-by-window: file arrival order is not time-ordered,
+    // so a huge watermark keeps every window open and the LAST update per
+    // window is the final value — deterministic regardless of batch order.
+    val state = TrieMap.empty[String, (Long, Long, Double)]
+    val q = Jobs.kpiStream(streamIn, watermarkDelay = "3650 days").writeStream
+      .outputMode("update")
+      .queryName("kpi_parity")
+      .option("checkpointLocation", tmpDir("stream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          state.put(r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      }
+      .start()
+    q.awaitTermination(120000)
+    assert(state.toMap == batchExpected)
+    assert(state.nonEmpty)
+  }
+
+  test("append mode emits a window only after the watermark passes it, exactly once") {
+    val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
+    val q = Jobs.kpiStream(ms.toDF(), watermarkDelay = "10 minutes").writeStream
+      .outputMode("append")
+      .queryName("kpi_wm")
+      .format("memory")
+      .start()
+    def table() = spark.table("kpi_wm").collect()
+
+    ms.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", 150.0, "{}"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:05:00"), 2, "view", 50.0, "{}"))
+    q.processAllAvailable()
+    assert(table().isEmpty) // watermark at 09:55 — window [10:00,10:15) still open
+
+    // Advance event time past window end + delay; emission happens on the
+    // batch AFTER the one that advances the watermark.
+    ms.addData(Ev(3, Timestamp.valueOf("2024-01-01 10:40:00"), 3, "view", 10.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(4, Timestamp.valueOf("2024-01-01 10:41:00"), 3, "view", 10.0, "{}"))
+    q.processAllAvailable()
+
+    val emitted = table().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted == Set(("2024-01-01 10:00:00", 2L, 1L)))
+
+    // A late row behind the watermark is dropped; the emitted window never updates.
+    ms.addData(Ev(5, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 999.0, "{}"))
+    q.processAllAvailable()
+    assert(table().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set(("2024-01-01 10:00:00", 2L, 1L)))
+    q.stop()
+  }
+
+  test("per-batch faithful lift appends each micro-batch's own KPI rows to CSV") {
+    val in = tmpDir("pb-in"); val out = tmpDir("pb-out")
+    fixtureEvents.coalesce(1).write.mode("overwrite").parquet(in)
+    val q = Jobs.startKpiPerBatch(
+      Sources.parquetSpoolDir(spark, in),
+      out, tmpDir("pb-ckpt"), Jobs.trigger(0))
+    q.awaitTermination(120000)
+    val written = spark.read.schema("window_start STRING, n_events LONG, n_high LONG, pct_high DOUBLE")
+      .csv(s"$out/data")
+    val expected = Kpi.quarterHour(spark.read.parquet(in))
+    assert(written.count() == expected.count())
+    assert(written.agg(sum("n_events")).head.getLong(0) ==
+      expected.agg(sum("n_events")).head.getLong(0))
+  }
+
+  test("checkpoint recovery: restart processes only new files, no duplicates") {
+    val in = tmpDir("ck-in"); val out = tmpDir("ck-out"); val ckpt = tmpDir("ck-ckpt")
+    val hour1 = fixtureEvents.filter(hour(col("ts")) < 12)
+    val hour2 = fixtureEvents.filter(hour(col("ts")) >= 12)
+    hour1.coalesce(1).write.mode("append").parquet(in)
+
+    val q1 = Jobs.startKpiPerBatch(Sources.parquetSpoolDir(spark, in), out, ckpt, Jobs.trigger(0))
+    q1.awaitTermination(120000)
+    val csv = () => spark.read
+      .schema("window_start STRING, n_events LONG, n_high LONG, pct_high DOUBLE")
+      .csv(s"$out/data")
+    val afterFirst = csv().count()
+    assert(afterFirst == Kpi.quarterHour(hour1).count())
+
+    // Restart on the same checkpoint with no new data → nothing reprocessed.
+    val q2 = Jobs.startKpiPerBatch(Sources.parquetSpoolDir(spark, in), out, ckpt, Jobs.trigger(0))
+    q2.awaitTermination(120000)
+    assert(csv().count() == afterFirst)
+
+    // New file lands → only its windows are appended.
+    hour2.coalesce(1).write.mode("append").parquet(in)
+    val q3 = Jobs.startKpiPerBatch(Sources.parquetSpoolDir(spark, in), out, ckpt, Jobs.trigger(0))
+    q3.awaitTermination(120000)
+    assert(csv().count() == afterFirst + Kpi.quarterHour(hour2).count())
+  }
+
+  test("empty batch writes the marker CSV instead of data (F7 guard)") {
+    val out = tmpDir("mk-out")
+    Jobs.appendBatchCsv(fixtureEvents.limit(0), 7L, out)
+    val marker = spark.read.option("header", "true").csv(s"$out/_empty_marker").collect()
+    assert(marker.map(_.getString(0)).toSeq == Seq("no events in batch 7"))
+    assert(!new java.io.File(s"$out/data").exists())
+  }
+
+  test("poisoned batch is isolated: stream body logs and continues (F9)") {
+    val out = tmpDir("poison-out")
+    // A frame whose evaluation throws at action time (division via UDF that throws).
+    val bad = fixtureEvents.limit(5)
+      .withColumn("value", udf((_: Double) => { throw new RuntimeException("boom"); 0.0 }).apply(col("value")))
+    Jobs.appendBatchCsv(bad, 1L, out) // must not throw
+    Jobs.appendBatchCsv(Kpi.quarterHour(fixtureEvents.limit(100)), 2L, out)
+    assert(spark.read.csv(s"$out/data").count() > 0)
+  }
+
+  test("rate-source synthetic events carry the declared schema") {
+    val df = Sources.syntheticEvents(spark)
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  }
+
+  test("kafka source option map mirrors the reference consumer params") {
+    val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
+    assert(opts("kafka.bootstrap.servers") == "broker:9092")
+    assert(opts("subscribe") == "t1,t2")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts.contains("maxOffsetsPerTrigger")) // bounded micro-batch at scale
+  }
+}
