@@ -12,7 +12,8 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     Seq(QueryDef("q1_kpi_quarter_hour", Kpi.quarterHourSql)(
       (s, d) => Kpi.quarterHour(Tables.events(s, d)))) ++
-      Transforms.all ++ Aggregates.all ++ Relational.all ++ Sinks.all
+      Transforms.all ++ Aggregates.all ++ Relational.all ++ Sinks.all ++
+      Dedup.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Document deduplication — the first-class LLM-training-pipeline operator
+  * family (builder brief; beyond the reference's surface, which has no
+  * dedup at all — SURVEY.md §2.4 note).
+  *
+  * Every variant here is written for the 100 TB shape:
+  *  - exact dedup is a hash-groupBy on a 256-bit content hash (shuffle on
+  *    the hash, map-side partial aggregation — never a sort);
+  *  - near-dup candidate generation is ALWAYS bucketed (LSH bands or a
+  *    blocking key) and pairs are only formed WITHIN buckets — an
+  *    all-pairs O(n²) join never appears in any plan;
+  *  - verification (exact Jaccard) runs only on the candidate pairs the
+  *    buckets produced, i.e. output-sized work, not input-sized.
+  *
+  * All shingling/minhashing is built from codegen'd builtin higher-order
+  * functions (transform/filter/aggregate/array_*) + xxhash64 — no UDFs, so
+  * the whole pipeline stays inside whole-stage codegen.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup via content hash: group on sha2(text), keep the smallest
+    * doc_id as the canonical representative. At 100 TB: shuffle keys are
+    * 64-hex strings (uniform — no skew), and the map-side partial
+    * aggregation means each executor ships one row per distinct hash.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  val exactQuery = QueryDef(
+    "dedup_exact",
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_doc_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin)(
+    (s, d) => exact(Tables.documents(s, d)).orderBy("keep_doc_id"))
+
+  // ------------------------------------------------------- blocked jaccard
+
+  /** Word-set Jaccard between two token-array columns. array_intersect /
+    * array_union dedup internally, so inputs need not be distinct.
+    */
+  private def jaccard(a: String, b: String) =
+    (size(array_intersect(col(a), col(b))).cast("double") /
+      size(array_union(col(a), col(b))).cast("double"))
+
+  /** Blocked n-gram Jaccard near-dup detection, fully oracle-checkable:
+    * block on a cheap prefix key (docs sharing their first 50 chars —
+    * the classic "URL/prefix blocking" trick), pair only within blocks,
+    * verify with exact word-set Jaccard. The blocking key bounds the join:
+    * at 100 TB the shuffle is one row per doc and pairs form only inside
+    * same-key buckets (bucket sizes are data-bounded, AQE handles stragglers).
+    */
+  def prefixBlockedJaccard(documents: DataFrame, prefixLen: Int = 50): DataFrame = {
+    val keyed = documents.select(
+      col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("block_key"),
+      array_distinct(split(lower(col("text")), "\\s+")).as("words"))
+    val a = keyed.select(col("block_key"), col("doc_id").as("doc_a"), col("words").as("wa"))
+    val b = keyed.select(col("block_key"), col("doc_id").as("doc_b"), col("words").as("wb"))
+    a.join(b, Seq("block_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard("wa", "wb"), 4).as("jaccard"))
+  }
+
+  val prefixBlockedQuery = QueryDef(
+    "dedup_blocked_jaccard",
+    """WITH keyed AS (
+      |  SELECT doc_id, substr(text, 1, 50) AS block_key,
+      |         list_distinct(string_split(lower(text), ' ')) AS words
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |             / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE), 4) AS jaccard
+      |FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => prefixBlockedJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  // ------------------------------------------------------------ minhash-lsh
+
+  /** Word n-gram shingles as a SQL expression over a `tokens` array column.
+    * Empty array (not a descending sequence()) when the doc is shorter
+    * than n tokens.
+    */
+  private def shingleExpr(n: Int): String =
+    s"""CASE WHEN size(tokens) < $n THEN array()
+       |ELSE transform(sequence(1, size(tokens) - ${n - 1}),
+       |       i -> concat_ws(' ', ${(0 until n).map(k => s"element_at(tokens, i + $k)").mkString(", ")}))
+       |END""".stripMargin.replace("\n", " ")
+
+  /** Per-doc MinHash signature of `numHashes` seeded xxhash64 minima over
+    * word `shingleSize`-gram shingles. One pass over the shingle array per
+    * hash function, all inside codegen — no UDF, no driver involvement.
+    */
+  def minhashSignatures(documents: DataFrame, numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    documents
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("tokens"))
+      .withColumn("shingles", expr(s"array_distinct(${shingleExpr(shingleSize)})"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig",
+        expr(s"transform(sequence(0, ${numHashes - 1}), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket-join on (band index, band hash), verify candidates
+    * with exact shingle-set Jaccard, keep pairs ≥ threshold.
+    *
+    * Scale anatomy: explode emits `bands` rows per doc (constant factor);
+    * the self-join shuffles on the band hash so only same-bucket docs ever
+    * meet; `array_distinct` on the candidate list dedups pairs found by
+    * multiple bands BEFORE the verify join. The verify stage joins the
+    * (small) candidate set back to the shingle arrays twice — output-sized
+    * work. Nothing in the plan is quadratic in corpus size.
+    */
+  def minhashLsh(
+      documents: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.4,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(documents, numHashes, shingleSize).cache()
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  bi -> xxhash64(concat_ws(',', transform(slice(sig, bi * $r + 1, $r), x -> cast(x AS string)))))"""
+          .stripMargin.replace("\n", " "))).as(Seq("band_idx", "band_hash")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), round(jaccard("sa", "sb"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** xxhash64 seeds are Spark-internal → no DuckDB oracle; correctness is
+    * asserted in DedupSpec (planted near-dups found; LSH pairs agree with
+    * brute-force Jaccard on the fixture).
+    */
+  val minhashLshQuery = QueryDef.unverified("dedup_minhash_lsh")(
+    (s, d) => minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens: one aggregate() pass accumulates the
+    * per-bit +1/-1 counts (array of 64 longs), then the sign vector packs
+    * into a single long. Near-dup docs differ in few bits (Hamming), so
+    * at scale candidates come from banding the simhash bytes — same
+    * bucket-join shape as MinHash-LSH, one long instead of a signature.
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("hashes",
+        expr("transform(array_distinct(split(lower(text), '\\\\s+')), t -> xxhash64(t))"))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("bitcounts",
+        expr("""aggregate(hashes, transform(sequence(0, 63), i -> 0L),
+               |  (acc, h) -> zip_with(acc, sequence(0, 63),
+               |                (a, i) -> a + CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("simhash",
+        expr("""aggregate(zip_with(bitcounts, sequence(0, 63), (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
+               |  0L, (acc, x) -> acc | x)""".stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Hamming distance between the simhashes of doc pairs sharing a prefix
+    * block — the verify stage a banded simhash index would run. bit_count
+    * of XOR is the textbook distance.
+    */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val keyed = simhash(documents)
+      .join(documents.select(col("doc_id"), substring(col("text"), 1, 50).as("block_key")), "doc_id")
+    keyed.as("a").join(keyed.as("b"),
+        col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val simhashQuery = QueryDef.unverified("dedup_simhash_neardups")(
+    (s, d) => simhashNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  val all: Seq[QueryDef] = Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery)
+}

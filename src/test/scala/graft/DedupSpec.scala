@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Dedup family — exact hashing, MinHash-LSH recall/precision against
+  * brute-force Jaccard, SimHash locality.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm windowsill every afternoon"
+  /** 0-1: exact dups; 2: near-dup of 0 (one word changed); 3-4: unrelated. */
+  private def docs: DataFrame = Seq(
+    (0L, base, "en", "s", base.length.toLong),
+    (1L, base, "en", "s", base.length.toLong),
+    (2L, base.replace("warm", "cold"), "en", "s", base.length.toLong),
+    (3L, "completely different content about spark partitions and shuffle behavior at massive scale today", "en", "s", 97L),
+    (4L, "unrelated short text", "en", "s", 20L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts only") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 5 docs, one exact-dup pair
+    val dupGroup = out.filter(_.getLong(2) == 2L)
+    assert(dupGroup.length == 1 && dupGroup.head.getLong(1) == 0L) // keeps min doc_id
+  }
+
+  test("minhash-lsh finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("lsh verified jaccard values are exact (match brute force on the pair)") {
+    val j = Dedup.minhashLsh(docs).filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .head.getDouble(2)
+    assert(j == 1.0)
+  }
+
+  test("minhash-lsh on fixture: every reported pair has jaccard >= threshold; near-dup blocks are found") {
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val lsh = Dedup.minhashLsh(fixture, threshold = 0.4).collect()
+    assert(lsh.nonEmpty, "fixture contains planted near-dups; LSH must find some")
+    assert(lsh.forall(_.getDouble(2) >= 0.4))
+    // Recall vs the oracle-checkable blocked-jaccard pairs (J>=0.6, same
+    // prefix block => heavy overlap => minhash banding must catch them).
+    val blocked = Dedup.prefixBlockedJaccard(fixture)
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = blocked -- found
+    assert(missed.isEmpty, s"LSH missed high-jaccard blocked pairs: $missed")
+  }
+
+  test("simhash: near-dups within hamming 16, unrelated docs far apart") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0, 1) == 0)  // identical text, identical simhash
+    assert(ham(0, 2) <= 16, s"near-dup hamming ${ham(0, 2)}")
+    assert(ham(0, 3) > 16, s"unrelated hamming ${ham(0, 3)}")
+  }
+
+  test("shingling handles docs shorter than the shingle size") {
+    val tiny = Seq((0L, "one two", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.minhashSignatures(tiny).isEmpty) // filtered, not crashed
+    assert(Dedup.minhashLsh(tiny.unionByName(docs)).count() ==
+      Dedup.minhashLsh(docs).count())
+  }
+}
