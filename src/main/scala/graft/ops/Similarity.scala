@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * float[64], label) — LLM-pipeline ANN operators (builder brief).
+  *
+  * Two tiers, mirroring how a production pipeline scales:
+  *  - [[bruteForceTopK]] — exact cosine against every vector; the correct
+  *    baseline and the oracle-verified query. One broadcast of the query
+  *    vector, one scan, TakeOrderedAndProject for the top-k — no shuffle
+  *    of the corpus at all, so even this "brute force" scales linearly.
+  *  - [[annTopK]] — random-hyperplane LSH: candidates come only from
+  *    buckets the query vector lands in (multi-table for recall), exact
+  *    cosine re-rank on the candidate set. At 100 TB the bucketed
+  *    candidate join touches a small fraction of the corpus.
+  *
+  * All vector math is codegen'd builtin higher-order functions
+  * (zip_with/aggregate/transform) over the array column — no UDF. Floats
+  * are cast to double BEFORE any arithmetic: both Spark and the DuckDB
+  * oracle then do a sequential left-to-right double fold, which keeps the
+  * two engines' results equal to ~1e-15 relative (float accumulation would
+  * diverge at ~1e-6 and break the hash compare — observed with DuckDB's
+  * own list_cosine_similarity, which accumulates in float).
+  */
+object Similarity {
+
+  /** Sequential double-fold dot product of two array<float/double> columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** Cosine similarity between two vector columns, double throughout. */
+  def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** The same dot product in DuckDB SQL (sequential double fold — keeps
+    * oracle arithmetic bit-comparable to Spark's).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def duckCosine(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  // ------------------------------------------------------------ brute force
+
+  /** Exact top-k nearest neighbors of `queryVecId` by cosine. The 1-row
+    * query vector is broadcast (safe at any scale); ordering is on the
+    * ROUNDED similarity with vec_id tiebreak so top-k boundaries are
+    * deterministic across engines and partitionings.
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryVecId: Long = 0L, k: Int = 20): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val bruteForceQuery = QueryDef(
+    "sim_topk_cosine",
+    s"""SELECT b.vec_id, b.label,
+       |       round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |FROM embeddings b
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE b.vec_id != 0
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => bruteForceTopK(Tables.embeddings(s, d)))
+
+  // ---------------------------------------------------------------- lsh ann
+
+  /** LSH bucket keys for every vector: `tables` independent hash tables,
+    * each keyed by `bitsPerTable` hyperplane sign bits. Hyperplane
+    * components are deterministic pseudo-randoms — xxhash64 of
+    * (plane, dimension) mapped into [-0.5, 0.5) — so there is no RNG
+    * state to coordinate across executors. Output: one row per
+    * (vec_id, table) with the packed bucket key.
+    */
+  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
+    // sign bit of dot(embedding, hyperplane(t*bitsPerTable + b)):
+    val signBit =
+      s"""CASE WHEN aggregate(
+         |  zip_with(embedding,
+         |           transform(sequence(0, 63), i ->
+         |             (CAST(pmod(xxhash64((t * $bitsPerTable + b) * 64 + i), 1000003) AS DOUBLE) / 1000003.0 - 0.5)),
+         |    (x, h) -> CAST(x AS DOUBLE) * h),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
+         |THEN shiftleft(1L, b) ELSE 0L END""".stripMargin
+    embeddings.select(
+      col("vec_id"), col("label"), col("embedding"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${tables - 1}), t ->
+           |  aggregate(transform(sequence(0, ${bitsPerTable - 1}), b -> $signBit),
+           |            0L, (acc, x) -> acc | x))""".stripMargin.replace("\n", " ")))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  /** ANN top-k: candidates = vectors sharing ANY table-bucket with the
+    * query vector; exact cosine re-rank on candidates only. Recall is
+    * tunable via tables × bits; the candidate set (not the corpus) pays
+    * the exact math.
+    */
+  def annTopK(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 20,
+      tables: Int = 8,
+      bitsPerTable: Int = 6): DataFrame = {
+    val buckets = lshBuckets(embeddings, tables, bitsPerTable)
+    val qBuckets = buckets.filter(col("vec_id") === queryVecId)
+      .select(col("tbl"), col("bucket"), col("embedding").as("q_emb"))
+    buckets.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(qBuckets), Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("label"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Hyperplane hashes are Spark-expression-specific → no DuckDB oracle;
+    * SimilaritySpec pins recall vs [[bruteForceTopK]] and verifies every
+    * reported cosine against the exact value.
+    */
+  val annQuery = QueryDef.unverified("sim_ann_lsh_topk")(
+    (s, d) => annTopK(Tables.embeddings(s, d)))
+
+  // ------------------------------------------------------ near-dup pairs
+
+  /** Embedding-cosine near-dup pairs (the vector analog of Dedup): pairs
+    * sharing an LSH table-bucket, verified with exact cosine ≥ threshold.
+    * Same never-all-pairs anatomy as MinHash-LSH: bucket join → distinct
+    * candidate pairs → output-sized verify.
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double = 0.45,
+      tables: Int = 16,
+      bitsPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(embeddings, tables, bitsPerTable)
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.toDF("vec_a", "ea"), "vec_a")
+      .join(vecs.toDF("vec_b", "eb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  val nearDupQuery = QueryDef.unverified("sim_cosine_neardup_pairs")(
+    (s, d) => cosineNearDupPairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b"))
+
+  /** Oracle-checkable exact variant on a BLOCKED pair set (same label):
+    * proves the cosine arithmetic against DuckDB on a bounded join. (The
+    * label here is a stand-in for any real blocking key; the unblocked
+    * scale path is [[cosineNearDupPairs]].)
+    */
+  val labelBlockedQuery = QueryDef(
+    "sim_label_blocked_pairs",
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+       |ORDER BY vec_a, vec_b""".stripMargin)(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), "label")
+        .filter(col("vec_a") < col("vec_b"))
+        .filter(cosine("ea", "eb") >= 0.3)
+        .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 6).as("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    })
+
+  val all: Seq[QueryDef] = Seq(bruteForceQuery, annQuery, nearDupQuery, labelBlockedQuery)
+}

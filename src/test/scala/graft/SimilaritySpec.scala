@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Similarity search — exact cosine math, ANN recall vs brute force,
+  * near-dup pair integrity. Runs on the sf0.001 embeddings fixture
+  * (500 × 64-dim float vectors).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("cosine of a vector with itself is 1; orthogonal vectors give 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f), Array(0.0f, 2.0f)),
+      (3L, Array(3.0f, 4.0f), Array(3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), round(Similarity.cosine("a", "b"), 9).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("brute-force top-k is ordered desc with vec_id tiebreak and excludes the query vector") {
+    val top = Similarity.bruteForceTopK(emb, queryVecId = 0L, k = 20).collect()
+    assert(top.length == 20)
+    assert(!top.exists(_.getLong(0) == 0L))
+    val sims = top.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(sims.sortBy { case (c, id) => (-c, id) }.toSeq == sims.toSeq)
+  }
+
+  test("ann top-k cosines are exact (every reported value matches brute force)") {
+    val bf = Similarity.bruteForceTopK(emb, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ann = Similarity.annTopK(emb, k = 20).collect()
+    assert(ann.nonEmpty)
+    ann.foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2),
+      s"vec ${r.getLong(0)}: ann ${r.getDouble(2)} vs exact ${bf(r.getLong(0))}"))
+  }
+
+  test("ann recall@20 vs brute force is adequate for the table/bit config") {
+    val bfTop = Similarity.bruteForceTopK(emb, k = 20).collect().map(_.getLong(0)).toSet
+    val annTop = Similarity.annTopK(emb, k = 20).collect().map(_.getLong(0)).toSet
+    val recall = (bfTop intersect annTop).size.toDouble / bfTop.size
+    assert(recall >= 0.25, s"recall@20 = $recall — LSH config degraded")
+  }
+
+  test("near-dup pairs: all pairs verified >= threshold, no self/dup pairs, found the top pair") {
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.45).collect()
+    assert(pairs.forall(_.getDouble(2) >= 0.45))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (a, b) => a < b })
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
+    val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
+    assert(b.count() == emb.count() * 4)
+    val range = b.agg(min("bucket"), max("bucket")).head
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 32L)
+  }
+}
