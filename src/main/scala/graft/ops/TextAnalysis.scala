@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Text analysis over `documents` — LLM-pipeline quality/filtering
+  * operators (builder brief): token counting, quality scoring,
+  * language-ID, document fingerprinting.
+  *
+  * Everything is narrow (shuffle-free) scan-side compute built from
+  * codegen'd builtins — split/filter/transform/aggregate/regexp — so at
+  * 100 TB these run at parquet scan speed with full column pruning.
+  * All scoring math is fixed-order double arithmetic and every constant
+  * is spelled identically in the DuckDB oracle, keeping the hash compare
+  * bit-stable.
+  */
+object TextAnalysis {
+
+  // ------------------------------------------------------------- tokens
+
+  /** Token counting: whitespace tokens, BPE-ish pieces (word chunks +
+    * standalone punctuation — the pre-tokenizer split every BPE uses),
+    * and the chars/4 heuristic estimate.
+    */
+  val tokenStats = QueryDef(
+    "text_token_stats",
+    """SELECT doc_id,
+      |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+      |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe_pieces"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
+      .orderBy("doc_id"))
+
+  // ------------------------------------------------------------ quality
+
+  /** Tiny deterministic stoplist (quality signal, not linguistics). */
+  private val enStops = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for")
+
+  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality scoring: length, stopword density, uniqueness, punctuation
+    * noise — the standard cheap filters a training-data pipeline runs
+    * before anything expensive. `quality` is a fixed-weight blend in
+    * [0, 1]; every term is bounded so one signal cannot dominate.
+    */
+  val qualityScores = QueryDef(
+    "text_quality_scores",
+    s"""SELECT doc_id,
+       |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 4) AS len_score,
+       |  round(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE)
+       |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 4) AS stop_ratio,
+       |  round(CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+       |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 4) AS uniq_ratio,
+       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+       |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+       |      + least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE)
+       |              / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.35
+       |      + CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+       |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.2
+       |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |                     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val tokens = split(col("text"), "\\s+")
+      val lowTokens = "split(lower(text), '\\\\s+')"
+      val nTokens = size(tokens).cast("double")
+      val stopHits = expr(s"size(filter($lowTokens, t -> t IN ${inList(enStops)}))").cast("double")
+      val uniq = expr(s"size(array_distinct($lowTokens))").cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val chars = length(col("text")).cast("double")
+      val lenScore = least(chars / 500.0, lit(1.0))
+      val stopRatio = stopHits / nTokens
+      val uniqRatio = uniq / nTokens
+      val punctRatio = punct / chars
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        round(lenScore, 4).as("len_score"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(uniqRatio, 4).as("uniq_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(lenScore * 0.25
+          + least(stopRatio * 5.0, lit(1.0)) * 0.35
+          + uniqRatio * 0.2
+          + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2, 4).as("quality"))
+        .orderBy("doc_id")
+    })
+
+  // ------------------------------------------------------------ lang id
+
+  private val stops: Seq[(String, Seq[String])] = Seq(
+    "en" -> enStops,
+    "es" -> Seq("el", "los", "y", "en", "un", "una", "es", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "dans", "pour", "ce"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "nicht"))
+
+  /** Language-ID heuristic: stopword hits per language + CJK codepoint
+    * density. Deterministic argmax (priority order en > es > fr > de on
+    * ties); 'zh' when ≥30% of chars are CJK; 'und' when nothing fires.
+    * This is the n-gram-free flavor of fastText-style cheap lang-ID —
+    * one scan, no model artifact to ship.
+    */
+  val langId = {
+    val hitExprsDuck = stops.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(ws)})) AS BIGINT) AS ${l}_hits"
+    }.mkString(",\n       ")
+    val predDuck =
+      """CASE WHEN CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS DOUBLE) * 10.0 >= CAST(length(text) AS DOUBLE) * 3.0 THEN 'zh'
+        |     WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+        |     WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+        |     WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+        |     WHEN fr_hits >= de_hits THEN 'fr'
+        |     ELSE 'de' END""".stripMargin
+    QueryDef(
+      "text_lang_id",
+      s"""SELECT * FROM (
+         |SELECT doc_id, lang AS tagged_lang,
+         |       $hitExprsDuck,
+         |       $predDuck AS pred_lang
+         |FROM documents) ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val withHits = stops.foldLeft(
+          Tables.documents(s, d).select(col("doc_id"), col("lang").as("tagged_lang"), col("text"))) {
+          case (df, (l, ws)) =>
+            df.withColumn(s"${l}_hits",
+              expr(s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ${inList(ws)}))").cast("long"))
+        }
+        withHits
+          .withColumn("cjk", size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("double"))
+          .withColumn("pred_lang",
+            when(col("cjk") * 10.0 >= length(col("text")).cast("double") * 3.0, "zh")
+              .when(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits")) === 0, "und")
+              .when(col("en_hits") >= greatest(col("es_hits"), col("fr_hits"), col("de_hits")), "en")
+              .when(col("es_hits") >= greatest(col("fr_hits"), col("de_hits")), "es")
+              .when(col("fr_hits") >= col("de_hits"), "fr")
+              .otherwise("de"))
+          .select(col("doc_id"), col("tagged_lang"),
+            col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits"), col("pred_lang"))
+          .orderBy("doc_id")
+      })
+  }
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Rolling-hash document fingerprint: a Rabin-Karp polynomial hash of
+    * the whole text mod 1e9+7 (per-step mod keeps both engines inside
+    * int64 — DuckDB errors on overflow rather than wrapping), plus the
+    * MINIMUM 8-gram window hash (the winnowing primitive: near-identical
+    * docs share their minimum window hash with high probability).
+    */
+  val fingerprint = {
+    // 31^k mod p for the unrolled 8-gram polynomial, highest power first.
+    val P = 1000000007L
+    val pows = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq.reverse
+    // CAST to BIGINT before multiplying: ascii() is 32-bit in both engines
+    // and ascii * 31^6 overflows INT (Spark ANSI and DuckDB both error
+    // on overflow rather than wrapping).
+    def gram(i: String) =
+      "(" + pows.zipWithIndex.map { case (pw, k) =>
+        s"CAST(ascii(substr(text, $i + $k, 1)) AS BIGINT) * $pw" }.mkString(" + ") + s") % $P"
+    val gramDuck = gram _
+    val gramSpark = gram _
+    QueryDef(
+      "text_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> ascii(c))),
+         |              (acc, c) -> (acc * 31 + c) % $P) AS doc_hash,
+         |  CASE WHEN length(text) < 8 THEN NULL
+         |       ELSE list_min(list_transform(range(1, length(text) - 6), i -> ${gramDuck("i")}))
+         |  END AS min_gram_hash
+         |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr(s"aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 31 + c) % $P)")
+            .as("doc_hash"),
+          expr(s"""CASE WHEN length(text) < 8 THEN NULL
+                  |ELSE array_min(transform(sequence(1, length(text) - 7), i -> ${gramSpark("i")}))
+                  |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
+        .orderBy("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(tokenStats, qualityScores, langId, fingerprint)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.TextAnalysis
+
+/** Text analysis — language-ID on real multilingual snippets (the fixture
+  * tags langs but its text is synthetic English-ish, so the heuristic is
+  * exercised here), quality-score bounds, fingerprint locality.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*): DataFrame =
+    rows.map { case (id, t) => (id, t, "xx", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def run(q: graft.QueryDef, df: DataFrame) = {
+    df.createOrReplaceTempView("tmp_docs")
+    // QueryDefs read from a dir; for unit data, rebuild the op inline via
+    // the public fns where available — here we call fn against a temp dir
+    // written once.
+    val dir = tmpDir("ta")
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    q.fn(spark, dir)
+  }
+
+  test("language-ID picks the right language for real snippets") {
+    val df = docsOf(
+      1L -> "the cat is in the house and it is warm for the winter",
+      2L -> "le chat est dans la maison et les enfants sont dans le jardin pour ce soir",
+      3L -> "el perro es un animal que vive en la casa con los gatos por la noche",
+      4L -> "der hund ist in den garten gelaufen und die katze ist mit der maus nicht da",
+      5L -> "这是一个中文句子用来测试语言识别的功能",
+      6L -> "zxcv qwerty asdf ghjkl")
+    val out = run(TextAnalysis.langId, df)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("quality scores are bounded in [0,1] and rank clean text above noise") {
+    val clean = "the quick brown fox jumps over the lazy dog and it is a fine day for the race to begin " * 4
+    val noise = "@@## $$%% ^^&& !!?? ;;:: ~~`` ||\\\\ 11 22"
+    val out = run(TextAnalysis.qualityScores, docsOf(1L -> clean, 2L -> noise))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L) + 0.3, s"clean ${out(1L)} vs noise ${out(2L)}")
+  }
+
+  test("token stats: bpe pieces >= ws tokens; punctuation splits into pieces") {
+    val out = run(TextAnalysis.tokenStats, docsOf(1L -> "hello, world! it's 42"))
+      .head
+    val (ws, bpe) = (out.getLong(1), out.getLong(2))
+    assert(ws == 4)
+    // hello , world ! it ' s 42
+    assert(bpe == 8)
+  }
+
+  test("fingerprint: identical docs hash equal; near-identical docs share the min-gram hash") {
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
+    val out = run(TextAnalysis.fingerprint, docsOf(
+      1L -> base, 2L -> base, 3L -> (base + " tonight"), 4L -> "zzz"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L)._1 != out(3L)._1)          // full hash differs on any edit
+    assert(out(1L)._2 == out(3L)._2)          // min 8-gram window survives a suffix edit
+    assert(out(4L)._2.isEmpty)                // shorter than the window => NULL
+  }
+}
