@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Multimodal plumbing — schema, batch shape, determinism, fan-out
+  * control. The decode is a stub; the Spark contract around it is real.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("synthetic assets carry the full typed schema with binary payload") {
+    val a = Multimodal.syntheticAssets(spark, sf)
+    assert(a.schema("payload").dataType.typeName == "binary")
+    assert(a.schema.fieldNames.toSeq == Seq(
+      "asset_id", "kind", "payload", "width", "height", "sample_rate", "duration_ms"))
+    assert(a.select("kind").distinct().count() == 3)
+  }
+
+  test("feature extraction is deterministic and partition-independent") {
+    val assets = Multimodal.syntheticAssets(spark, sf)
+    val once = Multimodal.extractFeatures(assets).collect()
+      .map(f => f.asset_id -> f.features.toSeq).toMap
+    // Different partitioning must not change any feature vector
+    // (mapPartitions semantics: per-row pure function).
+    val repart = Multimodal.extractFeatures(assets.repartition(7)).collect()
+      .map(f => f.asset_id -> f.features.toSeq).toMap
+    assert(once == repart)
+    assert(once.values.forall(_.length == 8))
+    assert(once.values.forall(_.forall(v => v >= 0f && v < 1f)))
+  }
+
+  test("stub decoder distinguishes different payloads") {
+    val a = Multimodal.stubDecodeFeatures("hello world".getBytes("UTF-8"))
+    val b = Multimodal.stubDecodeFeatures("hello worle".getBytes("UTF-8"))
+    assert(!a.sameElements(b))
+    assert(Multimodal.stubDecodeFeatures("hello world".getBytes("UTF-8")).sameElements(a))
+  }
+
+  test("planResize preserves aspect ratio and never upscales") {
+    val out = Multimodal.planResize(Multimodal.syntheticAssets(spark, sf), maxSide = 96)
+      .select("width", "height", "target_width", "target_height").collect()
+    out.foreach { r =>
+      val (w, h, tw, th) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(tw <= 96 && th <= 96)
+      assert(tw <= w && th <= h)
+      if (w > 96 || h > 96) assert(tw == 96 || th == 96) // longest side hits the cap
+    }
+  }
+
+  test("frame sampling fan-out matches duration/interval exactly") {
+    val assets = Multimodal.syntheticAssets(spark, sf)
+    val frames = Multimodal.sampleFrames(assets, everyMs = 1000L)
+    val perAsset = frames.groupBy("asset_id").agg(count(lit(1)).as("n"))
+      .join(assets.select(col("asset_id"), col("duration_ms")), "asset_id")
+      .collect()
+    assert(perAsset.nonEmpty)
+    perAsset.foreach { r =>
+      assert(r.getLong(1) == (r.getLong(2) + 999) / 1000, s"asset ${r.getLong(0)}")
+    }
+  }
+}
