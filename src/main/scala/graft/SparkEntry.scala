@@ -13,7 +13,8 @@ object SparkEntry {
     Seq(QueryDef("q1_kpi_quarter_hour", Kpi.quarterHourSql)(
       (s, d) => Kpi.quarterHour(Tables.events(s, d)))) ++
       Transforms.all ++ Aggregates.all ++ Relational.all ++ Sinks.all ++
-      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      Coverage.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

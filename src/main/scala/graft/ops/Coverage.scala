@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryDef, Tables}
+
+/** Remaining SURVEY.md §2 coverage: the wide nested projection (T8), the
+  * physical hints exercised as query-shaping operators (P1-P3), and the
+  * local collection source (S9).
+  */
+object Coverage {
+
+  /** T8 — wide explicit nested projection: the reference's 15-field
+    * tweet-indicator schema (IndicateursStreaming.scala:14-30) built as a
+    * JSON envelope, parsed with the explicitly-declared StructType (never
+    * inferred — §1.2), and projected field-by-field
+    * (IndicateursStreaming.scala:118-134). The oracle recomputes the same
+    * 15 derivations directly — a lossless envelope round-trip.
+    *
+    * Scale note: from_json + a 15-field projection collapses to a single
+    * codegen'd Project; Catalyst prunes the struct to exactly the fields
+    * read (here: all 15, by design).
+    */
+  val t8WideProjection = {
+    val schema = StructType(Array(
+      StructField("event_date", StringType), StructField("id", StringType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("userid", StringType), StructField("name", StringType),
+      StructField("screenName", StringType), StructField("location", StringType),
+      StructField("followersCount", IntegerType), StructField("retweetCount", IntegerType),
+      StructField("favoriteCount", IntegerType), StructField("Zipcode", StringType),
+      StructField("ZipCodeType", StringType), StructField("City", StringType),
+      StructField("State", StringType)))
+    QueryDef(
+      "t8_wide_nested_projection",
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d') AS event_date,
+        |  CAST(event_id AS VARCHAR) AS id,
+        |  'event ' || event_type AS text,
+        |  CASE WHEN user_id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang,
+        |  CAST(user_id AS VARCHAR) AS userid,
+        |  'user_' || CAST(user_id AS VARCHAR) AS name,
+        |  '@u' || CAST(user_id AS VARCHAR) AS screenName,
+        |  'loc_' || CAST(user_id % 100 AS VARCHAR) AS location,
+        |  CAST(user_id % 5000 AS INTEGER) AS followersCount,
+        |  CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END AS INTEGER) AS retweetCount,
+        |  CAST(event_id % 50 AS INTEGER) AS favoriteCount,
+        |  lpad(CAST(user_id % 99999 AS VARCHAR), 5, '0') AS Zipcode,
+        |  'STANDARD' AS ZipCodeType,
+        |  ['Paris', 'Lyon', 'Lille', 'Nantes'][CAST(user_id % 4 AS INTEGER) + 1] AS City,
+        |  ['IDF', 'ARA', 'HDF', 'PDL'][CAST(user_id % 4 AS INTEGER) + 1] AS State
+        |FROM events ORDER BY event_id""".stripMargin)(
+      (s, d) => {
+        val cities = array(lit("Paris"), lit("Lyon"), lit("Lille"), lit("Nantes"))
+        val states = array(lit("IDF"), lit("ARA"), lit("HDF"), lit("PDL"))
+        val envelope = Tables.events(s, d).select(
+          col("event_id"),
+          to_json(struct(
+            date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
+            col("event_id").cast("string").as("id"),
+            concat(lit("event "), col("event_type")).as("text"),
+            when(pmod(col("user_id"), lit(2)) === 0, "en").otherwise("fr").as("lang"),
+            col("user_id").cast("string").as("userid"),
+            concat(lit("user_"), col("user_id").cast("string")).as("name"),
+            concat(lit("@u"), col("user_id").cast("string")).as("screenName"),
+            concat(lit("loc_"), pmod(col("user_id"), lit(100)).cast("string")).as("location"),
+            pmod(col("user_id"), lit(5000)).cast("int").as("followersCount"),
+            when(col("value") > 100, 1).otherwise(0).cast("int").as("retweetCount"),
+            pmod(col("event_id"), lit(50)).cast("int").as("favoriteCount"),
+            lpad(pmod(col("user_id"), lit(99999)).cast("string"), 5, "0").as("Zipcode"),
+            lit("STANDARD").as("ZipCodeType"),
+            element_at(cities, pmod(col("user_id"), lit(4)).cast("int") + 1).as("City"),
+            element_at(states, pmod(col("user_id"), lit(4)).cast("int") + 1).as("State"))).as("kafka_json"))
+        envelope
+          .select(col("event_id"), from_json(col("kafka_json"), schema).as("t"))
+          .select(col("event_id"),
+            col("t.event_date"), col("t.id"), col("t.text"), col("t.lang"),
+            col("t.userid"), col("t.name"), col("t.screenName"), col("t.location"),
+            col("t.followersCount"), col("t.retweetCount"), col("t.favoriteCount"),
+            col("t.Zipcode"), col("t.ZipCodeType"), col("t.City"), col("t.State"))
+          .orderBy("event_id")
+      })
+  }
+
+  /** P1-P3 — repartition / cache / coalesce exercised in one query
+    * (reference: cache IndicateursStreaming.scala:80, repartition :84,
+    * coalesce :69). The cached per-user aggregate is consumed TWICE (once
+    * for the max, once for the final filter join) — exactly the reuse
+    * pattern the reference cached for; repartition(8, user_id) pins the
+    * aggregation's partitioning; the result is coalesced for output.
+    * None of these change values, so the oracle is the plain SQL.
+    */
+  val p123PhysicalOps = QueryDef(
+    "p123_repartition_cache",
+    """SELECT user_id, n FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      |WHERE n = (SELECT max(n) FROM (SELECT count(*) AS n FROM events GROUP BY user_id))
+      |ORDER BY user_id""".stripMargin)(
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .repartition(8, col("user_id"))                       // P2
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .cache()                                              // P3
+      val maxN = perUser.agg(max(col("n")).as("max_n"))
+      perUser.join(broadcast(maxN), col("n") === col("max_n"))
+        .select("user_id", "n")
+        .coalesce(1)                                          // P1
+        .orderBy("user_id")
+    })
+
+  /** S9 — local collection source (reference: `Seq(...).toDF("libellé")`,
+    * IndicateursStreaming.scala:66-68): a driver-local LocalRelation
+    * participating in a distributed plan as the broadcast side of a join
+    * — the canonical tiny-dimension enrichment.
+    */
+  val s9LocalCollection = QueryDef(
+    "s9_local_collection_join",
+    """SELECT e.event_type, p.priority, count(*) AS n
+      |FROM events e
+      |JOIN (VALUES ('purchase', 1), ('signup', 2), ('click', 3), ('view', 4), ('error', 5))
+      |     AS p(event_type, priority)
+      |  ON e.event_type = p.event_type
+      |GROUP BY 1, 2 ORDER BY p.priority""".stripMargin)(
+    (s, d) => {
+      import s.implicits._
+      val local = Seq(
+        ("purchase", 1), ("signup", 2), ("click", 3), ("view", 4), ("error", 5))
+        .toDF("event_type", "priority")
+      Tables.events(s, d)
+        .join(broadcast(local), "event_type")
+        .groupBy(col("event_type"), col("priority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("priority")
+    })
+
+  val all: Seq[QueryDef] = Seq(t8WideProjection, p123PhysicalOps, s9LocalCollection)
+}
