@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.{QueryDef, Tables}
+
+/** Typed event row for stateful operators (the explicit schema of
+  * Sources.eventSchema as a case class).
+  */
+case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Running per-user state carried across micro-batches. */
+case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+/** Stateful streaming beyond tumbling windows — session windows and
+  * arbitrary per-key state (SURVEY.md §7.5; the reference has no state
+  * ops at all, §2.6 note — this is the modern surface its pipeline
+  * would grow into).
+  */
+object Stateful {
+
+  /** Event-time session windows: per-user sessions that close after
+    * `gap` of inactivity. In streaming this is
+    * `withWatermark + groupBy(session_window(...))` — Spark merges and
+    * expires session state per key; at scale state size is bounded by
+    * (active keys × open sessions), not history.
+    *
+    * The batch form is oracle-checkable: the classic lag()/cumsum
+    * sessionization reproduces Spark's merge rule — an event at EXACTLY
+    * last+gap still merges (closed boundary), so the new-session test is
+    * `diff > gap`, not `>=`.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+
+  val sessionQuery = QueryDef(
+    "stream_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin)(
+    (s, d) => userSessions(Tables.events(s, d)).orderBy("user_id", "session_start"))
+
+  /** Arbitrary per-key state via mapGroupsWithState (the Structured
+    * Streaming replacement for DStream updateStateByKey): a running
+    * per-user aggregate that survives across micro-batches. Update-mode
+    * output; NoTimeout keeps state forever — production pipelines set
+    * `ProcessingTimeTimeout` + `state.setTimeoutDuration` to bound state,
+    * which is the knob that matters at 100 TB key cardinality.
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserStat(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming starter for [[runningUserStats]] (update mode — each batch
+    * emits only the keys it touched).
+    */
+  def startRunningUserStats(
+      events: Dataset[Event],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    runningUserStats(events).writeStream
+      .outputMode(OutputMode.Update())
+      .queryName("running_user_stats")
+      .option("checkpointLocation", checkpointDir)
+      .format("memory")
+      .start()
+
+  val all: Seq[QueryDef] = Seq(sessionQuery)
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Session windows + mapGroupsWithState — boundary semantics and
+  * cross-batch state accumulation.
+  */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, ts: String, v: Double = 10.0) =
+    Event(id, Timestamp.valueOf(ts), uid, "view", v, "{}")
+
+  test("session window boundary: event at exactly last+gap merges; one past splits") {
+    val rows = Seq(
+      ev(1, 1, "2024-01-01 10:00:00"),
+      ev(2, 1, "2024-01-01 10:30:00"),   // exactly at session end -> merges (closed boundary)
+      ev(3, 1, "2024-01-01 11:00:01"),   // 30 min + 1 s after last -> NEW session
+      ev(4, 2, "2024-01-01 10:00:00"))
+    val out = Stateful.userSessions(rows.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 11:00:00", 2L),
+      (1L, "2024-01-01 11:00:01", "2024-01-01 11:30:01", 1L),
+      (2L, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1L)))
+  }
+
+  test("running user stats accumulate across micro-batches via mapGroupsWithState") {
+    val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+    val q = Stateful.startRunningUserStats(ms.toDS(), tmpDir("state-ckpt"))
+    def stats() = spark.table("running_user_stats")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    ms.addData(ev(1, 1, "2024-01-01 10:00:00", 5.0), ev(2, 1, "2024-01-01 10:01:00", 7.0))
+    q.processAllAvailable()
+    assert(stats() == Map(1L -> ((2L, 12.0))))
+
+    // second batch: state for user 1 carries over; user 2 starts fresh
+    ms.addData(ev(3, 1, "2024-01-01 10:02:00", 3.0), ev(4, 2, "2024-01-01 10:00:00", 1.0))
+    q.processAllAvailable()
+    assert(stats() == Map(1L -> ((3L, 15.0)), 2L -> ((1L, 1.0))))
+    q.stop()
+  }
+
+  test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
+    val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
+      ev(3, 2, "2024-01-01 10:00:00", 4.0))
+    val out = Stateful.runningUserStats(rows.toDS()).collect()
+      .map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(out == Map(1L -> ((2L, 5.0)), 2L -> ((1L, 4.0))))
+  }
+}
