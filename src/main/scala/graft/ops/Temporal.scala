@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** Temporal operators Spark lacks as builtins, composed from existing
+  * ops per the preference order (SURVEY.md §7.5 / builder brief (a):
+  * compose before custom plans).
+  */
+object Temporal {
+
+  /** AS-OF JOIN (point-in-time lookup): for each left row, the most
+    * recent right row with the same key and time ≤ the left time.
+    *
+    * Composition: tag right rows 0 and left rows 1, union, then one
+    * window pass per key ordered by (time, tag) carrying the right
+    * payload forward with last_value(ignoreNulls). The tag tiebreak makes
+    * the match INCLUSIVE at equal timestamps (right row sorts first) —
+    * the same semantics as DuckDB/kdb ASOF.
+    *
+    * Scale shape: ONE shuffle on the key + an in-partition sort — same
+    * cost as a window aggregate. No range-explosion, no per-row probes,
+    * and AQE's skew splitting applies to the sort partitions. This beats
+    * the naive "join then filter then argmax" which shuffles the
+    * cross-product of key matches.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
+      .withColumn("_tag", lit(1))
+    val lAligned = payload.foldLeft(l) { case (df, (rc, out)) =>
+      df.withColumn(out, lit(null).cast(right.schema(rc).dataType))
+    }
+    val r = right
+      .withColumn("_k", col(rightKey)).withColumn("_t", col(rightTime))
+      .withColumn("_tag", lit(0))
+    val rAligned = leftCols.foldLeft(r) { case (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val rPayload = payload.foldLeft(rAligned) { case (df, (rc, out)) =>
+      df.withColumn(out, col(rc))
+    }
+    val unioned = lAligned.select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag")) ++
+        payload.map(p => col(p._2))): _*)
+      .unionByName(rPayload.select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag")) ++
+        payload.map(p => col(p._2))): _*))
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { case (df, (_, out)) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1).drop("_k", "_t", "_tag")
+  }
+
+  /** As-of query: each event matched to the same user's most recent
+    * PURCHASE event at-or-before it (point-in-time feature lookup — the
+    * shape every training-data pipeline needs for "state as of event
+    * time"). Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val asofQuery = QueryDef(
+    "q_asof_last_purchase",
+    """SELECT e.event_id, e.user_id,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |       p.event_id AS last_purchase_id,
+      |       p.value AS last_purchase_value
+      |FROM events e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin)(
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      asofJoin(
+        events.select("event_id", "user_id", "ts"), purchases,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        payload = Seq("p_id" -> "last_purchase_id", "p_value" -> "last_purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("last_purchase_id"), col("last_purchase_value"))
+        .orderBy("event_id")
+    })
+
+  /** Salted two-stage aggregation — the skew-survival pattern: stage 1
+    * aggregates on (key, salt) spreading a hot key over `salts`
+    * partitions; stage 2 merges the partials per key. Results are
+    * identical to a direct groupBy (the oracle is the plain GROUP BY),
+    * only the shuffle distribution changes. AQE's skew handling covers
+    * joins; explicit salting is the aggregation-side tool.
+    */
+  def saltedAgg(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .withColumn("_salt", pmod(col("event_id"), lit(salts.toLong)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        round(sum(col("pv")), 4).as("total_value"))
+
+  val saltedQuery = QueryDef(
+    "q_salted_skew_agg",
+    """SELECT event_type, count(*) AS n,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+    (s, d) => saltedAgg(Tables.events(s, d)).orderBy("event_type"))
+
+  val all: Seq[QueryDef] = Seq(asofQuery, saltedQuery)
+}
