@@ -113,5 +113,39 @@ object Temporal {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
     (s, d) => saltedAgg(Tables.events(s, d)).orderBy("event_type"))
 
-  val all: Seq[QueryDef] = Seq(asofQuery, saltedQuery)
+  /** RANGE (interval) JOIN: pairs within a time window on the same key —
+    * here each event paired with the same user's purchases in the
+    * PRECEDING 10 minutes. The equi-key (user_id) drives the shuffle;
+    * the range predicate evaluates inside the matched key partition, so
+    * cost is (pairs per user within the window), never a cross product.
+    * This is the batch form of the stream-stream interval join
+    * (graft.streaming.Jobs.purchaseContextJoin).
+    */
+  def rangeJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .join(purchases, Seq("user_id"))
+      .filter(col("p_ts") <= col("ts") &&
+        col("p_ts") > col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("p_id") =!= col("event_id"))
+      .select(col("event_id"), col("user_id"), col("p_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"))
+  }
+
+  val rangeJoinQuery = QueryDef(
+    "q_range_join_interval",
+    """SELECT e.event_id, e.user_id, p.event_id AS p_id,
+      |       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts
+      |FROM events e
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND p.ts <= e.ts AND p.ts > e.ts - INTERVAL 10 MINUTE
+      | AND p.event_id != e.event_id
+      |ORDER BY e.event_id, p_id""".stripMargin)(
+    (s, d) => rangeJoin(Tables.events(s, d)).orderBy("event_id", "p_id"))
+
+  val all: Seq[QueryDef] = Seq(asofQuery, saltedQuery, rangeJoinQuery)
 }

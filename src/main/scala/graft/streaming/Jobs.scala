@@ -130,6 +130,32 @@ object Jobs {
       col("window_start"),
       col("window_start"), col("n_events"), col("n_high"), col("pct_high"))
 
+  /** Stream-stream interval join: each event enriched with the same
+    * user's purchases from the preceding `windowMinutes` (streaming lift
+    * of graft.ops.Temporal.rangeJoin). Watermarks on BOTH sides plus the
+    * time-bound join condition let Spark expire join state: a purchase
+    * row is dropped once the event-side watermark passes
+    * purchase-ts + window. Without the bound, stream-stream join state
+    * grows forever — the condition is what makes this viable at scale.
+    */
+  def purchaseContextJoin(
+      events: DataFrame,
+      windowMinutes: Int = 10,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val e = events.withWatermark("ts", watermarkDelay)
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", watermarkDelay)
+    e.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("ts") &&
+        col("p_ts") > col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("p_id") =!= col("event_id"))
+      .select(col("event_id"), col("user_id"), col("p_id"), col("ts"), col("p_ts"))
+  }
+
   /** Streaming telemetry (replaces the reference's producer ack callback
     * logging offset/topic/partition/timestamp, KafkaStreaming.scala:245-276):
     * a StreamingQueryListener reporting per-batch rows, processing time and

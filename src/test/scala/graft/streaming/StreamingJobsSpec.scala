@@ -149,6 +149,59 @@ class StreamingJobsSpec extends SparkSpec {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
   }
 
+  test("csv spool-dir source replays the fixture identically to parquet (S7)") {
+    val dir = tmpDir("csv-spool")
+    fixtureEvents
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(dir)
+    val streamIn = Sources.csvSpoolDir(spark, dir)
+    assert(streamIn.isStreaming)
+    val out = tmpDir("csv-spool-out")
+    val q = Jobs.startKpiPerBatch(streamIn, out, tmpDir("csv-spool-ckpt"), Jobs.trigger(0))
+    q.awaitTermination(120000)
+    val written = spark.read
+      .schema("window_start STRING, n_events LONG, n_high LONG, pct_high DOUBLE")
+      .csv(s"$out/data")
+    val expected = Kpi.quarterHour(fixtureEvents)
+    assert(written.count() == expected.count())
+    assert(written.agg(sum("n_events")).head.getLong(0) ==
+      expected.agg(sum("n_events")).head.getLong(0))
+  }
+
+  test("stream-stream interval join emits the same pairs as the batch range join") {
+    val dir = tmpDir("ssj-in")
+    fixtureEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    val batchPairs = graft.ops.Temporal.rangeJoin(spark.read.parquet(dir))
+      .select("event_id", "p_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = Jobs.purchaseContextJoin(Sources.parquetSpoolDir(spark, dir))
+    val seen = scala.collection.concurrent.TrieMap.empty[(Long, Long), Unit]
+    val q = streamed.writeStream
+      .outputMode("append")
+      .queryName("ssj")
+      .option("checkpointLocation", tmpDir("ssj-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("event_id", "p_id").collect()
+          .foreach(r => seen.put((r.getLong(0), r.getLong(1)), ()))
+      }
+      .start()
+    q.awaitTermination(180000)
+    assert(seen.keySet == batchPairs)
+    assert(batchPairs.nonEmpty)
+  }
+
+  test("kafka-shaped KPI output is (key, value-JSON) records (K8 streaming form)") {
+    val shaped = Jobs.kafkaShapedKpi(Sources.syntheticEvents(spark))
+    assert(shaped.isStreaming)
+    assert(shaped.columns.toSeq == Seq("key", "value"))
+    // batch equivalent of the same shaping parses back losslessly
+    val batchShaped = graft.ops.Sinks.kafkaShaped(
+      Kpi.quarterHour(fixtureEvents), col("window_start"),
+      col("window_start"), col("n_events"))
+    val r = batchShaped.head()
+    assert(r.getString(1).startsWith("{\"window_start\":\""))
+  }
+
   test("kafka source option map mirrors the reference consumer params") {
     val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
