@@ -85,5 +85,25 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type"))
 
-  val all: Seq[QueryDef] = Seq(a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct)
+  /** Exact percentiles per group (linear interpolation — Spark
+    * `percentile` and DuckDB `quantile_cont` implement the same method;
+    * round(4) absorbs the last-ulp interpolation arithmetic). The
+    * approx-at-scale variant is `approx_percentile` (KLL-style sketch),
+    * mergeable map-side like HLL.
+    */
+  val percentiles = QueryDef(
+    "agg_percentiles",
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.95), 4) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy("event_type"))
+
+  val all: Seq[QueryDef] =
+    Seq(a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct, percentiles)
 }

@@ -153,6 +153,56 @@ object Similarity {
   val annQuery = QueryDef.unverified("sim_ann_lsh_topk")(
     (s, d) => annTopK(Tables.embeddings(s, d)))
 
+  // ---------------------------------------------------------------- ivf
+
+  /** IVF (inverted-file) ANN — the other scale path the brief names:
+    * a k-means coarse quantizer assigns every vector to one of `nlist`
+    * cells; a query probes only the `nprobe` nearest cells and pays
+    * exact cosine on that slice of the corpus. Cell assignment is a
+    * distributed KMeans fit (seed-pinned for determinism); probe
+    * selection is O(nlist) driver math over the centroid array — which
+    * is exactly the IVF contract (centroids are the tiny index).
+    * At 100 TB: fit on a sample, store list_id as a partition/cluster
+    * column, and a probe reads nprobe/nlist of the data.
+    */
+  def annIvfTopK(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 20,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val withVec = embeddings.withColumn("features",
+      array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    val model = new KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(withVec)
+    val assigned = model.transform(withVec).cache()
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select("features").head.getAs[MlVector](0)
+    val probes = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, Vectors.sqdist(c, q)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val qEmb = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    assigned
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qEmb))
+      .select(col("vec_id"), col("label"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** KMeans cells are seed/partitioning-specific → no DuckDB oracle;
+    * SimilaritySpec pins candidate-set discipline and recall.
+    */
+  val annIvfQuery = QueryDef.unverified("sim_ann_ivf_topk")(
+    (s, d) => annIvfTopK(Tables.embeddings(s, d)))
+
   // ------------------------------------------------------ near-dup pairs
 
   /** Embedding-cosine near-dup pairs (the vector analog of Dedup): pairs
@@ -217,5 +267,6 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     })
 
-  val all: Seq[QueryDef] = Seq(bruteForceQuery, annQuery, nearDupQuery, labelBlockedQuery)
+  val all: Seq[QueryDef] =
+    Seq(bruteForceQuery, annQuery, annIvfQuery, nearDupQuery, labelBlockedQuery)
 }

@@ -93,6 +93,17 @@ object Sinks {
   def writeKafka(shaped: DataFrame, options: Map[String, String]): Unit =
     shaped.write.format("kafka").options(options).save()
 
+  /** Date-partitioned parquet sink — the 100 TB output default: one
+    * directory per day, so downstream readers prune partitions at plan
+    * time (`WHERE event_date = X` never lists other days) and retention
+    * drops whole directories. The reference wrote flat CSV
+    * (IndicateursStreaming.scala:84-88); this is its warehouse-grade
+    * replacement.
+    */
+  def parquetPartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write.partitionBy("event_date").mode("append").parquet(path)
+
   // ------------------------------------------------------------------
   // Verifiable query surface
   // ------------------------------------------------------------------

@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("ivf ann: exact cosines on the probed slice; candidates bounded by probed cells") {
+    val bf = Similarity.bruteForceTopK(emb, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvfTopK(emb, k = 20, nlist = 8, nprobe = 2).collect()
+    assert(ivf.nonEmpty && ivf.length <= 20)
+    ivf.foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2)))
+    // probing every cell must recover the exact brute-force top-k
+    val full = Similarity.annIvfTopK(emb, k = 20, nlist = 8, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val bfTop = Similarity.bruteForceTopK(emb, k = 20).collect().map(_.getLong(0)).toSeq
+    assert(full == bfTop)
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)

@@ -49,6 +49,22 @@ class SinksSpec extends SparkSpec {
     assert(out.except(orig).isEmpty && orig.except(out).isEmpty)
   }
 
+  test("date-partitioned parquet sink enables partition pruning") {
+    val dir = tmpDir("pqpart") + "/out"
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Sinks.parquetPartitionedByDay(ev, "ts", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    val days = new java.io.File(dir).listFiles.filter(_.getName.startsWith("event_date=")).map(_.getName)
+    assert(days.length > 1)
+    // a day-filtered read prunes to that partition (plan-level filter,
+    // and the row count matches reading the partition directory directly)
+    val oneDay = days.head.stripPrefix("event_date=")
+    val pruned = back.filter(col("event_date") === oneDay)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() == spark.read.parquet(s"$dir/event_date=$oneDay").count())
+  }
+
   test("producer profiles: idempotent adds exactly-once params; prod-tuned adds batching") {
     val alo = Sinks.kafkaAtLeastOnceOptions("b:9092", "t")
     assert(alo("kafka.acks") == "all" && !alo.contains("kafka.enable.idempotence"))
