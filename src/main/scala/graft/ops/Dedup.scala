@@ -52,6 +52,12 @@ object Dedup {
     (size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b))).cast("double"))
 
+  /** Engine-independent 4-decimal rounding (see TextAnalysis scaladoc on
+    * round() half-way divergence — Jaccard is k/n rational, which lands
+    * on half-way doubles routinely).
+    */
+  private def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+
   /** Blocked n-gram Jaccard near-dup detection, fully oracle-checkable:
     * block on a cheap prefix key (docs sharing their first 50 chars —
     * the classic "URL/prefix blocking" trick), pair only within blocks,
@@ -69,7 +75,7 @@ object Dedup {
     a.join(b, Seq("block_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard("wa", "wb"), 4).as("jaccard"))
+        r4(jaccard("wa", "wb")).as("jaccard"))
   }
 
   val prefixBlockedQuery = QueryDef(
@@ -79,8 +85,8 @@ object Dedup {
       |         list_distinct(string_split(lower(text), ' ')) AS words
       |  FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
-      |             / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE), 4) AS jaccard
+      |       floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |             / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
       |FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin)(
     (s, d) => prefixBlockedJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
@@ -165,7 +171,7 @@ object Dedup {
     candidates
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round(jaccard("sa", "sb"), 4).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), r4(jaccard("sa", "sb")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

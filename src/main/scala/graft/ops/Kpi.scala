@@ -33,9 +33,12 @@ object Kpi {
       .agg(
         count(col("event_id")).as("n_events"),                          // A2
         sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_high"))   // A3+T14
-      // T10: derived metric with round(x, 2).
+      // T10: derived metric rounded to 2 decimals — floor(x·100 + 0.5)/100,
+      // not round(): Spark and DuckDB disagree on half-way doubles
+      // (shortest-decimal-repr vs binary-value rounding); floor arithmetic
+      // on the identical double is engine-independent.
       .withColumn("pct_high",
-        round(lit(100.0) * col("n_high") / col("n_events"), 2))
+        floor(lit(100.0) * col("n_high") / col("n_events") * 100 + 0.5) / 100)
 
   /** Formats the window struct for output/oracle comparison. */
   def formatted(agg: DataFrame): DataFrame =
@@ -65,7 +68,7 @@ object Kpi {
     """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       count(event_id) AS n_events,
       |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-      |       round(100.0 * sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(event_id), 2) AS pct_high
+      |       floor(100.0 * sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) / count(event_id) * 100 + 0.5) / 100 AS pct_high
       |FROM events
       |WHERE event_type IN ('purchase','view','click','signup','error')
       |GROUP BY 1

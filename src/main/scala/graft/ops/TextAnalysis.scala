@@ -50,24 +50,28 @@ object TextAnalysis {
     * noise — the standard cheap filters a training-data pipeline runs
     * before anything expensive. `quality` is a fixed-weight blend in
     * [0, 1]; every term is bounded so one signal cannot dominate.
+    *
+    * Rounding is floor(x·10⁴ + 0.5)/10⁴ on BOTH engines, NOT round():
+    * on a half-way double like 0.53174999…₂ (= "0.53175") Spark's round
+    * rounds the shortest decimal repr up while DuckDB rounds the binary
+    * value down — caught by the sf0.1 oracle run. Floor arithmetic on
+    * the identical double is engine-independent.
     */
+  private def r4duck(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
   val qualityScores = QueryDef(
     "text_quality_scores",
     s"""SELECT doc_id,
-       |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0), 4) AS len_score,
-       |  round(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE)
-       |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 4) AS stop_ratio,
-       |  round(CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
-       |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), 4) AS uniq_ratio,
-       |  round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-       |        / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
-       |  round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+       |  ${r4duck("least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)")} AS len_score,
+       |  ${r4duck(s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE) / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)")} AS stop_ratio,
+       |  ${r4duck("CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE) / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)")} AS uniq_ratio,
+       |  ${r4duck("CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS punct_ratio,
+       |  ${r4duck(s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
        |      + least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE)
        |              / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.35
        |      + CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
        |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.2
        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-       |                     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 4) AS quality
+       |                     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""")} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin)(
     (s, d) => {
       val tokens = split(col("text"), "\\s+")
@@ -81,16 +85,17 @@ object TextAnalysis {
       val stopRatio = stopHits / nTokens
       val uniqRatio = uniq / nTokens
       val punctRatio = punct / chars
+      def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
       Tables.documents(s, d).select(
         col("doc_id"),
-        round(lenScore, 4).as("len_score"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(uniqRatio, 4).as("uniq_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(lenScore * 0.25
+        r4(lenScore).as("len_score"),
+        r4(stopRatio).as("stop_ratio"),
+        r4(uniqRatio).as("uniq_ratio"),
+        r4(punctRatio).as("punct_ratio"),
+        r4(lenScore * 0.25
           + least(stopRatio * 5.0, lit(1.0)) * 0.35
           + uniqRatio * 0.2
-          + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2, 4).as("quality"))
+          + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality"))
         .orderBy("doc_id")
     })
 
