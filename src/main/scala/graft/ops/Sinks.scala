@@ -104,6 +104,29 @@ object Sinks {
     df.withColumn("event_date", to_date(col(tsCol)))
       .write.partitionBy("event_date").mode("append").parquet(path)
 
+  /** Small-file compaction: rewrite a directory into ~`targetMB`-sized
+    * files. Streaming CSV/parquet appends produce one file per
+    * micro-batch; at 100 TB uncompacted output murders every downstream
+    * scan (file-open dominated). Row-count-proportional repartition
+    * approximates the size target without a pre-pass over byte sizes.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetMB: Int = 128): Unit = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
+    val tmp = dir + "_compacting"
+    df.repartition(parts).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (same filesystem rename)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   // ------------------------------------------------------------------
   // Verifiable query surface
   // ------------------------------------------------------------------

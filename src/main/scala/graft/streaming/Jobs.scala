@@ -130,6 +130,22 @@ object Jobs {
       col("window_start"),
       col("window_start"), col("n_events"), col("n_high"), col("pct_high"))
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, keeping state only within the watermark horizon
+    * (dropDuplicatesWithinWatermark — state for an id is freed once the
+    * watermark passes its event time + delay, so state is bounded by the
+    * id arrival rate × delay, never unbounded history). The streaming
+    * arm of ops.Dedup.exact: at-least-once sources (kafka replays,
+    * overlapping file drops) become effectively-once downstream.
+    */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream-stream interval join: each event enriched with the same
     * user's purchases from the preceding `windowMinutes` (streaming lift
     * of graft.ops.Temporal.rangeJoin). Watermarks on BOTH sides plus the

@@ -202,6 +202,39 @@ class StreamingJobsSpec extends SparkSpec {
     assert(r.getString(1).startsWith("{\"window_start\":\""))
   }
 
+  test("streaming dedup drops replayed ids across micro-batches, keeps state within watermark") {
+    val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
+    val q = Jobs.dedupStream(ms.toDF(), watermarkDelay = "10 minutes").writeStream
+      .outputMode("append")
+      .queryName("dedup_stream")
+      .format("memory")
+      .start()
+    ms.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    // batch 2 replays id 1 (at-least-once source) + a new id
+    ms.addData(
+      Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(3, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
+  test("compaction rewrites many small files into few, preserving rows") {
+    val dir = tmpDir("compact") + "/data"
+    fixtureEvents.repartition(20).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    val rows = spark.read.parquet(dir).count()
+    graft.ops.Sinks.compactParquet(spark, dir, targetMB = 128)
+    val after = new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before == 20 && after < before)
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("kafka source option map mirrors the reference consumer params") {
     val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
