@@ -204,7 +204,20 @@ object Relational {
         .orderBy("p_brand")
     })
 
+  /** CUBE grouping sets — all 4 aggregation levels in one pass (Expand
+    * feeds a single hash aggregate; one scan regardless of level count).
+    */
+  val cubePricing = QueryDef(
+    "q_cube_pricing",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
   val all: Seq[QueryDef] = Seq(
     pricingSummary, revenueByNation, topkOrders, semiJoin, antiJoin,
-    distinctSegments, rollupPricing, windowRank, partRevenue)
+    distinctSegments, rollupPricing, cubePricing, windowRank, partRevenue)
 }

@@ -104,6 +104,25 @@ object Sinks {
     df.withColumn("event_date", to_date(col(tsCol)))
       .write.partitionBy("event_date").mode("append").parquet(path)
 
+  /** Bucketed table write: pre-shuffle a table ONCE on its join key so
+    * every future equi-join on that key is exchange-free (the plan shows
+    * no ShuffleExchange on bucketed sides). The amortization that makes
+    * repeated fact⋈fact joins viable at 100 TB: pay the shuffle at write
+    * time, never at read time. Requires the session catalog
+    * (saveAsTable) — bucket metadata lives in the metastore.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int = 32): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Small-file compaction: rewrite a directory into ~`targetMB`-sized
     * files. Streaming CSV/parquet appends produce one file per
     * micro-batch; at 100 TB uncompacted output murders every downstream

@@ -65,6 +65,25 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == spark.read.parquet(s"$dir/event_date=$oneDay").count())
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast path
+    try {
+      Sinks.writeBucketed(Tables.orders(spark, d), "orders_b", "o_orderkey", 8)
+      Sinks.writeBucketed(
+        Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 8)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, d).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
   test("producer profiles: idempotent adds exactly-once params; prod-tuned adds batching") {
     val alo = Sinks.kafkaAtLeastOnceOptions("b:9092", "t")
     assert(alo("kafka.acks") == "all" && !alo.contains("kafka.enable.idempotence"))
