@@ -18,6 +18,13 @@ case class Event(
 /** Running per-user state carried across micro-batches. */
 case class UserStat(user_id: Long, n_events: Long, total_value: Double)
 
+/** Open-session state (epoch millis) for the custom sessionizer. */
+case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long)
+
+/** A finalized session emitted by [[Stateful.sessionizeWithState]]. */
+case class ClosedSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+
 /** Stateful streaming beyond tumbling windows — session windows and
   * arbitrary per-key state (SURVEY.md §7.5; the reference has no state
   * ops at all, §2.6 note — this is the modern surface its pipeline
@@ -88,6 +95,60 @@ object Stateful {
           val next = UserStat(uid, n, tot)
           state.update(next)
           next
+      }
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState — the fully-manual
+    * alternative to [[userSessions]]'s session_window, for when session
+    * CLOSE events themselves are the product (alerting, billing): emits
+    * one row per closed session, nothing while a session is open.
+    *
+    * Two close paths, both covered in StatefulSpec:
+    *  - a new event for the key arrives past the gap → the old session
+    *    closes inline and a fresh one opens;
+    *  - the key goes quiet → the EventTimeTimeout fires once the
+    *    watermark passes last_event + gap, closing the session without
+    *    any further event for that key (state removed — at scale this is
+    *    the guarantee that idle keys don't accumulate state forever).
+    */
+  def sessionizeWithState(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms + gapMs), s.n_events)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val closed = close(uid, state.get)
+            state.remove()
+            Iterator(closed)
+          } else {
+            val times = rows.map(_.ts.getTime).toSeq.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.last_ms <= gapMs =>
+                  open = Some(s.copy(last_ms = math.max(s.last_ms, t), n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_ms + gapMs)
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -49,6 +49,39 @@ class StatefulSpec extends SparkSpec {
     q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: inline close on gap, timeout close on idle") {
+    val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+    val q = Stateful.sessionizeWithState(ms.toDS(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream
+      .outputMode("append")
+      .queryName("sessions_out")
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .format("memory")
+      .start()
+    def sessions() = spark.table("sessions_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+
+    // open a session for user 1
+    ms.addData(ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:05:00"))
+    q.processAllAvailable()
+    assert(sessions().isEmpty) // still open, nothing emitted
+
+    // same user past the gap -> inline close of [10:00, 10:35)
+    ms.addData(ev(3, 1, "2024-01-01 11:30:00"))
+    q.processAllAvailable()
+    assert(sessions() == Set((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:35:00.0", 2L)))
+
+    // other-user traffic advances the watermark past 11:30+30m+10m delay
+    // -> user 1's idle session closes via EventTimeTimeout
+    ms.addData(ev(4, 2, "2024-01-01 13:00:00"))
+    q.processAllAvailable()
+    ms.addData(ev(5, 2, "2024-01-01 13:01:00"))
+    q.processAllAvailable()
+    assert(sessions().contains((1L, "2024-01-01 11:30:00.0", "2024-01-01 12:00:00.0", 1L)))
+    q.stop()
+  }
+
   test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
     val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
       ev(3, 2, "2024-01-01 10:00:00", 4.0))
