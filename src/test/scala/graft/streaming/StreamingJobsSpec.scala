@@ -235,6 +235,29 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == rows)
   }
 
+  test("csv source is PERMISSIVE: malformed rows become nulls, the stream survives") {
+    val dir = tmpDir("csv-bad")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.csv"),
+      """event_id,ts,user_id,event_type,value,props
+        |1,2024-01-01 10:00:00,7,view,42.5,{}
+        |THIS IS NOT A CSV ROW AT ALL
+        |2,2024-01-01 10:01:00,8,click,1.0,{}
+        |""".stripMargin)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = Sources.csvSpoolDir(spark, dir).writeStream
+      .outputMode("append")
+      .queryName("csv_bad")
+      .option("checkpointLocation", tmpDir("csv-bad-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) => rows ++= b.collect(); () }
+      .start()
+    q.awaitTermination(60000)
+    assert(rows.length == 3) // bad row kept as a null-record, not a crash
+    val good = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
+    assert(good.toSeq == Seq(1L, 2L))
+    assert(rows.count(r => r.isNullAt(0) && r.isNullAt(2)) == 1)
+  }
+
   test("kafka source option map mirrors the reference consumer params") {
     val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
