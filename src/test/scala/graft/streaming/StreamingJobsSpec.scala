@@ -83,6 +83,42 @@ class StreamingJobsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful lift e2e: finalized windows land in CSV exactly once as the watermark advances") {
+    val in = tmpDir("st-in"); val out = tmpDir("st-out")
+    // Two time-ordered files at the watched-dir ROOT (the file source
+    // does not traverse plain subdirectories) with recent, ordered mod
+    // times (default maxFileAge=7d silently drops far-past dates).
+    val now = System.currentTimeMillis()
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, modTime: Long): Unit = {
+      val stage = tmpDir("st-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$in/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+    }
+    drop(fixtureEvents.filter(dayofmonth(col("ts")) <= 15), "01.parquet", now - 60000L)
+    drop(fixtureEvents.filter(dayofmonth(col("ts")) > 15), "02.parquet", now - 30000L)
+    val q = Jobs.startKpiStateful(
+      Sources.parquetSpoolDir(spark, in, maxFilesPerTrigger = 1),
+      out, tmpDir("st-ckpt"), Jobs.trigger(0), watermarkDelay = "30 minutes")
+    q.awaitTermination(120000)
+    // append mode emits exactly the windows whose end <= final watermark
+    val maxTs = fixtureEvents.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val watermarkMs = maxTs - 30 * 60000L
+    val expected = graft.ops.Kpi.quarterHour(fixtureEvents)
+      .collect()
+      .count { r =>
+        val start = java.sql.Timestamp.valueOf(r.getString(0)).getTime
+        start + 15 * 60000L <= watermarkMs
+      }
+    val written = spark.read
+      .schema("window_start STRING, n_events LONG, n_high LONG, pct_high DOUBLE")
+      .csv(s"$out/data")
+    assert(written.count() == expected)
+    assert(written.select("window_start").distinct().count() == expected) // exactly once
+  }
+
   test("per-batch faithful lift appends each micro-batch's own KPI rows to CSV") {
     val in = tmpDir("pb-in"); val out = tmpDir("pb-out")
     fixtureEvents.coalesce(1).write.mode("overwrite").parquet(in)
