@@ -109,10 +109,10 @@ object Similarity {
     val h = hyperplanes(tables * bitsPerTable)
     def bucketFor(t: Int): Column =
       (0 until bitsPerTable).map { b =>
-        val plane = typedLit(h(t * bitsPerTable + b))
-        val dotp = aggregate(
-          zip_with(col("embedding"), plane, (x, hp) => x.cast("double") * hp),
-          lit(0.0), (acc, v) => acc + v)
+        // native codegen'd dot against the folded plane literal
+        // (call_function resolves graft_dot from the session registry)
+        val dotp = call_function("graft_dot",
+          col("embedding"), typedLit(h(t * bitsPerTable + b)))
         when(dotp > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
     embeddings.select(
