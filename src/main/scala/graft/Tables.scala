@@ -33,7 +33,12 @@ object Tables {
   def events(spark: SparkSession, d: String): DataFrame = {
     // Spark rejects parquet TIMESTAMP(NANOS) unless this legacy flag is on;
     // with it, `ts` reads as LongType nanos which we convert to micros below.
-    // Set at read time so it works under any driver-built session.
+    // All graft session builders (Sessions/Verify/Bench/tests) set this at
+    // build time; the runtime set here is DELIBERATELY kept as well because
+    // the driver's smoke gate calls SparkEntry.entry with a session we do
+    // not construct — without this line that session cannot read events at
+    // all (PARQUET_TYPE_ILLEGAL). Runtime-settable per SQLConf, so the
+    // mutation is safe (no session restart needed).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, d, "events")
     raw.schema("ts").dataType match {
