@@ -132,5 +132,68 @@ object Coverage {
         .orderBy("priority")
     })
 
-  val all: Seq[QueryDef] = Seq(t8WideProjection, p123PhysicalOps, s9LocalCollection)
+  /** PIVOT — event types to columns, one value column per type. Spark
+    * plans this as a single two-phase hash aggregate over the pivot
+    * expressions (values enumerated explicitly — never a driver-side
+    * distinct scan); the oracle is the equivalent conditional
+    * aggregation.
+    */
+  val pivotQuery = QueryDef(
+    "q_pivot_daily_by_type",
+    """SELECT strftime(ts, '%Y-%m-%d') AS d,
+      |       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      |       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+      |       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .pivot("event_type", Seq("purchase", "view", "click"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("d"))
+
+  /** Set operations — UNION/INTERSECT/EXCEPT (absent from the reference,
+    * SURVEY §2.4 note): high- vs low-value purchaser overlap. All three
+    * plan as aggregates/joins over pruned scans — no distinct-sort.
+    */
+  val setOpsQuery = QueryDef(
+    "q_set_ops_users",
+    """WITH hi AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150),
+      |     lo AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value < 50)
+      |SELECT 'both' AS bucket, count(*) AS n FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+      |UNION ALL
+      |SELECT 'hi_only', count(*) FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+      |UNION ALL
+      |SELECT 'either', count(*) FROM (SELECT * FROM hi UNION SELECT * FROM lo)
+      |ORDER BY bucket""".stripMargin)(
+    (s, d) => {
+      val purchases = Tables.events(s, d).filter(col("event_type") === "purchase")
+      val hi = purchases.filter(col("value") > 150).select("user_id").distinct()
+      val lo = purchases.filter(col("value") < 50).select("user_id").distinct()
+      val both = hi.intersect(lo).agg(count(lit(1)).as("n")).withColumn("bucket", lit("both"))
+      val hiOnly = hi.except(lo).agg(count(lit(1)).as("n")).withColumn("bucket", lit("hi_only"))
+      val either = hi.union(lo).distinct().agg(count(lit(1)).as("n")).withColumn("bucket", lit("either"))
+      both.unionByName(hiOnly).unionByName(either)
+        .select("bucket", "n").orderBy("bucket")
+    })
+
+  /** Stratified sampling (data mixing): per-stratum fractions via
+    * `sampleBy` — THE mixing primitive for training-data recipes
+    * ("30% of source A, 5% of source B"). Seeded and deterministic for
+    * a fixed partitioning, but partitioning-dependent → no cross-engine
+    * oracle; CoverageSpec pins proportions and determinism.
+    */
+  def stratifiedMix(documents: org.apache.spark.sql.DataFrame,
+      fractions: Map[String, Double], seed: Long = 42L): org.apache.spark.sql.DataFrame =
+    documents.stat.sampleBy("lang", fractions, seed)
+
+  val mixQuery = QueryDef.unverified("mix_stratified_sample")(
+    (s, d) => stratifiedMix(
+      Tables.documents(s, d),
+      Map("en" -> 0.8, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.2, "zh" -> 0.1))
+      .select("doc_id", "lang").orderBy("doc_id"))
+
+  val all: Seq[QueryDef] = Seq(
+    t8WideProjection, p123PhysicalOps, s9LocalCollection,
+    pivotQuery, setOpsQuery, mixQuery)
 }

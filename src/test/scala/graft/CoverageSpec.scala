@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Coverage
+
+/** Pivot/set-op sanity and the stratified-mix contract (deterministic,
+  * proportional) that has no cross-engine oracle.
+  */
+class CoverageSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stratified mix is deterministic for a fixed seed and roughly proportional") {
+    val docs = Tables.documents(spark, sf)
+    val fracs = Map("en" -> 0.8, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.2, "zh" -> 0.1)
+    val a = Coverage.stratifiedMix(docs, fracs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Coverage.stratifiedMix(docs, fracs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // same seed, same partitioning -> identical sample
+    val byLang = Coverage.stratifiedMix(docs, fracs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fracs.foreach { case (lang, f) =>
+      val got = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(got - f) < 0.2, s"$lang: sampled $got of target $f")
+    }
+  }
+
+  test("pivot fills absent (day, type) combinations with zero, not null") {
+    val out = Coverage.pivotQuery.fn(spark, sf)
+    assert(out.columns.toSeq == Seq("d", "purchase", "view", "click"))
+    assert(out.filter(col("purchase").isNull || col("view").isNull || col("click").isNull).isEmpty)
+  }
+
+  test("set ops satisfy |either| = |hi_only| + |both| + |lo_only| arithmetic") {
+    val m = Coverage.setOpsQuery.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("either") >= m("hi_only") + m("both"))
+    assert(m.values.forall(_ >= 0))
+  }
+}
