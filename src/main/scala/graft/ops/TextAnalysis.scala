@@ -201,5 +201,45 @@ object TextAnalysis {
       })
   }
 
-  val all: Seq[QueryDef] = Seq(tokenStats, qualityScores, langId, fingerprint)
+  /** Text cleaning — the normalization pass that precedes dedup/scoring
+    * in every training-data pipeline: strip URLs and HTML-ish tags,
+    * drop bracketed boilerplate markers, collapse whitespace, trim.
+    * Pure regexp_replace chain (codegen'd, scan-speed); patterns are
+    * spelled identically for Java regex and DuckDB's RE2.
+    */
+  val cleanText = QueryDef(
+    "text_clean",
+    """SELECT doc_id,
+      |  trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, 'https?://[^ ]+', ' '),
+      |        '<[^>]*>', ' '),
+      |      '\[[A-Z_]+\]', ' '),
+      |    '\s+', ' ')) AS clean_text,
+      |  CAST(length(text) - length(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, 'https?://[^ ]+', ' '),
+      |        '<[^>]*>', ' '),
+      |      '\[[A-Z_]+\]', ' '),
+      |    '\s+', ' '))) AS BIGINT) AS n_chars_removed
+      |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      def cleaned(c: org.apache.spark.sql.Column) =
+        trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(c, "https?://[^ ]+", " "),
+              "<[^>]*>", " "),
+            "\\[[A-Z_]+\\]", " "),
+          "\\s+", " "))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        cleaned(col("text")).as("clean_text"),
+        (length(col("text")) - length(cleaned(col("text")))).cast("long").as("n_chars_removed"))
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(tokenStats, qualityScores, langId, fingerprint, cleanText)
 }

@@ -55,6 +55,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bpe == 8)
   }
 
+  test("text cleaning strips urls, tags, boilerplate markers and collapses whitespace") {
+    val out = run(TextAnalysis.cleanText, docsOf(
+      1L -> "see https://example.com/x?y=1 for <b>details</b>   [HEADER] now",
+      2L -> "plain text stays"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "see for details now")
+    assert(out(2L) == "plain text stays")
+  }
+
   test("fingerprint: identical docs hash equal; near-identical docs share the min-gram hash") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
     val out = run(TextAnalysis.fingerprint, docsOf(
