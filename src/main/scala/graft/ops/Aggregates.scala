@@ -104,6 +104,52 @@ object Aggregates {
         round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type"))
 
-  val all: Seq[QueryDef] =
-    Seq(a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct, percentiles)
+  /** Frequency heavy-hitters: top users by event count with deterministic
+    * tiebreak. Partial counts map-side, TakeOrderedAndProject for the
+    * limit — the exact form; at extreme cardinality swap in
+    * `Dataset.stat.freqItems` (count-min-style) the same way HLL backs
+    * countDistinct.
+    */
+  val heavyHitters = QueryDef(
+    "agg_heavy_hitters",
+    """SELECT user_id, count(*) AS n FROM events
+      |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 15""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(15))
+
+  /** Analytic-function family beyond counts: lag (delta to previous
+    * event), ntile (quartile by value within type), percent_rank — one
+    * hash-partition + in-partition sort serves all three.
+    */
+  val analyticFunctions = QueryDef(
+    "agg_analytic_functions",
+    """SELECT event_id,
+      |       CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS BIGINT) AS sec_since_prev,
+      |       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS INTEGER) AS value_quartile,
+      |       floor(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) * 10000 + 0.5) / 10000 AS pr
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |ORDER BY event_id""".stripMargin)(
+    (s, d) => {
+      val wUser = Window.partitionBy("user_id").orderBy("ts")
+      val wVal = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      // delta in MICROS then integer-divide on both engines: flooring each
+      // timestamp to seconds before subtracting (unix_timestamp) disagrees
+      // with subtract-then-truncate (epoch) on sub-second components.
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
+        .select(
+        col("event_id"),
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+          .cast("long").as("sec_since_prev"),
+        ntile(4).over(wVal).as("value_quartile"),
+        (floor(percent_rank().over(wVal) * 10000 + 0.5) / 10000).as("pr"))
+        .orderBy("event_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct,
+    percentiles, heavyHitters, analyticFunctions)
 }
