@@ -17,13 +17,14 @@ import graft.{QueryDef, Tables}
   *    cosine re-rank on the candidate set. At 100 TB the bucketed
   *    candidate join touches a small fraction of the corpus.
   *
-  * All vector math is codegen'd builtin higher-order functions
-  * (zip_with/aggregate/transform) over the array column — no UDF. Floats
-  * are cast to double BEFORE any arithmetic: both Spark and the DuckDB
-  * oracle then do a sequential left-to-right double fold, which keeps the
-  * two engines' results equal to ~1e-15 relative (float accumulation would
-  * diverge at ~1e-6 and break the hash compare — observed with DuckDB's
-  * own list_cosine_similarity, which accumulates in float).
+  * All vector math goes through the NATIVE codegen expressions
+  * graft_dot / graft_cosine (graft.functions.VectorExpressions) — no UDF,
+  * no interpreted lambdas. Floats are cast to double BEFORE any
+  * arithmetic: both Spark and the DuckDB oracle then do a sequential
+  * left-to-right double fold, which keeps the two engines' results equal
+  * to ~1e-15 relative (float accumulation would diverge at ~1e-6 and
+  * break the hash compare — observed with DuckDB's own
+  * list_cosine_similarity, which accumulates in float).
   */
 object Similarity {
 
