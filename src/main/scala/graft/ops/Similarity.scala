@@ -177,8 +177,11 @@ object Similarity {
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     val withVec = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    // 5 iterations: coarse-quantizer quality plateaus fast and each
+    // iteration is a full Spark job — cell BALANCE matters more than
+    // centroid convergence for IVF recall.
     val model = new KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(10)
+      .setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(withVec)
     val assigned = model.transform(withVec).cache()
