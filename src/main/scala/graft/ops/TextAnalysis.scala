@@ -241,5 +241,68 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
-  val all: Seq[QueryDef] = Seq(tokenStats, qualityScores, langId, fingerprint, cleanText)
+  /** PII masking — emails and phone-shaped numbers replaced with typed
+    * placeholder tokens (the redaction pass before text ships anywhere).
+    * Same regex dialect subset in Java and RE2.
+    */
+  val piiMask = QueryDef(
+    "text_pii_mask",
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>'),
+      |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>') AS masked,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
+      |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>").as("masked"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast("long").as("n_emails"))
+      .orderBy("doc_id"))
+
+  /** Repetition ratio (Gopher-style quality filter): fraction of the
+    * doc's word-bigram occurrences taken by its single most frequent
+    * bigram. Relational shape (explode → window lead → two grouped
+    * aggregations) — same codegen-first reasoning as Dedup's minhash.
+    * High ratio = looping/boilerplate text.
+    */
+  def repetitionRatio(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val grams = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+    grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("max_c"), sum(col("c")).as("total"))
+      .select(col("doc_id"),
+        (floor(col("max_c").cast("double") / col("total").cast("double") * 10000 + 0.5) / 10000)
+          .as("rep_ratio"))
+  }
+
+  val repetitionQuery = QueryDef(
+    "text_repetition_ratio",
+    """WITH grams AS (
+      |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+      |  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok,
+      |               generate_subscripts(string_split_regex(lower(text), '\s+'), 1) AS pos
+      |        FROM documents)),
+      |counts AS (
+      |  SELECT doc_id, gram, count(*) AS c FROM grams WHERE gram IS NOT NULL GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5) / 10000 AS rep_ratio
+      |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
+    (s, d) => repetitionRatio(Tables.documents(s, d)).orderBy("doc_id"))
+
+  val all: Seq[QueryDef] =
+    Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery)
 }

@@ -64,6 +64,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == "plain text stays")
   }
 
+  test("pii masking replaces emails and phone numbers with typed placeholders") {
+    val out = run(TextAnalysis.piiMask, docsOf(
+      1L -> "contact jane.doe+spam@example.co.uk or call +1 (555) 123-4567 today",
+      2L -> "no pii here just words"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(out(0)._2 == "contact <EMAIL> or call <PHONE> today")
+    assert(out(0)._3 == 1L)
+    assert(out(1)._2 == "no pii here just words" && out(1)._3 == 0L)
+  }
+
+  test("repetition ratio: looping text scores high, varied text low") {
+    val out = run(TextAnalysis.repetitionQuery, docsOf(
+      1L -> ("buy now " * 30).trim,
+      2L -> "the quick brown fox jumps over the lazy dog while birds sing softly outside"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > 0.45, s"looping text scored ${out(1L)}")
+    assert(out(2L) < 0.15, s"varied text scored ${out(2L)}")
+  }
+
   test("fingerprint: identical docs hash equal; near-identical docs share the min-gram hash") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
     val out = run(TextAnalysis.fingerprint, docsOf(
