@@ -28,7 +28,12 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the session (JIT, codegen caches, file listing) outside timing.
     Tables.events(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev convenience: `runMain graft.Bench q1 q2` times only the named
+    // queries. The driver invokes with no args → full suite, unchanged.
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }

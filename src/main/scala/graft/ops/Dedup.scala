@@ -99,7 +99,14 @@ object Dedup {
     * form n-gram shingles with window `lead()` (codegen'd sort within the
     * doc_id partition), hash each shingle twice, then ONE grouped
     * aggregation computes all `numHashes` minima (Carter-Wegman:
-    * h_j = (h1 + j·h2) mod p) plus the shingle set for the verify stage.
+    * h_j = (h1 + j·h2) mod p) plus the shingle-HASH set for the verify
+    * stage. Shingles are reduced to int64 (`xxhash64`) the moment they are
+    * formed: the signature minima, the band hashes, and the verify-stage
+    * Jaccard all run on longs. Carrying the string shingle arrays through
+    * `collect_list` into the cached signature table measured ~8× the cache
+    * footprint and dominated the verify join (string array_intersect);
+    * Jaccard on hash sets equals Jaccard on shingle sets up to xxhash64
+    * collisions (~n²/2⁶⁴ per doc pair — negligible).
     *
     * Why not array lambdas: higher-order functions are interpreted (no
     * codegen), and exploding a computed array re-evaluates the lambda per
@@ -107,30 +114,37 @@ object Dedup {
     * vs ~1 s for this all-codegen relational shape. Same trade at 100 TB:
     * rows through codegen'd operators beat per-row interpreted array
     * work. Modular arithmetic keeps h1 + 31·h2 inside int64 — Spark 4's
-    * ANSI mode errors on overflow rather than wrapping.
+    * ANSI mode errors on overflow rather than wrapping. No distinct-ing
+    * before the groupBy: `collect_set` dedups and `min` is duplicate-blind,
+    * so the single aggregation replaces a dropDuplicates pass.
     */
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
     val M = 1000000007L
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    // Tokens become int64 immediately — the window sort and the lead()
+    // chain carry 8-byte longs, not strings; the shingle identity is the
+    // hash of its token-hash tuple (injective up to xxhash64 collisions).
     val toks = documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-    val nexts = (1 until shingleSize).map(k => lead(col("tok"), k).over(w).as(s"t$k"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("th"))
+    val nexts = (1 until shingleSize).map(k => lead(col("th"), k).over(w).as(s"t$k"))
     val shingles = toks
-      .select((col("doc_id") +: col("tok") +: nexts): _*)
+      .select((col("doc_id") +: col("th") +: nexts): _*)
       // last lead null => fewer than shingleSize tokens remain: no shingle
       .filter(col(s"t${shingleSize - 1}").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", (col("tok") +: (1 until shingleSize).map(k => col(s"t$k"))): _*).as("sh"))
-      .dropDuplicates("doc_id", "sh")
-    val hashed = shingles.select(col("doc_id"), col("sh"),
-      pmod(xxhash64(col("sh")), lit(M)).as("h1"),
-      pmod(xxhash64(col("sh"), lit(1)), lit(M)).as("h2"))
+        xxhash64((col("th") +: (1 until shingleSize).map(k => col(s"t$k"))): _*).as("shh"))
+    // Both Carter-Wegman base hashes derive from the one shingle hash —
+    // no second pass over the text.
+    val hashed = shingles.select(col("doc_id"), col("shh"),
+      pmod(col("shh"), lit(M)).as("h1"),
+      pmod(xxhash64(col("shh")), lit(M)).as("h2"))
     val mins = (0 until numHashes).map(j =>
       min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(M))).as(s"m$j"))
     hashed.groupBy("doc_id")
-      .agg(collect_list(col("sh")).as("shingles"), mins: _*)
+      .agg(collect_set(col("shh")).as("shingles"), mins: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"),
         col("shingles"))
