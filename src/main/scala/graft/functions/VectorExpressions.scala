@@ -151,13 +151,25 @@ object GraftFunctions {
       s"$name expects exactly 2 arguments, got ${args.length}")
   }
 
+  private def one(name: String, mk: Expression => Expression): Builder = {
+    case Seq(a) => mk(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument, got ${args.length}")
+  }
+
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       two("graft_dot", DotProduct)),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      two("graft_cosine", CosineSimilarity)))
+      two("graft_cosine", CosineSimilarity)),
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      one("graft_polyhash", PolyHash)),
+    (FunctionIdentifier("graft_mingram"),
+      new ExpressionInfo(classOf[MinGramHash].getName, "graft_mingram"),
+      two("graft_mingram", MinGramHash)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

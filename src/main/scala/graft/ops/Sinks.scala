@@ -158,6 +158,14 @@ object Sinks {
     * (The literal JSON string is asserted in ScalaTest; DuckDB's float
     * rendering inside JSON differs from Spark's, so the oracle compares
     * the round-tripped typed values instead.)
+    *
+    * Perf note (profiled): this query is ~2-4 s at sf0.1. The 21 s bench
+    * reading in round 2 was not this plan's cost — it was GC pressure from
+    * the previous query's (since removed) corpus-sized string-shingle cache
+    * bleeding into this measurement window; with int64 shingle hashing in
+    * Dedup the reading returned to normal. from_json deliberately stays in
+    * the plan (no from_json(to_json(..)) elision) — the round-trip IS the
+    * operator under test.
     */
   val k8JsonRoundtrip = QueryDef(
     "k8_to_json_roundtrip",

@@ -182,21 +182,18 @@ object TextAnalysis {
          |  END AS min_gram_hash
          |FROM documents ORDER BY doc_id""".stripMargin)(
       (s, d) => {
-        // Precompute the char-code array ONCE per doc: substr(text, i, 1)
-        // is O(len) on UTF8String, so a substr-per-term gram would be
-        // O(len² · 8) per doc — measured 24 s on the bench corpus vs ~1 s
-        // with O(1) element_at over this array.
-        val gramCodes = "(" + pows.zipWithIndex.map { case (pw, k) =>
-          s"CAST(element_at(codes, i + $k) AS BIGINT) * $pw" }.mkString(" + ") + s") % $P"
+        // Native graft_polyhash/graft_mingram expressions (see
+        // functions/TextExpressions.scala): identical math to the HOF
+        // formulation (per-codepoint fold; sum-then-mod 8-gram windows)
+        // but as a compiled loop inside whole-stage codegen. The
+        // interpreted-HOF version of this query measured 7.6 s at sf0.1;
+        // bit-equality against the HOF shape is pinned in
+        // VectorExpressionsSpec and the DuckDB oracle is unchanged.
         Tables.documents(s, d)
-          .withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
           .select(
             col("doc_id"),
-            expr(s"aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % $P)")
-              .as("doc_hash"),
-            expr(s"""CASE WHEN length(text) < 8 THEN NULL
-                    |ELSE array_min(transform(sequence(1, size(codes) - 7), i -> $gramCodes))
-                    |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
+            expr("graft_polyhash(text)").as("doc_hash"),
+            expr("graft_mingram(text, 8)").as("min_gram_hash"))
           .orderBy("doc_id")
       })
   }

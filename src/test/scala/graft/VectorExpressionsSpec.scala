@@ -61,4 +61,60 @@ class VectorExpressionsSpec extends SparkSpec {
         "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.0)
   }
+
+  // ------------------------------------------------- text hash expressions
+
+  /** The interpreted-HOF formulation graft_polyhash/graft_mingram replaced
+    * (see TextAnalysis.fingerprint) — kept here as the equality oracle.
+    */
+  private val P = 1000000007L
+  private def hofFingerprint(df: org.apache.spark.sql.DataFrame) = {
+    val pows = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq.reverse
+    val gramCodes = "(" + pows.zipWithIndex.map { case (pw, k) =>
+      s"CAST(element_at(codes, i + $k) AS BIGINT) * $pw" }.mkString(" + ") + s") % $P"
+    df.withColumn("codes", expr("transform(split(text, ''), c -> ascii(c))"))
+      .select(col("doc_id"),
+        expr(s"aggregate(codes, 0L, (acc, c) -> (acc * 31 + c) % $P)").as("doc_hash"),
+        expr(s"""CASE WHEN length(text) < 8 THEN NULL
+                |ELSE array_min(transform(sequence(1, size(codes) - 7), i -> $gramCodes))
+                |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
+  }
+
+  test("graft_polyhash/graft_mingram are bit-identical to the HOF formulation on the fixture") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val native = docs.select(col("doc_id"),
+      expr("graft_polyhash(text)").as("doc_hash"),
+      expr("graft_mingram(text, 8)").as("min_gram_hash"))
+    val diff = native.as("n").join(hofFingerprint(docs).as("h"), "doc_id")
+      .filter(col("n.doc_hash") =!= col("h.doc_hash") ||
+        (col("n.min_gram_hash") <=> col("h.min_gram_hash")) === false)
+    assert(diff.isEmpty)
+  }
+
+  test("graft text hashes: codepoints, short-text null, empty string, null input") {
+    val df = Seq(
+      (1L, "abcdefgh"),        // exactly 8 chars: one gram
+      (2L, "abcdefg"),         // 7 chars -> min_gram null
+      (3L, ""),                // empty -> poly 0 (matches split('')+ascii fold)
+      (4L, "héllo wörld €12"), // multi-byte codepoints
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      expr("graft_polyhash(text)").as("ph"),
+      expr("graft_mingram(text, 8)").as("mg"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // one gram == its own min; value = sum of cp*31^(7-k) mod P
+    val cps = "abcdefgh".map(_.toLong)
+    val pows = Iterator.iterate(1L)(x => x * 31 % P).take(8).toSeq.reverse
+    val g = cps.zip(pows).map { case (c, p) => c * p }.sum % P
+    assert(out(1L) == ((Some(g), Some(g))))
+    assert(out(2L)._2.isEmpty && out(2L)._1.nonEmpty)
+    assert(out(3L) == ((Some(0L), None)))
+    val hof = hofFingerprint(df.withColumnRenamed("text", "text").filter(col("doc_id") === 4))
+      .head
+    assert(out(4L) == ((Some(hof.getLong(1)), Some(hof.getLong(2)))))
+    assert(out(5L) == ((None, None)))
+  }
 }
