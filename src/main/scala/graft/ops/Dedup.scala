@@ -14,7 +14,10 @@ import graft.{QueryDef, Tables}
   *    the hash, map-side partial aggregation — never a sort);
   *  - near-dup candidate generation is ALWAYS bucketed (LSH bands or a
   *    blocking key) and pairs are only formed WITHIN buckets — an
-  *    all-pairs O(n²) join never appears in any plan;
+  *    all-pairs O(n²) join never appears in any plan; prefix blocks are
+  *    additionally SIZE-CAPPED (degenerate boilerplate prefixes would
+  *    otherwise be quadratic within the block) with oversized blocks
+  *    routed to the LSH path ([[boundedNearDups]]);
   *  - verification (exact Jaccard) runs only on the candidate pairs the
   *    buckets produced, i.e. output-sized work, not input-sized.
   *
@@ -63,15 +66,27 @@ object Dedup {
   /** Blocked n-gram Jaccard near-dup detection, fully oracle-checkable:
     * block on a cheap prefix key (docs sharing their first 50 chars —
     * the classic "URL/prefix blocking" trick), pair only within blocks,
-    * verify with exact word-set Jaccard. The blocking key bounds the join:
-    * at 100 TB the shuffle is one row per doc and pairs form only inside
-    * same-key buckets (bucket sizes are data-bounded, AQE handles stragglers).
+    * verify with exact word-set Jaccard.
+    *
+    * Block sizes are CAPPED: a real 100 TB corpus has millions of docs
+    * sharing a boilerplate prefix (license headers, templates), which
+    * would make within-block pair formation O(n²) on exactly the data
+    * dedup exists for. Blocks with more than `maxBlock` docs are excluded
+    * here (the per-block windowed count is one extra pass over the
+    * already-shuffled block partitions) and belong to the MinHash-LSH
+    * path instead — [[boundedNearDups]] does that routing end-to-end.
     */
-  def prefixBlockedJaccard(documents: DataFrame, prefixLen: Int = 50): DataFrame = {
+  def prefixBlockedJaccard(
+      documents: DataFrame,
+      prefixLen: Int = 50,
+      maxBlock: Int = 64): DataFrame = {
+    val w = Window.partitionBy("block_key")
     val keyed = documents.select(
       col("doc_id"),
       substring(col("text"), 1, prefixLen).as("block_key"),
       array_distinct(split(lower(col("text")), "\\s+")).as("words"))
+      .withColumn("block_n", count(lit(1)).over(w))
+      .filter(col("block_n") <= maxBlock)
     val a = keyed.select(col("block_key"), col("doc_id").as("doc_a"), col("words").as("wa"))
     val b = keyed.select(col("block_key"), col("doc_id").as("doc_b"), col("words").as("wb"))
     a.join(b, Seq("block_key"))
@@ -84,14 +99,43 @@ object Dedup {
     "dedup_blocked_jaccard",
     """WITH keyed AS (
       |  SELECT doc_id, substr(text, 1, 50) AS block_key,
-      |         list_distinct(string_split(lower(text), ' ')) AS words
+      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
       |  FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
       |             / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
       |FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |WHERE a.block_n <= 64 AND b.block_n <= 64
       |ORDER BY doc_a, doc_b""".stripMargin)(
     (s, d) => prefixBlockedJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  /** Complete near-dup sweep with bounded work everywhere: small prefix
+    * blocks (≤ maxBlock docs) get exact within-block Jaccard; oversized
+    * blocks — the boilerplate/template case — are routed to MinHash-LSH,
+    * whose banding bounds candidate formation regardless of block size.
+    * Output is the union of both paths' `(doc_a, doc_b, jaccard)` pairs
+    * at the same threshold (LSH-path Jaccard is over hashed shingle sets;
+    * both paths' estimates agree up to hash collisions).
+    */
+  def boundedNearDups(
+      documents: DataFrame,
+      prefixLen: Int = 50,
+      maxBlock: Int = 64,
+      threshold: Double = 0.4): DataFrame = {
+    val w = Window.partitionBy("block_key")
+    val counted = documents
+      .withColumn("block_key", substring(col("text"), 1, prefixLen))
+      .withColumn("block_n", count(lit(1)).over(w))
+    val smallPairs = prefixBlockedJaccard(documents, prefixLen, maxBlock)
+      .filter(col("jaccard") >= threshold)
+    val bigDocs = counted.filter(col("block_n") > maxBlock)
+      .drop("block_key", "block_n")
+    smallPairs.unionByName(minhashLsh(bigDocs, threshold = threshold))
+  }
+
+  val boundedNearDupsQuery = QueryDef.unverified("dedup_bounded_neardups")(
+    (s, d) => boundedNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------------------------ minhash-lsh
 
@@ -224,11 +268,16 @@ object Dedup {
 
   /** Hamming distance between the simhashes of doc pairs sharing a prefix
     * block — the verify stage a banded simhash index would run. bit_count
-    * of XOR is the textbook distance.
+    * of XOR is the textbook distance. Same `maxBlock` cap as
+    * [[prefixBlockedJaccard]]: oversized boilerplate-prefix blocks are
+    * excluded from pair formation (route those through [[boundedNearDups]]).
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 16): DataFrame = {
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 16, maxBlock: Int = 64): DataFrame = {
+    val w = Window.partitionBy("block_key")
     val keyed = simhash(documents)
       .join(documents.select(col("doc_id"), substring(col("text"), 1, 50).as("block_key")), "doc_id")
+      .withColumn("block_n", count(lit(1)).over(w))
+      .filter(col("block_n") <= maxBlock)
     keyed.as("a").join(keyed.as("b"),
         col("a.block_key") === col("b.block_key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -239,5 +288,6 @@ object Dedup {
   val simhashQuery = QueryDef.unverified("dedup_simhash_neardups")(
     (s, d) => simhashNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
-  val all: Seq[QueryDef] = Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery)
+  val all: Seq[QueryDef] =
+    Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery, boundedNearDupsQuery)
 }

@@ -65,6 +65,43 @@ class DedupSpec extends SparkSpec {
     assert(ham(0, 3) > 16, s"unrelated hamming ${ham(0, 3)}")
   }
 
+  test("oversized prefix blocks are capped: 1000 boilerplate-prefix docs form no quadratic pair set") {
+    val header = "LICENSE HEADER COMMON TO EVERY FILE IN THIS REPO X" // exactly 50 chars
+    assert(header.length == 50)
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, s"$header unique payload number $i with words ${"w" + i} ${"v" + (i * 7)}",
+        "en", "s", 100L))
+    val df = { import spark.implicits._; boiler.toDF("doc_id", "text", "lang", "source", "n_chars") }
+    // Uncapped this block alone is 1000*999/2 ≈ 500k pairs; capped it is excluded.
+    assert(Dedup.prefixBlockedJaccard(df).count() == 0)
+    assert(Dedup.simhashNearDups(df).count() == 0)
+    // Small blocks below the cap are unaffected.
+    assert(Dedup.prefixBlockedJaccard(docs).count() ==
+      Dedup.prefixBlockedJaccard(docs, maxBlock = 1000000).count())
+  }
+
+  test("boundedNearDups routes oversized blocks to LSH and still finds the planted near-dups") {
+    val header = "LICENSE HEADER COMMON TO EVERY FILE IN THIS REPO X"
+    // Long distinct tails: the shared header is a small fraction of each
+    // doc's shingle set, so filler docs are NOT near-dups of each other
+    // (true Jaccard ≈ 8/60 « threshold).
+    val filler = (10L until 100L).map { i =>
+      val tail = (0 until 25).map(k => s"tok${i}x$k").mkString(" ")
+      (i, s"$header $tail", "en", "s", 300L)
+    }
+    // Two near-identical docs buried inside the oversized block.
+    val nearA = (0L, s"$header shared long payload about spark shuffle partitioning behavior at scale", "en", "s", 130L)
+    val nearB = (1L, s"$header shared long payload about spark shuffle partitioning semantics at scale", "en", "s", 130L)
+    val df = { import spark.implicits._
+      (Seq(nearA, nearB) ++ filler).toDF("doc_id", "text", "lang", "source", "n_chars") }
+    val pairs = Dedup.boundedNearDups(df, maxBlock = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"LSH route must find the planted near-dup pair, got $pairs")
+    // Only true near-dups survive the threshold — no quadratic pair set
+    // from the shared boilerplate prefix (92 docs → 4186 block pairs).
+    assert(pairs.size < 50, s"expected only true near-dups, got ${pairs.size} pairs")
+  }
+
   test("shingling handles docs shorter than the shingle size") {
     val tiny = Seq((0L, "one two", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Dedup.minhashSignatures(tiny).isEmpty) // filtered, not crashed
