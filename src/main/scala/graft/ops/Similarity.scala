@@ -163,27 +163,46 @@ object Similarity {
     * distributed KMeans fit (seed-pinned for determinism); probe
     * selection is O(nlist) driver math over the centroid array — which
     * is exactly the IVF contract (centroids are the tiny index).
-    * At 100 TB: fit on a sample, store list_id as a partition/cluster
-    * column, and a probe reads nprobe/nlist of the data.
+    * At 100 TB: the fit runs on a SAMPLE (below), list_id becomes a
+    * partition/cluster column, and a probe reads nprobe/nlist of the data.
+    *
+    * The quantizer is fit on a `fitFraction` sample, NOT the full corpus:
+    * KMeans is maxIter full passes over its input, and 5 passes over
+    * 100 TB to place 16 centroids is absurd — a coarse quantizer needs
+    * only enough points to estimate cell boundaries (a few hundred per
+    * cell). The sample is cached for the iterations and unpersisted after
+    * the fit; the full corpus pays exactly ONE pass (`transform`, the cell
+    * assignment). Locally fitFraction=0.25 keeps the fixture tests
+    * meaningful; at 100 TB you'd set it so the sample is ~256×nlist rows
+    * (e.g. 4096 points for nlist=16 — fractions of a millionth). A
+    * limit(nlist)-count guard falls back to the full (tiny) corpus when
+    * the sample can't seat nlist centroids.
     */
   def annIvfTopK(
       embeddings: DataFrame,
       queryVecId: Long = 0L,
       k: Int = 20,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      fitFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     val withVec = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    // Seed-pinned Bernoulli sample; cached so the KMeans iterations scan
+    // the sample, not the corpus. limit(nlist).count() is an early-stop
+    // scan (reads at most nlist rows), not a full count.
+    val sampled = withVec.sample(withReplacement = false, fitFraction, seed = 42L).cache()
+    val fitData = if (sampled.limit(nlist).count() == nlist) sampled else withVec
     // 5 iterations: coarse-quantizer quality plateaus fast and each
     // iteration is a full Spark job — cell BALANCE matters more than
     // centroid convergence for IVF recall.
     val model = new KMeans()
       .setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(withVec)
+      .fit(fitData)
+    sampled.unpersist(blocking = true)
     val assigned = model.transform(withVec).cache()
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select("features").head.getAs[MlVector](0)

@@ -159,13 +159,18 @@ object Sinks {
     * rendering inside JSON differs from Spark's, so the oracle compares
     * the round-tripped typed values instead.)
     *
-    * Perf note (profiled): this query is ~2-4 s at sf0.1. The 21 s bench
-    * reading in round 2 was not this plan's cost — it was GC pressure from
-    * the previous query's (since removed) corpus-sized string-shingle cache
-    * bleeding into this measurement window; with int64 shingle hashing in
-    * Dedup the reading returned to normal. from_json deliberately stays in
-    * the plan (no from_json(to_json(..)) elision) — the round-trip IS the
-    * operator under test.
+    * Perf note (profiled): this query is ~2 s at sf0.1 measured in
+    * isolation. The 21 s (round 2) and 26.5 s (round 3) full-suite bench
+    * readings were NOT this plan's cost: the preceding dedup queries cache
+    * corpus-sized signature tables (Dedup.minhashLsh) that
+    * `spark.catalog.clearCache()` alone does not synchronously free —
+    * dead blocks and ContextCleaner work pile up until a GC storm lands
+    * in whatever measurement window comes next, which in suite order is
+    * this query. The fix is in the harness, not this plan: Bench.settle
+    * now runs a blocking unpersist + System.gc() barrier between
+    * measurements (see Bench.scala scaladoc for the mechanism).
+    * from_json deliberately stays in the plan (no from_json(to_json(..))
+    * elision) — the round-trip IS the operator under test.
     */
   val k8JsonRoundtrip = QueryDef(
     "k8_to_json_roundtrip",

@@ -112,7 +112,10 @@ object Jobs {
         Sinks.csvAppendSingle(batch, s"$outDir/data")
       }
     } catch {
-      case e: Throwable =>
+      // NonFatal, not Throwable: a long-running stream must NOT swallow
+      // OutOfMemoryError or InterruptedException — those have to
+      // propagate and kill/cancel the query.
+      case scala.util.control.NonFatal(e) =>
         // F9: log and keep the stream alive — one poisoned batch must not
         // kill a long-running pipeline. The checkpoint has NOT committed
         // this batch, so a restart replays it.
