@@ -44,9 +44,14 @@ trait VectorBinaryExpression extends BinaryExpression {
         s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  /** Java source for element i of `arr` as a double. */
-  protected def getElem(arr: String, e: Expression): String =
-    if (elemIsFloat(e)) s"(double) $arr.getFloat(i)" else s"$arr.getDouble(i)"
+  /** Java source for element `i` of `arr` as a double. `i` must be a
+    * ctx.freshName — a fixed loop-variable name gets rejected by janino
+    * ("Redefinition of local variable") whenever the block nests inside a
+    * generated scope that already declared it, and the WHOLE stage then
+    * falls back to interpreted mode.
+    */
+  protected def getElem(arr: String, i: String, e: Expression): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 
   protected def elemAt(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -69,18 +74,20 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     acc
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_acc = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    ${ev.value}_acc += ${getElem(a, left)} * ${getElem(b, right)};
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    ${ev.value}_acc += ${getElem(a, i, left)} * ${getElem(b, i, right)};
          |  }
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -112,18 +119,21 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val x = ctx.freshName("x")
+    val y = ctx.freshName("y")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
-         |for (int i = 0; i < ${ev.value}_n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    double x = ${getElem(a, left)};
-         |    double y = ${getElem(b, right)};
-         |    ${ev.value}_dot += x * y;
-         |    ${ev.value}_na += x * x;
-         |    ${ev.value}_nb += y * y;
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $x = ${getElem(a, i, left)};
+         |    double $y = ${getElem(b, i, right)};
+         |    ${ev.value}_dot += $x * $y;
+         |    ${ev.value}_na += $x * $x;
+         |    ${ev.value}_nb += $y * $y;
          |  }
          |}
          |if (${ev.value}_na == 0.0 || ${ev.value}_nb == 0.0) {
@@ -132,6 +142,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
          |  ${ev.value} = ${ev.value}_dot / (java.lang.Math.sqrt(${ev.value}_na) * java.lang.Math.sqrt(${ev.value}_nb));
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -53,6 +53,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullRow.count(_.isNullAt(0)) == 2)
   }
 
+  test("generated code survives nested codegen scopes (no fixed loop-variable names)") {
+    // Regression: doGenCode used literal `int i` / `double x` / `double y`.
+    // In plans that nest the expression inside a generated scope that
+    // already declares those names (observed: the LSH bucket projection of
+    // sim_ann_lsh_topk), janino rejects the redefinition and Spark SILENTLY
+    // falls back to interpreted eval — results stay right, the 10× perf is
+    // gone. CODEGEN_ONLY turns that silent fallback into a hard failure so
+    // this test pins compilability of the exact shape that broke.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = ops.Similarity.annTopK(
+        Tables.embeddings(spark, "/root/testdata/sf0.001"), queryVecId = 0L, k = 5)
+        .collect()
+      assert(out.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+      spark.catalog.clearCache() // annTopK caches its bucket table
+    }
+  }
+
   test("interpreted (non-codegen) eval path agrees with codegen") {
     // Filters during optimization and codegen fallbacks hit nullSafeEval;
     // force it by evaluating on a literal (constant folding runs eval).
