@@ -7,11 +7,15 @@ import graft.{QueryDef, Tables}
 /** Multimodal columns — images/audio/video as opaque `binary` payloads
   * with typed metadata (builder brief).
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no image/audio
-  * codecs exist in this environment); everything around it — the asset
-  * schema, the per-partition batch iteration, the partitioning strategy,
-  * the fan-out control — is real and tested. Swapping the stub for a JNI
-  * codec or an ONNX runtime changes only the function body.
+  * IMAGE decode is REAL: payloads are actual PNG files (rendered with
+  * `java.awt.image.BufferedImage`, encoded with `javax.imageio.ImageIO` —
+  * JDK-only, zero new dependencies) and [[decodeImageStats]] decodes the
+  * bytes back to pixels on the executors. Audio/video decode remains a
+  * clearly-marked DETERMINISTIC STUB (no media codecs exist in this
+  * environment); everything around it — the asset schema, the
+  * per-partition batch iteration, the partitioning strategy, the fan-out
+  * control — is real and tested. Swapping the stub for a JNI codec or an
+  * ONNX runtime changes only the function body.
   *
   * Batch shape: heavyweight decode/inference runs via
   * `Dataset.mapPartitions` (the JVM analog of `mapInPandas`): one
@@ -57,6 +61,81 @@ object Multimodal {
       (lit(64) + (col("doc_id") % 9) * 8).cast("int").as("height"),
       (lit(8000) + (col("doc_id") % 5) * 8000).cast("int").as("sample_rate"),
       (lit(1000) + (col("doc_id") % 30) * 1000).as("duration_ms"))
+
+  // ----------------------------------------------------- real image decode
+
+  /** Deterministic test-pattern PNG: red ramps with x (r = x mod 256),
+    * green/blue are flat id-derived fills. Every channel statistic is
+    * therefore plain integer arithmetic over (asset_id, width, height) —
+    * which is what lets [[imageDecodeQuery]] verify a REAL ImageIO
+    * decode against a DuckDB oracle that never sees a pixel.
+    */
+  private[graft] def renderPng(assetId: Long, width: Int, height: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = (assetId % 256).toInt
+    val b = ((assetId * 37) % 128 + 64).toInt
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, ((x % 256) << 16) | (g << 8) | b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-kind assets carrying REAL PNG payloads (metadata dims are the
+    * render dims). Rendering runs per-partition on the executors —
+    * payload bytes never exist on the driver.
+    */
+  def imageAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAssets(spark, sfDir)
+      .filter(col("kind") === "image")
+      .select("asset_id", "width", "height").as[(Long, Int, Int)]
+      .mapPartitions { rows =>
+        // ImageIO's default encode path stages through a temp-file cache;
+        // in-memory streams only, once per task.
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, w, h) => (id, "image", renderPng(id, w, h), w, h) }
+      }
+      .toDF("asset_id", "kind", "payload", "width", "height")
+  }
+
+  /** REAL decode: parse the PNG payload back to pixels and emit measured
+    * dimensions plus exact per-channel means. Same batch shape as
+    * [[extractFeatures]] (mapPartitions, per-task decoder setup); the
+    * channel sums are exact integer math, so the means are reproducible
+    * doubles, not float-accumulation noise.
+    */
+  def decodeImageStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-task decoder setup
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          (id, w, h, sr / n, sg / n, sb / n)
+        }
+      }
+      .toDF("asset_id", "width", "height", "avg_r", "avg_g", "avg_b")
+  }
 
   // ----------------------------------------------------------- decode stub
 
@@ -161,5 +240,31 @@ object Multimodal {
         round(element_at(col("features"), 1), 4).as("f0"))
       .orderBy("asset_id"))
 
-  val all: Seq[QueryDef] = Seq(metadataStats, frameSampleQuery, featuresQuery)
+  /** End-to-end REAL image pipeline as a verified query: render PNG bytes
+    * on the executors, decode them back with ImageIO, emit measured dims
+    * and exact channel means. The DuckDB oracle recomputes every output
+    * from (doc_id)-arithmetic alone — it never touches a pixel — so a
+    * hash match proves the encode→decode round trip reproduced the test
+    * pattern exactly. avg_r = (width-1)/2 because red ramps with x and
+    * every width here is < 256; the other channels are flat fills.
+    */
+  val imageDecodeQuery = QueryDef(
+    "mm_image_decode",
+    """SELECT doc_id AS asset_id,
+      |       CAST(64 + (doc_id % 16) * 8 AS INTEGER) AS width,
+      |       CAST(64 + (doc_id % 9) * 8 AS INTEGER) AS height,
+      |       round((64 + (doc_id % 16) * 8 - 1) / 2.0, 4) AS avg_r,
+      |       round(CAST(doc_id % 256 AS DOUBLE), 4) AS avg_g,
+      |       round(CAST((doc_id * 37) % 128 + 64 AS DOUBLE), 4) AS avg_b
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY asset_id""".stripMargin)(
+    (s, d) => decodeImageStats(imageAssets(s, d))
+      .select(col("asset_id"), col("width"), col("height"),
+        round(col("avg_r"), 4).as("avg_r"),
+        round(col("avg_g"), 4).as("avg_g"),
+        round(col("avg_b"), 4).as("avg_b"))
+      .orderBy("asset_id"))
+
+  val all: Seq[QueryDef] =
+    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery)
 }

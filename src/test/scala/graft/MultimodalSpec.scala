@@ -49,6 +49,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image assets are real PNG files and ImageIO decode recovers dims and pixels exactly") {
+    val imgs = Multimodal.imageAssets(spark, sf).cache()
+    try {
+      val rows = imgs.collect()
+      assert(rows.nonEmpty)
+      // Real PNG container: every payload starts with the PNG signature.
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      rows.foreach { r =>
+        assert(r.getAs[Array[Byte]]("payload").take(8).sameElements(sig),
+          s"asset ${r.getLong(0)} payload is not a PNG")
+      }
+      // Decode on executors; measured dims must equal the render metadata
+      // and channel means must match the test pattern's arithmetic.
+      val decoded = Multimodal.decodeImageStats(imgs).collect()
+      assert(decoded.length == rows.length)
+      val meta = rows.map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+      decoded.foreach { r =>
+        val id = r.getLong(0)
+        val (w, h) = meta(id)
+        assert(r.getInt(1) == w && r.getInt(2) == h, s"asset $id dims")
+        assert(r.getDouble(3) == (w - 1) / 2.0, s"asset $id avg_r") // red ramps with x
+        assert(r.getDouble(4) == (id % 256).toDouble, s"asset $id avg_g")
+        assert(r.getDouble(5) == ((id * 37) % 128 + 64).toDouble, s"asset $id avg_b")
+      }
+    } finally imgs.unpersist(blocking = true)
+  }
+
   test("frame sampling fan-out matches duration/interval exactly") {
     val assets = Multimodal.syntheticAssets(spark, sf)
     val frames = Multimodal.sampleFrames(assets, everyMs = 1000L)
