@@ -238,6 +238,79 @@ class StreamingJobsSpec extends SparkSpec {
     assert(r.getString(1).startsWith("{\"window_start\":\""))
   }
 
+  test("sliding window as a STREAMING window matches the batch form over micro-batches") {
+    // The batch a6_sliding_window form (oracle-verified) re-run through
+    // Structured Streaming: same groupBy(window(ts, 3m, 1m)), fixture
+    // split across 3 micro-batches. Update mode + upsert-by-window (file
+    // order is not time order) — the final value per window must equal
+    // the batch aggregation exactly.
+    def sliding(df: DataFrame) = df
+      .groupBy(window(col("ts"), "3 minutes", "1 minute").getField("start").as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("n"))
+    val expected = sliding(fixtureEvents)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
+    val state = TrieMap.empty[String, Long]
+    val q = sliding(ms.toDF().withWatermark("ts", "3650 days")).writeStream
+      .outputMode("update")
+      .queryName("sliding_stream")
+      .option("checkpointLocation", tmpDir("sliding-ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => state.put(r.getString(0), r.getLong(1)))
+      }
+      .start()
+    val rows = fixtureEvents.as[Ev](org.apache.spark.sql.Encoders.product[Ev]).collect()
+    rows.grouped((rows.length + 2) / 3).foreach { chunk => // 3 micro-batches
+      ms.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(state.toMap == expected)
+    assert(state.nonEmpty)
+  }
+
+  test("session_window as a STREAMING window: merges across batches, emits once watermark closes it") {
+    val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
+    val q = graft.streaming.Stateful.userSessions(
+      ms.toDF().withWatermark("ts", "10 minutes"), gap = "30 minutes").writeStream
+      .outputMode("append")
+      .queryName("session_stream")
+      .format("memory")
+      .start()
+    def table() = spark.table("session_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+    // Two events for user 1 in SEPARATE micro-batches, 10 minutes apart:
+    // session_window must merge them into one open session.
+    ms.addData(Ev(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    assert(table().isEmpty) // session [10:00, 10:40) still open — nothing emitted
+
+    // Advance event time: watermark moves to 12:00-10m = 11:50 > 10:40,
+    // closing user 1's session. Emission lands on the batch AFTER the one
+    // that advances the watermark.
+    ms.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:00:00"), 2, "view", 3.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:01:00"), 2, "view", 4.0, "{}"))
+    q.processAllAvailable()
+    val emitted = table()
+    assert(emitted == Set((1L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)))
+
+    // The emitted session must equal the BATCH session_window form on the
+    // same rows (the oracle-verified stream_session_window code path).
+    val batchForm = graft.streaming.Stateful.userSessions(
+      eventsDf(Seq(
+        (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),
+        (2L, "2024-01-01 10:10:00", 1L, "view", 2.0, "{}"))), gap = "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(batchForm == emitted)
+    q.stop()
+  }
+
   test("streaming dedup drops replayed ids across micro-batches, keeps state within watermark") {
     val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
     val q = Jobs.dedupStream(ms.toDF(), watermarkDelay = "10 minutes").writeStream
