@@ -104,11 +104,37 @@ object Aggregates {
         round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy("event_type"))
 
+  /** approx_percentile (KLL-style mergeable sketch) — the 100 TB answer
+    * to [[percentiles]]: map-side partial sketches merge in one reduce,
+    * no full sort of the value column. No oracle (DuckDB's approx
+    * quantile is a different sketch); AggregatesSpec pins the estimate
+    * against the exact percentile within the accuracy bound.
+    */
+  val approxPercentiles = QueryDef.unverified("agg_approx_percentiles")(
+    (s, d) => Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("p95"))
+      .orderBy("event_type"))
+
+  /** Dataset.stat.freqItems (the count-min-style streaming heavy-hitter
+    * sketch) — the extreme-cardinality companion to [[heavyHitters]]:
+    * single pass, fixed memory (≤ 1/support candidates), guaranteed
+    * SUPERSET of the items above the support threshold (false positives
+    * possible, false negatives not). Result depends on scan order → no
+    * oracle; AggregatesSpec pins the superset guarantee on planted skew.
+    */
+  val freqItemsQuery = QueryDef.unverified("agg_freq_items")(
+    (s, d) => Tables.events(s, d)
+      .stat.freqItems(Seq("user_id"), support = 0.05)
+      .select(explode(col("user_id_freqItems")).as("user_id"))
+      .orderBy("user_id"))
+
   /** Frequency heavy-hitters: top users by event count with deterministic
     * tiebreak. Partial counts map-side, TakeOrderedAndProject for the
-    * limit — the exact form; at extreme cardinality swap in
-    * `Dataset.stat.freqItems` (count-min-style) the same way HLL backs
-    * countDistinct.
+    * limit — the exact form; at extreme cardinality [[freqItemsQuery]]
+    * backs this the same way HLL backs countDistinct.
     */
   val heavyHitters = QueryDef(
     "agg_heavy_hitters",
@@ -151,5 +177,5 @@ object Aggregates {
 
   val all: Seq[QueryDef] = Seq(
     a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct,
-    percentiles, heavyHitters, analyticFunctions)
+    percentiles, approxPercentiles, freqItemsQuery, heavyHitters, analyticFunctions)
 }
