@@ -7,15 +7,17 @@ import graft.{QueryDef, Tables}
 /** Multimodal columns — images/audio/video as opaque `binary` payloads
   * with typed metadata (builder brief).
   *
-  * IMAGE decode is REAL: payloads are actual PNG files (rendered with
-  * `java.awt.image.BufferedImage`, encoded with `javax.imageio.ImageIO` —
-  * JDK-only, zero new dependencies) and [[decodeImageStats]] decodes the
-  * bytes back to pixels on the executors. Audio/video decode remains a
-  * clearly-marked DETERMINISTIC STUB (no media codecs exist in this
-  * environment); everything around it — the asset schema, the
-  * per-partition batch iteration, the partitioning strategy, the fan-out
-  * control — is real and tested. Swapping the stub for a JNI codec or an
-  * ONNX runtime changes only the function body.
+  * IMAGE and AUDIO decode are REAL: image payloads are actual PNG files
+  * (rendered with `java.awt.image.BufferedImage`, encoded with
+  * `javax.imageio.ImageIO`) and [[decodeImageStats]] decodes the bytes
+  * back to pixels on the executors; audio payloads are actual 16-bit PCM
+  * WAV files (written and parsed with `javax.sound.sampled` — both
+  * JDK-only, zero new dependencies) and [[decodeAudioStats]] decodes them
+  * back to samples. VIDEO decode remains a clearly-marked DETERMINISTIC
+  * STUB (the JDK ships no video codec); everything around it — the asset
+  * schema, the per-partition batch iteration, the partitioning strategy,
+  * the fan-out control — is real and tested. Swapping the stub for a JNI
+  * codec or an ONNX runtime changes only the function body.
   *
   * Batch shape: heavyweight decode/inference runs via
   * `Dataset.mapPartitions` (the JVM analog of `mapInPandas`): one
@@ -135,6 +137,81 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "width", "height", "avg_r", "avg_g", "avg_b")
+  }
+
+  // ------------------------------------------------------ real audio decode
+
+  /** Deterministic test-tone WAV: 16-bit PCM mono, a 50 ms clip at the
+    * asset's metadata sample rate, sample[i] = (i mod 400) · amp with
+    * amp = asset_id % 16 + 1. All metadata rates are multiples of 8000,
+    * so n = rate/20 samples is always a whole number of 400-sample ramp
+    * periods — every decoded statistic is therefore plain integer
+    * arithmetic over (asset_id, sample_rate): peak = 399·amp,
+    * mean = 199.5·amp. That is what lets [[audioDecodeQuery]] verify a
+    * REAL javax.sound decode against a DuckDB oracle that never sees a
+    * sample (same trick as [[renderPng]]'s pixel ramp).
+    */
+  private[graft] def renderWav(assetId: Long, sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = sampleRate / 20
+    val amp = (assetId % 16 + 1).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (i % 400) * amp // 399*16 = 6384 < 32767: always in range
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio-kind assets carrying REAL WAV payloads (metadata rate is the
+    * render rate). Like [[imageAssets]], rendering runs per-partition on
+    * the executors — payload bytes never exist on the driver.
+    */
+  def audioAssets(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    syntheticAssets(spark, sfDir)
+      .filter(col("kind") === "audio")
+      .select("asset_id", "sample_rate").as[(Long, Int)]
+      .mapPartitions(_.map { case (id, rate) => (id, "audio", renderWav(id, rate), rate) })
+      .toDF("asset_id", "kind", "payload", "sample_rate")
+  }
+
+  /** REAL decode: parse the WAV container back to PCM samples via
+    * `javax.sound.sampled.AudioSystem` and emit the measured format rate,
+    * frame count, signed-sample peak and exact mean (integer sum, one
+    * division at the end — reproducible doubles, not float accumulation).
+    * Same batch shape as [[decodeImageStats]].
+    */
+  def decodeAudioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val rate = ais.getFormat.getSampleRate.toInt
+        val bytes =
+          try ais.readAllBytes()
+          finally ais.close()
+        val n = bytes.length / 2
+        var (i, sum, peak) = (0, 0L, Int.MinValue)
+        while (i < n) {
+          // 16-bit signed little-endian: high byte carries the sign.
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sum += s
+          if (s > peak) peak = s
+          i += 1
+        }
+        (id, rate, n.toLong, peak, sum.toDouble / n)
+      })
+      .toDF("asset_id", "sample_rate", "n_samples", "peak", "mean_amp")
   }
 
   // ----------------------------------------------------------- decode stub
@@ -265,6 +342,28 @@ object Multimodal {
         round(col("avg_b"), 4).as("avg_b"))
       .orderBy("asset_id"))
 
+  /** End-to-end REAL audio pipeline as a verified query: render WAV bytes
+    * on the executors, decode them back with javax.sound, emit the
+    * measured rate, frame count, peak and mean amplitude. The DuckDB
+    * oracle recomputes every output from (doc_id)-arithmetic alone — a
+    * hash match proves the WAV encode→decode round trip reproduced the
+    * ramp exactly. n_samples = rate/20 (50 ms clip), peak = 399·amp,
+    * mean = 199.5·amp with amp = doc_id % 16 + 1 (see [[renderWav]]).
+    */
+  val audioDecodeQuery = QueryDef(
+    "mm_audio_decode",
+    """SELECT doc_id AS asset_id,
+      |       CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
+      |       CAST((8000 + (doc_id % 5) * 8000) // 20 AS BIGINT) AS n_samples,
+      |       CAST(399 * (doc_id % 16 + 1) AS INTEGER) AS peak,
+      |       CAST(round(199.5 * (doc_id % 16 + 1), 4) AS DOUBLE) AS mean_amp
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY asset_id""".stripMargin)(
+    (s, d) => decodeAudioStats(audioAssets(s, d))
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"), col("peak"),
+        round(col("mean_amp"), 4).as("mean_amp"))
+      .orderBy("asset_id"))
+
   val all: Seq[QueryDef] =
-    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery)
+    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, audioDecodeQuery)
 }

@@ -76,6 +76,34 @@ class MultimodalSpec extends SparkSpec {
     } finally imgs.unpersist(blocking = true)
   }
 
+  test("audio assets are real WAV files and javax.sound decode recovers rate and samples exactly") {
+    val auds = Multimodal.audioAssets(spark, sf).cache()
+    try {
+      val rows = auds.collect()
+      assert(rows.nonEmpty)
+      // Real WAV container: RIFF chunk wrapping a WAVE form.
+      rows.foreach { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        assert(new String(p.take(4), "US-ASCII") == "RIFF" &&
+          new String(p.slice(8, 12), "US-ASCII") == "WAVE",
+          s"asset ${r.getLong(0)} payload is not a WAV")
+      }
+      // Decode on executors; measured format and sample stats must match
+      // the ramp arithmetic (see Multimodal.renderWav scaladoc).
+      val decoded = Multimodal.decodeAudioStats(auds).collect()
+      assert(decoded.length == rows.length)
+      decoded.foreach { r =>
+        val id = r.getLong(0)
+        val rate = (8000 + (id % 5) * 8000).toInt
+        val amp = (id % 16 + 1).toInt
+        assert(r.getInt(1) == rate, s"asset $id rate")
+        assert(r.getLong(2) == rate / 20, s"asset $id n_samples")
+        assert(r.getInt(3) == 399 * amp, s"asset $id peak")
+        assert(r.getDouble(4) == 199.5 * amp, s"asset $id mean")
+      }
+    } finally auds.unpersist(blocking = true)
+  }
+
   test("frame sampling fan-out matches duration/interval exactly") {
     val assets = Multimodal.syntheticAssets(spark, sf)
     val frames = Multimodal.sampleFrames(assets, everyMs = 1000L)
