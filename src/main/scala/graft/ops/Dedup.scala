@@ -21,8 +21,8 @@ import graft.{QueryDef, Tables}
   *  - verification (exact Jaccard) runs only on the candidate pairs the
   *    buckets produced, i.e. output-sized work, not input-sized.
   *
-  * Shingling/minhashing/simhashing run RELATIONALLY (explode → window →
-  * codegen'd grouped aggregation) rather than through array lambdas:
+  * Shingling/minhashing/simhashing run RELATIONALLY (explode → positional
+  * lookups → codegen'd grouped aggregation) rather than through array lambdas:
   * higher-order functions are interpreted in Spark, and the relational
   * shape measured ~5× faster (see minhashSignatures). No UDFs anywhere —
   * the whole pipeline stays inside whole-stage codegen.
@@ -170,9 +170,9 @@ object Dedup {
   // ------------------------------------------------------------ minhash-lsh
 
   /** Per-doc MinHash signature, built RELATIONALLY: posexplode tokens,
-    * form n-gram shingles with window `lead()` (codegen'd sort within the
-    * doc_id partition), hash each shingle twice, then ONE grouped
-    * aggregation computes all `numHashes` minima (Carter-Wegman:
+    * form n-gram shingles with positional array lookups (no sort, no
+    * window — see [[shingleHashes]]), hash each shingle twice, then ONE
+    * grouped aggregation computes all `numHashes` minima (Carter-Wegman:
     * h_j = (h1 + j·h2) mod p) plus the shingle-HASH set for the verify
     * stage. Shingles are reduced to int64 (`xxhash64`) the moment they are
     * formed: the signature minima, the band hashes, and the verify-stage
@@ -193,29 +193,35 @@ object Dedup {
     * so the single aggregation replaces a dropDuplicates pass.
     */
   /** Distinct (doc_id, shingle-hash) rows — the relational spine of the
-    * whole minhash pipeline. Tokens become int64 immediately — the window
-    * sort and the lead() chain carry 8-byte longs, not strings; the
-    * shingle identity is the hash of its token-hash tuple (injective up
-    * to xxhash64 collisions). The dropDuplicates lands on the window's
-    * existing hashpartitioning(doc_id) — clustering by (doc_id, shh) is
-    * satisfied by the doc_id partitioning, so no extra shuffle.
+    * whole minhash pipeline. The shingle identity is the hash of its
+    * token-hash tuple (injective up to xxhash64 collisions).
+    *
+    * Shingles are formed WITHOUT a window: the token array rides through
+    * `posexplode`, and each shingle reads its next tokens with O(1)
+    * `element_at(arr, pos+k)` lookups inside the same whole-stage-codegen
+    * stage (the array column is projected away before any exchange, so it
+    * never inflates shuffled rows). An earlier shape used a per-doc
+    * window `lead()` chain — same output, but it paid
+    * exchange(doc_id) + a full sort of every token row; this one needs no
+    * order at all. The one explicit `repartition(doc_id)` seats BOTH the
+    * dropDuplicates (clustering by (doc_id, shh) is satisfied by the
+    * doc_id partitioning) and every downstream per-doc aggregation
+    * (signature groupBy, per-doc size counts) on a single exchange of the
+    * narrow (doc_id, shh) pairs.
     */
-  def shingleHashes(documents: DataFrame, shingleSize: Int = 3): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = documents
+  def shingleHashes(documents: DataFrame, shingleSize: Int = 3): DataFrame =
+    documents
       .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("arr"))
+      .select(col("doc_id"), col("arr"), posexplode(col("arr")).as(Seq("pos", "tok")))
+      // pos is 0-based, element_at 1-based: the shingle at pos spans
+      // arr[pos+1 .. pos+shingleSize]; it exists iff that slice is full.
+      .filter(col("pos") + shingleSize <= size(col("arr")))
       .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos"), xxhash64(col("tok")).as("th"))
-    val nexts = (1 until shingleSize).map(k => lead(col("th"), k).over(w).as(s"t$k"))
-    toks
-      .select((col("doc_id") +: col("th") +: nexts): _*)
-      // last lead null => fewer than shingleSize tokens remain: no shingle
-      .filter(col(s"t${shingleSize - 1}").isNotNull)
-      .select(col("doc_id"),
-        xxhash64((col("th") +: (1 until shingleSize).map(k => col(s"t$k"))): _*).as("shh"))
+        xxhash64((0 until shingleSize).map(k =>
+          xxhash64(element_at(col("arr"), col("pos") + k + 1))): _*).as("shh"))
+      .repartition(col("doc_id"))
       .dropDuplicates("doc_id", "shh")
-  }
 
   /** Carter-Wegman hash family columns (h_j = (h1 + j·h2) mod p); both
     * base hashes derive from the one shingle hash — no second pass over
