@@ -14,7 +14,7 @@ object SparkEntry {
       (s, d) => Kpi.quarterHour(Tables.events(s, d)))) ++
       Transforms.all ++ Aggregates.all ++ Relational.all ++ Sinks.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
-      Coverage.all ++ Temporal.all ++ graft.streaming.Stateful.all
+      Coverage.all ++ Temporal.all ++ Curation.all ++ graft.streaming.Stateful.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+
+/** End-to-end corpus curation — the flagship composition an LLM
+  * training-data pipeline runs over raw documents, chaining the
+  * already-verified pieces in their production order:
+  *
+  *   clean (TextAnalysis.cleanText's regexp chain)
+  *     → score on the CLEANED text (quality blend + stopword lang-ID)
+  *     → filter (predicted-English, quality floor, token floor)
+  *     → exact dedup of survivors (sha256 of the cleaned text)
+  *
+  * The whole pipeline is ONE declarative plan: the clean/score/filter
+  * stages are narrow scan-side codegen (no shuffle), and the only
+  * exchange is the final dedup groupBy on the content hash — so at
+  * 100 TB the cost is a parquet scan plus one hash-partitioned
+  * aggregation of the (small) surviving fraction. Ordering stages
+  * cheap-first is not just taste: the quality/lang filters cut the
+  * corpus BEFORE the hash+shuffle pays for it.
+  *
+  * Every stage reuses the exact arithmetic of its standalone verified
+  * query (same constants, same floor-rounding, same regex spellings),
+  * so the composed DuckDB oracle stays hash-identical.
+  */
+object Curation {
+
+  private def r4(c: Column) = floor(c * 10000 + 0.5) / 10000
+
+  /** The cleanText regexp chain (spelled identically to
+    * TextAnalysis.cleanText and its oracle).
+    */
+  private def cleaned(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "https?://[^ ]+", " "),
+          "<[^>]*>", " "),
+        "\\[[A-Z_]+\\]", " "),
+      "\\s+", " "))
+
+  private val cleanedDuck: String =
+    """trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(text, 'https?://[^ ]+', ' '),
+      |          '<[^>]*>', ' '),
+      |        '\[[A-Z_]+\]', ' '),
+      |      '\s+', ' '))""".stripMargin
+
+  /** Curate `documents`: returns one row per surviving distinct cleaned
+    * text — its canonical doc_id, how many raw docs collapsed into it,
+    * and the scores that admitted it. Thresholds are the standard cheap
+    * gates (token floor, fixed-weight quality floor, predicted-English).
+    */
+  def curate(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55): DataFrame = {
+    val base = documents.select(col("doc_id"), cleaned(col("text")).as("t"))
+    val lowToks = "split(lower(t), '\\\\s+')"
+    val nToks = size(split(col("t"), "\\s+")).cast("long")
+    val nToksD = nToks.cast("double")
+    val stopHits = expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)}))").cast("double")
+    val uniq = expr(s"size(array_distinct($lowToks))").cast("double")
+    val punct = size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val chars = length(col("t")).cast("double")
+    val quality = r4(
+      least(chars / 500.0, lit(1.0)) * 0.25
+        + least(stopHits / nToksD * 5.0, lit(1.0)) * 0.35
+        + uniq / nToksD * 0.2
+        + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2)
+    val withHits = TextAnalysis.stops.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"${l}_hits",
+        expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(ws)}))").cast("long"))
+    }
+    withHits
+      .withColumn("cjk", size(regexp_extract_all(col("t"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("double"))
+      .withColumn("pred_lang",
+        when(col("cjk") * 10.0 >= length(col("t")).cast("double") * 3.0, "zh")
+          .when(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits")) === 0, "und")
+          .when(col("en_hits") >= greatest(col("es_hits"), col("fr_hits"), col("de_hits")), "en")
+          .when(col("es_hits") >= greatest(col("fr_hits"), col("de_hits")), "es")
+          .when(col("fr_hits") >= col("de_hits"), "fr")
+          .otherwise("de"))
+      .withColumn("n_tokens", nToks)
+      .withColumn("quality", quality)
+      // guards first: length >= 1 keeps every ratio denominator positive
+      .filter(length(col("t")) >= 1 && col("n_tokens") >= minTokens &&
+        col("pred_lang") === "en" && col("quality") >= minQuality)
+      .groupBy(sha2(col("t"), 256).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("quality"))
+      .orderBy("keep_doc_id")
+  }
+
+  val curateQuery: QueryDef = {
+    val stopRatioD = s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)})) AS DOUBLE) / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE)"
+    val qualityDuck = TextAnalysis.r4duck(
+      s"""least(CAST(length(t) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |      + least($stopRatioD * 5.0, 1.0) * 0.35
+         |      + CAST(len(list_distinct(string_split_regex(lower(t), '\\s+'))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE) * 0.2
+         |      + (1.0 - least(CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                     / CAST(length(t) AS DOUBLE) * 10.0, 1.0)) * 0.2""".stripMargin)
+    val hitsDuck = TextAnalysis.stops.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(ws)})) AS BIGINT) AS ${l}_hits"
+    }.mkString(",\n       ")
+    QueryDef(
+      "pipeline_curate_corpus",
+      s"""WITH cleaned AS (
+         |  SELECT doc_id, $cleanedDuck AS t FROM documents),
+         |scored AS (
+         |  SELECT doc_id, t,
+         |       CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_tokens,
+         |       $qualityDuck AS quality,
+         |       $hitsDuck,
+         |       CAST(len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk
+         |  FROM cleaned),
+         |tagged AS (
+         |  SELECT *,
+         |       CASE WHEN cjk * 10.0 >= CAST(length(t) AS DOUBLE) * 3.0 THEN 'zh'
+         |            WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+         |            WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+         |            WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+         |            WHEN fr_hits >= de_hits THEN 'fr'
+         |            ELSE 'de' END AS pred_lang
+         |  FROM scored)
+         |SELECT sha256(t) AS content_hash, min(doc_id) AS keep_doc_id,
+         |       count(*) AS n_copies, min(n_tokens) AS n_tokens,
+         |       min(quality) AS quality
+         |FROM tagged
+         |WHERE length(t) >= 1 AND n_tokens >= 10 AND pred_lang = 'en' AND quality >= 0.55
+         |GROUP BY sha256(t)
+         |ORDER BY keep_doc_id""".stripMargin)(
+      (s, d) => curate(Tables.documents(s, d)))
+  }
+
+  val all: Seq[QueryDef] = Seq(curateQuery)
+}

@@ -42,9 +42,9 @@ object TextAnalysis {
   // ------------------------------------------------------------ quality
 
   /** Tiny deterministic stoplist (quality signal, not linguistics). */
-  private val enStops = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for")
+  private[ops] val enStops = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "for")
 
-  private def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[ops] def inList(words: Seq[String]) = words.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Quality scoring: length, stopword density, uniqueness, punctuation
     * noise — the standard cheap filters a training-data pipeline runs
@@ -57,7 +57,7 @@ object TextAnalysis {
     * value down — caught by the sf0.1 oracle run. Floor arithmetic on
     * the identical double is engine-independent.
     */
-  private def r4duck(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
+  private[ops] def r4duck(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
   val qualityScores = QueryDef(
     "text_quality_scores",
     s"""SELECT doc_id,
@@ -101,7 +101,7 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ lang id
 
-  private val stops: Seq[(String, Seq[String])] = Seq(
+  private[ops] val stops: Seq[(String, Seq[String])] = Seq(
     "en" -> enStops,
     "es" -> Seq("el", "los", "y", "en", "un", "una", "es", "que", "por", "con"),
     "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "dans", "pour", "ce"),

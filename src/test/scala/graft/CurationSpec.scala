@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Curation pipeline — gate invariants and dedup discipline on the
+  * document fixture (value-level correctness is the DuckDB oracle's job:
+  * pipeline_curate_corpus hash-matches the composed SQL).
+  */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("curation filters, and every surviving row respects every gate") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.curate(docs).cache()
+    try {
+      val total = docs.count()
+      val kept = out.count()
+      assert(kept > 0 && kept < total, s"kept $kept of $total — gates not exercised")
+      val bad = out.filter(col("n_tokens") < 10 || col("quality") < 0.55).count()
+      assert(bad == 0)
+      // dedup discipline: content hashes unique, copy counts account for
+      // at least one raw doc each, and the canonical id is a real doc_id.
+      assert(out.select("content_hash").distinct().count() == kept)
+      assert(out.filter(col("n_copies") < 1).count() == 0)
+      assert(out.join(docs.select(col("doc_id").as("keep_doc_id")), "keep_doc_id").count() == kept)
+    } finally out.unpersist(blocking = true)
+  }
+
+  test("curation is idempotent on its survivors: re-curating keeps every kept doc") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.curate(docs)
+    // feed the kept docs back through: every one passes the gates again
+    // and nothing collapses further (texts are already distinct).
+    val kept = out.select(col("keep_doc_id").as("doc_id")).join(docs, "doc_id")
+    val again = Curation.curate(kept)
+    assert(again.count() == out.count())
+    assert(again.filter(col("n_copies") =!= 1L).count() == 0)
+  }
+
+  test("a stricter quality floor keeps a subset") {
+    val docs = Tables.documents(spark, sf)
+    val loose = Curation.curate(docs, minQuality = 0.55)
+      .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    val strict = Curation.curate(docs, minQuality = 0.62)
+      .select("keep_doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict.nonEmpty && strict.size < loose.size)
+    assert(strict.subsetOf(loose))
+  }
+}
