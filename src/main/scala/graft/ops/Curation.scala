@@ -50,12 +50,12 @@ object Curation {
       |        '\[[A-Z_]+\]', ' '),
       |      '\s+', ' '))""".stripMargin
 
-  /** Curate `documents`: returns one row per surviving distinct cleaned
-    * text — its canonical doc_id, how many raw docs collapsed into it,
-    * and the scores that admitted it. Thresholds are the standard cheap
-    * gates (token floor, fixed-weight quality floor, predicted-English).
+  /** The narrow (shuffle-free) front of the pipeline: clean, score,
+    * language-tag, and gate. Works identically on batch and streaming
+    * frames — every stage is scan-side codegen. Output: one row per
+    * SURVIVING raw doc with its cleaned text and admission scores.
     */
-  def curate(
+  def scoreAndGate(
       documents: DataFrame,
       minTokens: Long = 10L,
       minQuality: Double = 0.55): DataFrame = {
@@ -90,6 +90,19 @@ object Curation {
       // guards first: length >= 1 keeps every ratio denominator positive
       .filter(length(col("t")) >= 1 && col("n_tokens") >= minTokens &&
         col("pred_lang") === "en" && col("quality") >= minQuality)
+      .select(col("doc_id"), col("t"), col("n_tokens"), col("quality"))
+  }
+
+  /** Curate `documents`: returns one row per surviving distinct cleaned
+    * text — its canonical doc_id, how many raw docs collapsed into it,
+    * and the scores that admitted it. Thresholds are the standard cheap
+    * gates (token floor, fixed-weight quality floor, predicted-English).
+    */
+  def curate(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55): DataFrame =
+    scoreAndGate(documents, minTokens, minQuality)
       .groupBy(sha2(col("t"), 256).as("content_hash"))
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
@@ -97,7 +110,22 @@ object Curation {
         min(col("n_tokens")).as("n_tokens"),
         min(col("quality")).as("quality"))
       .orderBy("keep_doc_id")
-  }
+
+  /** Streaming curation: the SAME narrow gates lifted onto a stream,
+    * with first-seen-wins dedup instead of the batch min-groupBy (a
+    * stream cannot wait for "the smallest doc_id ever"). With an
+    * event-time column, prefer `dropDuplicatesWithinWatermark` upstream
+    * so dedup state stays bounded; this unwatermarked form matches the
+    * batch gate set exactly and keeps one hash per distinct text.
+    */
+  def curateStream(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55): DataFrame =
+    scoreAndGate(documents, minTokens, minQuality)
+      .withColumn("content_hash", sha2(col("t"), 256))
+      .dropDuplicates("content_hash")
+      .select(col("content_hash"), col("doc_id"), col("n_tokens"), col("quality"))
 
   val curateQuery: QueryDef = {
     val stopRatioD = s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)})) AS DOUBLE) / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE)"

@@ -39,6 +39,36 @@ class CurationSpec extends SparkSpec {
     assert(again.filter(col("n_copies") =!= 1L).count() == 0)
   }
 
+  test("streaming curation over MemoryStream matches the batch gate + dedup set") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)](spark)(
+      org.apache.spark.sql.Encoders.product[(Long, String)])
+    // two micro-batches — dedup state must carry across them
+    val (front, back) = rows.splitAt(rows.length / 2)
+    ms.addData(front.toSeq)
+    val q = ops.Curation.curateStream(ms.toDF().toDF("doc_id", "text")).writeStream
+      .outputMode("append")
+      .queryName("curate_stream")
+      .format("memory")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+      ms.addData(back.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .select("content_hash").collect().map(_.getString(0))
+      val batch = ops.Curation.curate(docs)
+        .select("content_hash").collect().map(_.getString(0))
+      assert(streamed.length == streamed.distinct.length, "stream emitted a duplicate hash")
+      assert(streamed.toSet == batch.toSet)
+    } finally q.stop()
+  }
+
   test("a stricter quality floor keeps a subset") {
     val docs = Tables.documents(spark, sf)
     val loose = Curation.curate(docs, minQuality = 0.55)
