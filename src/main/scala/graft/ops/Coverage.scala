@@ -193,7 +193,42 @@ object Coverage {
       Map("en" -> 0.8, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.2, "zh" -> 0.1))
       .select("doc_id", "lang").orderBy("doc_id"))
 
+  /** Temperature-scaled mixing — the multilingual-LLM rebalancing rule
+    * (sample source i with probability ∝ nᵢ^α, α < 1 upweights
+    * low-resource sources; α = 1 is natural proportions). The per-source
+    * fractions derive from counts with one aggregation whose result is
+    * BOUNDED (one row per source — the documented low-cardinality
+    * contract, same as every sampleBy recipe), then one sampleBy pass.
+    * Fractions are capped at 1.0: sampling cannot mint rows, so the
+    * target share of very small sources saturates (epoch repetition is
+    * a training-loop concern, not a sampling one).
+    *
+    * targetRows sets the output budget; at 100 TB both passes are
+    * scan-shaped (count-aggregate, then filter-sample) with no join.
+    */
+  def temperatureMix(
+      documents: org.apache.spark.sql.DataFrame,
+      keyCol: String = "lang",
+      alpha: Double = 0.5,
+      targetRows: Long = 200L,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val counts = documents.groupBy(keyCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val weights = counts.map { case (k, n) => k -> math.pow(n.toDouble, alpha) }
+    val z = weights.values.sum
+    val fractions = weights.map { case (k, w) =>
+      // share of the budget this source should contribute, as a fraction
+      // of the rows it actually has
+      k -> math.min(1.0, targetRows * (w / z) / counts(k).toDouble)
+    }
+    documents.stat.sampleBy(keyCol, fractions, seed)
+  }
+
+  val temperatureMixQuery = QueryDef.unverified("mix_temperature_sample")(
+    (s, d) => temperatureMix(Tables.documents(s, d))
+      .select("doc_id", "lang").orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
-    pivotQuery, setOpsQuery, mixQuery)
+    pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery)
 }

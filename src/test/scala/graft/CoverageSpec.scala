@@ -27,6 +27,28 @@ class CoverageSpec extends SparkSpec {
     }
   }
 
+  test("temperature mix flattens the source distribution at alpha < 1") {
+    val docs = Tables.documents(spark, sf)
+    val natural = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // determinism: same seed -> identical sample
+    val a = Coverage.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Coverage.temperatureMix(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    def skew(m: Map[String, Long]): Double = {
+      val vals = natural.keySet.toSeq.map(k => m.getOrElse(k, 0L).toDouble max 1.0)
+      vals.max / vals.min
+    }
+    val mixed = Coverage.temperatureMix(docs, alpha = 0.3, targetRows = 250L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha < 1 must pull the max/min source ratio toward 1 vs natural
+    assert(skew(mixed) < skew(natural),
+      s"mixed skew ${skew(mixed)} not flatter than natural ${skew(natural)}")
+    // every source keeps a presence (low-resource upweighting, not dropping)
+    natural.keys.foreach(k => assert(mixed.getOrElse(k, 0L) > 0, s"source $k dropped"))
+  }
+
   test("pivot fills absent (day, type) combinations with zero, not null") {
     val out = Coverage.pivotQuery.fn(spark, sf)
     assert(out.columns.toSeq == Seq("d", "purchase", "view", "click"))
