@@ -232,6 +232,19 @@ object Similarity {
     * sharing an LSH table-bucket, verified with exact cosine ≥ threshold.
     * Same never-all-pairs anatomy as MinHash-LSH: bucket join → distinct
     * candidate pairs → output-sized verify.
+    *
+    * SIZING CONTRACT at scale: within-bucket pairing is quadratic in
+    * bucket size, so `bitsPerTable` must grow with log₂(n) to hold the
+    * expected bucket population (n / 2^bits) constant — 8 bits suits the
+    * test fixture; ~20 bits suits a 10⁹-vector corpus (same knob as IVF's
+    * nlist). Unlike prefix blocks (Dedup), oversized buckets here are not
+    * boilerplate noise but genuinely dense near-dup clusters — capping
+    * them would drop true pairs, so the correct response to skew is more
+    * bits (finer buckets still co-locate ε-close vectors w.h.p.), not a
+    * cap. The 128 constant-folded plane dots also mean the generated code
+    * is large: a few seconds of one-time codegen/JIT that amortizes over
+    * corpus size (measured: dominates the sf0.1 reading, where data work
+    * on 2k vectors is milliseconds).
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
