@@ -180,7 +180,16 @@ object GraftFunctions {
       one("graft_polyhash", PolyHash)),
     (FunctionIdentifier("graft_mingram"),
       new ExpressionInfo(classOf[MinGramHash].getName, "graft_mingram"),
-      two("graft_mingram", MinGramHash)))
+      two("graft_mingram", MinGramHash)),
+    (FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      three("graft_hyperplane_buckets", HyperplaneBuckets)))
+
+  private def three(name: String, mk: (Expression, Expression, Expression) => Expression): Builder = {
+    case Seq(a, b, c) => mk(a, b, c)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 3 arguments, got ${args.length}")
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -80,46 +80,27 @@ object Similarity {
 
   // ---------------------------------------------------------------- lsh ann
 
-  /** Deterministic hyperplane matrix, computed ONCE on the driver with a
-    * splitmix64 generator and shipped as a foldable literal. The first
-    * version derived each component with xxhash64 inside a nested lambda
-    * — lambda-dependent expressions cannot constant-fold, so every ROW
-    * re-hashed tables×bits×64 components (measured 17 s on the bench
-    * corpus vs ~2 s with the folded literal).
-    */
-  private def hyperplanes(numPlanes: Int, dims: Int = 64): Seq[Seq[Double]] = {
-    def splitmix(seed: Long): Long = {
-      var z = seed + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    (0 until numPlanes).map(p => (0 until dims).map { i =>
-      (java.lang.Math.floorMod(splitmix(p.toLong * 64 + i), 1000003L).toDouble / 1000003.0) - 0.5
-    })
-  }
-
   /** LSH bucket keys for every vector: `tables` independent hash tables,
-    * each keyed by `bitsPerTable` hyperplane sign bits. The plane loop is
-    * a SCALA loop producing plain Column expressions, so the hyperplane
-    * arrays are constant-folded and only the dims-length dot-product fold
-    * runs per row. Output: one row per (vec_id, table) with the packed
-    * bucket key.
+    * each keyed by `bitsPerTable` hyperplane sign bits, via the native
+    * graft_hyperplane_buckets expression (ONE compact nested loop over a
+    * referenced plane matrix). Output: one row per (vec_id, table) with
+    * the packed bucket key.
+    *
+    * Evolution, each step measured on the bench corpus: (1) per-component
+    * xxhash64 inside nested lambdas — interpreted AND re-hashed per row,
+    * 17 s; (2) tables×bits folded-literal graft_dot columns — codegen'd,
+    * but 128 inlined 64-step loops pushed the stage method past HotSpot's
+    * JIT bytecode threshold, so the stage ran as interpreted BYTECODE:
+    * ~2.3 s for 2k vectors ≈ 16M flops, with a cliff between 32 and 64
+    * inline dots; (3) this native expression — same arithmetic, same
+    * bucket keys (pinned bit-equal in VectorExpressionsSpec), a few
+    * hundred bytecodes that JIT compiles.
     */
-  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bitsPerTable: Int = 6): DataFrame = {
-    val h = hyperplanes(tables * bitsPerTable)
-    def bucketFor(t: Int): Column =
-      (0 until bitsPerTable).map { b =>
-        // native codegen'd dot against the folded plane literal
-        // (call_function resolves graft_dot from the session registry)
-        val dotp = call_function("graft_dot",
-          col("embedding"), typedLit(h(t * bitsPerTable + b)))
-        when(dotp > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
+  def lshBuckets(embeddings: DataFrame, tables: Int = 8, bitsPerTable: Int = 6): DataFrame =
     embeddings.select(
       col("vec_id"), col("label"), col("embedding"),
-      posexplode(array((0 until tables).map(bucketFor): _*)).as(Seq("tbl", "bucket")))
-  }
+      posexplode(call_function("graft_hyperplane_buckets",
+        col("embedding"), lit(tables), lit(bitsPerTable))).as(Seq("tbl", "bucket")))
 
   /** ANN top-k: candidates = vectors sharing ANY table-bucket with the
     * query vector; exact cosine re-rank on candidates only. Recall is

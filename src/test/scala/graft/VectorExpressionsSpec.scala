@@ -104,6 +104,38 @@ class VectorExpressionsSpec extends SparkSpec {
                 |END""".stripMargin.replace("\n", " ")).as("min_gram_hash"))
   }
 
+  test("graft_hyperplane_buckets is bit-identical to the folded-literal dot formulation") {
+    val tables = 4
+    val bits = 8
+    val planes = graft.functions.Hyperplanes.planes(tables * bits)
+    // the previous formulation: one folded-literal graft_dot per (table, bit)
+    def bucketFor(t: Int) =
+      (0 until bits).map { b =>
+        val dotp = call_function("graft_dot",
+          col("embedding"), typedLit(planes(t * bits + b).toSeq))
+        when(dotp > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    val diff = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        expr(s"graft_hyperplane_buckets(embedding, $tables, $bits)").as("native"),
+        array((0 until tables).map(bucketFor): _*).as("folded"))
+      .filter(col("native") =!= col("folded"))
+    assert(diff.isEmpty)
+  }
+
+  test("graft_hyperplane_buckets rejects out-of-range and non-foldable args") {
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_hyperplane_buckets(embedding, 0, 8)")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_hyperplane_buckets(embedding, 8, 63)")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("graft_hyperplane_buckets(embedding, cast(vec_id AS INT), 8)")).collect()
+    }
+  }
+
   test("graft_polyhash/graft_mingram are bit-identical to the HOF formulation on the fixture") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val native = docs.select(col("doc_id"),
