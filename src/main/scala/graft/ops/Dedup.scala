@@ -251,6 +251,20 @@ object Dedup {
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** LSH band keys of a signature frame: one row per (doc, band) with the
+    * band's hash over its `r` signature slots — the join key that makes
+    * candidate generation bucketed instead of all-pairs (shared by the
+    * self-join sweep [[minhashLsh]] and the cross-corpus
+    * [[incrementalNearDups]]).
+    */
+  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           |  bi -> xxhash64(concat_ws(',', transform(slice(sig, bi * $r + 1, $r), x -> cast(x AS string)))))"""
+          .stripMargin.replace("\n", " "))).as(Seq("band_idx", "band_hash")))
+
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
     * numHashes), bucket-join on (band index, band hash), verify candidates
     * with exact shingle-set Jaccard, keep pairs ≥ threshold (which must be
@@ -292,13 +306,7 @@ object Dedup {
     require(threshold > 0, "threshold must be positive (0-intersection pairs are not emitted)")
     val r = numHashes / bands
     val shingles = shingleHashes(documents, shingleSize).cache()
-    val sigs = signaturesFrom(shingles, numHashes)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           |  bi -> xxhash64(concat_ws(',', transform(slice(sig, bi * $r + 1, $r), x -> cast(x AS string)))))"""
-          .stripMargin.replace("\n", " "))).as(Seq("band_idx", "band_hash")))
+    val banded = bandedKeys(signaturesFrom(shingles, numHashes), bands, r)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -326,6 +334,133 @@ object Dedup {
     */
   val minhashLshQuery = QueryDef.unverified("dedup_minhash_lsh")(
     (s, d) => minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  // ------------------------------------------- incremental (batch vs corpus)
+
+  /** Distinct content hashes of a corpus — the persisted exact-dedup state
+    * an incremental pipeline carries between batches. At 100 TB this table
+    * is written once, bucketed by `content_hash`, and only APPENDED to
+    * (each batch contributes its survivors' hashes); no batch ever
+    * re-reads the corpus text.
+    */
+  def contentHashes(documents: DataFrame): DataFrame =
+    documents.select(sha2(col("text"), 256).as("content_hash")).distinct()
+
+  /** Exact incremental dedup: survivors of `batch` against an existing
+    * corpus, given only the corpus' content-hash set ([[contentHashes]]).
+    * Anything history has seen is dropped (left_anti — null hashes
+    * survive, matching NOT EXISTS semantics); within-batch duplicates
+    * then collapse exactly as [[exact]] does.
+    *
+    * Scale shape: the anti-join shuffles both sides on the 64-hex hash —
+    * uniform keys, no skew — and the batch side is typically orders of
+    * magnitude smaller than history, so AQE plans it as a broadcast of
+    * the BATCH side when it fits. With the history table bucketed by
+    * content_hash, the history side needs no exchange at all.
+    */
+  def incrementalExact(batch: DataFrame, seenHashes: DataFrame): DataFrame =
+    batch
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .join(seenHashes, Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Oracle split: even doc_ids are the already-ingested corpus, odd ones
+    * the incoming batch. NOT EXISTS (not NOT IN) on the DuckDB side —
+    * NOT IN returns zero rows if any history hash is NULL, while
+    * left_anti keeps unmatched rows.
+    */
+  val incrementalExactQuery = QueryDef(
+    "dedup_incremental_exact",
+    """WITH history AS (SELECT DISTINCT sha256(text) AS content_hash
+      |                 FROM documents WHERE doc_id % 2 = 0),
+      |     batch AS (SELECT doc_id, sha256(text) AS content_hash
+      |               FROM documents WHERE doc_id % 2 = 1)
+      |SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM history h WHERE h.content_hash = b.content_hash)
+      |GROUP BY 1 ORDER BY keep_doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalExact(
+        docs.filter(col("doc_id") % 2 === 1),
+        contentHashes(docs.filter(col("doc_id") % 2 === 0))).orderBy("keep_doc_id")
+    })
+
+  /** Near-dup matches of an incoming batch AGAINST an existing corpus —
+    * the cross-corpus variant of [[minhashLsh]]: band both sides'
+    * signatures, join batch bands to history bands (no self-join, no
+    * within-batch pairs), verify candidates with exact shingle-hash
+    * Jaccard. Output: (doc_new, doc_hist, jaccard) with jaccard ≥
+    * threshold.
+    *
+    * This entry computes history shingles from raw text for the
+    * fixture's sake; a production pipeline persists the narrow
+    * (doc_id, shh) shingle table once and calls
+    * [[incrementalNearDupsFromShingles]] directly — signatures and band
+    * keys derive from it without touching corpus text, so per-batch cost
+    * is batch-sized + one hash-join against the (bucketed) history
+    * shingle store.
+    */
+  def incrementalNearDups(
+      batch: DataFrame,
+      history: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.4,
+      shingleSize: Int = 3): DataFrame =
+    incrementalNearDupsFromShingles(
+      shingleHashes(batch, shingleSize), shingleHashes(history, shingleSize),
+      numHashes, bands, threshold)
+
+  /** Core of [[incrementalNearDups]] over precomputed (doc_id, shh)
+    * shingle frames (same schema [[shingleHashes]] emits, and the thing a
+    * production pipeline persists between batches). Cache ownership: both
+    * shingle frames are cached (each feeds signatures, sizes, and the
+    * verify join); the harness barrier frees them between runs — same
+    * contract as [[minhashLsh]].
+    */
+  def incrementalNearDupsFromShingles(
+      batchShingles: DataFrame,
+      historyShingles: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0, "threshold must be positive (0-intersection pairs are not emitted)")
+    val r = numHashes / bands
+    val bsh = batchShingles.cache()
+    val hsh = historyShingles.cache()
+    val candidates = bandedKeys(signaturesFrom(bsh, numHashes), bands, r).as("a")
+      .join(bandedKeys(signaturesFrom(hsh, numHashes), bands, r).as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_hist"))
+      .distinct()
+    val inter = candidates
+      .join(bsh.withColumnRenamed("doc_id", "doc_new"), "doc_new")
+      .join(hsh.withColumnRenamed("doc_id", "doc_hist"), Seq("doc_hist", "shh"))
+      .groupBy("doc_new", "doc_hist").agg(count(lit(1)).as("inter"))
+    inter
+      .join(bsh.groupBy("doc_id").agg(count(lit(1)).as("sz")).toDF("doc_new", "sza"), "doc_new")
+      .join(hsh.groupBy("doc_id").agg(count(lit(1)).as("sz")).toDF("doc_hist", "szb"), "doc_hist")
+      .select(col("doc_new"), col("doc_hist"),
+        r4(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Same even/odd corpus split as dedup_incremental_exact; xxhash64
+    * shingles → no DuckDB oracle (DedupSpec pins cross-corpus recall and
+    * the no-within-batch-pairs contract).
+    */
+  val incrementalNearDupsQuery = QueryDef.unverified("dedup_incremental_neardups")(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalNearDups(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).orderBy("doc_new", "doc_hist")
+    })
 
   // ---------------------------------------------------------------- simhash
 
@@ -374,5 +509,6 @@ object Dedup {
     (s, d) => simhashNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
   val all: Seq[QueryDef] =
-    Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery, boundedNearDupsQuery)
+    Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery, boundedNearDupsQuery,
+      incrementalExactQuery, incrementalNearDupsQuery)
 }

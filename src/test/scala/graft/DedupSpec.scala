@@ -102,6 +102,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size < 50, s"expected only true near-dups, got ${pairs.size} pairs")
   }
 
+  test("incremental exact: history hashes drop re-ingested docs, batch collapses internally") {
+    val history = docs // doc 0-4; contains `base` text
+    val batch = Seq(
+      (10L, base, "en", "s", base.length.toLong),               // already in history -> dropped
+      (11L, "fresh batch document about incremental ingestion pipelines", "en", "s", 58L),
+      (12L, "fresh batch document about incremental ingestion pipelines", "en", "s", 58L), // within-batch dup of 11
+      (13L, "a second genuinely new document", "en", "s", 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalExact(batch, Dedup.contentHashes(history)).collect()
+    val byKeep = out.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep == Map(11L -> 2L, 13L -> 1L),
+      s"expected survivors {11 (x2), 13}, got $byKeep")
+  }
+
+  test("incremental near-dups: cross-corpus pairs only, exact jaccard on the verified pair") {
+    val history = docs
+    val batch = Seq(
+      // near-dup of history doc 0 (one word changed)
+      (10L, base.replace("lazy", "idle"), "en", "s", base.length.toLong),
+      // near-dup pair WITHIN the batch, unrelated to history -> must NOT appear
+      (11L, "batch internal text about streaming watermark state expiry and recovery semantics", "en", "s", 82L),
+      (12L, "batch internal text about streaming watermark state expiry and recovery behavior", "en", "s", 82L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalNearDups(batch, history, threshold = 0.4).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 10 matches history docs 0, 1 (exact dups of each other) and likely 2.
+    assert(pairs.contains((10L, 0L)) && pairs.contains((10L, 1L)), s"missed cross-corpus near-dups: $pairs")
+    assert(!pairs.exists(p => p._1 == 11L || p._1 == 12L), s"within-batch pair leaked: $pairs")
+    assert(out.forall(_.getDouble(2) >= 0.4))
+    // Verified jaccard is exact: same value the symmetric sweep computes.
+    val sweep = Dedup.minhashLsh(batch.unionByName(history), threshold = 0.4)
+      .filter(col("doc_a") === 0 && col("doc_b") === 10).head.getDouble(2)
+    val inc = out.filter(r => r.getLong(0) == 10L && r.getLong(1) == 0L).head.getDouble(2)
+    assert(inc == sweep, s"incremental jaccard $inc != sweep jaccard $sweep")
+  }
+
   test("shingling handles docs shorter than the shingle size") {
     val tiny = Seq((0L, "one two", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Dedup.minhashSignatures(tiny).isEmpty) // filtered, not crashed
