@@ -149,6 +149,67 @@ object Jobs {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Unbounded-history streaming exact dedup: each micro-batch of
+    * documents is checked against a PERSISTED content-hash store
+    * ([[graft.ops.Dedup.incrementalExact]]), survivors land in `outDir`
+    * and their hashes extend the store. Contrast [[dedupStream]]: state
+    * there lives on executors and is bounded by the watermark; here it
+    * lives in a parquet table of 64-hex hashes — unbounded history at
+    * ~70 bytes/doc, readable by any other job, shared across restarts.
+    *
+    * Replay idempotence (foreachBatch is at-least-once: checkpoint
+    * recovery re-runs the last uncommitted batch): both the store and
+    * the output are partitioned by `ingest_batch`, batch N reads only
+    * store partitions `ingest_batch < N`, and writes dynamic-overwrite
+    * its OWN partition. A replayed batch therefore sees exactly the
+    * pre-crash store (its own half-written partition is excluded by the
+    * read filter and then atomically replaced), emitting identical
+    * output — effectively-once without a transactional sink.
+    */
+  def incrementalDedupBatch(storeDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    val spark = batch.sparkSession
+    val seen =
+      // non-empty check, not exists(): an empty pre-created dir has no
+      // schema to infer
+      if (Option(new java.io.File(storeDir).list()).exists(_.nonEmpty))
+        spark.read.parquet(storeDir)
+          .filter(col("ingest_batch") < batchId).select("content_hash")
+      else spark.range(0).selectExpr("cast(null AS string) AS content_hash")
+    // Output first: the store append then derives from the WRITTEN output
+    // (one compute, and the store job never reads and overwrites storeDir
+    // in the same plan — Spark rejects that).
+    graft.ops.Dedup.incrementalExact(batch, seen)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+    spark.read.parquet(outDir)
+      .filter(col("ingest_batch") === batchId)
+      .select("content_hash", "ingest_batch")
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storeDir)
+  }
+
+  /** The [[incrementalDedupBatch]] body behind a streaming query.
+    * `docs` must carry `doc_id` and `text` (any source from [[Sources]]
+    * mapped to the document schema).
+    */
+  def startIncrementalDedup(
+      docs: DataFrame,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .queryName("incremental_dedup")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(incrementalDedupBatch(storeDir, outDir) _)
+      .start()
+
   /** Stream-stream interval join: each event enriched with the same
     * user's purchases from the preceding `windowMinutes` (streaming lift
     * of graft.ops.Temporal.rangeJoin). Watermarks on BOTH sides plus the

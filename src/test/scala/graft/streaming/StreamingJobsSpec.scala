@@ -14,6 +14,8 @@ import graft.ops.Kpi
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Structured-Streaming lift — parity with batch, watermark append
   * semantics, per-batch faithful mode, checkpoint recovery, empty-batch
   * marker (SURVEY.md §5 item 3).
@@ -365,6 +367,41 @@ class StreamingJobsSpec extends SparkSpec {
     val good = rows.filter(!_.isNullAt(0)).map(_.getLong(0)).sorted
     assert(good.toSeq == Seq(1L, 2L))
     assert(rows.count(r => r.isNullAt(0) && r.isNullAt(2)) == 1)
+  }
+
+  test("incremental dedup stream: persisted hash store spans batches; replay is idempotent") {
+    import spark.implicits._
+    val store = tmpDir("incdedup-store"); val out = tmpDir("incdedup-out")
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startIncrementalDedup(ms.toDF(), store, out,
+      tmpDir("incdedup-ckpt"), Trigger.ProcessingTime(0))
+
+    // Batch 0: two distinct texts, one within-batch duplicate.
+    ms.addData(Doc(1, "alpha document text"), Doc(2, "beta document text"),
+      Doc(3, "alpha document text"))
+    q.processAllAvailable()
+    // Batch 1: a re-ingest of batch 0's text (must drop), one new text twice.
+    val replayRows = Seq(Doc(10, "beta document text"),
+      Doc(11, "gamma new content"), Doc(12, "gamma new content"))
+    ms.addData(replayRows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def survivors() = spark.read.parquet(out)
+      .select("keep_doc_id", "n_copies", "ingest_batch")
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = Set((1L, 2L, 0), (2L, 1L, 0), (11L, 2L, 1))
+    assert(survivors() == expected, s"got ${survivors()}")
+    // Store: one hash per distinct text ever seen, batch-attributed.
+    val hashes = spark.read.parquet(store).as[(String, Int)].collect()
+    assert(hashes.length == 3 && hashes.map(_._1).distinct.length == 3)
+
+    // Replay batch 1 directly (foreachBatch re-runs after recovery): the
+    // partitioned store read excludes the batch's own half/fully-written
+    // partition, so output and store end up byte-identical, not doubled.
+    Jobs.incrementalDedupBatch(store, out)(replayRows.toDF(), 1L)
+    assert(survivors() == expected, s"replay changed output: ${survivors()}")
+    assert(spark.read.parquet(store).count() == 3)
   }
 
   test("kafka source option map mirrors the reference consumer params") {
