@@ -462,6 +462,114 @@ object Dedup {
         docs.filter(col("doc_id") % 2 === 0)).orderBy("doc_new", "doc_hist")
     })
 
+  // --------------------------------------------- clustering / canonicalize
+
+  /** Connected components over a near-dup pair graph: iterative min-label
+    * propagation (each node repeatedly takes the minimum label among
+    * itself and its neighbors) until fixpoint. Emits (doc_id, cluster)
+    * for every doc that appears in a pair; the cluster id is the
+    * component's minimum doc_id.
+    *
+    * Scale shape: each iteration is one shuffle-join + grouped min —
+    * all-relational, no driver-side graph. Iteration count is bounded by
+    * component DIAMETER, and LSH/blocked near-dup graphs are near-cliques
+    * (every member pairs with most others), so 2-4 iterations converge in
+    * practice; `maxIter` caps pathological chains. Convergence is
+    * detected by the monotone label sum (min-propagation only ever
+    * lowers labels), costing one tiny aggregate per iteration instead of
+    * a change-count join. `localCheckpoint` truncates the growing lineage
+    * each round — without it, iteration N re-evaluates all N-1
+    * predecessor joins.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      labels = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("nb_min"))
+        .join(labels, "doc_id")
+        .select(col("doc_id"), least(col("cluster"), col("nb_min")).as("cluster"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
+  /** Canonical survivors after near-dup clustering: every doc outside the
+    * pair graph survives as its own singleton; inside a component only
+    * the minimum doc_id survives, annotated with the component size. The
+    * full dedup story ends here — [[minhashLsh]]/[[boundedNearDups]] emit
+    * PAIRS, but removal needs transitive closure: A≈B and B≈C must drop
+    * both B and C even if (A,C) was never emitted as a pair.
+    */
+  def canonicalSurvivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(pairs)
+    val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .filter(col("doc_id") === col("cluster"))
+      .join(sizes, Seq("cluster"), "left")
+      .select(col("doc_id").as("keep_doc_id"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same
+    * oracle-checkable blocked-Jaccard pair graph (threshold 0.6), then
+    * min-per-component — feasible in DuckDB because the sf-scale pair
+    * graph is small; Spark runs the scalable propagation instead.
+    */
+  val canonicalQuery = QueryDef(
+    "dedup_cluster_canonical",
+    """WITH RECURSIVE keyed AS (
+      |  SELECT doc_id, substr(text, 1, 50) AS block_key,
+      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |  WHERE a.block_n <= 64 AND b.block_n <= 64
+      |    AND floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      |  FROM reach GROUP BY src),
+      |sizes AS (SELECT cluster, count(*) AS n_members FROM labels GROUP BY cluster)
+      |SELECT d.doc_id AS keep_doc_id,
+      |       coalesce(s.n_members, 1) AS n_members
+      |FROM documents d
+      |LEFT JOIN labels l ON d.doc_id = l.doc_id
+      |LEFT JOIN sizes s ON d.doc_id = s.cluster
+      |WHERE l.cluster IS NULL OR l.cluster = d.doc_id
+      |ORDER BY keep_doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      canonicalSurvivors(docs,
+        prefixBlockedJaccard(docs).filter(col("jaccard") >= 0.6))
+        .orderBy("keep_doc_id")
+    })
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens, built relationally (same reasoning
@@ -510,5 +618,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery, boundedNearDupsQuery,
-      incrementalExactQuery, incrementalNearDupsQuery)
+      incrementalExactQuery, incrementalNearDupsQuery, canonicalQuery)
 }

@@ -138,6 +138,30 @@ class DedupSpec extends SparkSpec {
     assert(inc == sweep, s"incremental jaccard $inc != sweep jaccard $sweep")
   }
 
+  test("near-dup clusters: transitive chain collapses to one component, min label wins") {
+    // Chain 1-2, 2-3, plus separate pair 7-8; (1,3) deliberately absent.
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    val corpus = (1L to 9L).map(i => (i, s"text $i", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val survivors = Dedup.canonicalSurvivors(corpus, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 survives for {1,2,3}; 7 for {7,8}; 4,5,6,9 are singletons.
+    assert(survivors == Map(1L -> 3L, 7L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 1L))
+  }
+
+  test("min-label propagation converges on a long path graph (worst-case diameter)") {
+    // Path 0-1-2-...-19: diameter 19 forces many propagation rounds.
+    val pairs = (0L until 19L).map(i => (i, i + 1, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val clusters = Dedup.nearDupClusters(pairs, maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 20 && clusters.values.forall(_ == 0L))
+  }
+
   test("shingling handles docs shorter than the shingle size") {
     val tiny = Seq((0L, "one two", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Dedup.minhashSignatures(tiny).isEmpty) // filtered, not crashed
