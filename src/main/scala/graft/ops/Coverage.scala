@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryDef, Tables}
@@ -228,7 +229,46 @@ object Coverage {
     (s, d) => temperatureMix(Tables.documents(s, d))
       .select("doc_id", "lang").orderBy("doc_id"))
 
+  /** Deterministic token-budget sampling — "take ~N training tokens per
+    * source": within each key, docs are taken in md5(doc_id) order until
+    * the running token count passes the budget. Unlike [[stratifiedMix]]
+    * (row-order-dependent Bernoulli), the selection is a pure function of
+    * the corpus CONTENT: the hash order is storage-independent, so the
+    * same corpus yields the same sample under any partitioning or file
+    * layout — re-runs of a 100 TB pipeline are reproducible without
+    * pinning physical layout. md5 (not xxhash64) so the order is
+    * cross-engine checkable. Cost: one shuffle on the key + per-key sort
+    * — the window never sees more than one key's docs per partition; a
+    * skewed key sorts only its own rows.
+    */
+  def tokenBudgetSample(
+      documents: org.apache.spark.sql.DataFrame,
+      keyCol: String = "lang",
+      budgetTokens: Long = 5000L): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(md5(col("doc_id").cast("string")))
+    documents
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("doc_id"), col(keyCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  val tokenBudgetQuery = QueryDef(
+    "mix_token_budget",
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY ord) AS BIGINT) AS cum_tokens
+      |  FROM toks)
+      |SELECT doc_id, lang, n_tokens, cum_tokens
+      |FROM cum WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin)(
+    (s, d) => tokenBudgetSample(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
-    pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery)
+    pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery)
 }

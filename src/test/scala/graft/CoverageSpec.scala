@@ -49,6 +49,25 @@ class CoverageSpec extends SparkSpec {
     natural.keys.foreach(k => assert(mixed.getOrElse(k, 0L) > 0, s"source $k dropped"))
   }
 
+  test("token-budget sample: per-key budget respected, selection is layout-independent") {
+    val docs = Tables.documents(spark, sf)
+    val out = Coverage.tokenBudgetSample(docs, budgetTokens = 2000L)
+    // Budget: max cumulative token count per key stays under budget.
+    val byLang = out.groupBy("lang").agg(max("cum_tokens").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byLang.nonEmpty && byLang.forall(_._2 <= 2000L))
+    // Layout independence: identical selection after an adversarial reshuffle.
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reshuffled = Coverage.tokenBudgetSample(docs.repartition(7, col("n_chars")), budgetTokens = 2000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == reshuffled)
+    // A larger budget strictly extends the selection (prefix property of
+    // the hash order — no reshuffling of what was already picked).
+    val bigger = Coverage.tokenBudgetSample(docs, budgetTokens = 4000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(bigger) && bigger.size > ids.size)
+  }
+
   test("pivot fills absent (day, type) combinations with zero, not null") {
     val out = Coverage.pivotQuery.fn(spark, sf)
     assert(out.columns.toSeq == Seq("d", "purchase", "view", "click"))
