@@ -138,6 +138,28 @@ class DedupSpec extends SparkSpec {
     assert(inc == sweep, s"incremental jaccard $inc != sweep jaccard $sweep")
   }
 
+  test("banded simhash: pigeonhole recall covers every blocked-simhash pair, precision exact") {
+    val banded = Dedup.simhashBandedNearDups(docs, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val bandedPairs = banded.map(p => (p._1, p._2)).toSet
+    assert(bandedPairs.contains((0L, 1L))) // exact dup: hamming 0
+    assert(banded.forall(_._3 <= 15))      // verify stage is exact
+    // Recall guarantee: everything the prefix-blocked variant finds at the
+    // same threshold MUST be found by banding (no blocking-key luck needed).
+    val blocked = Dedup.simhashNearDups(docs, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(bandedPairs), s"banding missed ${blocked -- bandedPairs}")
+    // And on the fixture corpus, same guarantee at scale-ish.
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fb = Dedup.simhashBandedNearDups(fixture, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fBlocked = Dedup.simhashNearDups(fixture, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fBlocked.subsetOf(fb), s"fixture: banding missed ${fBlocked -- fb}")
+    assert(Dedup.simhashBandedNearDups(docs, maxHamming = 7).count() >= 1) // 8-band config runs too
+    intercept[IllegalArgumentException](Dedup.simhashBandedNearDups(docs, maxHamming = 16))
+  }
+
   test("near-dup clusters: transitive chain collapses to one component, min label wins") {
     // Chain 1-2, 2-3, plus separate pair 7-8; (1,3) deliberately absent.
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.8))
