@@ -127,7 +127,11 @@ object Curation {
       .dropDuplicates("content_hash")
       .select(col("content_hash"), col("doc_id"), col("n_tokens"), col("quality"))
 
-  val curateQuery: QueryDef = {
+  /** The shared DuckDB CTE chain ending in `curated` — one row per
+    * surviving distinct cleaned text, with the text itself riding along
+    * for downstream near-dup stages.
+    */
+  private lazy val curatedCte: String = {
     val stopRatioD = s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)})) AS DOUBLE) / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE)"
     val qualityDuck = TextAnalysis.r4duck(
       s"""least(CAST(length(t) AS DOUBLE) / 500.0, 1.0) * 0.25
@@ -139,35 +143,107 @@ object Curation {
     val hitsDuck = TextAnalysis.stops.map { case (l, ws) =>
       s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(ws)})) AS BIGINT) AS ${l}_hits"
     }.mkString(",\n       ")
-    QueryDef(
-      "pipeline_curate_corpus",
-      s"""WITH cleaned AS (
-         |  SELECT doc_id, $cleanedDuck AS t FROM documents),
-         |scored AS (
-         |  SELECT doc_id, t,
-         |       CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_tokens,
-         |       $qualityDuck AS quality,
-         |       $hitsDuck,
-         |       CAST(len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk
-         |  FROM cleaned),
-         |tagged AS (
-         |  SELECT *,
-         |       CASE WHEN cjk * 10.0 >= CAST(length(t) AS DOUBLE) * 3.0 THEN 'zh'
-         |            WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
-         |            WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
-         |            WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
-         |            WHEN fr_hits >= de_hits THEN 'fr'
-         |            ELSE 'de' END AS pred_lang
-         |  FROM scored)
-         |SELECT sha256(t) AS content_hash, min(doc_id) AS keep_doc_id,
-         |       count(*) AS n_copies, min(n_tokens) AS n_tokens,
-         |       min(quality) AS quality
-         |FROM tagged
-         |WHERE length(t) >= 1 AND n_tokens >= 10 AND pred_lang = 'en' AND quality >= 0.55
-         |GROUP BY sha256(t)
-         |ORDER BY keep_doc_id""".stripMargin)(
-      (s, d) => curate(Tables.documents(s, d)))
+    s"""cleaned AS (
+       |  SELECT doc_id, $cleanedDuck AS t FROM documents),
+       |scored AS (
+       |  SELECT doc_id, t,
+       |       CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_tokens,
+       |       $qualityDuck AS quality,
+       |       $hitsDuck,
+       |       CAST(len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk
+       |  FROM cleaned),
+       |tagged AS (
+       |  SELECT *,
+       |       CASE WHEN cjk * 10.0 >= CAST(length(t) AS DOUBLE) * 3.0 THEN 'zh'
+       |            WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+       |            WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+       |            WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+       |            WHEN fr_hits >= de_hits THEN 'fr'
+       |            ELSE 'de' END AS pred_lang
+       |  FROM scored),
+       |curated AS (
+       |  SELECT sha256(t) AS content_hash, min(doc_id) AS keep_doc_id,
+       |         count(*) AS n_copies, min(n_tokens) AS n_tokens,
+       |         min(quality) AS quality, min(t) AS t
+       |  FROM tagged
+       |  WHERE length(t) >= 1 AND n_tokens >= 10 AND pred_lang = 'en' AND quality >= 0.55
+       |  GROUP BY sha256(t))""".stripMargin
   }
 
-  val all: Seq[QueryDef] = Seq(curateQuery)
+  val curateQuery: QueryDef = QueryDef(
+    "pipeline_curate_corpus",
+    s"""WITH $curatedCte
+       |SELECT content_hash, keep_doc_id, n_copies, n_tokens, quality
+       |FROM curated ORDER BY keep_doc_id""".stripMargin)(
+    (s, d) => curate(Tables.documents(s, d)))
+
+  /** The pipeline's last mile: after exact dedup, collapse TRANSITIVE
+    * near-duplicate families of the surviving texts — blocked-Jaccard
+    * pairs over cleaned survivors, connected components, one canonical
+    * doc per family ([[Dedup.canonicalSurvivors]]). Exact dedup can't
+    * catch boilerplate variants ("same doc, one word edited"); pairs
+    * alone can't decide removal (A≈B≈C needs closure). The curated
+    * frame is cached: the pair stage and the final attribute join both
+    * consume it (harness barrier frees it — [[Dedup.minhashLsh]]'s
+    * contract).
+    */
+  def curateCanonical(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val curated = scoreAndGate(documents, minTokens, minQuality)
+      .groupBy(sha2(col("t"), 256).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_tokens")).as("n_tokens"),
+        min(col("quality")).as("quality"),
+        min(col("t")).as("t"))
+      .cache()
+    val asDocs = curated.select(col("keep_doc_id").as("doc_id"), col("t").as("text"))
+    val pairs = Dedup.prefixBlockedJaccard(asDocs)
+      .filter(col("jaccard") >= jaccardThreshold)
+    Dedup.canonicalSurvivors(asDocs, pairs)
+      .join(curated.drop("t").withColumnRenamed("keep_doc_id", "kid"),
+        col("keep_doc_id") === col("kid"))
+      .select(col("keep_doc_id"), col("n_copies"), col("n_tokens"),
+        col("quality"), col("n_members"))
+  }
+
+  val curateCanonicalQuery: QueryDef = QueryDef(
+    "pipeline_curate_canonical",
+    s"""WITH RECURSIVE $curatedCte,
+       |keyed AS (
+       |  SELECT keep_doc_id AS doc_id, substr(t, 1, 50) AS block_key,
+       |         list_distinct(string_split(lower(t), ' ')) AS words,
+       |         count(*) OVER (PARTITION BY substr(t, 1, 50)) AS block_n
+       |  FROM curated),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+       |  WHERE a.block_n <= 64 AND b.block_n <= 64
+       |    AND floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.6),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM labels GROUP BY cluster)
+       |SELECT c.keep_doc_id, c.n_copies, c.n_tokens, c.quality,
+       |       coalesce(s.n_members, 1) AS n_members
+       |FROM curated c
+       |LEFT JOIN labels l ON c.keep_doc_id = l.doc_id
+       |LEFT JOIN sizes s ON c.keep_doc_id = s.cluster
+       |WHERE l.cluster IS NULL OR l.cluster = c.keep_doc_id
+       |ORDER BY keep_doc_id""".stripMargin)(
+    (s, d) => curateCanonical(Tables.documents(s, d)).orderBy("keep_doc_id"))
+
+  val all: Seq[QueryDef] = Seq(curateQuery, curateCanonicalQuery)
 }

@@ -652,21 +652,26 @@ object Dedup {
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sha"), col("b.simhash").as("shb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      // verify BEFORE distinct: bit_count is codegen'd per candidate row,
+      // so the exchange-backed dedup only sees pairs that already passed
+      // the radius — at sf0.1/radius 7 that is 15.8M candidate rows cut
+      // to ~3M before the shuffle instead of after.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** Registered at the default maxHamming = 7 (8 bands × 8 bits): band
-    * width is the candidate-volume knob, and 4-bit bands (maxHamming=15)
-    * measured ~63% of ALL pairs as candidates on the sf0.01 corpus —
-    * the quadratic shape banding exists to avoid. 7 is also the radius
-    * the WWW'07 paper operated at.
+  /** Registered at maxHamming = 3 (4 bands × 16 bits). The radius is the
+    * volume knob twice over — candidate buckets (4-bit bands at radius 15
+    * measured ~63% of ALL sf0.01 pairs as candidates) and the OUTPUT
+    * itself: this synthetic corpus's template families sit within a few
+    * bits of each other, so radius 7 emits 1.03M true pairs at sf0.1
+    * (quadratic in family size — inherent to pair enumeration, which is
+    * why removal flows through [[nearDupClusters]], linear in members)
+    * vs 98k at radius 3.
     */
   val simhashBandedQuery = QueryDef.unverified("dedup_simhash_banded")(
-    (s, d) => simhashBandedNearDups(Tables.documents(s, d))
+    (s, d) => simhashBandedNearDups(Tables.documents(s, d), maxHamming = 3)
       .orderBy("doc_a", "doc_b"))
 
   val all: Seq[QueryDef] =

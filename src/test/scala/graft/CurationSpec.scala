@@ -69,6 +69,26 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("canonical stage collapses transitive near-dup survivors that exact dedup keeps") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog while the cat sleeps on the " +
+      "warm windowsill every afternoon because it enjoys the sunshine and the quiet house"
+    // Three near-variants (distinct hashes — all survive exact dedup; the
+    // chain a~b, b~c must collapse to ONE survivor) plus one unrelated.
+    val docs = Seq(
+      (1L, good, "en", "s", good.length.toLong),
+      (2L, good.replace("warm", "cold"), "en", "s", good.length.toLong),
+      (3L, good.replace("warm", "cold").replace("quiet", "still"), "en", "s", good.length.toLong),
+      (4L, "this other document is about the weather today and how people in the town " +
+        "walk to the market while they talk about the news of the day", "en", "s", 130L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Curation.curate(docs)
+    assert(exact.count() == 4) // all distinct hashes survive exact dedup
+    val canon = Curation.curateCanonical(docs).collect()
+    val kept = canon.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(kept == Map(1L -> 3L, 4L -> 1L), s"expected {1 (family of 3), 4}, got $kept")
+  }
+
   test("a stricter quality floor keeps a subset") {
     val docs = Tables.documents(spark, sf)
     val loose = Curation.curate(docs, minQuality = 0.55)
