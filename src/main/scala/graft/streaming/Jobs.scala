@@ -210,6 +210,74 @@ object Jobs {
       .foreachBatch(incrementalDedupBatch(storeDir, outDir) _)
       .start()
 
+  /** Streaming NEAR-dup gate — the [[incrementalDedupBatch]] pattern at
+    * near-duplicate granularity: each micro-batch's docs are LSH-matched
+    * against a persisted (doc_id, shh) shingle store
+    * ([[graft.ops.Dedup.incrementalNearDupsFromShingles]]); docs with any
+    * verified match ≥ threshold are dropped, survivors land in `outDir`
+    * and their shingles extend the store. Same ingest_batch partitioning
+    * + read-below / overwrite-own-partition idempotence as the exact
+    * variant. Within-batch near-dups intentionally pass: the gate's
+    * contract is "not similar to anything ALREADY ADMITTED"; run the
+    * batch sweep ([[graft.ops.Dedup.boundedNearDups]]) upstream if
+    * intra-batch similarity matters.
+    *
+    * Cache discipline: the two shingle frames are cached by the sweep;
+    * a long-running stream cannot leave one cache per batch behind, so
+    * the body holds its own handles and blocking-unpersists them after
+    * the writes.
+    */
+  def nearDupGateBatch(storeDir: String, outDir: String, threshold: Double = 0.4)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val bsh = graft.ops.Dedup.shingleHashes(batch).cache()
+    val hist =
+      if (Option(new java.io.File(storeDir).list()).exists(_.nonEmpty))
+        Some(spark.read.parquet(storeDir)
+          .filter(col("ingest_batch") < batchId).select("doc_id", "shh").cache())
+      else None
+    try {
+      val matched = hist match {
+        case Some(h) => graft.ops.Dedup
+          .incrementalNearDupsFromShingles(bsh, h, threshold = threshold)
+          .select(col("doc_new").as("doc_id")).distinct()
+        case None => spark.range(0).select(col("id").as("doc_id"))
+      }
+      batch.join(matched, Seq("doc_id"), "left_anti")
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outDir)
+      graft.ops.Dedup.shingleHashes(
+          spark.read.parquet(outDir).filter(col("ingest_batch") === batchId))
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(storeDir)
+    } finally {
+      bsh.unpersist(blocking = true)
+      hist.foreach(_.unpersist(blocking = true))
+    }
+  }
+
+  /** [[nearDupGateBatch]] behind a streaming query; `docs` must carry
+    * `doc_id` and `text`.
+    */
+  def startNearDupGate(
+      docs: DataFrame,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.4,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .queryName("neardup_gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(nearDupGateBatch(storeDir, outDir, threshold) _)
+      .start()
+
   /** Stream-stream interval join: each event enriched with the same
     * user's purchases from the preceding `windowMinutes` (streaming lift
     * of graft.ops.Temporal.rangeJoin). Watermarks on BOTH sides plus the

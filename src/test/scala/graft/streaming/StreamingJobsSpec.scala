@@ -404,6 +404,44 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("near-dup gate stream: later batches reject texts similar to anything admitted") {
+    import spark.implicits._
+    val store = tmpDir("ndgate-store"); val out = tmpDir("ndgate-out")
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startNearDupGate(ms.toDF(), store, out,
+      tmpDir("ndgate-ckpt"), threshold = 0.4, Trigger.ProcessingTime(0))
+
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "on the warm windowsill every afternoon enjoying the quiet sunshine"
+    // Batch 0: store empty, everything passes.
+    ms.addData(Doc(1, base),
+      Doc(2, "completely different content about spark partitions and shuffle behavior at massive scale"))
+    q.processAllAvailable()
+    // Batch 1: near-dup of doc 1 (one word changed) must be gated out;
+    // a fresh text passes; a near-dup of THIS batch's fresh text also
+    // passes (within-batch pairs are not the gate's contract).
+    val fresh = "entirely new material discussing streaming watermark state expiry " +
+      "and checkpoint recovery semantics in long running jobs"
+    ms.addData(Doc(10, base.replace("warm", "cold")),
+      Doc(11, fresh), Doc(12, fresh.replace("jobs", "pipelines")))
+    q.processAllAvailable()
+    // Batch 2: near-dups of batch 1's admissions are now gated too.
+    ms.addData(Doc(20, fresh.replace("new", "novel")), Doc(21, base))
+    q.processAllAvailable()
+    q.stop()
+
+    val admitted = spark.read.parquet(out)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted == Map(1L -> 0, 2L -> 0, 11L -> 1, 12L -> 1),
+      s"got $admitted")
+    // Store holds shingles only for admitted docs.
+    val storeDocs = spark.read.parquet(store).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    assert(storeDocs == Set(1L, 2L, 11L, 12L))
+    // No cache left behind by the per-batch sweeps.
+    assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
+  }
+
   test("kafka source option map mirrors the reference consumer params") {
     val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
