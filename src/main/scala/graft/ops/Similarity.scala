@@ -159,16 +159,16 @@ object Similarity {
     * limit(nlist)-count guard falls back to the full (tiny) corpus when
     * the sample can't seat nlist centroids.
     */
-  def annIvfTopK(
+  /** Fit the coarse quantizer (sampled, seed-pinned) and return it with
+    * the vectorized corpus — shared by the inline query path
+    * ([[annIvfTopK]]) and the persisted index ([[buildIvfIndex]]).
+    */
+  private def fitQuantizer(
       embeddings: DataFrame,
-      queryVecId: Long = 0L,
-      k: Int = 20,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      fitFraction: Double = 0.25): DataFrame = {
+      nlist: Int,
+      fitFraction: Double): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
     val withVec = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
     // Seed-pinned Bernoulli sample; cached so the KMeans iterations scan
@@ -184,6 +184,18 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(fitData)
     sampled.unpersist(blocking = true)
+    (model, withVec)
+  }
+
+  def annIvfTopK(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 20,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      fitFraction: Double = 0.25): DataFrame = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector, Vectors}
+    val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
     val assigned = model.transform(withVec).cache()
     val q = assigned.filter(col("vec_id") === queryVecId)
       .select("features").head.getAs[MlVector](0)
@@ -207,6 +219,79 @@ object Similarity {
   val annIvfQuery = QueryDef.unverified("sim_ann_ivf_topk")(
     (s, d) => annIvfTopK(Tables.embeddings(s, d)))
 
+  // ----------------------------------------------------- persisted ivf
+
+  /** Build the IVF index ONCE and persist it: `dir/centroids` is the
+    * tiny quantizer table (list_id, centroid), `dir/assigned` the corpus
+    * with its cell id, PARTITIONED BY list_id — so queries prune to their
+    * probed cells at the FILE level. This is the production ANN shape
+    * the inline [[annIvfTopK]] only simulates: the sampled quantizer fit
+    * plus one full assignment pass is paid once at ingest; each query
+    * after that is O(nlist) driver math over the centroid table plus a
+    * partition-pruned scan of nprobe/nlist of the corpus. Re-ingest
+    * appends new vectors with [[assignToIndex]]-style transform against
+    * the SAME centroids — the quantizer is never refit per batch.
+    */
+  def buildIvfIndex(
+      embeddings: DataFrame,
+      dir: String,
+      nlist: Int = 16,
+      fitFraction: Double = 0.25): Unit = {
+    val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1) // nlist rows — one tiny file
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(withVec).drop("features")
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Query a persisted IVF index: nearest `nprobe` cells by centroid
+    * distance (driver math over the nlist-row centroid table — the
+    * documented IVF contract), then exact cosine top-k over ONLY those
+    * cells' partitions. The `list_id IN (...)` filter is a partition
+    * filter on the read — unprobed cells are never opened.
+    */
+  def queryIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queryVec: Array[Double],
+      k: Int = 20,
+      nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    val q = Vectors.dense(queryVec)
+    val probes = spark.read.parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
+      .sortBy(_._2).take(nprobe).map(_._1)
+    spark.read.parquet(s"$dir/assigned")
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= excludeVecId)
+      .withColumn("q_emb", typedLit(queryVec.toSeq))
+      .select(col("vec_id"), col("label"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** End-to-end persisted-index exercise as a registered query: build
+    * into a fresh temp dir, query with vector 0's embedding. Same
+    * no-oracle story as [[annIvfQuery]].
+    */
+  val annIvfPersistedQuery = QueryDef.unverified("sim_ann_ivf_persisted")(
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfIndex(s, dir, q, excludeVecId = 0L)
+    })
+
   // ------------------------------------------------------ near-dup pairs
 
   /** Embedding-cosine near-dup pairs (the vector analog of Dedup): pairs
@@ -222,10 +307,9 @@ object Similarity {
     * boilerplate noise but genuinely dense near-dup clusters — capping
     * them would drop true pairs, so the correct response to skew is more
     * bits (finer buckets still co-locate ε-close vectors w.h.p.), not a
-    * cap. The 128 constant-folded plane dots also mean the generated code
-    * is large: a few seconds of one-time codegen/JIT that amortizes over
-    * corpus size (measured: dominates the sf0.1 reading, where data work
-    * on 2k vectors is milliseconds).
+    * cap. (The historical codegen-size cost of 128 inlined plane dots is
+    * gone — bucket keys come from the native graft_hyperplane_buckets
+    * expression; see HyperplaneExpression.scala.)
     */
   def cosineNearDupPairs(
       embeddings: DataFrame,
@@ -285,5 +369,6 @@ object Similarity {
     })
 
   val all: Seq[QueryDef] =
-    Seq(bruteForceQuery, annQuery, annIvfQuery, nearDupQuery, labelBlockedQuery)
+    Seq(bruteForceQuery, annQuery, annIvfQuery, annIvfPersistedQuery,
+      nearDupQuery, labelBlockedQuery)
 }

@@ -68,6 +68,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full == bfTop)
   }
 
+  test("persisted ivf index: pruned query matches the inline path; unprobed cells never read") {
+    val dir = tmpDir("ivf-index")
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+    val persisted = Similarity.queryIvfIndex(spark, dir, q, k = 20, nprobe = 2, excludeVecId = 0L)
+    // Partition pruning: the probed list_ids are partition filters on the scan.
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in plan:\n$plan")
+    // Same quantizer (shared seed-pinned fit) → same probes → same top-k
+    // as the inline path.
+    val inline = Similarity.annIvfTopK(emb, k = 20, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(persisted.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq == inline)
+    // Cosines are exact (match brute force values).
+    val bf = Similarity.bruteForceTopK(emb, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    persisted.collect().foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2)))
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
