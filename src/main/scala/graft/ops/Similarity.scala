@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -229,8 +230,8 @@ object Similarity {
     * plus one full assignment pass is paid once at ingest; each query
     * after that is O(nlist) driver math over the centroid table plus a
     * partition-pruned scan of nprobe/nlist of the corpus. Re-ingest
-    * appends new vectors with [[assignToIndex]]-style transform against
-    * the SAME centroids — the quantizer is never refit per batch.
+    * appends new vectors with [[assignToIndex]] against the SAME
+    * centroids — the quantizer is never refit per batch.
     */
   def buildIvfIndex(
       embeddings: DataFrame,
@@ -247,6 +248,32 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/centroids")
     model.transform(withVec).drop("features")
       .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Incremental ingest into a persisted index: assign NEW vectors to
+    * their nearest existing cell and APPEND them into the partitioned
+    * assignment table — the quantizer is never refit per batch (rebuild
+    * cadence when the corpus distribution drifts is an offline call).
+    * The assignment is relational: |e−c|² = e·e − 2·e·c + c·c over a
+    * broadcast of the nlist-row centroid table, every dot through the
+    * native codegen'd graft_dot — no per-row MLlib model, no UDF.
+    */
+  def assignToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      embeddings: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .withColumn("c2", dot("centroid", "centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
+    embeddings
+      .withColumn("e2", dot("embedding", "embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", col("e2") - lit(2.0) * dot("embedding", "centroid") + col("c2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+      .write.mode("append").partitionBy("list_id")
       .parquet(s"$dir/assigned")
   }
 

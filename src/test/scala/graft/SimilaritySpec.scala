@@ -90,6 +90,36 @@ class SimilaritySpec extends SparkSpec {
     persisted.collect().foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2)))
   }
 
+  test("incremental index ingest: appended vectors land in their nearest cell and are queryable") {
+    val dir = tmpDir("ivf-incr")
+    val seed = emb.filter(col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") >= 400)
+    Similarity.buildIvfIndex(seed, dir, nlist = 8)
+    Similarity.assignToIndex(spark, dir, late)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    // Appended rows sit in their argmin-L2 cell: recompute driver-side
+    // for a handful and compare.
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(e: Array[Double], c: Array[Double]) =
+      e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sample = assigned.filter(col("vec_id") >= 400).limit(20).collect()
+    sample.foreach { r =>
+      val e = r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray
+      val got = r.getAs[Number]("list_id").intValue()
+      val best = cents.minBy { case (_, c) => sq(e, c) }._1
+      assert(got == best, s"vec ${r.getAs[Long]("vec_id")} in cell $got, nearest is $best")
+    }
+    // A full-probe query for an appended vector's embedding finds it at
+    // cosine 1.0.
+    val probe = late.select("vec_id", "embedding").head
+    val q = probe.getSeq[Float](1).map(_.toDouble).toArray
+    val top = Similarity.queryIvfIndex(spark, dir, q, k = 1, nprobe = 8).head
+    assert(top.getLong(0) == probe.getLong(0) && top.getDouble(2) == 1.0)
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
