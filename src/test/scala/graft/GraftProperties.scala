@@ -110,6 +110,31 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  /** The pigeonhole theorem behind [[graft.ops.Dedup.simhashBandedNearDups]]
+    * as an executable property: for ANY corpus and any legal radius, the
+    * banded sweep equals the brute-force all-pairs Hamming scan exactly —
+    * recall from the theorem (≤ r differing bits can't touch all r+1
+    * bands), precision from the exact bit_count verify.
+    */
+  property("banded simhash equals brute-force hamming pairs at every legal radius") =
+    sparkProp(eventsGen) { rows =>
+      import spark.implicits._
+      val docs = rows.zipWithIndex.map { case ((id, sec), i) =>
+        val toks = (0 to 6 + (id % 7).toInt).map(k => s"t${(sec * (k + 1) + id) % 11}")
+        (i.toLong, toks.mkString(" "), "en", "s", 10L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val mh = Seq(1, 3, 7, 15)((rows.head._2 % 4).toInt)
+      val sh = graft.ops.Dedup.simhash(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= mh
+      } yield (a, b, h)).toSet
+      val got = graft.ops.Dedup.simhashBandedNearDups(docs, maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      got == expected
+    }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._
