@@ -300,6 +300,58 @@ object TextAnalysis {
       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
     (s, d) => repetitionRatio(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // -------------------------------------------------------------- tf-idf
+
+  /** Per-document top-k TF-IDF terms — the classic corpus-statistics
+    * operator (characteristic vocabulary per doc, feature selection,
+    * keyword extraction). All-relational, two aggregations:
+    * tf = per-(doc, term) counts (one shuffle on (doc_id, term)),
+    * df = per-term doc counts derived FROM tf (map-side-combinable
+    * second aggregation over already-distinct rows), and N arrives as a
+    * broadcast 1-row cross join — never a driver-side constant baked
+    * into the plan, so the same query works when `documents` is a 100 TB
+    * table. Weights are floor-rounded to 4 decimals BEFORE ranking with
+    * a term-lexicographic tiebreak: libm `ln` may differ from the JVM's
+    * in the last ulp, and an ulp at a top-k boundary would flip the
+    * selection between engines — after rounding, any such pair is a tie
+    * resolved identically on both sides.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 3): DataFrame = {
+    val toks = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("weight",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")) * 10000 + 0.5) / 10000)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("weight"), col("rk"))
+  }
+
+  val tfidfQuery = QueryDef(
+    "text_tfidf_topterms",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |         ${r4duck("tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))")} AS weight
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rk
+       |      FROM w)
+       |SELECT doc_id, term, tf, weight, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin)(
+    (s, d) => tfidfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk"))
+
   val all: Seq[QueryDef] =
-    Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery)
+    Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
+      tfidfQuery)
 }

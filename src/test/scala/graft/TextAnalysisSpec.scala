@@ -83,6 +83,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) < 0.15, s"varied text scored ${out(2L)}")
   }
 
+  test("tfidf top terms match hand-computed weights with deterministic tiebreak") {
+    val out = TextAnalysis.tfidfTopTerms(docsOf(
+      1L -> "apple banana apple",
+      2L -> "banana cherry",
+      3L -> "cherry durian cherry cherry"))
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1.
+    assert(out((1L, 1)) == (("apple", 2L, r4(2 * math.log(3.0)))))
+    assert(out((1L, 2)) == (("banana", 1L, r4(math.log(1.5)))))
+    assert(out((3L, 1)) == (("cherry", 3L, r4(3 * math.log(1.5)))))
+    assert(out((3L, 2)) == (("durian", 1L, r4(math.log(3.0)))))
+    // doc 2: banana and cherry tie at 1*ln(1.5) — lexicographic tiebreak.
+    assert(out((2L, 1))._1 == "banana" && out((2L, 2))._1 == "cherry")
+    assert(out((2L, 1))._3 == out((2L, 2))._3)
+  }
+
   test("fingerprint: identical docs hash equal; near-identical docs share the min-gram hash") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
     val out = run(TextAnalysis.fingerprint, docsOf(
