@@ -125,6 +125,64 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin)(
     (s, d) => prefixBlockedJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
+  /** Prefix-blocked SHINGLE Jaccard — the oracle-verified exact reference
+    * for the similarity measure the LSH path thresholds on:
+    * [[minhashLsh]] verifies candidates with 3-token shingle-HASH Jaccard,
+    * and this computes the same measure on shingle STRINGS within capped
+    * prefix blocks, so DuckDB can replay it exactly. The distinction from
+    * [[prefixBlockedJaccard]] is semantic, not cosmetic: word-set Jaccard
+    * is order-insensitive (a full word shuffle still scores 1.0), shingle
+    * Jaccard is order-sensitive (a shuffle destroys most shingles) — the
+    * near-dup gate wants the latter. Docs with fewer than `shingleSize`
+    * tokens have no shingles and are excluded.
+    *
+    * The per-doc shingle arrays form via an indexed `transform` lambda
+    * (interpreted, not codegen) — acceptable here because work is capped
+    * by the block bound and the measure is the point; the corpus-scale
+    * hot path stays relational ([[shingleHashes]]). Shingle sets ride in
+    * the `words` column so [[pairsWithinBlocks]] is reused unchanged.
+    */
+  def prefixBlockedShingleJaccard(
+      documents: DataFrame,
+      prefixLen: Int = 50,
+      maxBlock: Int = 64,
+      shingleSize: Int = 3): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val shingled = documents
+      .filter(col("text").isNotNull && size(toks) >= shingleSize)
+      .select(
+        col("doc_id"),
+        substring(col("text"), 1, prefixLen).as("block_key"),
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (shingleSize - 1)),
+          i => concat_ws(" ",
+            (0 until shingleSize).map(k => element_at(toks, i + lit(k))): _*)))
+          .as("words"))
+    val w = Window.partitionBy("block_key")
+    val keyed = shingled.withColumn("block_n", count(lit(1)).over(w))
+    pairsWithinBlocks(keyed.filter(col("block_n") <= maxBlock))
+  }
+
+  val shingleJaccardQuery = QueryDef(
+    "dedup_shingle_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, substr(text, 1, 50) AS block_key,
+      |         list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                        FOR i IN range(1, len(l) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, text,
+      |               string_split_regex(lower(text), '\s+') AS l
+      |        FROM documents WHERE text IS NOT NULL) t
+      |  WHERE len(l) >= 3),
+      |keyed AS (
+      |  SELECT *, count(*) OVER (PARTITION BY block_key) AS block_n FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       floor(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
+      |FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |WHERE a.block_n <= 64 AND b.block_n <= 64
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => prefixBlockedShingleJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
   /** Complete near-dup sweep with bounded work everywhere: small prefix
     * blocks (≤ maxBlock docs) get exact within-block Jaccard; oversized
     * blocks — the boilerplate/template case — are routed to MinHash-LSH,
@@ -675,6 +733,7 @@ object Dedup {
       .orderBy("doc_a", "doc_b"))
 
   val all: Seq[QueryDef] =
-    Seq(exactQuery, prefixBlockedQuery, minhashLshQuery, simhashQuery, boundedNearDupsQuery,
-      incrementalExactQuery, incrementalNearDupsQuery, canonicalQuery, simhashBandedQuery)
+    Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
+      boundedNearDupsQuery, incrementalExactQuery, incrementalNearDupsQuery, canonicalQuery,
+      simhashBandedQuery)
 }

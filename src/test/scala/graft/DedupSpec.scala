@@ -65,6 +65,27 @@ class DedupSpec extends SparkSpec {
     assert(ham(0, 3) > 16, s"unrelated hamming ${ham(0, 3)}")
   }
 
+  test("shingle jaccard is order-sensitive where word jaccard is not") {
+    // Same 50-char prefix (one block), then a full word shuffle of the
+    // tail: word-SET jaccard scores 1.0, 3-token-shingle jaccard must not.
+    val prefix = "shared fifty character prefix padding padding pad " // 50 chars
+    assert(prefix.length == 50)
+    val tail = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val shuffled = tail.split(" ").reverse.mkString(" ")
+    val d = Seq(
+      (0L, prefix + tail, "en", "s", 1L),
+      (1L, prefix + tail, "en", "s", 1L),
+      (2L, prefix + shuffled, "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val word = Dedup.prefixBlockedJaccard(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shingle = Dedup.prefixBlockedShingleJaccard(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(word((0L, 1L)) == 1.0 && shingle((0L, 1L)) == 1.0) // identical docs agree
+    assert(word((0L, 2L)) == 1.0, "word-set jaccard is blind to the shuffle")
+    assert(shingle((0L, 2L)) < 0.5, s"shingle jaccard must punish reordering, got ${shingle((0L, 2L))}")
+  }
+
   test("oversized prefix blocks are capped: 1000 boilerplate-prefix docs form no quadratic pair set") {
     val header = "LICENSE HEADER COMMON TO EVERY FILE IN THIS REPO X" // exactly 50 chars
     assert(header.length == 50)
