@@ -213,7 +213,18 @@ object Coverage {
       alpha: Double = 0.5,
       targetRows: Long = 200L,
       seed: Long = 42L): org.apache.spark.sql.DataFrame = {
-    val counts = documents.groupBy(keyCol).count()
+    // String-key contract, checked up front (a non-string key would only
+    // fail later as a ClassCastException in the collect below). Null-key
+    // rows are excluded DELIBERATELY, matching sampleBy's treatment of
+    // keys absent from the fractions map — a null entry in that map would
+    // otherwise sample them by accident.
+    require(
+      documents.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMix requires a string key column; '$keyCol' is " +
+        documents.schema(keyCol).dataType.simpleString)
+    val keyed = documents.filter(col(keyCol).isNotNull)
+    val counts = keyed.groupBy(keyCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val weights = counts.map { case (k, n) => k -> math.pow(n.toDouble, alpha) }
     val z = weights.values.sum
@@ -222,7 +233,7 @@ object Coverage {
       // of the rows it actually has
       k -> math.min(1.0, targetRows * (w / z) / counts(k).toDouble)
     }
-    documents.stat.sampleBy(keyCol, fractions, seed)
+    keyed.stat.sampleBy(keyCol, fractions, seed)
   }
 
   val temperatureMixQuery = QueryDef.unverified("mix_temperature_sample")(
@@ -257,7 +268,7 @@ object Coverage {
     "mix_token_budget",
     """WITH toks AS (
       |  SELECT doc_id, lang,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
       |         md5(CAST(doc_id AS VARCHAR)) AS ord
       |  FROM documents),
       |cum AS (

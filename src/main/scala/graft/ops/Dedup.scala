@@ -571,6 +571,14 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // Unconverged labels are WRONG labels downstream: canonicalSurvivors
+    // would keep several "canonical" docs from one component with no
+    // signal. Surface truncation loudly instead of silently returning.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters: label propagation did NOT converge within " +
+          s"maxIter=$maxIter iterations (component diameter exceeds the cap); " +
+          s"labels may split components — raise maxIter")
     labels
   }
 

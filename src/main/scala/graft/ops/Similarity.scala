@@ -306,12 +306,16 @@ object Similarity {
   }
 
   /** End-to-end persisted-index exercise as a registered query: build
-    * into a fresh temp dir, query with vector 0's embedding. Same
-    * no-oracle story as [[annIvfQuery]].
+    * into ONE fixed scratch path (both index tables are written with
+    * overwrite semantics, so re-runs replace rather than accumulate — a
+    * per-invocation temp dir would leak a full partitioned copy of the
+    * corpus on every bench/verify run), query with vector 0's embedding.
+    * Same no-oracle story as [[annIvfQuery]].
     */
   val annIvfPersistedQuery = QueryDef.unverified("sim_ann_ivf_persisted")(
     (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft-ivf-persisted").toString
       val emb = Tables.embeddings(s, d)
       buildIvfIndex(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)

@@ -149,6 +149,18 @@ object Jobs {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Store-existence probe that works on WHATEVER filesystem Spark writes
+    * to: `storeDir` is an HDFS/S3 URI in the documented production framing
+    * of these jobs, where `java.io.File(dir).list()` returns null on every
+    * batch and history would silently be treated as empty. Non-empty (not
+    * just exists) because an empty pre-created dir has no schema to infer.
+    */
+  private def storeNonEmpty(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).nonEmpty
+  }
+
   /** Unbounded-history streaming exact dedup: each micro-batch of
     * documents is checked against a PERSISTED content-hash store
     * ([[graft.ops.Dedup.incrementalExact]]), survivors land in `outDir`
@@ -171,9 +183,7 @@ object Jobs {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
     val seen =
-      // non-empty check, not exists(): an empty pre-created dir has no
-      // schema to infer
-      if (Option(new java.io.File(storeDir).list()).exists(_.nonEmpty))
+      if (storeNonEmpty(spark, storeDir))
         spark.read.parquet(storeDir)
           .filter(col("ingest_batch") < batchId).select("content_hash")
       else spark.range(0).selectExpr("cast(null AS string) AS content_hash")
@@ -233,7 +243,7 @@ object Jobs {
     val spark = batch.sparkSession
     val bsh = graft.ops.Dedup.shingleHashes(batch).cache()
     val hist =
-      if (Option(new java.io.File(storeDir).list()).exists(_.nonEmpty))
+      if (storeNonEmpty(spark, storeDir))
         Some(spark.read.parquet(storeDir)
           .filter(col("ingest_batch") < batchId).select("doc_id", "shh").cache())
       else None
