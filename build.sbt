@@ -1,5 +1,15 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The bench/verify harness parses the LAST stdout line as JSON; sbt's
+// "[success] Total time ..." trailer would otherwise always be that line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — lint
+// can't see that and would print a [warn] into the harness's stdout.
+Global / excludeLintKeys += showSuccess
+// And the forked run's stdout must NOT pass through sbt's logger, which
+// prefixes every line with "[info] " — Bench's final JSON line has to
+// reach the harness verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "projetbigdatastreamingspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

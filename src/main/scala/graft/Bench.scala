@@ -29,8 +29,16 @@ import scala.jdk.CollectionConverters._
   * BEFORE the next timing window opens. Set SPARK_GRAFT_BENCH_NO_ISOLATE=1
   * to reproduce the contaminated readings.
   *
-  * The metric JSON is (a) written to BENCH_OUT (or ./bench_out.json) and
-  * (b) printed as the final stdout line, so the driver can parse either.
+  * The metric JSON is (a) written to BENCH_OUT (or ./bench_out.json) at
+  * full precision and (b) printed as the final stdout line, so the driver
+  * can parse either. The driver captures only the LAST ~2000 chars of
+  * stdout; with 75+ registered queries a full-precision map overflows
+  * that window and the head of the line is truncated (rounds 1-4 all
+  * recorded parsed:null). So the stdout line rounds to milliseconds and,
+  * if still over budget, keeps the slowest queries and reports how many
+  * fast ones were omitted — `"omitted":N` — with the complete map always
+  * in BENCH_OUT. (`Global / showSuccess := false` in build.sbt keeps
+  * sbt's "[success] Total time" trailer from becoming the last line.)
   * A query that throws records -1 (never its time-to-exception — a
   * failure is not a score).
   */
@@ -95,16 +103,29 @@ object Bench {
       if (!isolate) spark.catalog.clearCache()
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    val json = render(results, 0) // full precision, every query
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // stdout line: ms precision; drop fastest-first if over the tail
+    // budget (failures, -1, are always kept — they must stay visible).
+    val ms = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val keepOrder = ms.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
+    var keep = ms.size
+    var line = render(ms, 0)
+    while (line.length > 1800 && keep > 1) {
+      keep -= 1
+      line = render(keepOrder.take(keep).sortBy(_._1), ms.size - keep)
+    }
     spark.stop()
     // Final clean stdout line (after spark.stop so no log interleaving).
-    println(json)
+    println(line)
   }
 }

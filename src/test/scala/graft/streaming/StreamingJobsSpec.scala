@@ -406,6 +406,10 @@ class StreamingJobsSpec extends SparkSpec {
 
   test("near-dup gate stream: later batches reject texts similar to anything admitted") {
     import spark.implicits._
+    // The end-of-test isEmpty assertion is about THIS gate's cache
+    // discipline; suites share one session, and e.g. the cache-exercising
+    // coverage query legitimately leaves an entry behind when it ran first.
+    spark.catalog.clearCache()
     val store = tmpDir("ndgate-store"); val out = tmpDir("ndgate-out")
     val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
     val q = Jobs.startNearDupGate(ms.toDF(), store, out,
