@@ -12,11 +12,11 @@ import scala.jdk.CollectionConverters._
   * every `orderBy`-bearing query. `noop` executes the complete plan
   * (including sorts and projections) and discards rows at the sink.
   *
-  * MEASUREMENT ISOLATION (the round-3 lesson): queries that persist
-  * intermediate tables (LSH bucket tables, minhash signatures) leak cost
-  * into the NEXT query's window unless the barrier between measurements
-  * actually frees them. `spark.catalog.clearCache()` alone is not that
-  * barrier — it drops the cache entries without blocking on block
+  * MEASUREMENT ISOLATION (the round-3 lesson, sharpened in round 6):
+  * queries that persist intermediate tables (LSH bucket tables, minhash
+  * signatures, localCheckpoints) leak cost into LATER windows unless the
+  * blocks are actually freed. `spark.catalog.clearCache()` alone is not
+  * that barrier — it drops the cache entries without blocking on block
   * removal, and the shuffle files / broadcast blocks of the previous
   * query are only reclaimed by the ContextCleaner, which runs off
   * weak references enqueued at DRIVER GC time. In a 128 GiB single-JVM
@@ -24,10 +24,21 @@ import scala.jdk.CollectionConverters._
   * and old-gen garbage pile up and the eventual collection storms land
   * on whoever runs next (round 3: 24 s charged to k8_to_json_roundtrip,
   * a 2 s query that happened to follow the two cache-heavy dedup
-  * queries). [[settle]] is the real barrier: blocking unpersist of every
-  * persistent RDD + an explicit System.gc() so the ContextCleaner drains
-  * BEFORE the next timing window opens. Set SPARK_GRAFT_BENCH_NO_ISOLATE=1
-  * to reproduce the contaminated readings.
+  * queries; round 5: 4.9× inflation of dedup_incremental_neardups in the
+  * full suite vs an isolated run, from old-gen occupancy accumulated
+  * across ~70 prior queries). Two mechanisms fix it:
+  *
+  *  - CACHE OWNERSHIP: a query that acquires caches frees them INSIDE
+  *    its own timing window (blocking unpersist + a GC to drain the
+  *    ContextCleaner, immediately after its noop materialization) — the
+  *    owner pays for its own cleanup and nothing survives into anyone
+  *    else's window.
+  *  - [[settle]] between windows as the backstop barrier for garbage the
+  *    owner's GC didn't reach (it runs with the previous query's heap
+  *    already released, so it collects cheaply).
+  *
+  * Set SPARK_GRAFT_BENCH_NO_ISOLATE=1 to reproduce the contaminated
+  * readings.
   *
   * The metric JSON is (a) written to BENCH_OUT (or ./bench_out.json) at
   * full precision and (b) printed as the final stdout line, so the driver
@@ -94,35 +105,61 @@ object Bench {
       val (gc0, gn0, h0) = (gcMillis, gcCount, usedHeapMB)
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // Cache ownership: free whatever this query persisted (caches,
+          // localCheckpoints) inside ITS OWN window, and GC so the
+          // ContextCleaner's shuffle/broadcast cleanup bills the owner —
+          // not whoever runs next. Skipped when the query persisted
+          // nothing: a full GC per window would tax all ~75 queries for
+          // the sins of the ~6 cache-heavy ones.
+          if (isolate && spark.sparkContext.getPersistentRDDs.nonEmpty) {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+            System.gc()
+          }
+          true
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (gcMs, gcN, h1) = (gcMillis - gc0, gcCount - gn0, usedHeapMB)
       System.err.println(
-        f"[bench] $name%-32s ${dt}%7.2fs  gc=+${gcMillis - gc0}%5dms/${gcCount - gn0}%3d  " +
-          f"heap=${h0}%5d->${usedHeapMB}%5dMB")
+        f"[bench] $name%-32s ${dt}%7.2fs  gc=+${gcMs}%5dms/${gcN}%3d  " +
+          f"heap=${h0}%5d->${h1}%5dMB")
       if (!isolate) spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      (name, if (ok) dt else -1.0, gcMs, gcN, h0, h1)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+    val totalGcMs = results.map(_._3).sum
+    def render(entries: Seq[(String, Double)], omitted: Int, profile: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$totalGcMs,""" +
+        s""""queries":$qs$om$profile,"sf":"$sfDir"}"""
     }
-    val json = render(results, 0) // full precision, every query
+    // Per-query GC time / count and heap occupancy before/after, so a
+    // future regression is attributable from the artifact alone (a query
+    // whose wall time jumps with flat gc_ms did get slower; one whose
+    // gc_ms jumps with it was hit by collection pressure). BENCH_OUT
+    // only — it would blow the stdout line's tail budget.
+    val profileJson = results.map { case (k, _, gcMs, gcN, hh0, hh1) =>
+      "\"" + k + s"""":{"gc_ms":$gcMs,"gc_n":$gcN,"heap0_mb":$hh0,"heap1_mb":$hh1}"""
+    }.mkString(""","profile":{""", ",", "}")
+    val secs = results.map { case (k, v, _, _, _, _) => k -> v }
+    val json = render(secs, 0, profileJson) // full precision, every query
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     // stdout line: ms precision; drop fastest-first if over the tail
     // budget (failures, -1, are always kept — they must stay visible).
-    val ms = results.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    val ms = secs.map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
     val keepOrder = ms.sortBy { case (_, v) => if (v < 0) Double.NegativeInfinity else -v }
     var keep = ms.size
-    var line = render(ms, 0)
+    var line = render(ms, 0, "")
     while (line.length > 1800 && keep > 1) {
       keep -= 1
-      line = render(keepOrder.take(keep).sortBy(_._1), ms.size - keep)
+      line = render(keepOrder.take(keep).sortBy(_._1), ms.size - keep, "")
     }
     spark.stop()
     // Final clean stdout line (after spark.stop so no log interleaving).

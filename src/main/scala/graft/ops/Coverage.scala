@@ -226,6 +226,10 @@ object Coverage {
     val keyed = documents.filter(col(keyCol).isNotNull)
     val counts = keyed.groupBy(keyCol).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // No non-null keys → no strata: return the (empty) keyed frame
+    // rather than dividing by a zero normalizer (z = 0 would make every
+    // fraction NaN and sampleBy would throw).
+    if (counts.isEmpty) return keyed
     val weights = counts.map { case (k, n) => k -> math.pow(n.toDouble, alpha) }
     val z = weights.values.sum
     val fractions = weights.map { case (k, w) =>
@@ -239,6 +243,102 @@ object Coverage {
   val temperatureMixQuery = QueryDef.unverified("mix_temperature_sample")(
     (s, d) => temperatureMix(Tables.documents(s, d))
       .select("doc_id", "lang").orderBy("doc_id"))
+
+  /** Deterministic stratified sampling — the oracle-checkable counterpart
+    * of [[stratifiedMix]]: within each stratum, rank docs by
+    * md5(doc_id) (a content-derived, storage-independent order — the
+    * [[tokenBudgetSample]] technique) and keep the first
+    * floor(n_k · fraction_k + 0.5) of them. Same expected proportions as
+    * Bernoulli sampleBy, but the selection is a pure function of corpus
+    * content: identical under any partitioning, file layout, or engine —
+    * which is what makes a 100 TB sampling run re-executable bit-for-bit
+    * AND lets DuckDB replay it. One shuffle on the key; the two window
+    * functions (rank + stratum count) share a single partition pass.
+    * The Bernoulli [[stratifiedMix]] stays registered for sampleBy API
+    * parity; this is the form a reproducible pipeline should use.
+    */
+  def hashStratifiedSample(
+      documents: org.apache.spark.sql.DataFrame,
+      keyCol: String = "lang",
+      fractions: Map[String, Double]): org.apache.spark.sql.DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be within [0, 1]")
+    val w = Window.partitionBy(col(keyCol)).orderBy(md5(col("doc_id").cast("string")))
+    val wAll = Window.partitionBy(col(keyCol))
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(keyCol) === k, f).otherwise(acc)
+    }
+    documents
+      .filter(col(keyCol).isin(fractions.keys.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_k", count(lit(1)).over(wAll))
+      .filter(col("rn") <= floor(col("n_k") * frac + 0.5).cast("long"))
+      .select(col("doc_id"), col(keyCol))
+  }
+
+  private val mixFractions = Seq(
+    "en" -> 0.8, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.2, "zh" -> 0.1)
+
+  val hashStratifiedQuery = QueryDef(
+    "mix_stratified_take",
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS n_k
+       |  FROM documents
+       |  WHERE lang IN ('en', 'fr', 'es', 'de', 'zh'))
+       |SELECT doc_id, lang FROM ranked
+       |WHERE rn <= CAST(floor(n_k * (CASE lang ${mixFractions.map { case (k, f) => s"WHEN '$k' THEN $f" }.mkString(" ")} END) + 0.5) AS BIGINT)
+       |ORDER BY doc_id""".stripMargin)(
+    (s, d) => hashStratifiedSample(Tables.documents(s, d), fractions = mixFractions.toMap)
+      .orderBy("doc_id"))
+
+  /** Deterministic temperature-scaled sampling — the oracle-checkable
+    * counterpart of [[temperatureMix]]: per-source quotas
+    * floor(target · n_kᵃ / Σ n_kᵃ + 0.5) filled in md5(doc_id) order.
+    * Fully relational — the per-key counts and the global normalizer are
+    * aggregates joined back (counts frame is one row per source, the
+    * documented low-cardinality contract → broadcast), no driver collect.
+    * Deterministic for the same reason as [[hashStratifiedSample]].
+    */
+  def temperatureTakeSample(
+      documents: org.apache.spark.sql.DataFrame,
+      keyCol: String = "lang",
+      alpha: Double = 0.5,
+      targetRows: Long = 200L): org.apache.spark.sql.DataFrame = {
+    val keyed = documents.filter(col(keyCol).isNotNull)
+    val counts = keyed.groupBy(keyCol).agg(count(lit(1)).as("n_k"))
+      .withColumn("w_k", pow(col("n_k").cast("double"), alpha))
+    val z = counts.agg(sum(col("w_k")).as("z"))
+    val quota = counts.crossJoin(broadcast(z))
+      .select(col(keyCol),
+        least(col("n_k"),
+          floor(lit(targetRows.toDouble) * col("w_k") / col("z") + 0.5).cast("long")).as("take_k"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(md5(col("doc_id").cast("string")))
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quota), keyCol)
+      .filter(col("rn") <= col("take_k"))
+      .select(col("doc_id"), col(keyCol))
+  }
+
+  val temperatureTakeQuery = QueryDef(
+    "mix_temperature_take",
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n_k, pow(count(*), 0.5) AS w_k
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+      |quota AS (
+      |  SELECT lang,
+      |         least(n_k, CAST(floor(200.0 * w_k / (SELECT sum(w_k) FROM counts) + 0.5) AS BIGINT)) AS take_k
+      |  FROM counts),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      |  FROM documents WHERE lang IS NOT NULL)
+      |SELECT r.doc_id, r.lang FROM ranked r JOIN quota q ON r.lang = q.lang
+      |WHERE r.rn <= q.take_k
+      |ORDER BY doc_id""".stripMargin)(
+    (s, d) => temperatureTakeSample(Tables.documents(s, d)).orderBy("doc_id"))
 
   /** Deterministic token-budget sampling — "take ~N training tokens per
     * source": within each key, docs are taken in md5(doc_id) order until
@@ -281,5 +381,6 @@ object Coverage {
 
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
-    pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery)
+    pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
+    hashStratifiedQuery, temperatureTakeQuery)
 }

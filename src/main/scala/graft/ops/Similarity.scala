@@ -305,17 +305,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scratch dir for the registered persisted-index query: ONE fixed
+    * path PER PROCESS (user + pid), deleted by a shutdown hook.
+    * Within a process, overwrite semantics make re-runs replace rather
+    * than accumulate (a per-invocation dir would leak a partitioned
+    * copy of the corpus per bench/verify run, because a lazy DataFrame
+    * can't delete its own inputs after the caller's action). Across
+    * processes, the pid keeps concurrent bench/verify runs from
+    * overwriting each other's index mid-query, and the user.name keeps
+    * the path non-pre-creatable by other users on a shared host; the
+    * hook reclaims the copy the process would otherwise leave behind.
+    */
+  private lazy val ivfScratchDir: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-ivf-persisted-${sys.props.getOrElse("user.name", "anon")}-" +
+        ProcessHandle.current.pid)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.toString
+  }
+
   /** End-to-end persisted-index exercise as a registered query: build
-    * into ONE fixed scratch path (both index tables are written with
-    * overwrite semantics, so re-runs replace rather than accumulate — a
-    * per-invocation temp dir would leak a full partitioned copy of the
-    * corpus on every bench/verify run), query with vector 0's embedding.
-    * Same no-oracle story as [[annIvfQuery]].
+    * into the process-scoped scratch path ([[ivfScratchDir]]), query
+    * with vector 0's embedding. Same no-oracle story as [[annIvfQuery]].
     */
   val annIvfPersistedQuery = QueryDef.unverified("sim_ann_ivf_persisted")(
     (s, d) => {
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-ivf-persisted").toString
+      val dir = ivfScratchDir
       val emb = Tables.embeddings(s, d)
       buildIvfIndex(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)

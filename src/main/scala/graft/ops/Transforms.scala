@@ -160,7 +160,10 @@ object Transforms {
 
   /** T16/T12 — string functions + display aliasing (reference: concat/cast/
     * split/length/trim, SURVEY.md T16; aliases with spaces
-    * IndicateursStreaming.scala:175-181).
+    * IndicateursStreaming.scala:175-181). n_tokens splits on '\s+' — the
+    * one tokenization every token-counting query in the library uses
+    * (TextAnalysis.tokenStats, Coverage.tokenBudgetSample), so the same
+    * document reports the same n_tokens everywhere.
     */
   val t16StringFunctions = QueryDef(
     "t16_string_functions",
@@ -168,7 +171,7 @@ object Transforms {
       |       upper(substr(text, 1, 10)) AS head10,
       |       CAST(length(trim(text)) AS BIGINT) AS len_trimmed,
       |       lang || '-' || source AS lang_source,
-      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |       CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin)(
     (s, d) => Tables.documents(s, d)
       .select(
@@ -176,7 +179,7 @@ object Transforms {
         upper(substring(col("text"), 1, 10)).as("head10"),
         length(trim(col("text"))).cast("long").as("len_trimmed"),
         concat(col("lang"), lit("-"), col("source")).as("lang_source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       .orderBy("doc_id"))
 
   val all: Seq[QueryDef] = Seq(

@@ -68,6 +68,74 @@ class CoverageSpec extends SparkSpec {
     assert(ids.subsetOf(bigger) && bigger.size > ids.size)
   }
 
+  test("hash-stratified take: exact quotas, layout-independent, prefix property") {
+    val docs = Tables.documents(spark, sf)
+    val fracs = Map("en" -> 0.8, "fr" -> 0.5, "zh" -> 0.1)
+    val totals = docs.filter(col("lang").isin(fracs.keys.toSeq: _*))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = Coverage.hashStratifiedSample(docs, fractions = fracs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Quotas are EXACT (floor(n_k * f + 0.5)), not Bernoulli-approximate.
+    fracs.foreach { case (lang, f) =>
+      assert(byLang.getOrElse(lang, 0L) == math.floor(totals(lang) * f + 0.5).toLong,
+        s"$lang: got ${byLang.getOrElse(lang, 0L)} of ${totals(lang)} at $f")
+    }
+    // Layout independence: identical ids after an adversarial reshuffle.
+    val ids = Coverage.hashStratifiedSample(docs, fractions = fracs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reshuffled = Coverage.hashStratifiedSample(
+      docs.repartition(7, col("n_chars")), fractions = fracs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == reshuffled)
+    // Raising a fraction only EXTENDS a stratum's selection (same hash
+    // order, longer prefix) — re-runs with a bigger budget keep history.
+    val bigger = Coverage.hashStratifiedSample(docs, fractions = fracs.updated("zh", 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(bigger))
+    intercept[IllegalArgumentException](
+      Coverage.hashStratifiedSample(docs, fractions = Map("en" -> 1.5)))
+  }
+
+  test("temperature take: deterministic, quota-exact, flattens the distribution") {
+    val docs = Tables.documents(spark, sf)
+    val a = Coverage.temperatureTakeSample(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Coverage.temperatureTakeSample(docs.repartition(5, col("n_chars")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // layout-independent, no seed needed
+    val natural = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = Coverage.temperatureTakeSample(docs, alpha = 0.3, targetRows = 250L)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def skew(m: Map[String, Long]): Double = {
+      val vals = natural.keySet.toSeq.map(k => m.getOrElse(k, 0L).toDouble max 1.0)
+      vals.max / vals.min
+    }
+    assert(skew(mixed) < skew(natural))
+    // Quotas match the driver-free relational math exactly.
+    val weights = natural.map { case (k, n) => k -> math.pow(n.toDouble, 0.5) }
+    val z = weights.values.sum
+    val expected = natural.map { case (k, n) =>
+      k -> math.min(n.toDouble, math.floor(200.0 * weights(k) / z + 0.5)).toLong
+    }
+    val got = Coverage.temperatureTakeSample(docs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("temperature mix on an all-null key column returns empty instead of throwing") {
+    import spark.implicits._
+    val nullKeyed = Seq((1L, "some text", 9L), (2L, "more text", 9L))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("source", lit("s"))
+    assert(Coverage.temperatureMix(nullKeyed).isEmpty)
+  }
+
   test("pivot fills absent (day, type) combinations with zero, not null") {
     val out = Coverage.pivotQuery.fn(spark, sf)
     assert(out.columns.toSeq == Seq("d", "purchase", "view", "click"))

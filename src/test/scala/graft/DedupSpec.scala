@@ -181,6 +181,85 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashBandedNearDups(docs, maxHamming = 16))
   }
 
+  test("banded simhash equals brute-force hamming enumeration (full recall, exact precision)") {
+    // ~30 template variants: distinct simhashes a few bits apart, so the
+    // value-level banding path does real work (buckets, value pairs,
+    // doc expansion) and must reproduce brute force EXACTLY.
+    val variants = (0 until 30).map { i =>
+      (i.toLong, s"$base token$i", "en", "s", 120L)
+    }
+    val df = variants.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val sh = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashBandedNearDups(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("1000 identical-text docs collapse to ONE distinct simhash value: all true pairs, no candidate blowup") {
+    // The round-5 verdict's planted boilerplate case. Value-level banding
+    // sees a single simhash value → zero cross-value candidates; every
+    // output row comes from the output-sized same-value join.
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, base, "en", "s", base.length.toLong))
+    val df = boiler.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.simhashBandedNearDups(df, maxHamming = 3)
+    assert(out.count() == 1000L * 999 / 2) // all true pairs at hamming 0
+    assert(out.filter(col("hamming") =!= 0).isEmpty)
+  }
+
+  test("oversized diverse value-buckets are capped: maxBucket excludes, default keeps") {
+    val variants = (0 until 30).map { i =>
+      (i.toLong, s"$base token$i", "en", "s", 120L)
+    }
+    val df = variants.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = Dedup.simhashBandedNearDups(df, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.simhashBandedNearDups(df, maxHamming = 7, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Capping only ever REMOVES pairs (recall trade documented in the
+    // scaladoc) and with 30 near-identical variants some band bucket
+    // must exceed 2 distinct values, so something is actually excluded.
+    assert(capped.subsetOf(full))
+    assert(capped.size < full.size, "cap=2 on 30 near-identical variants must exclude some bucket")
+    intercept[IllegalArgumentException](Dedup.simhashBandedNearDups(df, maxBucket = 1))
+  }
+
+  test("incrementalNearDupsSplit (single corpus scan) matches the two-scan form exactly") {
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val twoScan = Dedup.incrementalNearDups(
+      fixture.filter(col("doc_id") % 2 === 1),
+      fixture.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneScan = Dedup.incrementalNearDupsSplit(fixture, col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(oneScan == twoScan,
+      s"missing=${twoScan -- oneScan} extra=${oneScan -- twoScan}")
+    assert(oneScan.nonEmpty, "fixture has planted cross-parity near-dups")
+  }
+
+  test("incremental shingle jaccard: cross-corpus pairs only, order-sensitive measure") {
+    val prefix = "shared fifty character prefix padding padding pad " // 50 chars
+    val tail = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (0L, prefix + tail, "en", "s", 1L),                                   // history
+      (1L, prefix + tail, "en", "s", 1L),                                   // batch: exact dup of 0
+      (3L, prefix + tail.replace("echo", "zulu"), "en", "s", 1L),           // batch: near-dup of 0
+      (5L, prefix + tail.split(" ").reverse.mkString(" "), "en", "s", 1L),  // batch: shuffled -> low shingle J
+      (2L, "some other unrelated history document entirely", "en", "s", 1L) // history, no block mate
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.incrementalShingleJaccard(d, col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 0L)) == 1.0, s"exact dup must score 1.0: $out")
+    assert(out.contains((3L, 0L)) && out((3L, 0L)) >= 0.4, s"near-dup must pass threshold: $out")
+    assert(!out.contains((5L, 0L)), s"shuffled doc must fail the order-sensitive threshold: $out")
+    // no batch-batch or history-history pairs: every key is (odd, even)
+    assert(out.keys.forall { case (n, h) => n % 2 == 1 && h % 2 == 0 }, s"side leak: $out")
+  }
+
   test("near-dup clusters: transitive chain collapses to one component, min label wins") {
     // Chain 1-2, 2-3, plus separate pair 7-8; (1,3) deliberately absent.
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (7L, 8L, 0.8))
