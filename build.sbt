@@ -19,6 +19,19 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Kafka connector (S1/S2/K1-K4 executable paths). The coordinate is real
+// and version-matched to the Spark jars, but it is NOT resolvable in this
+// zero-egress build environment (no jar under /opt/spark/jars, empty
+// coursier cache) — so it is gated behind an env flag instead of breaking
+// `sbt compile` offline. On a networked cluster build:
+//   SPARK_GRAFT_WITH_KAFKA=1 sbt package
+// or just add the package at submit time (no rebuild needed — the library
+// only touches the connector through the string-based DataFrame API):
+//   spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 ...
+libraryDependencies ++= (
+  if (sys.env.contains("SPARK_GRAFT_WITH_KAFKA"))
+    Seq("org.apache.spark" %% "spark-sql-kafka-0-10" % "4.1.2")
+  else Seq.empty)
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -58,8 +58,10 @@ object Curation {
   def scoreAndGate(
       documents: DataFrame,
       minTokens: Long = 10L,
-      minQuality: Double = 0.55): DataFrame = {
-    val base = documents.select(col("doc_id"), cleaned(col("text")).as("t"))
+      minQuality: Double = 0.55,
+      keep: Seq[String] = Nil): DataFrame = {
+    val base = documents.select(
+      col("doc_id") +: cleaned(col("text")).as("t") +: keep.map(col): _*)
     val lowToks = "split(lower(t), '\\\\s+')"
     val nToks = size(split(col("t"), "\\s+")).cast("long")
     val nToksD = nToks.cast("double")
@@ -90,7 +92,7 @@ object Curation {
       // guards first: length >= 1 keeps every ratio denominator positive
       .filter(length(col("t")) >= 1 && col("n_tokens") >= minTokens &&
         col("pred_lang") === "en" && col("quality") >= minQuality)
-      .select(col("doc_id"), col("t"), col("n_tokens"), col("quality"))
+      .select(Seq("doc_id", "t", "n_tokens", "quality").++(keep).map(col): _*)
   }
 
   /** Curate `documents`: returns one row per surviving distinct cleaned
@@ -113,10 +115,11 @@ object Curation {
 
   /** Streaming curation: the SAME narrow gates lifted onto a stream,
     * with first-seen-wins dedup instead of the batch min-groupBy (a
-    * stream cannot wait for "the smallest doc_id ever"). With an
-    * event-time column, prefer `dropDuplicatesWithinWatermark` upstream
-    * so dedup state stays bounded; this unwatermarked form matches the
-    * batch gate set exactly and keeps one hash per distinct text.
+    * stream cannot wait for "the smallest doc_id ever"). This
+    * unwatermarked form matches the batch gate set exactly and keeps one
+    * hash per distinct text — but its dedup state grows with corpus
+    * lifetime; for unbounded streams use [[curateStreamWatermarked]],
+    * which bounds state with an event-time watermark.
     */
   def curateStream(
       documents: DataFrame,
@@ -126,6 +129,29 @@ object Curation {
       .withColumn("content_hash", sha2(col("t"), 256))
       .dropDuplicates("content_hash")
       .select(col("content_hash"), col("doc_id"), col("n_tokens"), col("quality"))
+
+  /** Streaming curation with BOUNDED dedup state — the production form of
+    * [[curateStream]] for unbounded streams. `documents` must carry an
+    * event-time column `tsCol`; dedup state for a content hash is freed
+    * once the watermark passes its event time plus `delay`, so state size
+    * tracks the duplicate-arrival window, not corpus lifetime. The
+    * trade-off is explicit and standard: a duplicate arriving more than
+    * `delay` after the original is re-emitted (downstream exact dedup —
+    * [[Dedup.incrementalExactDedup]]'s persisted store — catches those).
+    * The gate set is identical to the batch path; only the dedup scope
+    * differs.
+    */
+  def curateStreamWatermarked(
+      documents: DataFrame,
+      tsCol: String = "ts",
+      delay: String = "10 minutes",
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55): DataFrame =
+    scoreAndGate(documents, minTokens, minQuality, keep = Seq(tsCol))
+      .withColumn("content_hash", sha2(col("t"), 256))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"), col("doc_id"), col("n_tokens"), col("quality"), col(tsCol))
 
   /** The shared DuckDB CTE chain ending in `curated` — one row per
     * surviving distinct cleaned text, with the text itself riding along

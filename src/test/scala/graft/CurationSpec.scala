@@ -69,6 +69,50 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming curation dedups within the window and frees state past it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import java.sql.Timestamp
+    // A text that passes every gate (same fixture as the canonical test).
+    val good = "the quick brown fox jumps over the lazy dog while the cat sleeps on the " +
+      "warm windowsill every afternoon because it enjoys the sunshine and the quiet house"
+    val other = "this other document is about the weather today and how people in the town " +
+      "walk to the market while they talk about the news of the day"
+    def ts(min: Long) = Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .plusSeconds(min * 60))
+    val ms = MemoryStream[(Long, String, Timestamp)](spark)(
+      org.apache.spark.sql.Encoders.product[(Long, String, Timestamp)])
+    val q = ops.Curation.curateStreamWatermarked(
+      ms.toDF().toDF("doc_id", "text", "ts"), delay = "10 minutes").writeStream
+      .outputMode("append")
+      .queryName("curate_stream_wm")
+      .format("memory")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      def emitted(): Map[Long, Long] = spark.table("curate_stream_wm")
+        .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch 1: first sighting emits; watermark trails max event time.
+      ms.addData(Seq((1L, good, ts(0))))
+      q.processAllAvailable()
+      assert(emitted() == Map(1L -> 1L))
+      // batch 2: duplicate INSIDE the window (ts+1min) — suppressed.
+      ms.addData(Seq((2L, good, ts(1))))
+      q.processAllAvailable()
+      assert(emitted() == Map(1L -> 1L), "in-window duplicate leaked")
+      // batch 3: unrelated doc far in the future advances the watermark
+      // to ts(50), past the duplicate state's expiry at ts(0)+10min.
+      ms.addData(Seq((3L, other, ts(60))))
+      q.processAllAvailable()
+      // batch 4: the SAME text again, after its state was expired — a
+      // bounded-state store MUST re-emit it (the documented trade-off).
+      ms.addData(Seq((4L, good, ts(61))))
+      q.processAllAvailable()
+      assert(emitted() == Map(1L -> 1L, 3L -> 1L, 4L -> 1L),
+        "state survived past the watermark (unbounded) or late dup leaked")
+    } finally q.stop()
+  }
+
   test("canonical stage collapses transitive near-dup survivors that exact dedup keeps") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog while the cat sleeps on the " +

@@ -4,7 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
 
 /** Multimodal plumbing — schema, batch shape, determinism, fan-out
-  * control. The decode is a stub; the Spark contract around it is real.
+  * control. Image (PNG), audio (WAV) and video (GVID container of PNG
+  * frames) decode are real; only the learned feature-extraction seam is
+  * a stub, and the Spark contract around it is real.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -102,6 +104,52 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getDouble(4) == 199.5 * amp, s"asset $id mean")
       }
     } finally auds.unpersist(blocking = true)
+  }
+
+  test("video assets are real GVID containers of PNG frames; decode recovers order and pixels") {
+    val vids = Multimodal.videoAssets(spark, sf).cache()
+    try {
+      val rows = vids.collect()
+      assert(rows.nonEmpty)
+      // Real container: GVID magic, then a parseable index of PNG frames.
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      rows.foreach { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        assert(new String(p.take(4), "US-ASCII") == "GVID",
+          s"asset ${r.getLong(0)} payload is not a GVID container")
+        // First frame starts right after the header+index and is a PNG.
+        val n = java.nio.ByteBuffer.wrap(p, 4, 4).getInt
+        assert(p.slice(8 + 4 * n, 16 + 4 * n).sameElements(sig),
+          s"asset ${r.getLong(0)} frame 0 is not a PNG")
+      }
+      // Decode on executors; per-frame stats must match the pattern
+      // arithmetic, and the frame-varying fills prove ORDER is preserved.
+      val decoded = Multimodal.decodeVideoStats(vids).collect()
+      val byAsset = decoded.groupBy(_.getLong(0))
+      assert(byAsset.size == rows.length)
+      byAsset.foreach { case (id, frames) =>
+        assert(frames.length == Multimodal.videoFrameCount(id), s"asset $id frame count")
+        frames.sortBy(_.getInt(2)).zipWithIndex.foreach { case (r, f) =>
+          assert(r.getInt(1) == frames.length && r.getInt(2) == f, s"asset $id idx")
+          assert(r.getInt(3) == 64 && r.getInt(4) == 48, s"asset $id dims")
+          assert(r.getDouble(5) == 31.5, s"asset $id avg_r")
+          assert(r.getDouble(6) == ((id + f) % 256).toDouble, s"asset $id frame $f avg_g")
+          assert(r.getDouble(7) == ((id * 37 + f * 11) % 128 + 64).toDouble,
+            s"asset $id frame $f avg_b")
+        }
+      }
+    } finally vids.unpersist(blocking = true)
+  }
+
+  test("video decode fails loudly on corrupt containers instead of emitting partial frames") {
+    val good = Multimodal.renderVideo(5L)
+    // magic corruption
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badMagic))
+    // truncation mid-frame
+    intercept[java.io.EOFException](Multimodal.parseVideoFrames(good.dropRight(10)))
+    // intact container parses to the declared frame count
+    assert(Multimodal.parseVideoFrames(good).length == Multimodal.videoFrameCount(5L))
   }
 
   test("frame sampling fan-out matches duration/interval exactly") {
