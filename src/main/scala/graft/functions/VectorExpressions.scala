@@ -183,7 +183,10 @@ object GraftFunctions {
       two("graft_mingram", MinGramHash)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
-      three("graft_hyperplane_buckets", HyperplaneBuckets)))
+      three("graft_hyperplane_buckets", HyperplaneBuckets)),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
+      one("graft_simhash", e => SimhashAgg(e).toAggregateExpression())))
 
   private def three(name: String, mk: (Expression, Expression, Expression) => Expression): Builder = {
     case Seq(a, b, c) => mk(a, b, c)

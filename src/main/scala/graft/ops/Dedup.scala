@@ -726,27 +726,29 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word tokens, built relationally (same reasoning
-    * as [[minhashSignatures]] — codegen'd grouped sums beat interpreted
-    * array folds ~5×): explode distinct tokens, hash once, aggregate the
-    * per-bit +1/-1 counts as 64 grouped SUMs, then pack the sign vector
-    * into one long. Near-dup docs differ in few bits (Hamming), so at
-    * scale candidates come from banding the simhash bytes — same
-    * bucket-join shape as MinHash-LSH, one long instead of a signature.
+  /** 64-bit SimHash over word tokens: explode distinct tokens, hash once,
+    * fold the per-bit +1/−1 counts with the native
+    * [[graft.functions.SimhashAgg graft_simhash]] aggregate (one
+    * long[64] buffer, map-side partials like any sum), then the sign
+    * vector packs into one long inside the aggregate's eval. Near-dup
+    * docs differ in few bits (Hamming), so at scale candidates come from
+    * banding the simhash bytes — same bucket-join shape as MinHash-LSH,
+    * one long instead of a signature.
+    *
+    * This replaced a 64-column `sum(when((h>>i)&1===1, 1L).otherwise(-1L))`
+    * spelling: arithmetic identical (bit-equality pinned in
+    * VectorExpressionsSpec), but the column form's generated aggregate
+    * class cost ~5.5 s on first use per session (codegen + JIT; 6.9 s
+    * vs 1.4 s first-run, identical steady state at sf0.1). A fixed
+    * imperative buffer leaves nothing query-sized to generate.
     */
-  def simhash(documents: DataFrame): DataFrame = {
-    val toks = documents
+  def simhash(documents: DataFrame): DataFrame =
+    documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .dropDuplicates("doc_id", "tok")
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
-    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+      .groupBy("doc_id").agg(expr("graft_simhash(h)").as("simhash"))
 
   /** Hamming distance between the simhashes of doc pairs sharing a prefix
     * block — the verify stage a banded simhash index would run. bit_count
@@ -816,9 +818,16 @@ object Dedup {
     require(maxBucket >= 2, s"maxBucket must be >= 2 (got $maxBucket)")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    // Consumed three times (distinct values, two expansion joins, the
-    // same-value self-join) — cached; the harness barrier frees it.
+    // Consumed FIVE times (distinct values, two expansion joins, the
+    // same-value self-join's two sides) — cached, and populated eagerly
+    // so the union's concurrently-scheduled consumers read blocks
+    // instead of racing to recompute a not-yet-populated
+    // InMemoryRelation (first readers each recompute partitions; the
+    // cache only dedups AFTER blocks land). One cheap extra pass — the
+    // simhash agg is a single imperative buffer. The harness barrier
+    // frees the cache.
     val sh = simhash(documents).cache()
+    sh.count()
     val values = sh.select(col("simhash")).distinct()
     val banded = values.select(col("simhash"),
       posexplode(array((0 until bands).map(b =>

@@ -173,4 +173,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(4L) == ((Some(hof.getLong(1)), Some(hof.getLong(2)))))
     assert(out(5L) == ((None, None)))
   }
+
+  test("graft_simhash is bit-identical to the 64-column sum(when) spelling on the fixture") {
+    // The spelled-out form graft_simhash replaced (see Dedup.simhash
+    // scaladoc): 64 signed bit-count sums, sign vector packed to a long.
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .dropDuplicates("doc_id", "tok")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(h >> $i) & 1") === 1, 1L).otherwise(-1L)).as(s"b$i"))
+    val spelled = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("spelled"))
+    val native = toks.groupBy("doc_id").agg(expr("graft_simhash(h)").as("native"))
+    val joined = native.join(spelled, "doc_id").cache()
+    try {
+      assert(joined.count() > 0)
+      assert(joined.filter(col("native") =!= col("spelled")).isEmpty)
+    } finally joined.unpersist(blocking = true)
+  }
+
+  test("graft_simhash merges partials correctly across repartitionings") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i % 7, i * 2654435761L))
+    val one = rows.toDF("g", "h").coalesce(1)
+      .groupBy("g").agg(expr("graft_simhash(h)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val many = rows.toDF("g", "h").repartition(13)
+      .groupBy("g").agg(expr("graft_simhash(h)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == many)
+    assert(one.size == 7)
+  }
 }
