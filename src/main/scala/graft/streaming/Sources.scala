@@ -122,7 +122,10 @@ object Sources {
     * src/main/resources/mysql-kafka-connect-source.properties:1-10, mode=bulk
     * full-table snapshot). Spark reads JDBC in parallel when partitioning
     * bounds are given — the scale path vs the connector's tasks.max=3.
-    * No database exists in this environment; compile-complete.
+    * Executable end-to-end in-env against embedded Derby (the Spark
+    * distribution ships it): JdbcSourceSpec pins whole-table reads,
+    * filter pushdown into the JDBC scan, and the partitioned range-scan
+    * split. Swapping in MySQL changes only the URL + driver jar.
     */
   def jdbcTable(
       spark: SparkSession,
