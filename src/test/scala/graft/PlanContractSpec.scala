@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan contracts over the ENTIRE query registry — the anti-patterns a
+  * 100 TB deployment cannot absorb, asserted on the physical plan of
+  * every registered query rather than spot-checked per suite:
+  *
+  *  - no CartesianProduct anywhere (a broadcast nested-loop against a
+  *    1-row query vector is fine; an unbroadcast cartesian is corpus² —
+  *    never acceptable);
+  *  - scan-reaching predicate pushdown on the flagship filters (a
+  *    filter evaluated above the scan reads 100 TB to discard most of
+  *    it).
+  *
+  * Planning runs at sf0.001 — these are shape assertions, not timings.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch {
+        case e: Throwable => Some(s"$name (failed to plan: ${e.getMessage})")
+      }
+    }
+    assert(offenders.isEmpty, s"cartesian/unplannable: ${offenders.mkString(", ")}")
+  }
+
+  test("flagship filters reach the parquet scan as pushed filters") {
+    // disjunctive equality (T5): the In() must land in PushedFilters,
+    // not in a Filter above the scan.
+    val t5 = SparkEntry.queries("t5_filter_isin")(spark, sf)
+    val t5plan = t5.queryExecution.executedPlan.toString
+    assert(t5plan.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(event_type.*"), t5plan)
+    // pricing summary's shipdate range — the filter that decides whether
+    // a 100 TB lineitem scan can skip row groups by min/max stats.
+    // (Asserting IsNotNull(text) on the dedup scans would be wrong twice
+    // over: dedup_exact deliberately has no filter — null texts form
+    // their own hash group, same as the oracle — and the blocked path's
+    // guard gets constraint-rewritten to isnotnull(substring(text,1,50)),
+    // which subsumes it but is not a pushable attribute predicate.)
+    val ps = SparkEntry.queries("q_pricing_summary")(spark, sf)
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert(psPlan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"), psPlan)
+  }
+
+  test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
+    // mm_frame_sample fans out on metadata only — its scan must not
+    // read the documents text column (ReadSchema pruned to doc_id).
+    val fs = SparkEntry.queries("mm_frame_sample")(spark, sf)
+    val scans = fs.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val docScan = scans.find(_.contains("documents")).getOrElse(fail("no documents scan"))
+    assert(!docScan.contains("text"), s"frame-sample scan reads text: $docScan")
+  }
+}
