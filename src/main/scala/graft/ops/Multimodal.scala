@@ -80,12 +80,13 @@ object Multimodal {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
     val g = (assetId % 256).toInt
     val b = ((assetId * 37) % 128 + 64).toInt
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, ((x % 256) << 16) | (g << 8) | b); x += 1 }
-      y += 1
-    }
+    // bulk setRGB: one array store per pixel instead of a synchronized
+    // raster call with per-pixel colorspace conversion (the per-pixel
+    // form dominated the decode queries' profiles)
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) { px(i) = ((i % width % 256) << 16) | (g << 8) | b; i += 1 }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -124,16 +125,16 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           val (w, h) = (img.getWidth, img.getHeight)
+          // bulk getRGB (one colorspace-converted copy), then a tight
+          // array loop — the per-pixel getRGB(x, y) form this replaced
+          // pays a raster lookup + sRGB conversion per call
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
           var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            i += 1
           }
           val n = (w * h).toDouble
           (id, w, h, sr / n, sg / n, sb / n)
@@ -255,12 +256,10 @@ object Multimodal {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
       val g = ((assetId + f) % 256).toInt
       val b = ((assetId * 37 + f * 11) % 128 + 64).toInt
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { img.setRGB(x, y, ((x % 256) << 16) | (g << 8) | b); x += 1 }
-        y += 1
-      }
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) { px(i) = ((i % w % 256) << 16) | (g << 8) | b; i += 1 }
+      img.setRGB(0, 0, w, h, px, 0, w) // bulk store, see renderPng
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
@@ -325,16 +324,13 @@ object Multimodal {
           val frames = parseVideoFrames(payload)
           frames.iterator.zipWithIndex.map { case (img, f) =>
             val (w, h) = (img.getWidth, img.getHeight)
+            val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk, see decodeImageStats
             var (sr, sg, sb) = (0L, 0L, 0L)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              i += 1
             }
             val n = (w * h).toDouble
             (id, frames.length, f, w, h, sr / n, sg / n, sb / n)
