@@ -388,6 +388,46 @@ object Multimodal {
       .withColumn("target_height", floor(col("height") * scale).cast("int"))
   }
 
+  /** REAL executed resize — the decode-time half of the lazy-resize
+    * pattern [[planResize]] records: decode the PNG, nearest-neighbor
+    * sample to the target grid (one pass over the bulk pixel array —
+    * sample, don't average, so every output pixel is an exact input
+    * pixel and the channel stats stay integer-exact for the oracle),
+    * emit the resized dimensions and means. `factor` must divide both
+    * dims (metadata dims here are multiples of 8). Same mapPartitions
+    * batch shape as [[decodeImageStats]]; at scale this is where the
+    * resized payload would be re-encoded toward the sink.
+    */
+  def decodeImageResized(assets: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1 (got $factor)")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          val (tw, th) = (w / factor, h / factor)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val rgb = px(y * factor * w + x * factor) // nearest-neighbor sample
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (tw * th).toDouble
+          (id, tw, th, sr / n, sg / n, sb / n)
+        }
+      }
+      .toDF("asset_id", "target_width", "target_height", "avg_r", "avg_g", "avg_b")
+  }
+
   /** Frame sampling fan-out for video assets: one row per sampled frame
     * at `everyMs` intervals. The explosion factor is duration/everyMs —
     * bounded and known BEFORE the explode, which is what keeps this safe
@@ -468,6 +508,32 @@ object Multimodal {
         round(col("avg_b"), 4).as("avg_b"))
       .orderBy("asset_id"))
 
+  /** Executed-resize pipeline as a verified query: render PNGs, decode,
+    * nearest-neighbor downscale 2× at decode time, emit resized dims and
+    * exact channel means. The oracle recomputes them from arithmetic:
+    * sampling every 2nd column of the red ramp keeps xs {0,2,…,w−2}, so
+    * avg_r = (w−2)/2 exactly; the flat fills are sampling-invariant —
+    * which is precisely what a correct sample-don't-average resize must
+    * preserve. Closes the loop [[planResize]] opens (plan carries the
+    * target; decode executes it).
+    */
+  val imageResizeQuery = QueryDef(
+    "mm_image_resize",
+    """SELECT doc_id AS asset_id,
+      |       CAST((64 + (doc_id % 16) * 8) // 2 AS INTEGER) AS target_width,
+      |       CAST((64 + (doc_id % 9) * 8) // 2 AS INTEGER) AS target_height,
+      |       round(CAST(64 + (doc_id % 16) * 8 - 2 AS DOUBLE) / 2.0, 4) AS avg_r,
+      |       round(CAST(doc_id % 256 AS DOUBLE), 4) AS avg_g,
+      |       round(CAST((doc_id * 37) % 128 + 64 AS DOUBLE), 4) AS avg_b
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY asset_id""".stripMargin)(
+    (s, d) => decodeImageResized(imageAssets(s, d), factor = 2)
+      .select(col("asset_id"), col("target_width"), col("target_height"),
+        round(col("avg_r"), 4).as("avg_r"),
+        round(col("avg_g"), 4).as("avg_g"),
+        round(col("avg_b"), 4).as("avg_b"))
+      .orderBy("asset_id"))
+
   /** End-to-end REAL audio pipeline as a verified query: render WAV bytes
     * on the executors, decode them back with javax.sound, emit the
     * measured rate, frame count, peak and mean amplitude. The DuckDB
@@ -522,6 +588,6 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx"))
 
   val all: Seq[QueryDef] =
-    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, audioDecodeQuery,
-      videoDecodeQuery)
+    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, imageResizeQuery,
+      audioDecodeQuery, videoDecodeQuery)
 }

@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkSpec {
     } finally auds.unpersist(blocking = true)
   }
 
+  test("executed resize samples the exact grid: dims halve, ramp mean shifts, fills invariant") {
+    val imgs = Multimodal.imageAssets(spark, sf).cache()
+    try {
+      val full = Multimodal.decodeImageStats(imgs).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val half = Multimodal.decodeImageResized(imgs, factor = 2).collect()
+      assert(half.length == full.size && half.nonEmpty)
+      half.foreach { r =>
+        val id = r.getLong(0)
+        val f = full(id)
+        assert(r.getInt(1) == f.getInt(1) / 2 && r.getInt(2) == f.getInt(2) / 2, s"dims $id")
+        // red ramps with x: sampling x∈{0,2,…,w−2} gives mean (w−2)/2,
+        // exactly 0.5 below the full image's (w−1)/2
+        assert(r.getDouble(3) == f.getDouble(3) - 0.5, s"avg_r $id")
+        // flat fills must be untouched by any correct sampling resize
+        assert(r.getDouble(4) == f.getDouble(4) && r.getDouble(5) == f.getDouble(5), s"fills $id")
+      }
+    } finally imgs.unpersist(blocking = true)
+  }
+
   test("video assets are real GVID containers of PNG frames; decode recovers order and pixels") {
     val vids = Multimodal.videoAssets(spark, sf).cache()
     try {
