@@ -292,6 +292,33 @@ object Multimodal {
     }.toSeq
   }
 
+  /** Strided frame decode — what the length index is FOR: seek past
+    * unwanted frames without decoding them. Returns one decoded frame
+    * per `stride` (frame 0, stride, 2·stride, …); skipped frames cost a
+    * pointer bump, not an ImageIO parse, so per-asset decode work is
+    * ceil(n/stride) regardless of clip length — the contract that makes
+    * sparse frame sampling viable on long videos at scale (a container
+    * without an index would force sequential decode of every frame).
+    */
+  private[graft] def parseVideoFramesStrided(
+      payload: Array[Byte], stride: Int): Seq[(Int, java.awt.image.BufferedImage)] = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    require(bb.getInt() == VideoMagic, "not a GVID container: bad magic")
+    val n = bb.getInt()
+    require(n >= 0, s"negative frame count $n")
+    val lengths = Array.fill(n)(bb.getInt())
+    var offset = 8 + 4 * n
+    (0 until n).flatMap { f =>
+      val at = offset
+      offset += lengths(f)
+      if (f % stride == 0)
+        Some(f -> javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, at, lengths(f))))
+      else None // seek: index math only, no decode
+    }
+  }
+
   /** Video-kind assets carrying REAL GVID payloads. Like [[imageAssets]],
     * rendering runs per-partition on the executors.
     */
@@ -338,6 +365,35 @@ object Multimodal {
         }
       }
       .toDF("asset_id", "n_frames", "frame_idx", "width", "height", "avg_r", "avg_g", "avg_b")
+  }
+
+  /** Sparse decode: only every `stride`-th frame is parsed (seek via the
+    * container index — see [[parseVideoFramesStrided]]); emitted stats
+    * match [[decodeVideoStats]] on the frames both produce.
+    */
+  def decodeVideoSampled(assets: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload) =>
+          parseVideoFramesStrided(payload, stride).iterator.map { case (f, img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              i += 1
+            }
+            val n = (w * h).toDouble
+            (id, f, w, h, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+      .toDF("asset_id", "frame_idx", "width", "height", "avg_r", "avg_g", "avg_b")
   }
 
   // ----------------------------------------------------------- decode stub
@@ -587,7 +643,32 @@ object Multimodal {
         round(col("avg_b"), 4).as("avg_b"))
       .orderBy("asset_id", "frame_idx"))
 
+  /** Sparse-decode pipeline as a verified query: decode every 2nd frame
+    * via index seeks; the oracle generates exactly the even frame
+    * indices with the same per-frame arithmetic as [[videoDecodeQuery]].
+    * A hash match proves the seek math lands on frame boundaries — a
+    * one-byte-off index would decode garbage or throw, not match.
+    */
+  val videoSampleQuery = QueryDef(
+    "mm_video_sample",
+    """SELECT doc_id AS asset_id,
+      |       CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(64 AS INTEGER) AS width,
+      |       CAST(48 AS INTEGER) AS height,
+      |       round(CAST(31.5 AS DOUBLE), 4) AS avg_r,
+      |       round(CAST((doc_id + f) % 256 AS DOUBLE), 4) AS avg_g,
+      |       round(CAST((doc_id * 37 + f * 11) % 128 + 64 AS DOUBLE), 4) AS avg_b
+      |FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 7 AS BIGINT), 2)) AS f
+      |      FROM documents WHERE doc_id % 3 = 2)
+      |ORDER BY asset_id, frame_idx""".stripMargin)(
+    (s, d) => decodeVideoSampled(videoAssets(s, d), stride = 2)
+      .select(col("asset_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("avg_r"), 4).as("avg_r"),
+        round(col("avg_g"), 4).as("avg_g"),
+        round(col("avg_b"), 4).as("avg_b"))
+      .orderBy("asset_id", "frame_idx"))
+
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, imageResizeQuery,
-      audioDecodeQuery, videoDecodeQuery)
+      audioDecodeQuery, videoDecodeQuery, videoSampleQuery)
 }

@@ -161,6 +161,25 @@ class MultimodalSpec extends SparkSpec {
     } finally vids.unpersist(blocking = true)
   }
 
+  test("strided video decode seeks via the index and agrees with the full decode") {
+    val vids = Multimodal.videoAssets(spark, sf).cache()
+    try {
+      val full = Multimodal.decodeVideoStats(vids).collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> (r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+        .toMap
+      val strided = Multimodal.decodeVideoSampled(vids, stride = 3).collect()
+      assert(strided.nonEmpty)
+      // exactly the f % 3 == 0 frames, with identical stats
+      strided.foreach { r =>
+        val key = (r.getLong(0), r.getInt(1))
+        assert(key._2 % 3 == 0, s"decoded a non-strided frame $key")
+        assert(full(key) == ((r.getDouble(4), r.getDouble(5), r.getDouble(6))), s"stats $key")
+      }
+      val expected = full.keys.count(_._2 % 3 == 0)
+      assert(strided.length == expected, s"${strided.length} != $expected")
+    } finally vids.unpersist(blocking = true)
+  }
+
   test("video decode fails loudly on corrupt containers instead of emitting partial frames") {
     val good = Multimodal.renderVideo(5L)
     // magic corruption
