@@ -218,6 +218,40 @@ object Multimodal {
       .toDF("asset_id", "sample_rate", "n_samples", "peak", "mean_amp")
   }
 
+  /** Strided audio decode — every `stride`-th PCM sample. Unlike video
+    * (which needs the container's length index to seek), fixed-width PCM
+    * IS random access: sample k lives at byte 2k, so downsampling is
+    * pure address arithmetic and touches 1/stride of the samples. The
+    * standing caveat of sample-dropping (aliasing) doesn't apply to the
+    * stats here — they're exact over whatever grid is kept, which is
+    * what the oracle verifies.
+    */
+  def decodeAudioSampled(assets: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val rate = ais.getFormat.getSampleRate.toInt
+        val bytes =
+          try ais.readAllBytes()
+          finally ais.close()
+        val n = bytes.length / 2
+        var (i, kept, sum, peak) = (0, 0L, 0L, Int.MinValue)
+        while (i < n) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          sum += s
+          if (s > peak) peak = s
+          kept += 1
+          i += stride // address arithmetic, not a skip-scan
+        }
+        (id, rate, kept, peak, sum.toDouble / kept)
+      })
+      .toDF("asset_id", "sample_rate", "n_samples", "peak", "mean_amp")
+  }
+
   // ------------------------------------------------------ real video decode
 
   /** GVID container layout (pure-JDK, deterministic): the JDK ships no
@@ -643,6 +677,27 @@ object Multimodal {
         round(col("avg_b"), 4).as("avg_b"))
       .orderBy("asset_id", "frame_idx"))
 
+  /** Strided-audio pipeline as a verified query: keep every 2nd sample.
+    * The kept grid is i ∈ {0,2,…,n−2}; the ramp takes each even value
+    * {0,2,…,398}·amp equally often (n is a whole number of 400-sample
+    * periods), so mean = 199·amp and peak = 398·amp exactly — shifted
+    * from the full decode's 199.5/399, which is how the oracle proves
+    * the stride actually skipped the odd samples.
+    */
+  val audioSampleQuery = QueryDef(
+    "mm_audio_sample",
+    """SELECT doc_id AS asset_id,
+      |       CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) AS sample_rate,
+      |       CAST((8000 + (doc_id % 5) * 8000) // 40 AS BIGINT) AS n_samples,
+      |       CAST(398 * (doc_id % 16 + 1) AS INTEGER) AS peak,
+      |       CAST(round(199.0 * (doc_id % 16 + 1), 4) AS DOUBLE) AS mean_amp
+      |FROM documents WHERE doc_id % 3 = 1
+      |ORDER BY asset_id""".stripMargin)(
+    (s, d) => decodeAudioSampled(audioAssets(s, d), stride = 2)
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"), col("peak"),
+        round(col("mean_amp"), 4).as("mean_amp"))
+      .orderBy("asset_id"))
+
   /** Sparse-decode pipeline as a verified query: decode every 2nd frame
     * via index seeks; the oracle generates exactly the even frame
     * indices with the same per-frame arithmetic as [[videoDecodeQuery]].
@@ -670,5 +725,5 @@ object Multimodal {
 
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, imageResizeQuery,
-      audioDecodeQuery, videoDecodeQuery, videoSampleQuery)
+      audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery)
 }
