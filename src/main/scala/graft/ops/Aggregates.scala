@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
@@ -84,6 +85,29 @@ object Aggregates {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy("event_type"))
+
+  /** Per-day HLL sketches (DataSketches binary) — the PERSISTED half of
+    * the incremental distinct-count pattern: at 100 TB each ingest day
+    * writes its sketch once (a few KB), and any later window query
+    * merges sketches instead of rescanning raw events. Mirrors the
+    * persisted-store shape of [[Dedup.contentHashes]] / the IVF index.
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+
+  /** Weekly distinct-user estimates computed ONLY by unioning the daily
+    * sketches — no second pass over events, the whole point of a
+    * mergeable sketch. No oracle (DataSketches binary is
+    * implementation-specific); AggregatesSpec pins each weekly estimate
+    * within 5% of the exact weekly distinct count and the plumbing
+    * (union of unions == union of the raw stream).
+    */
+  val sketchRollup = QueryDef.unverified("agg_sketch_weekly_rollup")(
+    (s, d) => dailyUserSketches(Tables.events(s, d))
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+      .orderBy("week"))
 
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` and DuckDB `quantile_cont` implement the same method;
@@ -176,6 +200,6 @@ object Aggregates {
     })
 
   val all: Seq[QueryDef] = Seq(
-    a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct,
+    a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct, sketchRollup,
     percentiles, approxPercentiles, freqItemsQuery, heavyHitters, analyticFunctions)
 }

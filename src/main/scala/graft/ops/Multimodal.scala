@@ -247,7 +247,10 @@ object Multimodal {
           kept += 1
           i += stride // address arithmetic, not a skip-scan
         }
-        (id, rate, kept, peak, sum.toDouble / kept)
+        // empty PCM payload (n = 0): no samples kept — emit zeros, not
+        // NaN/MinValue, so an all-silence shard can't poison a rollup
+        if (kept == 0) (id, rate, 0L, 0, 0.0)
+        else (id, rate, kept, peak, sum.toDouble / kept)
       })
       .toDF("asset_id", "sample_rate", "n_samples", "peak", "mean_amp")
   }

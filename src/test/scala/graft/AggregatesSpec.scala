@@ -66,4 +66,25 @@ class AggregatesSpec extends SparkSpec {
       .agg(sum("n")).head.getLong(0)
     assert(fanned == 3 * total)
   }
+
+  test("weekly rollup from persisted daily sketches tracks exact distinct within 5%") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+    val weekly = graft.ops.Aggregates.sketchRollup.fn(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(weekly.keySet == exact.keySet && weekly.nonEmpty)
+    weekly.foreach { case (w, est) =>
+      val ex = exact(w).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"week $w: est $est vs exact $ex")
+    }
+    // merge associativity: union of the daily sketches == sketching the
+    // whole stream directly (the property that lets sketches persist)
+    val fromDaily = graft.ops.Aggregates.dailyUserSketches(ev)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))).head.getLong(0)
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head.getLong(0)
+    assert(fromDaily == direct, s"union-of-daily $fromDaily != direct $direct")
+  }
 }
