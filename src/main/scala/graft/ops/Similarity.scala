@@ -220,6 +220,26 @@ object Similarity {
   val annIvfQuery = QueryDef.unverified("sim_ann_ivf_topk")(
     (s, d) => annIvfTopK(Tables.embeddings(s, d)))
 
+  /** Exhaustive-probe IVF (nprobe = nlist): every cell is a candidate,
+    * so the result must equal brute force EXACTLY — same rows, same
+    * rounded similarities — no matter what cells the (seed-dependent)
+    * quantizer produced. That makes the IVF assign/probe/score plumbing
+    * itself hash-verifiable against the brute-force DuckDB oracle: any
+    * bug that drops a cell, mis-assigns a vector, or scores through the
+    * quantized representation instead of the raw embedding breaks the
+    * hash. (The nprobe < nlist speedup path stays suite-pinned for
+    * recall, as for any real ANN.)
+    */
+  val annIvfFullProbeQuery = QueryDef(
+    "sim_ann_ivf_fullprobe",
+    s"""SELECT b.vec_id, b.label,
+       |       round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |FROM embeddings b
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE b.vec_id != 0
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => annIvfTopK(Tables.embeddings(s, d), nlist = 16, nprobe = 16))
+
   // ----------------------------------------------------- persisted ivf
 
   /** Build the IVF index ONCE and persist it: `dir/centroids` is the
@@ -421,6 +441,6 @@ object Similarity {
     })
 
   val all: Seq[QueryDef] =
-    Seq(bruteForceQuery, annQuery, annIvfQuery, annIvfPersistedQuery,
+    Seq(bruteForceQuery, annQuery, annIvfQuery, annIvfFullProbeQuery, annIvfPersistedQuery,
       nearDupQuery, labelBlockedQuery)
 }
