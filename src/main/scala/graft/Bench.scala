@@ -79,7 +79,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores (the target config is local[32]);
+    // SPARK_GRAFT_CPUS pins it explicitly
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val isolate = !sys.env.contains("SPARK_GRAFT_BENCH_NO_ISOLATE")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
