@@ -271,6 +271,53 @@ object Jobs {
     }
   }
 
+  /** Streaming distinct-count sketch store — the third persisted-store
+    * job, for the KPI the exact forms can't stream at scale: distinct
+    * users per day over an unbounded stream needs unbounded user-id
+    * state exactly, but only a few KB per (day, batch) as a mergeable
+    * HLL sketch ([[graft.ops.Aggregates.dailyUserSketches]]). Each
+    * micro-batch appends its per-day sketches under its own
+    * `ingest_batch` partition — no read-modify-write of history at all;
+    * merging happens at QUERY time ([[sketchStoreDailyEstimates]]
+    * unions per-batch sketches per day), which the union-associativity
+    * property makes exact w.r.t. one-shot sketching. Replay idempotence
+    * as in [[incrementalDedupBatch]]: a re-run batch dynamic-overwrites
+    * its own partition, leaving estimates unchanged.
+    */
+  def sketchStoreBatch(storeDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    graft.ops.Aggregates.dailyUserSketches(batch)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storeDir)
+  }
+
+  /** [[sketchStoreBatch]] behind a streaming query; `events` must carry
+    * `ts` and `user_id`.
+    */
+  def startSketchStore(
+      events: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    events.writeStream
+      .queryName("sketch_store")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(sketchStoreBatch(storeDir) _)
+      .start()
+
+  /** Query-side merge over the sketch store: per-day distinct-user
+    * estimates from however many batch partitions exist. Reads sketches
+    * only — never the raw events.
+    */
+  def sketchStoreDailyEstimates(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir)
+      .groupBy("day")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+      .orderBy("day")
+
   /** [[nearDupGateBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text`.
     */

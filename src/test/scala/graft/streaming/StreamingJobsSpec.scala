@@ -446,6 +446,39 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
   }
 
+  test("streaming sketch store: estimates track exact distincts across batches, replay-safe") {
+    import spark.implicits._
+    val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
+    val store = tmpDir("sketch-store")
+    val q = Jobs.startSketchStore(ms.toDF(), store, tmpDir("sketch-ckpt"),
+      Trigger.ProcessingTime(0))
+    def ev(id: Long, day: Int, user: Long) =
+      Ev(id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), user, "view", 1.0, "{}")
+    try {
+      // batch 1: day 1 users 1-40, day 2 users 1-10
+      ms.addData((1L to 40L).map(u => ev(u, 1, u)) ++ (41L to 50L).map(u => ev(u, 2, u - 40)))
+      q.processAllAvailable()
+      // batch 2: day 1 users 21-60 (20 overlap), day 3 users 1-5
+      ms.addData((61L to 100L).map(u => ev(u, 1, u - 40)) ++ (101L to 105L).map(u => ev(u, 3, u - 100)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val est = Jobs.sketchStoreDailyEstimates(spark, store)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = Map("2024-01-01" -> 60L, "2024-01-02" -> 10L, "2024-01-03" -> 5L)
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (d, ex) =>
+      assert(math.abs(est(d) - ex).toDouble / ex <= 0.05, s"$d: est ${est(d)} vs exact $ex")
+    }
+    // replay idempotence: re-running a batch body with the same id
+    // dynamic-overwrites its own partition — estimates unchanged
+    val replay = (61L to 100L).map(u => ev(u, 1, u - 40)) ++ (101L to 105L).map(u => ev(u, 3, u - 100))
+    Jobs.sketchStoreBatch(store)(
+      replay.toDF(), 1L)
+    val est2 = Jobs.sketchStoreDailyEstimates(spark, store)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est2 == est, s"replay changed estimates: $est2 vs $est")
+  }
+
   test("kafka source option map mirrors the reference consumer params") {
     val opts = Sources.kafkaSourceOptions("broker:9092", Seq("t1", "t2"), "earliest", "graft")
     assert(opts("kafka.bootstrap.servers") == "broker:9092")
