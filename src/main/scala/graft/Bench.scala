@@ -60,8 +60,12 @@ object Bench {
     * shuffle/broadcast cleanup doesn't bill the next query.
     */
   private def settle(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
+    // Order matters: the blocking unpersist must run FIRST —
+    // clearCache() unpersists with blocking=false and removes entries
+    // from persistentRdds immediately, so a loop after it would iterate
+    // an empty map and never actually wait on block removal.
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
     // ContextCleaner cleanups ride on weak references that only enqueue
     // at GC; force one so accumulated shuffle files and broadcast blocks
     // are released here, not mid-measurement.
@@ -117,8 +121,9 @@ object Bench {
           // nothing: a full GC per window would tax all ~75 queries for
           // the sins of the ~6 cache-heavy ones.
           if (isolate && spark.sparkContext.getPersistentRDDs.nonEmpty) {
-            spark.catalog.clearCache()
+            // blocking unpersist BEFORE clearCache — see settle()
             spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+            spark.catalog.clearCache()
             System.gc()
           }
           true

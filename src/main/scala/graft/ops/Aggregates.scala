@@ -105,7 +105,9 @@ object Aggregates {
     */
   val sketchRollup = QueryDef.unverified("agg_sketch_weekly_rollup")(
     (s, d) => dailyUserSketches(Tables.events(s, d))
-      .groupBy(weekofyear(col("day")).as("week"))
+      // date_trunc keeps the year — weekofyear alone would collapse
+      // week N of every year into one bucket on a multi-year corpus
+      .groupBy(date_trunc("week", col("day")).as("week"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
       .orderBy("week"))
 

@@ -310,10 +310,16 @@ object Coverage {
     val counts = keyed.groupBy(keyCol).agg(count(lit(1)).as("n_k"))
       .withColumn("w_k", pow(col("n_k").cast("double"), alpha))
     val z = counts.agg(sum(col("w_k")).as("z"))
+    // The share w_k/z divides two doubles whose values depend on the
+    // engine's summation order; floor-round it to 10 decimals BEFORE the
+    // integer quota floor (the repo's r4 convention, one digit deeper)
+    // so a last-ulp difference in z can't flip a quota by 1 at a .5
+    // boundary between Spark and the DuckDB oracle.
+    val share = floor(col("w_k") / col("z") * 1e10 + 0.5) / 1e10
     val quota = counts.crossJoin(broadcast(z))
       .select(col(keyCol),
         least(col("n_k"),
-          floor(lit(targetRows.toDouble) * col("w_k") / col("z") + 0.5).cast("long")).as("take_k"))
+          floor(lit(targetRows.toDouble) * share + 0.5).cast("long")).as("take_k"))
     val w = Window.partitionBy(col(keyCol)).orderBy(md5(col("doc_id").cast("string")))
     keyed
       .withColumn("rn", row_number().over(w))
@@ -329,7 +335,7 @@ object Coverage {
       |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
       |quota AS (
       |  SELECT lang,
-      |         least(n_k, CAST(floor(200.0 * w_k / (SELECT sum(w_k) FROM counts) + 0.5) AS BIGINT)) AS take_k
+      |         least(n_k, CAST(floor(200.0 * (floor(w_k / (SELECT sum(w_k) FROM counts) * 1e10 + 0.5) / 1e10) + 0.5) AS BIGINT)) AS take_k
       |  FROM counts),
       |ranked AS (
       |  SELECT doc_id, lang,

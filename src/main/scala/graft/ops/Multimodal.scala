@@ -69,6 +69,21 @@ object Multimodal {
 
   // ----------------------------------------------------- real image decode
 
+  /** Exact per-channel pixel sums over a bulk-copied RGB array (shared
+    * by every decode path — one place to change if channel handling
+    * ever does).
+    */
+  private def sumChannels(px: Array[Int]): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Deterministic test-pattern PNG: red ramps with x (r = x mod 256),
     * green/blue are flat id-derived fills. Every channel statistic is
     * therefore plain integer arithmetic over (asset_id, width, height) —
@@ -128,14 +143,7 @@ object Multimodal {
           // bulk getRGB (one colorspace-converted copy), then a tight
           // array loop — the per-pixel getRGB(x, y) form this replaced
           // pays a raster lookup + sRGB conversion per call
-          val px = img.getRGB(0, 0, w, h, null, 0, w)
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var i = 0
-          while (i < px.length) {
-            val rgb = px(i)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            i += 1
-          }
+          val (sr, sg, sb) = sumChannels(img.getRGB(0, 0, w, h, null, 0, w))
           val n = (w * h).toDouble
           (id, w, h, sr / n, sg / n, sb / n)
         }
@@ -388,14 +396,7 @@ object Multimodal {
           val frames = parseVideoFrames(payload)
           frames.iterator.zipWithIndex.map { case (img, f) =>
             val (w, h) = (img.getWidth, img.getHeight)
-            val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk, see decodeImageStats
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var i = 0
-            while (i < px.length) {
-              val rgb = px(i)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              i += 1
-            }
+            val (sr, sg, sb) = sumChannels(img.getRGB(0, 0, w, h, null, 0, w))
             val n = (w * h).toDouble
             (id, frames.length, f, w, h, sr / n, sg / n, sb / n)
           }
@@ -417,14 +418,7 @@ object Multimodal {
         rows.flatMap { case (id, payload) =>
           parseVideoFramesStrided(payload, stride).iterator.map { case (f, img) =>
             val (w, h) = (img.getWidth, img.getHeight)
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            var i = 0
-            while (i < px.length) {
-              val rgb = px(i)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              i += 1
-            }
+            val (sr, sg, sb) = sumChannels(img.getRGB(0, 0, w, h, null, 0, w))
             val n = (w * h).toDouble
             (id, f, w, h, sr / n, sg / n, sb / n)
           }
@@ -501,6 +495,10 @@ object Multimodal {
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           val (w, h) = (img.getWidth, img.getHeight)
+          // fail loudly (GVID-parser discipline) rather than silently
+          // truncating to a floor(w/factor) grid with off-contract dims
+          require(w % factor == 0 && h % factor == 0,
+            s"asset $id: factor $factor does not divide ${w}x$h")
           val px = img.getRGB(0, 0, w, h, null, 0, w)
           val (tw, th) = (w / factor, h / factor)
           var (sr, sg, sb) = (0L, 0L, 0L)

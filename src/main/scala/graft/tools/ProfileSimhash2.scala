@@ -10,14 +10,15 @@ import graft.ops.Dedup
   * time read from CodegenMetrics between steps.
   */
 object ProfileSimhash2 {
-  private def compMs: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount match {
-    case _ => CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000
-  }
+  // Compilation COUNT is a sound delta; the time histogram is a decaying
+  // sampling reservoir (and already in ms), so summing its snapshot
+  // values between two points is not — don't report time from it.
+  private def compN: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
   def time(name: String)(df: => DataFrame): Unit = {
-    val c0 = compMs
+    val c0 = compN
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
-    println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  janino=+${compMs - c0}%5d ms")
+    println(f"[profile] $name%-30s ${(System.nanoTime() - t0) / 1e9}%6.2f s  janinoN=+${compN - c0}%3d")
   }
 
   def main(args: Array[String]): Unit = {

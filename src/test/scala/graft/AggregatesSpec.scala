@@ -71,10 +71,10 @@ class AggregatesSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
     val weekly = graft.ops.Aggregates.sketchRollup.fn(spark, sf)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val exact = ev.groupBy(weekofyear(to_date(col("ts"))).as("week"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(date_trunc("week", to_date(col("ts"))).as("week"))
       .agg(countDistinct("user_id").as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
     assert(weekly.keySet == exact.keySet && weekly.nonEmpty)
     weekly.foreach { case (w, est) =>
       val ex = exact(w).toDouble
