@@ -227,6 +227,12 @@ object Curation {
         min(col("quality")).as("quality"),
         min(col("t")).as("t"))
       .cache()
+    // populate eagerly (cheap: one pass over the already-gated frame):
+    // the pair stage and the attribute join can be scheduled
+    // concurrently, and concurrent first readers of an unpopulated
+    // InMemoryRelation may each recompute its partitions — here that
+    // would re-run the whole regex scoring scan
+    curated.count()
     val asDocs = curated.select(col("keep_doc_id").as("doc_id"), col("t").as("text"))
     val pairs = Dedup.prefixBlockedJaccard(asDocs)
       .filter(col("jaccard") >= jaccardThreshold)
