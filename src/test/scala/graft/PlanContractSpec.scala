@@ -49,6 +49,16 @@ class PlanContractSpec extends SparkSpec {
     assert(psPlan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"), psPlan)
   }
 
+  test("fixed-cardinality dimensions join as broadcasts, not shuffles") {
+    // nation (25 rows) and region (5 rows) carry explicit broadcast
+    // hints — at 100 TB a sort-merge join against them would shuffle the
+    // fact side for nothing. The static plan must show the broadcast.
+    val j = SparkEntry.queries("q_join_revenue_by_nation")(spark, sf)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"dimension join is not broadcast:\n$plan")
+  }
+
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
     // mm_frame_sample fans out on metadata only — its scan must not
     // read the documents text column (ReadSchema pruned to doc_id).
