@@ -33,6 +33,36 @@ class KafkaIntegrationSpec extends SparkSpec {
       case None    => ignore(name + " [set SPARK_GRAFT_KAFKA_BROKER to enable]")(())
     }
 
+  brokerTest("streaming kafka sink: checkpointed produce, then streamed read-back") { b =>
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val topic = s"graft_sink_it_${System.currentTimeMillis()}"
+    val ms = MemoryStream[(Long, String)](spark)(
+      org.apache.spark.sql.Encoders.product[(Long, String)])
+    ms.addData(Seq((1L, "alpha"), (2L, "beta")))
+    val producer = Sinks.kafkaShaped(ms.toDF().toDF("id", "word"),
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("word"))
+      .writeStream
+      .format("kafka")
+      .options(Sinks.kafkaExactlyOnceOptions(b, topic))
+      .option("checkpointLocation", tmpDir("kafka-sink-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try producer.awaitTermination(60000L)
+    finally producer.stop()
+    val reader = Sources.kafka(spark, b, Seq(topic))
+      .selectExpr("CAST(value AS STRING) AS v").writeStream
+      .outputMode("append").queryName("kafka_sink_roundtrip").format("memory")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      reader.awaitTermination(60000L)
+      val got = spark.table("kafka_sink_roundtrip").collect().map(_.getString(0)).toSet
+      assert(got.exists(_.contains("alpha")) && got.exists(_.contains("beta")))
+    } finally reader.stop()
+  }
+
   brokerTest("kafka round trip: shaped batch write, streamed read, json decode") { b =>
     import org.apache.spark.sql.streaming.Trigger
     val topic = s"graft_it_${System.currentTimeMillis()}"
