@@ -329,7 +329,17 @@ object Multimodal {
     require(din.readInt() == VideoMagic, "not a GVID container: bad magic")
     val n = din.readInt()
     require(n >= 0, s"negative frame count $n")
+    // bounds-check the HEADER before allocating anything sized by it: a
+    // corrupt count/length field must hit the documented loud require,
+    // not a NegativeArraySizeException or an OOM-sized allocation
+    require(8L + 4L * n <= payload.length,
+      s"corrupt GVID: index of $n frames exceeds ${payload.length}-byte payload")
     val lengths = Array.fill(n)(din.readInt())
+    val totalLen = lengths.foldLeft(0L) { (acc, len) =>
+      require(len >= 0, s"corrupt GVID: negative frame length $len"); acc + len
+    }
+    require(8L + 4L * n + totalLen <= payload.length,
+      s"corrupt GVID: frames ($totalLen B) overrun ${payload.length}-byte payload")
     lengths.map { len =>
       val buf = new Array[Byte](len)
       din.readFully(buf) // EOFException on truncation, not a short frame
@@ -352,7 +362,16 @@ object Multimodal {
     require(bb.getInt() == VideoMagic, "not a GVID container: bad magic")
     val n = bb.getInt()
     require(n >= 0, s"negative frame count $n")
+    // same header bounds discipline as parseVideoFrames — validate
+    // BEFORE any count-sized allocation or index-seek arithmetic
+    require(8L + 4L * n <= payload.length,
+      s"corrupt GVID: index of $n frames exceeds ${payload.length}-byte payload")
     val lengths = Array.fill(n)(bb.getInt())
+    val totalLen = lengths.foldLeft(0L) { (acc, len) =>
+      require(len >= 0, s"corrupt GVID: negative frame length $len"); acc + len
+    }
+    require(8L + 4L * n + totalLen <= payload.length,
+      s"corrupt GVID: frames ($totalLen B) overrun ${payload.length}-byte payload")
     var offset = 8 + 4 * n
     (0 until n).flatMap { f =>
       val at = offset
@@ -557,18 +576,37 @@ object Multimodal {
   }
 
   private val materializedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+
+  /** Collision-proof store key: sanitized dir basename for readability
+    * plus a SHA-256 prefix of the FULL path for identity — hashCode
+    * alone could collide two data dirs and silently serve the wrong
+    * materialized assets.
+    */
+  private def storeKey(sfDir: String, kind: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val base = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"$kind-$base-$digest"
+  }
 
   private def materialized(
       spark: SparkSession, sfDir: String, kind: String)(
       render: => DataFrame): DataFrame = {
-    val dir = materializedDirs.computeIfAbsent(
-      s"$kind-${Integer.toHexString(sfDir.hashCode)}", key => {
+    // computeIfAbsent only installs a memoized thunk — cheap, so the
+    // map's bin lock is never held across a Spark job. The render +
+    // parquet write runs on first call of the thunk, serialized per key
+    // by the lazy val's own monitor (concurrent first callers block on
+    // the key being built, not on unrelated keys in the same bin).
+    val holder = materializedDirs.computeIfAbsent(storeKey(sfDir, kind), key => {
+      lazy val dir: String = {
         val d = s"$assetScratchDir/$key"
         render.write.mode("overwrite").parquet(d)
         d
-      })
-    spark.read.parquet(dir)
+      }
+      () => dir
+    })
+    spark.read.parquet(holder())
   }
 
   /** [[imageAssets]]/[[audioAssets]]/[[videoAssets]] through the

@@ -42,8 +42,12 @@ object Stress10x {
       .repartition(32).cache()
     println(s"[stress] corpus: ${docs.count()} docs ($copies x $n)")
     def settle(): Unit = {
-      spark.catalog.clearCache()
+      // blocking unpersist FIRST: clearCache() (blocking=false) empties
+      // persistentRdds immediately, so a loop after it would be a no-op
+      // and async block cleanup would bleed into the next timing window
+      // (same ordering as Bench.settle)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       System.gc()
       docs.cache().count() // re-pin the corpus outside the next timing window
     }

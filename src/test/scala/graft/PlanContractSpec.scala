@@ -20,12 +20,19 @@ class PlanContractSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("no registered query plans a CartesianProduct") {
+    // Constructing mm_* queries eagerly materializes the asset store
+    // (a real render+parquet write, once per process) — accepted here:
+    // the cost is paid by whichever suite touches the store first, and
+    // the assertion itself still only reads plan shape. NonFatal only:
+    // a fatal error (OOM, linkage) must crash the suite, not be
+    // converted into a 'failed to plan' finding.
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct")) Some(name) else None
       } catch {
-        case e: Throwable => Some(s"$name (failed to plan: ${e.getMessage})")
+        case scala.util.control.NonFatal(e) =>
+          Some(s"$name (failed to plan: ${e.getMessage})")
       }
     }
     assert(offenders.isEmpty, s"cartesian/unplannable: ${offenders.mkString(", ")}")
