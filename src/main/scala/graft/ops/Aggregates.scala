@@ -111,6 +111,22 @@ object Aggregates {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
       .orderBy("week"))
 
+  /** The EXACT twin of [[sketchRollup]] at the same weekly grain — the
+    * hash-verified anchor for the rollup family (the daily anchor is
+    * [[dailyDistinct]]; AggregatesSpec additionally pins each sketch
+    * estimate within 5% of this exact count). Both engines truncate to
+    * Monday-based ISO weeks.
+    */
+  val weeklyDistinct = QueryDef(
+    "agg_weekly_distinct_users",
+    """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+    (s, d) => Tables.events(s, d)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("week"))
+
   /** Exact percentiles per group (linear interpolation — Spark
     * `percentile` and DuckDB `quantile_cont` implement the same method;
     * round(4) absorbs the last-ulp interpolation arithmetic). The
@@ -203,5 +219,6 @@ object Aggregates {
 
   val all: Seq[QueryDef] = Seq(
     a1Count, a2a3AnalyticWindow, a6SlidingWindow, dailyDistinct, hllDistinct, sketchRollup,
-    percentiles, approxPercentiles, freqItemsQuery, heavyHitters, analyticFunctions)
+    weeklyDistinct, percentiles, approxPercentiles, freqItemsQuery, heavyHitters,
+    analyticFunctions)
 }

@@ -16,11 +16,12 @@ import graft.{QueryDef, Tables}
   * back to samples. VIDEO decode is real at the container level: payloads
   * are GVID containers (magic + frame-count + length index + real PNG
   * frames — see [[renderVideo]]) and [[decodeVideoStats]] parses the
-  * container and ImageIO-decodes every frame on the executors. The JDK
-  * ships no inter-frame codec, so the only remaining stub is the LEARNED
-  * feature-extraction seam ([[stubDecodeFeatures]] — where a real
-  * pipeline runs its embedding model); swapping it for a JNI codec or an
-  * ONNX runtime changes only that function body.
+  * container and ImageIO-decodes every frame on the executors. FEATURE
+  * EXTRACTION is real too ([[extractFeatures]]): deterministic
+  * decode-derived features per kind (histograms / polyphase means),
+  * hash-verified end to end — a learned embedding model would swap only
+  * the per-kind featurizer bodies for a JNI codec / ONNX session, with
+  * the batch shape and per-kind dispatch unchanged.
   *
   * Batch shape: heavyweight decode/inference runs via
   * `Dataset.mapPartitions` (the JVM analog of `mapInPandas`): one
@@ -48,7 +49,7 @@ object Multimodal {
       asset_id: Long,
       kind: String,
       n_bytes: Long,
-      features: Array[Float])
+      features: Array[Double])
 
   /** Deterministic synthetic assets derived from `documents` (no media
     * libs in this environment): payload = utf-8 text bytes, kind cycles
@@ -446,38 +447,92 @@ object Multimodal {
       .toDF("asset_id", "frame_idx", "width", "height", "avg_r", "avg_g", "avg_b")
   }
 
-  // ----------------------------------------------------------- decode stub
+  // ------------------------------------------- real feature extraction
 
-  /** STUB DECODER — deterministic fake standing in for a real codec.
-    * Derives a fixed-length "feature vector" from payload bytes with a
-    * rolling hash; a real implementation would decode pixels/samples and
-    * run feature extraction here. Signature and batch shape are the real
-    * contract: bytes in, floats out, pure function per asset.
+  /** REAL per-kind featurizers — the learned-embedding seam made
+    * concrete (these bodies replaced the round-6 rolling-hash stub,
+    * `stubDecodeFeatures`, whose only remaining trace is this note).
+    * Each kind runs a real decode followed by a deterministic feature
+    * computation in exact integer/double arithmetic, so the whole
+    * decode→featurize pipeline is SQL-replayable and hash-verified end
+    * to end ([[realFeaturesQuery]]):
+    *
+    *  - image: normalized `dim`-bin RED-channel intensity histogram
+    *    over the ImageIO-decoded pixels (bin width 256/dim);
+    *  - audio: per-phase mean amplitude of the javax.sound-decoded PCM
+    *    samples (phase = sample index mod `dim` — the polyphase
+    *    profile), normalized by full-scale 32767;
+    *  - video: distribution of per-frame mean GREEN intensity across
+    *    the GVID container's frames (`dim` bins over frame count) —
+    *    decode-complete: every frame is parsed and averaged.
+    *
+    * A production embedding model replaces these bodies with a codec +
+    * model session acquired once per partition; the signature, batch
+    * shape, and per-kind dispatch are the contract that stays.
     */
-  private[graft] def stubDecodeFeatures(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-    val acc = new Array[Long](dim)
-    var h = 1125899906842597L
+  private[graft] def imageFeatureVec(payload: Array[Byte], dim: Int): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+    val counts = new Array[Long](dim)
     var i = 0
-    while (i < payload.length) {
-      h = h * 31 + payload(i)
-      acc(i % dim) += (h & 0xffff)
-      i += 1
-    }
-    acc.map(v => (v % 10000L).toFloat / 10000f)
+    while (i < px.length) { counts(((px(i) >> 16) & 0xff) * dim / 256) += 1; i += 1 }
+    counts.map(_.toDouble / px.length)
   }
 
-  /** Per-partition batched decode+featurize (the mapInPandas analog).
-    * The `decoder` val inside the lambda marks where a real pipeline
-    * acquires its per-task resource (codec context, model session) once.
+  private[graft] def audioFeatureVec(payload: Array[Byte], dim: Int): Array[Double] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val bytes =
+      try ais.readAllBytes()
+      finally ais.close()
+    val n = bytes.length / 2
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+      sums(i % dim) += s
+      counts(i % dim) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(j =>
+      if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j) / 32767.0)
+  }
+
+  private[graft] def videoFeatureVec(payload: Array[Byte], dim: Int): Array[Double] = {
+    val frames = parseVideoFrames(payload)
+    val counts = new Array[Long](dim)
+    frames.foreach { img =>
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+      var g = 0L
+      var i = 0
+      while (i < px.length) { g += (px(i) >> 8) & 0xff; i += 1 }
+      val meanG = g.toDouble / px.length
+      counts(math.min(dim - 1, (meanG * dim / 256).toInt)) += 1
+    }
+    counts.map(_.toDouble / frames.length)
+  }
+
+  /** Per-partition batched decode+featurize (the mapInPandas analog),
+    * dispatching to the real per-kind featurizer. ImageIO cache setup
+    * marks where a real pipeline acquires its per-task resource (codec
+    * context, model session) once.
     */
   def extractFeatures(assets: DataFrame, dim: Int = 8): Dataset[AssetFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.select("asset_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // Real pipeline: val decoder = Codec.acquire() — once per task.
+        javax.imageio.ImageIO.setUseCache(false) // per-task decoder setup
         rows.map { case (id, kind, payload) =>
-          AssetFeatures(id, kind, payload.length.toLong, stubDecodeFeatures(payload, dim))
+          val f = kind match {
+            case "image" => imageFeatureVec(payload, dim)
+            case "audio" => audioFeatureVec(payload, dim)
+            case "video" => videoFeatureVec(payload, dim)
+            case other =>
+              throw new IllegalArgumentException(s"asset $id: unknown kind '$other'")
+          }
+          AssetFeatures(id, kind, payload.length.toLong, f)
         }
       }
   }
@@ -654,15 +709,70 @@ object Multimodal {
       .select(col("asset_id"), col("frame_ts_ms"))
       .orderBy("asset_id", "frame_ts_ms"))
 
-  /** Feature extraction is stub-decoder-specific → no oracle; the batch
-    * plumbing (schema, determinism, partition independence) is pinned in
-    * MultimodalSpec.
+  /** Engine-independent 4-decimal rounding (same floor spelling as
+    * Dedup/TextAnalysis — plain round() diverges between engines on
+    * half-way doubles, which ratio features hit routinely).
     */
-  val featuresQuery = QueryDef.unverified("mm_stub_features")(
-    (s, d) => extractFeatures(syntheticAssets(s, d)).toDF()
-      .select(col("asset_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1), 4).as("f0"))
-      .orderBy("asset_id"))
+  private def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+  private def r4duck(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
+
+  /** The full decode→featurize pipeline as a VERIFIED query over all
+    * three stored asset kinds: render on executors, decode for real
+    * (ImageIO / javax.sound / GVID parse), featurize with
+    * [[extractFeatures]], emit 8 features per asset. The DuckDB oracle
+    * recomputes every feature from doc_id arithmetic alone — image bins
+    * from the red ramp's per-bin overlap (count(x ∈ bin)/w, h cancels),
+    * audio phases from the 400-sample ramp's modular means
+    * (amp·(196+j)/32767 — 8 divides 400, so phase j sees exactly the
+    * values j, j+8, …, j+392), video bins from the per-frame flat green
+    * fill ((id+f) mod 256 ÷ 32). Every quantity is an exact integer
+    * ratio evaluated with the same IEEE ops on both engines, so the
+    * hash match proves the real decodes fed the featurizers correctly.
+    * This row retires round 6's `mm_stub_features` (no-oracle stub).
+    */
+  val realFeaturesQuery = QueryDef(
+    "mm_real_features", {
+      val imgF = (0 until 8).map(k =>
+        s"${r4duck(s"greatest(0, least(${32 * (k + 1)}, w) - ${32 * k}) / w")} AS f$k")
+        .mkString(",\n      |       ")
+      val audF = (0 until 8).map(j =>
+        s"${r4duck(s"amp * ${196 + j} / 32767.0")} AS f$j")
+        .mkString(",\n      |       ")
+      val vidF = (0 until 8).map(k =>
+        s"${r4duck(s"CAST(sum(CASE WHEN b = $k THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS f$k")
+        .mkString(",\n      |       ")
+      s"""WITH img_f AS (
+      |  SELECT asset_id, kind,
+      |       $imgF
+      |  FROM (SELECT doc_id AS asset_id, 'image' AS kind,
+      |               CAST(64 + (doc_id % 16) * 8 AS DOUBLE) AS w
+      |        FROM documents WHERE doc_id % 3 = 0)),
+      |aud_f AS (
+      |  SELECT asset_id, kind,
+      |       $audF
+      |  FROM (SELECT doc_id AS asset_id, 'audio' AS kind,
+      |               CAST(doc_id % 16 + 1 AS DOUBLE) AS amp
+      |        FROM documents WHERE doc_id % 3 = 1)),
+      |vid_b AS (
+      |  SELECT doc_id, ((doc_id + f) % 256) // 32 AS b
+      |  FROM (SELECT doc_id, unnest(generate_series(0, CAST(1 + doc_id % 7 AS BIGINT), 1)) AS f
+      |        FROM documents WHERE doc_id % 3 = 2)),
+      |vid_f AS (
+      |  SELECT doc_id AS asset_id, 'video' AS kind,
+      |       $vidF
+      |  FROM vid_b GROUP BY doc_id)
+      |SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f
+      |ORDER BY asset_id""".stripMargin
+    })(
+    (s, d) => {
+      val assets = Seq(imageAssetsStored(s, d), audioAssetsStored(s, d), videoAssetsStored(s, d))
+        .map(_.select("asset_id", "kind", "payload"))
+        .reduce(_ unionByName _)
+      extractFeatures(assets).toDF()
+        .select(col("asset_id") +: col("kind") +:
+          (0 until 8).map(j => r4(element_at(col("features"), j + 1)).as(s"f$j")): _*)
+        .orderBy("asset_id")
+    })
 
   /** End-to-end REAL image pipeline as a verified query: render PNG bytes
     * on the executors, decode them back with ImageIO, emit measured dims
@@ -815,6 +925,6 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx"))
 
   val all: Seq[QueryDef] =
-    Seq(metadataStats, frameSampleQuery, featuresQuery, imageDecodeQuery, imageResizeQuery,
+    Seq(metadataStats, frameSampleQuery, realFeaturesQuery, imageDecodeQuery, imageResizeQuery,
       audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery)
 }

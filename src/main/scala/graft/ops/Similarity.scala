@@ -136,6 +136,54 @@ object Similarity {
   val annQuery = QueryDef.unverified("sim_ann_lsh_topk")(
     (s, d) => annTopK(Tables.embeddings(s, d)))
 
+  /** Exhaustive-probe LSH: the probe side is EVERY distinct (table,
+    * bucket) key the corpus produced (not just the query vector's own
+    * buckets), so every vector collides in every table, the candidate
+    * set is the whole corpus, and the result must equal brute force
+    * EXACTLY — same rows, same rounded similarities — no matter what
+    * keys the hyperplanes produced. That makes the LSH bucket-join /
+    * dedup / re-rank plumbing itself hash-verifiable against the
+    * brute-force DuckDB oracle (the `sim_ann_ivf_fullprobe` trick
+    * applied to LSH): a bug that drops a bucket, mangles a key, or
+    * re-ranks through anything but the raw embedding breaks the hash.
+    * The tables/bits knobs keep their production values — it is the
+    * probe SET, not the hashing, that is exhaustive. (The real
+    * query-buckets-only speedup path stays suite-pinned for recall,
+    * as for any ANN.)
+    */
+  def annTopKFullProbe(
+      embeddings: DataFrame,
+      queryVecId: Long = 0L,
+      k: Int = 20,
+      tables: Int = 8,
+      bitsPerTable: Int = 6): DataFrame = {
+    val buckets = lshBuckets(embeddings, tables, bitsPerTable).cache()
+    val qEmb = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    // ≤ tables·2^bits rows (512 at the defaults) — broadcast-sized by
+    // construction, same contract as the IVF centroid table.
+    val probes = buckets.select(col("tbl"), col("bucket")).distinct()
+      .crossJoin(qEmb)
+    buckets.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(probes), Seq("tbl", "bucket"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("q_emb"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("label"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val annLshFullProbeQuery = QueryDef(
+    "sim_ann_lsh_fullprobe",
+    s"""SELECT b.vec_id, b.label,
+       |       round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |FROM embeddings b
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE b.vec_id != 0
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => annTopKFullProbe(Tables.embeddings(s, d)))
+
   // ---------------------------------------------------------------- ivf
 
   /** IVF (inverted-file) ANN — the other scale path the brief names:
@@ -441,6 +489,6 @@ object Similarity {
     })
 
   val all: Seq[QueryDef] =
-    Seq(bruteForceQuery, annQuery, annIvfQuery, annIvfFullProbeQuery, annIvfPersistedQuery,
-      nearDupQuery, labelBlockedQuery)
+    Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
+      annIvfPersistedQuery, nearDupQuery, labelBlockedQuery)
 }

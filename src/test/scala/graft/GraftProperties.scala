@@ -18,11 +18,17 @@ object GraftProperties extends Properties("graft") {
 
   // ------------------------------------------------------------- pure
 
-  property("stubDecodeFeatures is deterministic and bounded in [0,1)") =
-    forAll { (bytes: Array[Byte]) =>
-      val a = graft.ops.Multimodal.stubDecodeFeatures(bytes)
-      val b = graft.ops.Multimodal.stubDecodeFeatures(bytes)
-      a.sameElements(b) && a.length == 8 && a.forall(v => v >= 0f && v < 1f)
+  property("image featurizer matches the red-ramp bin-overlap arithmetic") =
+    forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0, 15), Gen.chooseNum(0, 8)) {
+      (id, ws, hs) =>
+        // the asset-metadata dimension universe (multiples of 8, w < 256)
+        val (w, h) = (64 + ws * 8, 64 + hs * 8)
+        val f = graft.ops.Multimodal.imageFeatureVec(
+          graft.ops.Multimodal.renderPng(id, w, h), 8)
+        f.length == 8 && (0 until 8).forall { k =>
+          val overlap = math.max(0, math.min(32 * (k + 1), w) - 32 * k)
+          f(k) == (overlap.toLong * h).toDouble / (w.toLong * h)
+        }
     }
 
   property("floor-rounding r4 is within half-ulp-of-grid of its input") =

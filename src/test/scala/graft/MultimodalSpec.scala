@@ -5,8 +5,8 @@ import graft.ops.Multimodal
 
 /** Multimodal plumbing — schema, batch shape, determinism, fan-out
   * control. Image (PNG), audio (WAV) and video (GVID container of PNG
-  * frames) decode are real; only the learned feature-extraction seam is
-  * a stub, and the Spark contract around it is real.
+  * frames) decode are real, and so is feature extraction (deterministic
+  * decode-derived histograms / polyphase means per kind).
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -21,7 +21,12 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("feature extraction is deterministic and partition-independent") {
-    val assets = Multimodal.syntheticAssets(spark, sf)
+    val assets = Seq(
+      Multimodal.imageAssets(spark, sf),
+      Multimodal.audioAssets(spark, sf),
+      Multimodal.videoAssets(spark, sf))
+      .map(_.select("asset_id", "kind", "payload"))
+      .reduce(_ unionByName _)
     val once = Multimodal.extractFeatures(assets).collect()
       .map(f => f.asset_id -> f.features.toSeq).toMap
     // Different partitioning must not change any feature vector
@@ -29,15 +34,34 @@ class MultimodalSpec extends SparkSpec {
     val repart = Multimodal.extractFeatures(assets.repartition(7)).collect()
       .map(f => f.asset_id -> f.features.toSeq).toMap
     assert(once == repart)
+    assert(once.nonEmpty)
     assert(once.values.forall(_.length == 8))
-    assert(once.values.forall(_.forall(v => v >= 0f && v < 1f)))
+    assert(once.values.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
   }
 
-  test("stub decoder distinguishes different payloads") {
-    val a = Multimodal.stubDecodeFeatures("hello world".getBytes("UTF-8"))
-    val b = Multimodal.stubDecodeFeatures("hello worle".getBytes("UTF-8"))
-    assert(!a.sameElements(b))
-    assert(Multimodal.stubDecodeFeatures("hello world".getBytes("UTF-8")).sameElements(a))
+  test("real featurizers match the render arithmetic per kind") {
+    // image: red ramps with x → bin k holds h·overlap(k) of w·h pixels
+    val (id, w, h) = (7L, 96, 72)
+    val imgF = Multimodal.imageFeatureVec(Multimodal.renderPng(id, w, h), 8)
+    (0 until 8).foreach { k =>
+      val overlap = math.max(0, math.min(32 * (k + 1), w) - 32 * k)
+      assert(imgF(k) == (overlap.toLong * h).toDouble / (w.toLong * h), s"image bin $k")
+    }
+    // audio: phase j of the 400-sample ramp sees values j, j+8, …, j+392
+    // → mean amp·(196+j), normalized by full-scale 32767
+    val rate = 16000
+    val amp = (id % 16 + 1).toDouble
+    val audF = Multimodal.audioFeatureVec(Multimodal.renderWav(id, rate), 8)
+    (0 until 8).foreach { j =>
+      assert(audF(j) == amp * (196 + j) / 32767.0, s"audio phase $j")
+    }
+    // video: frame f's flat green fill (id+f) mod 256 lands whole in one bin
+    val n = Multimodal.videoFrameCount(id)
+    val vidF = Multimodal.videoFeatureVec(Multimodal.renderVideo(id), 8)
+    (0 until 8).foreach { k =>
+      val expect = (0 until n).count(f => ((id + f) % 256) / 32 == k).toDouble / n
+      assert(vidF(k) == expect, s"video bin $k")
+    }
   }
 
   test("planResize preserves aspect ratio and never upscales") {
@@ -185,8 +209,18 @@ class MultimodalSpec extends SparkSpec {
     // magic corruption
     val badMagic = good.clone(); badMagic(0) = 'X'.toByte
     intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badMagic))
-    // truncation mid-frame
-    intercept[java.io.EOFException](Multimodal.parseVideoFrames(good.dropRight(10)))
+    // truncation mid-frame: the header bounds check (index total vs
+    // payload length) fires BEFORE any frame allocation — a require,
+    // not an EOFException from readFully
+    intercept[IllegalArgumentException](Multimodal.parseVideoFrames(good.dropRight(10)))
+    // a negative length field in the index must hit the length require
+    val badLen = good.clone()
+    badLen(8) = 0x80.toByte // frame 0 length high byte → negative int32
+    intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badLen))
+    // a huge frame count must be rejected before Array.fill(n) allocates
+    val badCount = good.clone()
+    badCount(4) = 0x7f.toByte // frame count → ~2^31
+    intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badCount))
     // intact container parses to the declared frame count
     assert(Multimodal.parseVideoFrames(good).length == Multimodal.videoFrameCount(5L))
   }
