@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{Curation, Dedup}
+
+/** Dev profiling main for pipeline_curate_canonical: times each stage of
+  * the canonical pipeline in isolation so a regression is attributable
+  * (front-end scan vs pair formation vs label propagation vs final join).
+  */
+object ProfileCurate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[curate] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    // warm JIT/codegen with one full run, then measure stages
+    Curation.curateCanonical(Tables.documents(spark, sfDir))
+      .write.format("noop").mode("overwrite").save()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    val curated = Curation.scoreAndGate(Tables.documents(spark, sfDir))
+      .groupBy(sha2(col("t"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
+        min(col("n_tokens")).as("n_tokens"), min(col("quality")).as("quality"),
+        min(col("t")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    time("front (score+gate+dedup)")(curated.count())
+    val asDocs = curated.select(col("keep_doc_id").as("doc_id"), col("t").as("text"))
+    val pairs = Dedup.prefixBlockedJaccard(asDocs).filter(col("jaccard") >= 0.6)
+    time("pairs (blocked jaccard)")(pairs.write.format("noop").mode("overwrite").save())
+    val clusters = time("clusters (propagation)")(Dedup.nearDupClusters(pairs))
+    time("clusters materialize")(clusters.write.format("noop").mode("overwrite").save())
+    val full = Dedup.canonicalSurvivors(asDocs, pairs)
+      .join(curated.drop("t").withColumnRenamed("keep_doc_id", "kid"),
+        col("keep_doc_id") === col("kid"))
+    time("full canonical tail")(full.write.format("noop").mode("overwrite").save())
+    time("full query re-run")(
+      Curation.curateCanonical(Tables.documents(spark, sfDir))
+        .write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
