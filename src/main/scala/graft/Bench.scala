@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -97,8 +98,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // Warm the session (JIT, codegen caches, file listing) outside timing.
+    // Warm the session OUTSIDE timing: scan file-listing plus tiny-input
+    // passes over the heavy operator families, so the first timed query
+    // of a family measures the operator, not its codegen+JIT cold start
+    // (measured: first-up minhash 13.0 s vs 3.0 s warmed at sf0.1 — the
+    // retry pass catches the worst of it after the fact; warming is
+    // cheaper and fixes every family's first query, not just the 3
+    // slowest). The multimodal STORED-asset dirs are also built here:
+    // they are one-time per-process renders whose cost would otherwise
+    // bill the first mm query's window, while the registered queries
+    // are documented to measure scan + decode (Multimodal scaladoc).
     Tables.events(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
+    locally {
+      import graft.ops._
+      val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
+      val warmups: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "minhash" -> (() => Dedup.minhashLsh(docs64)),
+        "simhash" -> (() => Dedup.simhashBandedNearDups(docs64, maxHamming = 3)),
+        "curate" -> (() => Curation.curate(docs64)),
+        "cosine" -> (() =>
+          Similarity.bruteForceTopK(
+            Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
+        "mm_store" -> (() => Seq(
+          Multimodal.imageAssetsStored(spark, sfDir),
+          Multimodal.audioAssetsStored(spark, sfDir),
+          Multimodal.videoAssetsStored(spark, sfDir))
+          .map(_.select("asset_id")).reduce(_ unionByName _)))
+      warmups.foreach { case (name, mk) =>
+        try mk().write.format("noop").mode("overwrite").save()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $name failed (non-fatal): $e")
+        }
+      }
+      docs64.unpersist(blocking = true)
+      settle(spark)
+    }
     // Dev convenience: `runMain graft.Bench q1 q2` times only the named
     // queries. The driver invokes with no args → full suite, unchanged.
     val only = args.toSet

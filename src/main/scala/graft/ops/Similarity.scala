@@ -412,6 +412,32 @@ object Similarity {
       queryIvfIndex(s, dir, q, excludeVecId = 0L)
     })
 
+  /** Exhaustive-probe query AGAINST THE PERSISTED INDEX (nprobe = nlist):
+    * must equal brute force exactly, which hash-verifies the parts the
+    * inline full-probe row can't — the partitioned parquet round trip of
+    * the assignment table (embedding fidelity through float storage),
+    * the centroid-table read, and the partition-pruned probe path with
+    * every partition probed. Builds into the same process-scoped scratch
+    * dir as [[annIvfPersistedQuery]] (overwrite semantics make the two
+    * registered queries share one build per process).
+    */
+  val annIvfPersistedFullProbeQuery = QueryDef(
+    "sim_ann_ivf_persisted_fullprobe",
+    s"""SELECT b.vec_id, b.label,
+       |       round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |FROM embeddings b
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |WHERE b.vec_id != 0
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val dir = ivfScratchDir
+      val emb = Tables.embeddings(s, d)
+      buildIvfIndex(emb, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfIndex(s, dir, q, nprobe = 16, excludeVecId = 0L)
+    })
+
   // ------------------------------------------------------ near-dup pairs
 
   /** Embedding-cosine near-dup pairs (the vector analog of Dedup): pairs
@@ -490,5 +516,5 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
-      annIvfPersistedQuery, nearDupQuery, labelBlockedQuery)
+      annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery)
 }
