@@ -639,6 +639,116 @@ object Dedup {
     (s, d) => incrementalShingleJaccard(Tables.documents(s, d), col("doc_id") % 2 === 1)
       .orderBy("doc_new", "doc_hist"))
 
+  // ------------------------------------------------------ decontamination
+
+  /** Distinct (doc_id, shingle-STRING) rows — the DuckDB-replayable twin
+    * of [[shingleHashes]] (same relational shape: posexplode + positional
+    * `element_at` + one doc_id exchange; the shingle keeps its text
+    * instead of collapsing to xxhash64). At 100 TB swap the concat for
+    * the hash — shingle identity is all the consumers use.
+    */
+  private def shingleStringRows(documents: DataFrame, shingleSize: Int): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("arr"))
+      .select(col("doc_id"), col("arr"), posexplode(col("arr")).as(Seq("pos", "tok")))
+      .filter(col("pos") + shingleSize <= size(col("arr")))
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until shingleSize).map(k =>
+          element_at(col("arr"), col("pos") + lit(k + 1))): _*).as("shingle"))
+      .repartition(col("doc_id"))
+      .dropDuplicates("doc_id", "shingle")
+
+  /** Benchmark DECONTAMINATION — the training-data hygiene pass every
+    * LLM pipeline runs before the near-dup sweep: find train documents
+    * sharing at least `minShared` distinct shingles with ANY benchmark
+    * document (test-set leakage). Output: (train_doc, bench_doc,
+    * n_shared) for every flagged pair.
+    *
+    * Distinct from the near-dup family twice over. The measure is an
+    * ABSOLUTE shared-shingle count, not a ratio: a 10k-token train doc
+    * embedding one 50-token benchmark item scores Jaccard ≈ 0.005 — no
+    * similarity threshold would ever see it, but it still leaks the
+    * answer. And candidate generation is a global INVERTED-INDEX join
+    * on the shingle itself, not banding/blocking: contamination has no
+    * prefix or band locality to exploit.
+    *
+    * Scale shape: the benchmark side is small by nature (thousands of
+    * items vs a corpus), so its kept-shingle index broadcasts and each
+    * train partition streams through once — no corpus shuffle at all
+    * when the index fits; otherwise it is one hash join keyed by the
+    * shingle. The quadratic exposure — one shingle shared by many docs
+    * on BOTH sides — is boilerplate, not leakage signal: shingles whose
+    * benchmark document frequency exceeds `maxBenchDf` are excluded
+    * (the standard stop-shingle cap; a phrase occurring in more than
+    * `maxBenchDf` benchmark items identifies none of them). That cap
+    * bounds the join fan-out per train shingle at `maxBenchDf` rows.
+    */
+  def contaminatedPairs(
+      train: DataFrame,
+      benchmark: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Long = 5L,
+      maxBenchDf: Long = 16L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val bsh = shingleStringRows(benchmark, shingleSize)
+      .withColumn("bench_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("bench_df") <= maxBenchDf)
+      .select(col("doc_id").as("bench_doc"), col("shingle"))
+    shingleStringRows(train, shingleSize)
+      .withColumnRenamed("doc_id", "train_doc")
+      .join(bsh, Seq("shingle"))
+      .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Train-set survivors after decontamination: every train doc flagged
+    * against ANY benchmark doc is dropped (left_anti on the distinct
+    * flagged ids — output-sized, like every removal step here).
+    */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Long = 5L,
+      maxBenchDf: Long = 16L): DataFrame =
+    train.join(
+      contaminatedPairs(train, benchmark, shingleSize, minShared, maxBenchDf)
+        .select(col("train_doc").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Fixture split: every 10th doc is the "benchmark", the rest train —
+    * the realistic shape (benchmark ≪ corpus). Fully oracle-checkable:
+    * shingle strings, windowed bench-df cap, HAVING on the shared
+    * count — DuckDB replays the whole inverted-index join exactly.
+    */
+  val decontaminateQuery = QueryDef(
+    "dedup_decontaminate",
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                                       FOR i IN range(1, len(l) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |        FROM documents WHERE text IS NOT NULL) t
+      |  WHERE len(l) >= 3),
+      |bkept AS (
+      |  SELECT bench_doc, shingle FROM (
+      |    SELECT doc_id AS bench_doc, shingle,
+      |           count(*) OVER (PARTITION BY shingle) AS bench_df
+      |    FROM sh WHERE doc_id % 10 = 0)
+      |  WHERE bench_df <= 16)
+      |SELECT t.doc_id AS train_doc, b.bench_doc, count(*) AS n_shared
+      |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 0) t
+      |JOIN bkept b USING (shingle)
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY train_doc, bench_doc""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      contaminatedPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("train_doc", "bench_doc")
+    })
+
   // --------------------------------------------- clustering / canonicalize
 
   /** Connected components over a near-dup pair graph: iterative min-label
@@ -909,5 +1019,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
       boundedNearDupsQuery, incrementalExactQuery, incrementalNearDupsQuery,
-      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery)
+      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery)
 }

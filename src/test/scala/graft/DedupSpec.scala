@@ -290,4 +290,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLsh(tiny.unionByName(docs)).count() ==
       Dedup.minhashLsh(docs).count())
   }
+
+  test("decontamination flags planted benchmark leakage, spares clean docs, caps stop-shingles") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(
+      (10L, benchText, "en", "bench", 60L),
+      // two bench docs sharing a boilerplate prefix — its shingles hit
+      // the df cap at maxBenchDf = 1 but survive the default
+      (20L, "common header line one two three four five six", "en", "bench", 48L),
+      (30L, "common header line nine eight seven six five four", "en", "bench", 49L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val train = Seq(
+      // embeds the full benchmark item inside noise: low Jaccard, but
+      // 8 shared 3-gram shingles — exactly the leak a ratio would miss
+      (1L, s"some long unrelated preamble text goes here $benchText and then more filler trails after",
+        "en", "train", 120L),
+      (2L, "a perfectly clean training document about something else entirely with many words",
+        "en", "train", 80L),
+      // shares only the capped boilerplate prefix with bench 20/30
+      (3L, "common header line totally different payload words here", "en", "train", 55L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val pairs = Dedup.contaminatedPairs(train, bench, minShared = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 10L)), pairs.toSeq)
+    assert(pairs.head._3 == 8L) // all 8 shingles of the embedded item
+
+    val survivors = Dedup.decontaminate(train, bench, minShared = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L, 3L))
+
+    // stop-shingle cap: at maxBenchDf = 1 the shared "common header
+    // line" shingles are boilerplate (df 2) and identify nothing; at
+    // the default cap they count, and doc 3 shares only 1 < minShared
+    val capped = Dedup.contaminatedPairs(train, bench, minShared = 1L, maxBenchDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(_._1 == 3L), capped.toSeq)
+    val uncapped = Dedup.contaminatedPairs(train, bench, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 20L)) && uncapped.contains((3L, 30L)), uncapped)
+  }
 }
