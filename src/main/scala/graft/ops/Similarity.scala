@@ -514,7 +514,76 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     })
 
+  // ------------------------------------------------------ semantic dedup
+
+  /** SEMANTIC dedup end-to-end (the SemDeDup shape): embedding-cosine
+    * near-dup pairs → transitive closure → one canonical vector per
+    * semantic family. Pair formation and clustering reuse the verified
+    * pieces ([[cosineNearDupPairs]]' bucket-join anatomy,
+    * [[Dedup.nearDupClusters]]' min-label propagation); this function
+    * just renames the pair columns into the clusterer's contract and
+    * joins the survivors back to their attributes.
+    */
+  def semanticCanonical(
+      embeddings: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val docsLike = embeddings.select(col("vec_id").as("doc_id"))
+    val asDocPairs = pairs.select(
+      col("vec_a").as("doc_a"), col("vec_b").as("doc_b"), col("cos_sim"))
+    Dedup.canonicalSurvivors(docsLike, asDocPairs)
+      .join(embeddings.select(col("vec_id").as("keep_vec_id"), col("label")),
+        col("keep_doc_id") === col("keep_vec_id"))
+      .select(col("keep_vec_id"), col("label"), col("n_members"))
+  }
+
+  /** Registered with the ORACLE-CHECKABLE pair graph (label-blocked
+    * exact cosine, the hash-verified [[labelBlockedQuery]] measure at
+    * threshold 0.5) so DuckDB can replay closure + canonicalization with
+    * the same recursive CTE as `dedup_cluster_canonical` — the embedding
+    * analog of that row. The unblocked scale path feeds
+    * [[cosineNearDupPairs]] into [[semanticCanonical]] instead (same
+    * contract, LSH-bucketed candidates).
+    */
+  val semanticCanonicalQuery = QueryDef(
+    "sim_semantic_canonical",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.5),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION SELECT vec_b, vec_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |sizes AS (SELECT cluster, count(*) AS n_members FROM labels GROUP BY cluster)
+       |SELECT e.vec_id AS keep_vec_id, e.label,
+       |       coalesce(s.n_members, 1) AS n_members
+       |FROM embeddings e
+       |LEFT JOIN labels l ON e.vec_id = l.vec_id
+       |LEFT JOIN sizes s ON e.vec_id = s.cluster
+       |WHERE l.cluster IS NULL OR l.cluster = e.vec_id
+       |ORDER BY keep_vec_id""".stripMargin)(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val e = emb.select(col("label"), col("vec_id"), col("embedding"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+      val pairs = e.toDF("label", "vec_a", "ea", "na")
+        .join(e.toDF("label", "vec_b", "eb", "nb"), "label")
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+        .filter(col("cos_sim") >= 0.5)
+        .select("vec_a", "vec_b", "cos_sim")
+      semanticCanonical(emb, pairs).orderBy("keep_vec_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
-      annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery)
+      annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
+      semanticCanonicalQuery)
 }

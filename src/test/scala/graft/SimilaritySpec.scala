@@ -126,4 +126,25 @@ class SimilaritySpec extends SparkSpec {
     val range = b.agg(min("bucket"), max("bucket")).head
     assert(range.getLong(0) >= 0L && range.getLong(1) < 32L)
   }
+
+  test("semantic dedup composes with LSH-bucketed pairs: partition into families, min survives") {
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.45)
+    val survivors = Similarity.semanticCanonical(emb, pairs).collect()
+    val n = emb.count()
+    val flagged = pairs.select("vec_a").union(pairs.select("vec_b"))
+      .distinct().count()
+    // every vector is accounted for exactly once: survivors' member
+    // counts sum to the corpus, families shrink the survivor set by
+    // (members - 1) each
+    assert(survivors.map(_.getLong(2)).sum == n)
+    assert(survivors.length <= n && (flagged == 0 || survivors.length < n))
+    // a family's survivor is its minimum vec_id, and vec_a < vec_b in
+    // every emitted pair — so the higher end of a pair can never be a
+    // survivor (its family contains something smaller)
+    val kept = survivors.map(_.getLong(0)).toSet
+    pairs.collect().foreach { r =>
+      assert(!kept(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}): higher end survived")
+    }
+  }
 }
