@@ -139,7 +139,10 @@ object Multimodal {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-task decoder setup
         rows.map { case (id, payload) =>
+          // ImageIO.read returns NULL (no exception) on undecodable
+          // bytes — fail loudly here, not as an NPE three calls later
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $id: undecodable image payload")
           val (w, h) = (img.getWidth, img.getHeight)
           // bulk getRGB (one colorspace-converted copy), then a tight
           // array loop — the per-pixel getRGB(x, y) form this replaced
@@ -341,10 +344,12 @@ object Multimodal {
     }
     require(8L + 4L * n + totalLen <= payload.length,
       s"corrupt GVID: frames ($totalLen B) overrun ${payload.length}-byte payload")
-    lengths.map { len =>
+    lengths.zipWithIndex.map { case (len, f) =>
       val buf = new Array[Byte](len)
       din.readFully(buf) // EOFException on truncation, not a short frame
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+      require(img != null, s"corrupt GVID: frame $f is not decodable image bytes")
+      img
     }.toSeq
   }
 
@@ -377,10 +382,12 @@ object Multimodal {
     (0 until n).flatMap { f =>
       val at = offset
       offset += lengths(f)
-      if (f % stride == 0)
-        Some(f -> javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload, at, lengths(f))))
-      else None // seek: index math only, no decode
+      if (f % stride == 0) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, at, lengths(f)))
+        require(img != null, s"corrupt GVID: frame $f is not decodable image bytes")
+        Some(f -> img)
+      } else None // seek: index math only, no decode
     }
   }
 
@@ -472,6 +479,7 @@ object Multimodal {
     */
   private[graft] def imageFeatureVec(payload: Array[Byte], dim: Int): Array[Double] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload") // ImageIO nulls, never throws
     val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
     val counts = new Array[Long](dim)
     var i = 0
@@ -568,6 +576,7 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, payload) =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $id: undecodable image payload")
           val (w, h) = (img.getWidth, img.getHeight)
           // fail loudly (GVID-parser discipline) rather than silently
           // truncating to a floor(w/factor) grid with off-contract dims

@@ -221,6 +221,14 @@ class MultimodalSpec extends SparkSpec {
     val badCount = good.clone()
     badCount(4) = 0x7f.toByte // frame count → ~2^31
     intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badCount))
+    // frame bytes zeroed in place: structurally intact container whose
+    // frame 0 is garbage — ImageIO returns null (never throws), and the
+    // parser must convert that into the loud require, not a later NPE
+    val n5 = Multimodal.videoFrameCount(5L)
+    val badFrame = good.clone()
+    java.util.Arrays.fill(badFrame, 8 + 4 * n5, 8 + 4 * n5 + 16, 0.toByte)
+    intercept[IllegalArgumentException](Multimodal.parseVideoFrames(badFrame))
+    intercept[IllegalArgumentException](Multimodal.parseVideoFramesStrided(badFrame, 1))
     // intact container parses to the declared frame count
     assert(Multimodal.parseVideoFrames(good).length == Multimodal.videoFrameCount(5L))
   }
