@@ -141,3 +141,64 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** graft_regex_count(text, pattern) — the number of non-overlapping
+  * matches of `pattern` in `text`: exactly what
+  * `size(regexp_extract_all(text, pattern, 0))` computes, without
+  * materializing a UTF8String array entry per match just to take its
+  * length (that spelling allocates every matched substring — pure GC
+  * pressure on counting paths like punctuation/CJK ratios, which run
+  * once per corpus document in the quality scorer). `pattern` must be a
+  * foldable string, checked to compile at ANALYSIS time (a bad pattern
+  * fails the query up front, not per-task on executors) and compiled
+  * ONCE per expression instance, not per row. Same java.util.regex
+  * engine and find() semantics as regexp_extract_all, so counts are
+  * bit-identical; NULL text → NULL, mirroring
+  * size(regexp_extract_all(NULL)) under the default sizeOfNull=false.
+  */
+case class RegexCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_regex_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) if right.foldable =>
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: pattern must not be null")
+        case p: UTF8String =>
+          try { java.util.regex.Pattern.compile(p.toString); TypeCheckResult.TypeCheckSuccess }
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              TypeCheckResult.TypeCheckFailure(s"$prettyName: bad pattern: ${e.getMessage}")
+          }
+        case p => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected pattern $p")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(t: Any, p: Any): Any = {
+    val m = compiled.matcher(t.asInstanceOf[UTF8String].toString)
+    var c = 0
+    while (m.find()) c += 1
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("graftRegexPattern", compiled,
+      "java.util.regex.Pattern")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"""
+         |java.util.regex.Matcher ${ev.value}_m = $patternRef.matcher($t.toString());
+         |int ${ev.value}_c = 0;
+         |while (${ev.value}_m.find()) ${ev.value}_c++;
+         |${ev.value} = ${ev.value}_c;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -181,6 +181,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_mingram"),
       new ExpressionInfo(classOf[MinGramHash].getName, "graft_mingram"),
       two("graft_mingram", MinGramHash)),
+    (FunctionIdentifier("graft_regex_count"),
+      new ExpressionInfo(classOf[RegexCount].getName, "graft_regex_count"),
+      two("graft_regex_count", RegexCount)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

@@ -78,7 +78,7 @@ object Curation {
     val nToksD = nToks.cast("double")
     val stopHits = expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)}))").cast("double")
     val uniq = expr(s"size(array_distinct($lowToks))").cast("double")
-    val punct = size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val punct = TextAnalysis.regexCount(col("t"), "[^A-Za-z0-9\\s]").cast("double")
     val chars = length(col("t")).cast("double")
     val quality = r4(
       least(chars / 500.0, lit(1.0)) * 0.25
@@ -90,7 +90,7 @@ object Curation {
         expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(ws)}))").cast("long"))
     }
     withHits
-      .withColumn("cjk", size(regexp_extract_all(col("t"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("double"))
+      .withColumn("cjk", TextAnalysis.regexCount(col("t"), "[\\x{4e00}-\\x{9fff}]").cast("double"))
       .withColumn("pred_lang",
         when(col("cjk") * 10.0 >= length(col("t")).cast("double") * 3.0, "zh")
           .when(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits")) === 0, "und")

@@ -17,6 +17,16 @@ import graft.{QueryDef, Tables}
   */
 object TextAnalysis {
 
+  /** Match count via the native graft_regex_count expression — same
+    * java.util.regex engine and find() semantics as
+    * size(regexp_extract_all(c, pattern, 0)), but the pattern compiles
+    * once per query (not per row) and no match array is materialized
+    * just to be counted (that spelling allocates every matched
+    * substring — pure GC pressure on the per-document counting paths).
+    */
+  private[ops] def regexCount(c: org.apache.spark.sql.Column, pattern: String) =
+    call_function("graft_regex_count", c, lit(pattern))
+
   // ------------------------------------------------------------- tokens
 
   /** Token counting: whitespace tokens, BPE-ish pieces (word chunks +
@@ -34,7 +44,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        regexCount(col("text"), "[A-Za-z0-9]+|[^A-Za-z0-9\\s]")
           .cast("long").as("n_bpe_pieces"),
         ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"))
       .orderBy("doc_id"))
@@ -79,7 +89,7 @@ object TextAnalysis {
       val nTokens = size(tokens).cast("double")
       val stopHits = expr(s"size(filter($lowTokens, t -> t IN ${inList(enStops)}))").cast("double")
       val uniq = expr(s"size(array_distinct($lowTokens))").cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val punct = regexCount(col("text"), "[^A-Za-z0-9\\s]").cast("double")
       val chars = length(col("text")).cast("double")
       val lenScore = least(chars / 500.0, lit(1.0))
       val stopRatio = stopHits / nTokens
@@ -139,7 +149,7 @@ object TextAnalysis {
               expr(s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ${inList(ws)}))").cast("long"))
         }
         withHits
-          .withColumn("cjk", size(regexp_extract_all(col("text"), lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("double"))
+          .withColumn("cjk", regexCount(col("text"), "[\\x{4e00}-\\x{9fff}]").cast("double"))
           .withColumn("pred_lang",
             when(col("cjk") * 10.0 >= length(col("text")).cast("double") * 3.0, "zh")
               .when(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits")) === 0, "und")
@@ -257,8 +267,7 @@ object TextAnalysis {
         regexp_replace(col("text"),
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>").as("masked"),
-      size(regexp_extract_all(col("text"),
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+      regexCount(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
         .cast("long").as("n_emails"))
       .orderBy("doc_id"))
 

@@ -196,6 +196,31 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally joined.unpersist(blocking = true)
   }
 
+  test("graft_regex_count is bit-identical to size(regexp_extract_all) incl. null/empty/unicode") {
+    import spark.implicits._
+    val pat = "[^A-Za-z0-9\\s]"
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (90001L, null.asInstanceOf[String]),
+        (90002L, ""),
+        (90003L, "héllo, wörld! 中文。"),
+        (90004L, "no punct here at all")).toDF("doc_id", "text"))
+    // pattern via lit(), not an expr() SQL literal — SQL string parsing
+    // would eat the \s escape and silently compare different patterns
+    val cmp = fixture.select(
+      col("doc_id"),
+      call_function("graft_regex_count", col("text"), lit(pat)).as("native"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("spelled"))
+    // null text: native NULL must mirror size(null) under sizeOfNull=false
+    assert(cmp.filter(col("doc_id") === 90001L).head.isNullAt(1))
+    assert(cmp.filter(
+      !(col("native") <=> col("spelled")) && col("doc_id") =!= 90001L).isEmpty)
+    // analysis-time pattern validation: a bad regex fails the QUERY, not a task
+    intercept[Exception](
+      fixture.select(expr("graft_regex_count(text, '[unclosed')")).collect())
+  }
+
   test("graft_simhash merges partials correctly across repartitionings") {
     import spark.implicits._
     val rows = (1L to 500L).map(i => (i % 7, i * 2654435761L))
