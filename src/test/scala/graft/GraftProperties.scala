@@ -141,6 +141,36 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  /** Reference model for [[graft.ops.Dedup.contaminatedPairs]]: a train
+    * doc embedding a benchmark doc verbatim shares exactly the bench
+    * doc's distinct shingles (when the surrounding noise shares none),
+    * so the pair is flagged iff that count clears minShared.
+    */
+  property("decontamination flags an embedded benchmark doc iff its shingles clear minShared") =
+    sparkProp(eventsGen) { rows =>
+      import spark.implicits._
+      // benchmark doc: L distinct tokens from a disjoint alphabet
+      val L = 3 + (rows.head._1 % 8).toInt // 3..10 tokens → 1..8 shingles
+      val benchText = (0 until L).map(k => s"bm$k").mkString(" ")
+      val noise = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+      val minShared = 1L + rows.head._2 % 8 // 1..8
+      val bench = Seq((10L, benchText, "en", "b", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val train = Seq(
+        (1L, s"$noise $benchText $noise", "en", "t", 1L), // embeds it
+        (2L, noise, "en", "t", 1L))                       // clean
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val flagged = graft.ops.Dedup
+        .contaminatedPairs(train, bench, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // embedding adds 2 bridge shingles on each seam (noise|bench mix)
+      // but only PURE bench shingles exist on the bench side: L-2 of them
+      val benchShingles = (L - 2).max(0)
+      val expectFlag = benchShingles >= minShared
+      flagged.get(1L).forall(_ == benchShingles.toLong) &&
+        flagged.contains(1L) == expectFlag && !flagged.contains(2L)
+    }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._
