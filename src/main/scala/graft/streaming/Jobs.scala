@@ -249,8 +249,12 @@ object Jobs {
       else None
     try {
       val matched = hist match {
+        // cacheInputs = false: this body owns both caches (acquired
+        // above, blocking-unpersisted in the finally) — the sweep
+        // re-persisting them would only log cache-manager warnings
         case Some(h) => graft.ops.Dedup
-          .incrementalNearDupsFromShingles(bsh, h, threshold = threshold)
+          .incrementalNearDupsFromShingles(bsh, h, threshold = threshold,
+            cacheInputs = false)
           .select(col("doc_new").as("doc_id")).distinct()
         case None => spark.range(0).select(col("id").as("doc_id"))
       }
@@ -270,6 +274,73 @@ object Jobs {
       hist.foreach(_.unpersist(blocking = true))
     }
   }
+
+  /** Build the persisted benchmark shingle index the streaming
+    * decontamination gate probes: distinct (bench_doc, shh) shingle
+    * hashes with stop-shingles removed at BUILD time (shingles in more
+    * than `maxBenchDf` benchmark docs identify none of them — see
+    * [[graft.ops.Dedup.contaminatedPairs]]), so every later batch pays
+    * neither the window nor the fan-out. Built once per benchmark
+    * release; the benchmark is static, unlike the dedup stores.
+    */
+  def buildBenchmarkShingleStore(
+      benchmark: DataFrame,
+      dir: String,
+      shingleSize: Int = 3,
+      maxBenchDf: Long = 16L): Unit =
+    graft.ops.Dedup.shingleHashes(benchmark, shingleSize)
+      .withColumn("bench_df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shh")))
+      .filter(col("bench_df") <= maxBenchDf)
+      .select(col("doc_id").as("bench_doc"), col("shh"))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Streaming DECONTAMINATION gate — [[graft.ops.Dedup.decontaminate]]
+    * lifted onto micro-batches: each batch's docs are inverted-index
+    * joined against the persisted benchmark shingle store
+    * ([[buildBenchmarkShingleStore]]); docs sharing ≥ `minShared`
+    * distinct shingles with ANY benchmark doc are dropped, survivors
+    * land under their own `ingest_batch` partition. Unlike the dedup
+    * gates the store is STATIC (a benchmark never grows with the
+    * stream), so the batch body is a pure function of (batch, store)
+    * and replay idempotence needs only the own-partition dynamic
+    * overwrite — no read-below filter.
+    */
+  def decontaminationGateBatch(
+      benchStoreDir: String, outDir: String, minShared: Long = 5L)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    val spark = batch.sparkSession
+    val bench = spark.read.parquet(benchStoreDir)
+    val flagged = graft.ops.Dedup.shingleHashes(batch)
+      .withColumnRenamed("doc_id", "train_doc")
+      .join(bench, Seq("shh"))
+      .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_doc").as("doc_id")).distinct()
+    batch.join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+  }
+
+  /** [[decontaminationGateBatch]] behind a streaming query; `docs` must
+    * carry `doc_id` and `text`.
+    */
+  def startDecontaminationGate(
+      docs: DataFrame,
+      benchStoreDir: String,
+      outDir: String,
+      checkpointDir: String,
+      minShared: Long = 5L,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .queryName("decontamination_gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(decontaminationGateBatch(benchStoreDir, outDir, minShared) _)
+      .start()
 
   /** Streaming distinct-count sketch store — the third persisted-store
     * job, for the KPI the exact forms can't stream at scale: distinct

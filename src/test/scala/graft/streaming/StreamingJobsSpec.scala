@@ -446,6 +446,38 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
   }
 
+  test("decontamination gate stream: benchmark-leaking docs dropped across batches, replay-safe") {
+    import spark.implicits._
+    val store = tmpDir("decon-store"); val out = tmpDir("decon-out")
+    val benchText = "which planet is known as the red planet in our solar system today"
+    val bench = Seq((100L, benchText, "en", "bench", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Jobs.buildBenchmarkShingleStore(bench, store)
+
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startDecontaminationGate(ms.toDF(), store, out,
+      tmpDir("decon-ckpt"), minShared = 5L, Trigger.ProcessingTime(0))
+    // Batch 0: doc 1 embeds the benchmark item verbatim (leak), doc 2 clean.
+    ms.addData(
+      Doc(1, s"trivia question list item seven $benchText answer mars obviously"),
+      Doc(2, "a clean training document about distributed query execution strategies"))
+    q.processAllAvailable()
+    // Batch 1: another leak (the same benchmark text, different noise), another clean doc.
+    val b1 = Seq(Doc(10, s"$benchText is a common quiz question"),
+      Doc(11, "more clean material on shuffle partitioning and skew mitigation"))
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def admitted() = spark.read.parquet(out)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted() == Map(2L -> 0, 11L -> 1), s"got ${admitted()}")
+    // Replay batch 1 directly (foreachBatch at-least-once): the static
+    // store + own-partition overwrite make the re-run byte-identical.
+    Jobs.decontaminationGateBatch(store, out)(b1.toDF(), 1L)
+    assert(admitted() == Map(2L -> 0, 11L -> 1), s"replay changed output: ${admitted()}")
+  }
+
   test("streaming sketch store: estimates track exact distincts across batches, replay-safe") {
     import spark.implicits._
     val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
