@@ -109,31 +109,6 @@ object Bench {
     // bill the first mm query's window, while the registered queries
     // are documented to measure scan + decode (Multimodal scaladoc).
     Tables.events(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
-    locally {
-      import graft.ops._
-      val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
-      val warmups: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-        "minhash" -> (() => Dedup.minhashLsh(docs64)),
-        "simhash" -> (() => Dedup.simhashBandedNearDups(docs64, maxHamming = 3)),
-        "curate" -> (() => Curation.curate(docs64)),
-        "cosine" -> (() =>
-          Similarity.bruteForceTopK(
-            Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
-        "mm_store" -> (() => Seq(
-          Multimodal.imageAssetsStored(spark, sfDir),
-          Multimodal.audioAssetsStored(spark, sfDir),
-          Multimodal.videoAssetsStored(spark, sfDir))
-          .map(_.select("asset_id")).reduce(_ unionByName _)))
-      warmups.foreach { case (name, mk) =>
-        try mk().write.format("noop").mode("overwrite").save()
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[bench] warmup $name failed (non-fatal): $e")
-        }
-      }
-      docs64.unpersist(blocking = true)
-      settle(spark)
-    }
     // Dev convenience: `runMain graft.Bench q1 q2` times only the named
     // queries. The driver invokes with no args → full suite, unchanged.
     val only = args.toSet
@@ -142,6 +117,51 @@ object Bench {
       System.err.println(s"[bench] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // Parse BEFORE the measurement pass: a malformed value must fail
+    // fast, not throw after ~100 s of timing and discard the whole run.
+    val retries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES") match {
+      case None => 3
+      case Some(v) => v.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_RETRIES must be an integer, got '$v'"))
+    }
+    // Family warmups, gated on what is actually selected — a named
+    // sub-second dev run must not pay tens of seconds of irrelevant
+    // JIT/store work (full-suite driver runs trigger all of them).
+    locally {
+      import graft.ops._
+      def wants(prefixes: String*) =
+        prefixes.exists(p => selected.keysIterator.exists(_.startsWith(p)))
+      lazy val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
+      val warmups: Seq[(String, Boolean, () => DataFrame)] = Seq(
+        ("minhash", wants("dedup", "pipeline"),
+          () => Dedup.minhashLsh(docs64)),
+        ("simhash", wants("dedup"),
+          () => Dedup.simhashBandedNearDups(docs64, maxHamming = 3)),
+        ("curate", wants("pipeline", "text"),
+          () => Curation.curate(docs64)),
+        ("cosine", wants("sim"),
+          () => Similarity.bruteForceTopK(
+            Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
+        ("mm_store", wants("mm"),
+          () => Seq(
+            Multimodal.imageAssetsStored(spark, sfDir),
+            Multimodal.audioAssetsStored(spark, sfDir),
+            Multimodal.videoAssetsStored(spark, sfDir))
+            .map(_.select("asset_id")).reduce(_ unionByName _)))
+      warmups.foreach { case (name, wanted, mk) =>
+        if (wanted)
+          try mk().write.format("noop").mode("overwrite").save()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] warmup $name failed (non-fatal): $e")
+          }
+      }
+      if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+        docs64.unpersist(blocking = true)
+        settle(spark)
+      }
+    }
     def runOne(name: String, fn: (SparkSession, String) => DataFrame, tag: String = "")
         : (Double, Long, Long, Long, Long) = {
       val (gc0, gn0, h0) = (gcMillis, gcCount, usedHeapMB)
@@ -185,7 +205,6 @@ object Bench {
     // extra isolated pass each and report min-of-passes; both passes and
     // the retried names land in the JSON so the artifact shows exactly
     // what was re-measured. Disable with SPARK_GRAFT_BENCH_RETRIES=0.
-    val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     val retryNames = results.filter(_._2 > 0).sortBy(-_._2).take(retries).map(_._1)
     val fnOf = selected.toMap
     val retryPasses: Map[String, (Double, Double)] = retryNames.map { name =>

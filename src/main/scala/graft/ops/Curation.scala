@@ -224,12 +224,23 @@ object Curation {
     * consume it (harness barrier frees it — [[Dedup.minhashLsh]]'s
     * contract).
     */
-  def curateCanonical(
+  /** Default near-dup gate for the canonical pipeline — one constant so
+    * the registered query, its oracle, and the stage profiler
+    * (tools/ProfileCurate) can never disagree.
+    */
+  val defaultJaccardThreshold = 0.6
+
+  /** The exact-dedup'd survivor frame with the cleaned text retained —
+    * curateCanonical's cached intermediate, exposed so the stage
+    * profiler times EXACTLY the frame the registered query builds
+    * (persisted serialized; callers own the eager populate + the
+    * harness barrier frees it).
+    */
+  def curatedFrame(
       documents: DataFrame,
       minTokens: Long = 10L,
-      minQuality: Double = 0.55,
-      jaccardThreshold: Double = 0.6): DataFrame = {
-    val curated = scoreAndGate(documents, minTokens, minQuality)
+      minQuality: Double = 0.55): DataFrame =
+    scoreAndGate(documents, minTokens, minQuality)
       .groupBy(sha2(col("t"), 256).as("content_hash"))
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
@@ -238,6 +249,13 @@ object Curation {
         min(col("quality")).as("quality"),
         min(col("t")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+  def curateCanonical(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = defaultJaccardThreshold): DataFrame = {
+    val curated = curatedFrame(documents, minTokens, minQuality)
     // populate eagerly (cheap: one pass over the already-gated frame):
     // the pair stage and the attribute join can be scheduled
     // concurrently, and concurrent first readers of an unpopulated

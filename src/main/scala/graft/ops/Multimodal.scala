@@ -509,6 +509,10 @@ object Multimodal {
 
   private[graft] def videoFeatureVec(payload: Array[Byte], dim: Int): Array[Double] = {
     val frames = parseVideoFrames(payload)
+    // a zero-frame container is structurally valid but has no features:
+    // dividing by frames.length would emit silent all-NaN vectors into
+    // training data — the exact poisoning mode this family fails loudly on
+    require(frames.nonEmpty, "zero-frame GVID container has no features")
     val counts = new Array[Long](dim)
     frames.foreach { img =>
       val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)

@@ -486,6 +486,26 @@ object Similarity {
   val nearDupQuery = QueryDef.unverified("sim_cosine_neardup_pairs")(
     (s, d) => cosineNearDupPairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b"))
 
+  /** Exact cosine pairs within same-label blocks — the shared pair
+    * pipeline behind BOTH oracle rows that need a DuckDB-replayable
+    * graph ([[labelBlockedQuery]] at 0.3, [[semanticCanonicalQuery]] at
+    * 0.5): one spelling, so a norm/rounding change can never silently
+    * break one row's hash while the other stays green. Norms are
+    * precomputed per vector and the pair dot runs ONCE, feeding both
+    * the threshold filter and the output (the first version evaluated
+    * the full cosine twice per pair — 4× the fold work).
+    */
+  def labelBlockedPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = embeddings.select(col("label"), col("vec_id"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
+    e.toDF("label", "vec_a", "ea", "na")
+      .join(e.toDF("label", "vec_b", "eb", "nb"), "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
   /** Oracle-checkable exact variant on a BLOCKED pair set (same label):
     * proves the cosine arithmetic against DuckDB on a bounded join. (The
     * label here is a stand-in for any real blocking key; the unblocked
@@ -499,20 +519,8 @@ object Similarity {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE round(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.3
        |ORDER BY vec_a, vec_b""".stripMargin)(
-    (s, d) => {
-      // Norms precomputed per vector; the pair dot runs ONCE and feeds
-      // both the threshold filter and the output (the first version
-      // evaluated the full cosine twice per pair — 4× the fold work).
-      val e = Tables.embeddings(s, d).select(col("label"), col("vec_id"), col("embedding"),
-        sqrt(dot("embedding", "embedding")).as("nrm"))
-      e.toDF("label", "vec_a", "ea", "na")
-        .join(e.toDF("label", "vec_b", "eb", "nb"), "label")
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= 0.3)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
-    })
+    (s, d) => labelBlockedPairs(Tables.embeddings(s, d), threshold = 0.3)
+      .orderBy("vec_a", "vec_b"))
 
   // ------------------------------------------------------ semantic dedup
 
@@ -571,15 +579,8 @@ object Similarity {
        |ORDER BY keep_vec_id""".stripMargin)(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
-      val e = emb.select(col("label"), col("vec_id"), col("embedding"),
-        sqrt(dot("embedding", "embedding")).as("nrm"))
-      val pairs = e.toDF("label", "vec_a", "ea", "na")
-        .join(e.toDF("label", "vec_b", "eb", "nb"), "label")
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
-        .filter(col("cos_sim") >= 0.5)
-        .select("vec_a", "vec_b", "cos_sim")
-      semanticCanonical(emb, pairs).orderBy("keep_vec_id")
+      semanticCanonical(emb, labelBlockedPairs(emb, threshold = 0.5))
+        .orderBy("keep_vec_id")
     })
 
   val all: Seq[QueryDef] =

@@ -292,7 +292,12 @@ object Jobs {
       .withColumn("bench_df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shh")))
       .filter(col("bench_df") <= maxBenchDf)
-      .select(col("doc_id").as("bench_doc"), col("shh"))
+      // shingle_n rides in the store so a gate probing with a DIFFERENT
+      // shingle size fails loudly instead of silently matching nothing
+      // (xxhash64 of k tokens never equals xxhash64 of m tokens — a
+      // mismatched gate would admit every leaking doc with no error)
+      .select(col("doc_id").as("bench_doc"), col("shh"),
+        lit(shingleSize).as("shingle_n"))
       .write.mode("overwrite").parquet(dir)
 
   /** Streaming DECONTAMINATION gate — [[graft.ops.Dedup.decontaminate]]
@@ -306,12 +311,30 @@ object Jobs {
     * and replay idempotence needs only the own-partition dynamic
     * overwrite — no read-below filter.
     */
+  /** Load a benchmark shingle store and validate its shingle size
+    * against what the caller will probe with — a mismatch means zero
+    * hash collisions and every leaking doc silently admitted, so it is
+    * a loud error, not a degraded mode.
+    */
+  private def loadBenchStore(
+      spark: SparkSession, dir: String, shingleSize: Int): DataFrame = {
+    val bench = spark.read.parquet(dir)
+    val stored = bench.select("shingle_n").head.getInt(0)
+    require(stored == shingleSize,
+      s"benchmark store $dir was built with shingleSize=$stored but the " +
+        s"gate is probing with shingleSize=$shingleSize — rebuild the store " +
+        "or pass the matching size (a mismatch matches NOTHING)")
+    bench.select("bench_doc", "shh")
+  }
+
+  /** Batch body against a PRE-LOADED store frame — what
+    * [[startDecontaminationGate]] uses, so the static store is read and
+    * validated ONCE per query, not once per micro-batch.
+    */
   def decontaminationGateBatch(
-      benchStoreDir: String, outDir: String, minShared: Long = 5L)(
+      bench: DataFrame, outDir: String, minShared: Long)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
-    val spark = batch.sparkSession
-    val bench = spark.read.parquet(benchStoreDir)
     val flagged = graft.ops.Dedup.shingleHashes(batch)
       .withColumnRenamed("doc_id", "train_doc")
       .join(bench, Seq("shh"))
@@ -325,8 +348,22 @@ object Jobs {
       .parquet(outDir)
   }
 
+  /** Dir-taking form for direct replay after recovery (reads + size-
+    * validates the store itself).
+    */
+  def decontaminationGateBatch(
+      benchStoreDir: String, outDir: String, minShared: Long = 5L,
+      shingleSize: Int = 3)(
+      batch: DataFrame, batchId: Long): Unit =
+    decontaminationGateBatch(
+      loadBenchStore(batch.sparkSession, benchStoreDir, shingleSize),
+      outDir, minShared)(batch, batchId)
+
   /** [[decontaminationGateBatch]] behind a streaming query; `docs` must
-    * carry `doc_id` and `text`.
+    * carry `doc_id` and `text`. The store is loaded, size-validated and
+    * persisted serialized ONCE here (it is static for the life of the
+    * query — the build-time contract); the blocks live as long as the
+    * stream, which is the intent for a per-batch probe index.
     */
   def startDecontaminationGate(
       docs: DataFrame,
@@ -334,13 +371,17 @@ object Jobs {
       outDir: String,
       checkpointDir: String,
       minShared: Long = 5L,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      shingleSize: Int = 3,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bench = loadBenchStore(docs.sparkSession, benchStoreDir, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     docs.writeStream
       .queryName("decontamination_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(decontaminationGateBatch(benchStoreDir, outDir, minShared) _)
+      .foreachBatch(decontaminationGateBatch(bench, outDir, minShared) _)
       .start()
+  }
 
   /** Streaming distinct-count sketch store — the third persisted-store
     * job, for the KPI the exact forms can't stream at scale: distinct

@@ -29,15 +29,14 @@ object ProfileCurate {
       .write.format("noop").mode("overwrite").save()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
-    val curated = Curation.scoreAndGate(Tables.documents(spark, sfDir))
-      .groupBy(sha2(col("t"), 256).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"),
-        min(col("n_tokens")).as("n_tokens"), min(col("quality")).as("quality"),
-        min(col("t")).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the SAME frame + threshold the registered query builds (shared
+    // code, not a re-spelling — so the profiler can never silently
+    // profile a different pipeline than pipeline_curate_canonical)
+    val curated = Curation.curatedFrame(Tables.documents(spark, sfDir))
     time("front (score+gate+dedup)")(curated.count())
     val asDocs = curated.select(col("keep_doc_id").as("doc_id"), col("t").as("text"))
-    val pairs = Dedup.prefixBlockedJaccard(asDocs).filter(col("jaccard") >= 0.6)
+    val pairs = Dedup.prefixBlockedJaccard(asDocs)
+      .filter(col("jaccard") >= Curation.defaultJaccardThreshold)
     time("pairs (blocked jaccard)")(pairs.write.format("noop").mode("overwrite").save())
     val clusters = time("clusters (propagation)")(Dedup.nearDupClusters(pairs))
     time("clusters materialize")(clusters.write.format("noop").mode("overwrite").save())

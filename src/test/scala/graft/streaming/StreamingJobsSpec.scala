@@ -456,7 +456,8 @@ class StreamingJobsSpec extends SparkSpec {
 
     val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
     val q = Jobs.startDecontaminationGate(ms.toDF(), store, out,
-      tmpDir("decon-ckpt"), minShared = 5L, Trigger.ProcessingTime(0))
+      tmpDir("decon-ckpt"), minShared = 5L,
+      queryTrigger = Trigger.ProcessingTime(0))
     // Batch 0: doc 1 embeds the benchmark item verbatim (leak), doc 2 clean.
     ms.addData(
       Doc(1, s"trivia question list item seven $benchText answer mars obviously"),
@@ -476,6 +477,11 @@ class StreamingJobsSpec extends SparkSpec {
     // store + own-partition overwrite make the re-run byte-identical.
     Jobs.decontaminationGateBatch(store, out)(b1.toDF(), 1L)
     assert(admitted() == Map(2L -> 0, 11L -> 1), s"replay changed output: ${admitted()}")
+    // A gate probing with a different shingle size than the store was
+    // built with would match NOTHING — it must fail loudly, not admit.
+    val ex = intercept[IllegalArgumentException](
+      Jobs.decontaminationGateBatch(store, out, 5L, shingleSize = 5)(b1.toDF(), 2L))
+    assert(ex.getMessage.contains("shingleSize"))
   }
 
   test("streaming sketch store: estimates track exact distincts across batches, replay-safe") {
