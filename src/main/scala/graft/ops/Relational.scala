@@ -88,6 +88,45 @@ object Relational {
         .orderBy("n_name")
     })
 
+  /** TPC-H Q3-shaped shipping priority: the classic selective three-way
+    * join — filters on ALL THREE sides (segment on customer, date range
+    * split across orders and lineitem) must each reach their own scan
+    * as pushed predicates before any join forms, then revenue rolls up
+    * per order and TakeOrderedAndProject keeps the top 10 (no global
+    * sort). At 100 TB the segment filter makes the customer side
+    * broadcast-eligible for AQE; the orders⋈lineitem join shuffles on
+    * the order key with both sides pre-filtered by their date bounds.
+    */
+  val shippingPriority = QueryDef(
+    "q_shipping_priority",
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)(
+    (s, d) => {
+      val cut = lit("1997-06-01 00:00:00").cast("timestamp")
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d).filter(col("l_shipdate") > cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec)))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    })
+
   /** Top-k with deterministic tiebreak: TakeOrderedAndProject — each
     * partition keeps its local top 10, driver merges; no global sort.
     */
@@ -218,6 +257,6 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   val all: Seq[QueryDef] = Seq(
-    pricingSummary, revenueByNation, topkOrders, semiJoin, antiJoin,
+    pricingSummary, revenueByNation, shippingPriority, topkOrders, semiJoin, antiJoin,
     distinctSegments, rollupPricing, cubePricing, windowRank, partRevenue)
 }

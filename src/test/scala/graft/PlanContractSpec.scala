@@ -54,6 +54,13 @@ class PlanContractSpec extends SparkSpec {
     val ps = SparkEntry.queries("q_pricing_summary")(spark, sf)
     val psPlan = ps.queryExecution.executedPlan.toString
     assert(psPlan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"), psPlan)
+    // Q3 shape: all THREE sides' filters must reach their own scans —
+    // an unpushed side reads its whole table before the join.
+    val sp = SparkEntry.queries("q_shipping_priority")(spark, sf)
+    val spPlan = sp.queryExecution.executedPlan.toString
+    assert(spPlan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment.*"), spPlan)
+    assert(spPlan.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate.*"), spPlan)
+    assert(spPlan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate.*"), spPlan)
   }
 
   test("fixed-cardinality dimensions join as broadcasts, not shuffles") {
