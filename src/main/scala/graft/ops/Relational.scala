@@ -127,6 +127,36 @@ object Relational {
         .limit(10)
     })
 
+  /** TPC-H Q18-shaped large-volume customers: a HAVING-gated aggregate
+    * (orders whose total quantity clears a threshold) DRIVES the join —
+    * the big lineitem rollup happens first and only its few survivors
+    * join back to orders and customer. At scale this ordering is the
+    * whole point: aggregate-then-join moves a corpus-sized join down to
+    * an output-sized one, and AQE broadcasts the tiny survivor set.
+    */
+  val largeVolumeCustomers = QueryDef(
+    "q_large_volume_customers",
+    """SELECT c_name, o_orderkey,
+      |       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |       CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+      |JOIN orders   ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10))
+
   /** Top-k with deterministic tiebreak: TakeOrderedAndProject — each
     * partition keeps its local top 10, driver merges; no global sort.
     */
@@ -257,6 +287,6 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   val all: Seq[QueryDef] = Seq(
-    pricingSummary, revenueByNation, shippingPriority, topkOrders, semiJoin, antiJoin,
-    distinctSegments, rollupPricing, cubePricing, windowRank, partRevenue)
+    pricingSummary, revenueByNation, shippingPriority, largeVolumeCustomers, topkOrders,
+    semiJoin, antiJoin, distinctSegments, rollupPricing, cubePricing, windowRank, partRevenue)
 }
