@@ -757,22 +757,32 @@ object Dedup {
     * for every doc that appears in a pair; the cluster id is the
     * component's minimum doc_id.
     *
-    * Scale shape: each iteration is one shuffle-join + grouped min —
-    * all-relational, no driver-side graph. Iteration count is bounded by
-    * component DIAMETER, and LSH/blocked near-dup graphs are near-cliques
-    * (every member pairs with most others), so 2-4 iterations converge in
-    * practice; `maxIter` caps pathological chains. Convergence is
-    * detected by the monotone label sum (min-propagation only ever
-    * lowers labels), costing one tiny aggregate per iteration instead of
-    * a change-count join. `localCheckpoint` truncates the growing lineage
-    * each round — without it, iteration N re-evaluates all N-1
-    * predecessor joins.
+    * Scale shape: each iteration is ONE shuffle-join + grouped min —
+    * all-relational, no driver-side graph. The edge list is augmented
+    * with a self-loop (v,v) per vertex, so "min over my label and my
+    * neighbors' labels" is a single join + groupBy(min) instead of a
+    * neighbor-min join followed by a self join (halves the joins,
+    * shuffles, and generated plans per round). Edges are hash-partitioned
+    * by dst BEFORE caching, so the per-iteration join reuses that
+    * partitioning and only the (small) label frame shuffles each round.
+    * Iteration count is bounded by component DIAMETER, and LSH/blocked
+    * near-dup graphs are near-cliques (every member pairs with most
+    * others), so 2-4 iterations converge in practice; `maxIter` caps
+    * pathological chains. Convergence is detected by the monotone label
+    * sum (min-propagation only ever lowers labels), costing one tiny
+    * aggregate per iteration instead of a change-count join.
+    * `localCheckpoint` truncates the growing lineage each round —
+    * without it, iteration N re-evaluates all N-1 predecessor joins.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .distinct()
+    val verts = undirected.select(col("src").as("doc_id")).distinct()
+    val edges = undirected
+      .unionByName(verts.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .repartition(col("dst")).cache()
+    var labels = verts
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
@@ -781,11 +791,10 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // self-loops make the neighborhood min include the node's own label
       labels = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("nb_min"))
-        .join(labels, "doc_id")
-        .select(col("doc_id"), least(col("cluster"), col("nb_min")).as("cluster"))
+        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("cluster"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = s == prevSum
