@@ -758,13 +758,18 @@ object Dedup {
     * component's minimum doc_id.
     *
     * Scale shape: each iteration is ONE shuffle-join + grouped min —
-    * all-relational, no driver-side graph. The edge list is augmented
-    * with a self-loop (v,v) per vertex, so "min over my label and my
-    * neighbors' labels" is a single join + groupBy(min) instead of a
-    * neighbor-min join followed by a self join (halves the joins,
-    * shuffles, and generated plans per round). Edges are hash-partitioned
-    * by dst BEFORE caching, so the per-iteration join reuses that
-    * partitioning and only the (small) label frame shuffles each round.
+    * all-relational, no driver-side graph. "Min over my label and my
+    * neighbors' labels" is computed by unioning the label frame into the
+    * neighbor-join output before the grouped min — a zero-shuffle union
+    * replaces the label self-join of the naive two-join form (halves the
+    * joins and generated plans per round). The upstream `pairs` frame is
+    * evaluated exactly ONCE (when the edge cache materializes): verts and
+    * the initial labels both derive from the cached edges, never from
+    * `pairs` — pair generation (blocked Jaccard, LSH verify) is the
+    * expensive part, and an extra evaluation of it dwarfs anything the
+    * loop saves. Edges are hash-partitioned by dst before caching, so the
+    * per-iteration join reuses that partitioning and only the (small)
+    * label frame shuffles each round.
     * Iteration count is bounded by component DIAMETER, and LSH/blocked
     * near-dup graphs are near-cliques (every member pairs with most
     * others), so 2-4 iterations converge in practice; `maxIter` caps
@@ -775,14 +780,13 @@ object Dedup {
     * without it, iteration N re-evaluates all N-1 predecessor joins.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-    val verts = undirected.select(col("src").as("doc_id")).distinct()
-    val edges = undirected
-      .unionByName(verts.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .repartition(col("dst")).cache()
-    var labels = verts
+    // every vertex appears as src (edges hold both directions), and this
+    // select reads the already-cached edge blocks — not `pairs`
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
@@ -791,10 +795,13 @@ object Dedup {
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      // self-loops make the neighborhood min include the node's own label
+      // union the node's own label in, so one grouped min covers
+      // "me and my neighbors" without a second join
       labels = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("cluster").as("cluster"))
+        .select(col("src").as("doc_id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
       val s = labelSum(labels)
       converged = s == prevSum
