@@ -1032,8 +1032,121 @@ object Dedup {
     (s, d) => simhashBandedNearDups(Tables.documents(s, d), maxHamming = 3)
       .orderBy("doc_a", "doc_b"))
 
+  // ----------------------------------------------- exact substring (span)
+
+  /** Exact substring deduplication, relationalized: remove every token
+    * covered by a k-token span that also appears verbatim in at least
+    * `minDocs` distinct documents — the "duplicated passage" removal of
+    * Lee et al. 2021 (Deduplicating Training Data Makes Language Models
+    * Better), which operates on substrings rather than whole documents
+    * so shared boilerplate is stripped while the unique remainder of
+    * each document SURVIVES (whole-doc dedup would keep or drop all of
+    * it). The paper builds a suffix array; a suffix array is a
+    * single-machine data structure, so here the same semantics come from
+    * relational primitives Spark can shuffle:
+    *
+    *  1. token arrays → overlapping k-gram rows (posexplode; each token
+    *     starts at most one gram, so gram rows ≈ token rows — linear);
+    *  2. grams occurring in ≥ minDocs distinct docs (hash groupBy on the
+    *     gram — the ONE corpus-wide shuffle, uniform keys);
+    *  3. covered positions = explode of each matching occurrence's
+    *     [p, p+k) range, deduped per doc — output-sized, since only
+    *     duplicated grams expand;
+    *  4. tokens anti-joined against covered positions, reassembled in
+    *     position order (array_sort over collected (pos, tok) structs).
+    *
+    * Within-doc repeats alone do NOT trigger removal (countDistinct on
+    * doc_id): the target is cross-document boilerplate, not legitimate
+    * in-document repetition.
+    *
+    * At 100 TB, set `hashGrams = true`: the gram shuffle key becomes an
+    * 8-byte xxhash64 instead of a k-token string (~10× narrower
+    * exchange). A hash collision could merge two distinct grams and
+    * over-remove; at ~10^10 grams the expected number of colliding PAIRS
+    * is ~3 (birthday bound over 2^64) — acceptable for corpus cleaning,
+    * but the default stays false so the registered query is exactly the
+    * declared semantics at any scale (DedupSpec pins hashed ≡ unhashed
+    * on the fixture).
+    */
+  def spanDedup(
+      documents: DataFrame,
+      k: Int = 8,
+      minDocs: Int = 2,
+      hashGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 (got $k)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val arr = documents.select(col("doc_id"), split(col("text"), " ").as("a"))
+    val gramOf = (i: org.apache.spark.sql.Column) =>
+      concat_ws(" ", slice(col("a"), i + 1, lit(k)))
+    val grams = arr.filter(size(col("a")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("a")) - k), gramOf))
+          .as(Seq("p", "g")))
+      .select(col("doc_id"), col("p"),
+        (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    val covered = grams.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + k - 1)).as("pos"))
+      .distinct()
+    val kept = arr
+      .select(col("doc_id"), posexplode(col("a")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** k=8: long enough that the fixture's ~30-word vocabulary produces no
+    * chance 8-gram collisions between unrelated docs, so removals trace
+    * to genuinely shared passages (template families / planted dups).
+    */
+  val spanDedupQuery = QueryDef(
+    "dedup_span_exact",
+    """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS p, array_to_string(a[i:i+7], ' ') AS g
+      |  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 7)) AS i) t
+      |),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos
+      |  FROM grams JOIN dup USING (g),
+      |       LATERAL (SELECT unnest(generate_series(p, p + 7)) AS pos) c
+      |),
+      |toks AS (
+      |  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+      |  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t
+      |),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+      |),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(r.text_clean, '') AS text_clean,
+      |       len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS n_removed
+      |FROM documents d LEFT JOIN reb r USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin)(
+    (s, d) => spanDedup(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
       boundedNearDupsQuery, incrementalExactQuery, incrementalNearDupsQuery,
-      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery)
+      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery,
+      spanDedupQuery)
 }

@@ -330,4 +330,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((3L, 20L)) && uncapped.contains((3L, 30L)), uncapped)
   }
+
+  test("span dedup strips shared passages, keeps unique remainders, hashed ≡ unhashed") {
+    val boiler = "terms of service apply to all content on this site always" // 11 tokens
+    val d = Seq(
+      // first post-boilerplate token DIFFERS, so no 8-gram spans the seam
+      (0L, s"$boiler alpha story one with its own distinct narrative thread", "en", "s", 1L),
+      (1L, s"$boiler bravo account two telling an entirely separate tale here", "en", "s", 1L),
+      (2L, "no shared passage lives in this document at all just original words", "en", "s", 1L),
+      // repeats ITS OWN 8-gram twice but shares nothing cross-doc
+      (3L, "self repeat block one two three four five self repeat block one two three four five", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.spanDedup(d, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the 11-token boilerplate is fully covered by its 8-grams in both docs
+    assert(out(0L)._1 == "alpha story one with its own distinct narrative thread", out(0L))
+    assert(out(0L)._2 == 11L)
+    assert(out(1L)._1 == "bravo account two telling an entirely separate tale here")
+    // untouched docs come back verbatim with zero removals
+    assert(out(2L)._2 == 0L && out(2L)._1.startsWith("no shared passage"))
+    // within-doc repetition alone is NOT cross-document boilerplate
+    assert(out(3L)._2 == 0L, out(3L))
+    // hashed gram keys are a pure shuffle-width optimization
+    val hashed = Dedup.spanDedup(d, k = 8, hashGrams = true).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(hashed == out)
+    // a doc made ENTIRELY of shared text collapses to the empty string
+    val allShared = Seq(
+      (0L, boiler, "en", "s", 1L), (1L, boiler, "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val empt = Dedup.spanDedup(allShared, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(empt(0L) == (("", 11L)) && empt(1L) == (("", 11L)))
+  }
 }
