@@ -385,8 +385,102 @@ object Coverage {
       |FROM cum WHERE cum_tokens <= 5000 ORDER BY doc_id""".stripMargin)(
     (s, d) => tokenBudgetSample(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // ------------------------------------------------------ sequence packing
+
+  /** GPT-style sequence packing: concatenate the corpus in a
+    * deterministic order and chunk the token stream into fixed
+    * `seqTokens`-sized training sequences, SPLITTING documents across
+    * sequence boundaries (concat-then-chunk — the packing used for
+    * GPT/LLaMA-style pretraining, as opposed to first-fit bin packing
+    * which drops or pads). Emits one row per (document, sequence)
+    * overlap: where in the doc the slice starts (`doc_off`), where in
+    * the sequence it lands (`seq_off`), and how many tokens
+    * (`n_toks`) — the manifest a loader needs to assemble input_ids
+    * without re-tokenizing.
+    *
+    * The global running sum is NOT a single-partition window (that
+    * serializes the corpus through one task). The md5 order key's first
+    * two hex chars split the corpus into 256 ranges that align with the
+    * global order (a prefix of the sort key), so each range's running
+    * sum is an independent 256-way-parallel window; range-level offsets
+    * come from a 256-row aggregate windowed on the driver-sized frame
+    * and broadcast back. Doc → sequence expansion is an output-sized
+    * explode (a doc spans ceil(n/B)+1 sequences at most).
+    *
+    * Determinism: md5(doc_id) ordering is content-independent,
+    * cross-engine reproducible, and shuffles long/similar docs apart —
+    * the same rationale as [[tokenBudgetSample]].
+    */
+  def packSequences(
+      documents: org.apache.spark.sql.DataFrame,
+      seqTokens: Long = 2048L): org.apache.spark.sql.DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1 (got $seqTokens)")
+    val toks = documents.select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("ord"))
+      .withColumn("grp", conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("ord"))
+    val cum = toks.withColumn("cum_in", sum(col("n_tokens")).over(w))
+    // 256-row frame: each range's token count, then its exclusive prefix
+    // sum = the global offset of the range's first token
+    val offsets = toks.groupBy("grp").agg(sum("n_tokens").as("grp_tot"))
+      .withColumn("grp_off",
+        coalesce(sum(col("grp_tot")).over(
+          Window.orderBy(col("grp")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("grp"), col("grp_off"))
+    val placed = cum.join(broadcast(offsets), "grp")
+      .withColumn("tok_end", col("grp_off") + col("cum_in"))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+    val b = lit(seqTokens)
+    placed
+      .select(col("doc_id"), col("tok_start"), col("tok_end"),
+        explode(sequence(
+          floor(col("tok_start") / b),
+          floor((col("tok_end") - 1) / b))).as("seq_id"))
+      .select(
+        col("doc_id"),
+        col("seq_id"),
+        (greatest(col("tok_start"), col("seq_id") * b) - col("tok_start")).as("doc_off"),
+        (greatest(col("tok_start"), col("seq_id") * b) - col("seq_id") * b).as("seq_off"),
+        (least(col("tok_end"), (col("seq_id") + 1) * b)
+          - greatest(col("tok_start"), col("seq_id") * b)).as("n_toks"))
+  }
+
+  /** B = 512 at the fixture's ~100-token docs: most sequences pack
+    * several docs and a steady fraction of docs straddle a boundary, so
+    * both the multi-doc and the split path are exercised by the oracle.
+    */
+  val packSequencesQuery = QueryDef(
+    "mix_pack_sequences",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR)) AS ord
+      |  FROM documents),
+      |placed AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY ord) AS BIGINT) AS tok_end
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, tok_end - n_tokens AS tok_start, tok_end,
+      |         s.seq_id
+      |  FROM placed,
+      |       LATERAL (SELECT unnest(generate_series(
+      |                  (tok_end - n_tokens) // 512,
+      |                  (tok_end - 1) // 512)) AS seq_id) s)
+      |SELECT doc_id, seq_id,
+      |       greatest(tok_start, seq_id * 512) - tok_start AS doc_off,
+      |       greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_off,
+      |       least(tok_end, (seq_id + 1) * 512)
+      |         - greatest(tok_start, seq_id * 512) AS n_toks
+      |FROM spans ORDER BY seq_id, seq_off, doc_id""".stripMargin)(
+    (s, d) => packSequences(Tables.documents(s, d), seqTokens = 512L)
+      .orderBy("seq_id", "seq_off", "doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
-    hashStratifiedQuery, temperatureTakeQuery)
+    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery)
 }

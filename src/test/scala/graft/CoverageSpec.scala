@@ -148,4 +148,39 @@ class CoverageSpec extends SparkSpec {
     assert(m("either") >= m("hi_only") + m("both"))
     assert(m.values.forall(_ >= 0))
   }
+
+  test("sequence packing tiles every sequence exactly, conserves tokens, splits straddlers") {
+    val docs = Tables.documents(spark, sf)
+    val b = 256L
+    val packed = Coverage.packSequences(docs, seqTokens = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+    // conservation: every token of every doc lands in exactly one slice
+    assert(packed.map(_._5).sum == totalTokens)
+    // per-doc slices are contiguous in doc_off and cover [0, n_tokens)
+    packed.groupBy(_._1).foreach { case (_, slices) =>
+      val sorted = slices.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, c) => assert(a._3 + a._5 == c._3 && a._2 + 1 == c._2)
+        case _ =>
+      }
+    }
+    // every sequence except the last is tiled [0, b) with no gaps/overlaps
+    val lastSeq = packed.map(_._2).max
+    packed.groupBy(_._2).foreach { case (seqId, slices) =>
+      val sorted = slices.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"seq $seqId starts at ${sorted.head._4}")
+      sorted.sliding(2).foreach {
+        case Array(a, c) => assert(a._4 + a._5 == c._4, s"gap in seq $seqId")
+        case _ =>
+      }
+      val filled = sorted.last._4 + sorted.last._5
+      if (seqId != lastSeq) assert(filled == b, s"seq $seqId holds $filled of $b")
+      else assert(filled <= b)
+    }
+    // fixture docs (~100 tokens) vs b=256: straddlers must exist and be split
+    assert(packed.groupBy(_._1).exists(_._2.length > 1))
+  }
 }
