@@ -360,7 +360,81 @@ object TextAnalysis {
        |ORDER BY doc_id, rk""".stripMargin)(
     (s, d) => tfidfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk"))
 
+  // ---------------------------------------------------- n-gram LM scoring
+
+  /** Corpus bigram language-model scoring — the statistical form of
+    * CCNet-style perplexity filtering (no learned model runtime in this
+    * environment, so the LM is the corpus' own bigram statistics, which
+    * is exactly what KenLM-over-the-corpus degenerates to at order 2):
+    * each document scores the average add-k-smoothed log-probability of
+    * its bigrams, P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V). Documents
+    * full of common constructions score high; token-salad and
+    * out-of-distribution text score low — the rank a perplexity gate
+    * thresholds on.
+    *
+    * Scale shape: the bigram/context count tables are
+    * distinct-bigram-sized aggregates (map-side partial combine), the
+    * per-occurrence count joins are uniform-key hash joins against those
+    * aggregates, and V rides in as a broadcast single-row frame — no
+    * all-pairs stage, no driver collect. Per-doc aggregation sums
+    * DECIMAL(24,12)-cast terms, not raw doubles: decimal addition is
+    * exact and commutative, so the result is independent of partition
+    * order (a raw double sum is not) and matches DuckDB's sum exactly;
+    * the one ln() per distinct-bigram-occurrence is the same libm call
+    * the TF-IDF oracle row already proves cross-engine stable.
+    */
+  def lmBigramScores(documents: DataFrame, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0 (got $k)")
+    val arr = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+    val bi = arr.filter(size(col("a")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("a")) - 2),
+          i => struct(get(col("a"), i).as("w1"), get(col("a"), i + 1).as("w2"))))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = arr.select(explode(col("a")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cb") + k) / (col("cu") + col("v") * k))
+          .cast("decimal(24,12)").as("lp"))
+    val agg = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).cast("double").as("s"))
+    documents.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (floor(col("s") / col("n_bigrams") * 10000 + 0.5) / 10000).as("avg_logp"))
+  }
+
+  val lmScoreQuery = QueryDef(
+    "text_lm_bigram_score",
+    """WITH arr AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS a FROM documents),
+      |bi AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      |       FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+      |cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v
+      |      FROM (SELECT unnest(a) AS tok FROM arr)),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |         CAST(ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS DECIMAL(24,12)) AS lp
+      |  FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS DOUBLE) AS s
+      |        FROM scored GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(a2.n_bigrams, 0) AS n_bigrams,
+      |       floor(a2.s / a2.n_bigrams * 10000 + 0.5) / 10000 AS avg_logp
+      |FROM documents d LEFT JOIN agg a2 USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin)(
+    (s, d) => lmBigramScores(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery)
+      tfidfQuery, lmScoreQuery)
 }

@@ -100,6 +100,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((2L, 1))._3 == out((2L, 2))._3)
   }
 
+  test("bigram LM score ranks formulaic text above token salad; hand arithmetic matches") {
+    // corpus: three docs repeating one construction, one doc of bigrams
+    // seen nowhere else — the salad must score strictly lower
+    val common = "the cat sat on the mat"
+    val df = docsOf(
+      1L -> common, 2L -> common, 3L -> common,
+      4L -> "zebra quantum furnace ballet ocean")
+    val out = run(TextAnalysis.lmScoreQuery, df)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(1L)._1 == 5L && out(4L)._1 == 4L) // tokens - 1 bigrams
+    assert(out(4L)._2 < out(1L)._2, s"salad ${out(4L)._2} !< common ${out(1L)._2}")
+    // hand arithmetic on the salad doc: each of its 4 bigrams is unique
+    // (cb=1) with context count 1; V = 10 distinct tokens in the corpus
+    val expSalad = math.log((1 + 0.5) / (1 + 0.5 * 10))
+    assert(out(4L)._2 == math.floor(expSalad * 10000 + 0.5) / 10000)
+    // a doc with fewer than two tokens has zero bigrams and a NULL score
+    val tiny = run(TextAnalysis.lmScoreQuery, docsOf(1L -> "solo", 2L -> "a b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.isNullAt(2)))).toMap
+    assert(tiny(1L) == ((0L, true)))
+    assert(tiny(2L)._1 == 1L && !tiny(2L)._2)
+  }
+
   test("fingerprint: identical docs hash equal; near-identical docs share the min-gram hash") {
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the windowsill"
     val out = run(TextAnalysis.fingerprint, docsOf(
