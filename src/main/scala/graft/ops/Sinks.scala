@@ -196,5 +196,102 @@ object Sinks {
         .orderBy("o_orderkey")
     })
 
-  val all: Seq[QueryDef] = Seq(k8JsonRoundtrip)
+  // ------------------------------------------------- format round-trips
+
+  /** Pid-scoped scratch root for format round-trip stores, removed on
+    * JVM exit — same lifecycle/ownership contract as the multimodal
+    * asset store (Multimodal.assetScratchDir).
+    */
+  private lazy val formatScratchDir: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-fmt-${sys.props.getOrElse("user.name", "anon")}-" +
+        ProcessHandle.current.pid)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.toString
+  }
+
+  private val formatDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+
+  /** Write-once store per (data dir, format): the first caller runs
+    * `write` into a collision-proof keyed directory (SHA-256 of the full
+    * source path — same rationale as Multimodal.storeKey), later callers
+    * reuse it. The memoized-thunk shape keeps the map's bin lock from
+    * being held across a Spark write job.
+    */
+  private def roundTripDir(sfDir: String, fmt: String)(write: String => Unit): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val base = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val holder = formatDirs.computeIfAbsent(s"$fmt-$base-$digest", key => {
+      lazy val dir: String = {
+        val d = s"$formatScratchDir/$key"
+        write(d)
+        d
+      }
+      () => dir
+    })
+    holder()
+  }
+
+  /** K9 — ORC round-trip: `orders` written to ORC (Spark's built-in
+    * columnar alternative to parquet; zlib by default here), read back,
+    * and aggregated. The oracle runs the same aggregate over the
+    * original parquet, so a hash match proves the ORC writer/reader pair
+    * preserves every long/double/string value bit-for-bit. Money sums go
+    * through DECIMAL(18,2) per the house convention (double summation is
+    * partition-order-dependent; decimal is exact and commutative).
+    */
+  val k9OrcRoundtrip = QueryDef(
+    "k9_orc_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)(
+    (s, d) => {
+      val dir = roundTripDir(d, "orc")(out =>
+        Tables.orders(s, d).write.mode("overwrite").orc(out))
+      s.read.orc(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    })
+
+  /** K10 — JSON-lines round-trip: `customer` projected, written as
+    * newline-delimited JSON (the interchange format scraped corpora
+    * actually arrive in), read back with an EXPLICIT schema (schema
+    * inference on a 100 TB JSON corpus is a full extra scan — never
+    * rely on it), and aggregated. Spark writes doubles in
+    * shortest-round-trip form, so parse-back is value-exact and the
+    * parquet-side oracle hash-matches.
+    */
+  val k10JsonlRoundtrip = QueryDef(
+    "k10_jsonl_roundtrip",
+    """SELECT c_mktsegment, count(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)(
+    (s, d) => {
+      import org.apache.spark.sql.types._
+      val dir = roundTripDir(d, "jsonl")(out =>
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").json(out))
+      val schema = StructType(Array(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType)))
+      s.read.schema(schema).json(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy("c_mktsegment")
+    })
+
+  val all: Seq[QueryDef] = Seq(k8JsonRoundtrip, k9OrcRoundtrip, k10JsonlRoundtrip)
 }

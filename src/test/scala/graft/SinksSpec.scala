@@ -84,6 +84,38 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("format round-trips equal the parquet-side aggregate; store writes once per (dir, fmt)") {
+    val d = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val orc = key(Sinks.k9OrcRoundtrip.fn(spark, d))
+    val direct = key(Tables.orders(spark, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus"))
+    assert(orc == direct)
+    val jsonl = key(Sinks.k10JsonlRoundtrip.fn(spark, d))
+    val directJ = key(Tables.customer(spark, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+      .orderBy("c_mktsegment"))
+    assert(jsonl == directJ)
+    // memoized store: a second build must not re-write (same file listing)
+    val scratch = new java.io.File(sys.props("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft-fmt-")).head
+    def listing() = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified)
+      walk(scratch).sortBy(_._1)
+    }
+    val before = listing()
+    Sinks.k9OrcRoundtrip.fn(spark, d).collect()
+    assert(listing() == before, "second run re-wrote the round-trip store")
+  }
+
   test("producer profiles: idempotent adds exactly-once params; prod-tuned adds batching") {
     val alo = Sinks.kafkaAtLeastOnceOptions("b:9092", "t")
     assert(alo("kafka.acks") == "all" && !alo.contains("kafka.enable.idempotence"))
