@@ -1075,6 +1075,11 @@ object Dedup {
       hashGrams: Boolean = false): DataFrame = {
     require(k >= 2, s"span length k must be >= 2 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    // consumed three times (gram explode, token explode, per-doc totals)
+    // but deliberately NOT cached: split-of-scan recomputes at parquet
+    // speed, while a corpus-sized token-array cache measured only ~5%
+    // faster at sf0.1 — the wrong trade under the family's
+    // footprint-discipline contract (round-6 verdict).
     val arr = documents.select(col("doc_id"), split(col("text"), " ").as("a"))
     val gramOf = (i: org.apache.spark.sql.Column) =>
       concat_ws(" ", slice(col("a"), i + 1, lit(k)))
@@ -1100,8 +1105,8 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok"))).as("text_clean"),
         count(lit(1)).as("n_kept"))
-    documents
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    arr
+      .select(col("doc_id"), size(col("a")).cast("bigint").as("n_tokens"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
