@@ -785,9 +785,15 @@ object Dedup {
       .distinct()
       .repartition(col("dst")).cache()
     // every vertex appears as src (edges hold both directions), and this
-    // select reads the already-cached edge blocks — not `pairs`
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
+    // aggregate reads the already-cached edge blocks — not `pairs`.
+    // Initial labels FUSE ITERATION 1: min(self, direct neighbors) is
+    // what the first propagation round would compute from identity
+    // labels, but as a plain grouped min — no join. Near-clique
+    // components (the LSH/blocked output shape) are already converged
+    // here, so the loop typically runs once, to confirm.
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nb_min"))
+      .select(col("doc_id"), least(col("doc_id"), col("nb_min")).as("cluster"))
       .localCheckpoint()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)

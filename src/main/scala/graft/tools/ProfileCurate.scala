@@ -24,9 +24,11 @@ object ProfileCurate {
       val t0 = System.nanoTime(); val r = f
       println(f"[curate] $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
     }
-    // warm JIT/codegen with one full run, then measure stages
-    Curation.curateCanonical(Tables.documents(spark, sfDir))
-      .write.format("noop").mode("overwrite").save()
+    // first full run doubles as the JIT/codegen warm-up; timing it too
+    // makes the cold-vs-warm split visible (the bench measures cold)
+    time("full query COLD first run")(
+      Curation.curateCanonical(Tables.documents(spark, sfDir))
+        .write.format("noop").mode("overwrite").save())
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     System.gc()
     // the SAME frame + threshold the registered query builds (shared
