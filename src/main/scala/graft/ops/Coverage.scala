@@ -448,6 +448,53 @@ object Coverage {
           - greatest(col("tok_start"), col("seq_id") * b)).as("n_toks"))
   }
 
+  // ------------------------------------------------- train/val/test split
+
+  /** Deterministic train/val/test assignment by hash RANGE, not by
+    * row_number quota: a document's split is a pure function of its own
+    * doc_id (first 8 hex chars of md5 against precomputed thresholds),
+    * so it NEVER changes when other documents are added or removed —
+    * the property that prevents silent val→train leakage as a 100 TB
+    * corpus grows between pipeline runs (any rank- or quota-based
+    * assignment reshuffles docs across splits on every ingest).
+    * Shuffle-free scan-side compute; split sizes are binomial around the
+    * requested fractions (exact-count splits are what
+    * [[hashStratifiedSample]] is for). Thresholds are hex-string
+    * literals compared lexicographically — both engines compare
+    * lowercase hex identically, so the oracle replays bit-for-bit.
+    */
+  def splitAssign(
+      documents: org.apache.spark.sql.DataFrame,
+      testFrac: Double = 0.05,
+      valFrac: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
+      s"fractions must be non-negative and sum to <= 1 (got test=$testFrac val=$valFrac)")
+    val h = substring(md5(col("doc_id").cast("string")), 1, 8)
+    documents.select(
+      col("doc_id"),
+      when(h < lit(splitThresholdHex(testFrac)), "test")
+        .when(h < lit(splitThresholdHex(testFrac + valFrac)), "val")
+        .otherwise("train").as("split"))
+  }
+
+  /** floor(frac · 2³²) as 8 lowercase hex chars — the boundary in the
+    * md5-prefix space below which a doc falls into the bucket. frac ≥ 1
+    * returns "g" (lexicographically above every lowercase hex string, so
+    * the comparison admits everything — a 9-char "100000000" would
+    * compare BELOW most hex prefixes and silently admit almost nothing).
+    */
+  private[graft] def splitThresholdHex(frac: Double): String =
+    if (frac >= 1.0) "g" else f"${math.floor(frac * 4294967296.0).toLong}%08x"
+
+  val splitAssignQuery = QueryDef(
+    "mix_split_assign",
+    s"""SELECT doc_id,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${splitThresholdHex(0.05)}' THEN 'test'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${splitThresholdHex(0.10)}' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => splitAssign(Tables.documents(s, d)).orderBy("doc_id"))
+
   /** B = 512 at the fixture's ~100-token docs: most sequences pack
     * several docs and a steady fraction of docs straddle a boundary, so
     * both the multi-doc and the split path are exercised by the oracle.
@@ -482,5 +529,5 @@ object Coverage {
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
-    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery)
+    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery)
 }

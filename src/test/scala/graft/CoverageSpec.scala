@@ -183,4 +183,27 @@ class CoverageSpec extends SparkSpec {
     // fixture docs (~100 tokens) vs b=256: straddlers must exist and be split
     assert(packed.groupBy(_._1).exists(_._2.length > 1))
   }
+
+  test("split assignment is stable under corpus growth and tracks fractions") {
+    val docs = Tables.documents(spark, sf)
+    val full = Coverage.splitAssign(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // range assignment is a pure per-doc function: any subset corpus
+    // assigns identically (no val->train churn as the corpus grows)
+    val half = Coverage.splitAssign(docs.filter(col("doc_id") % 2 === 0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => full(id) == s })
+    // binomial sizes around 5%/5%/90% — loose 3-sigma-ish bounds for n=500
+    val n = full.size.toDouble
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts.getOrElse("test", 0) / n - 0.05) < 0.03, counts)
+    assert(math.abs(counts.getOrElse("val", 0) / n - 0.05) < 0.03, counts)
+    assert(counts("train") / n > 0.84, counts)
+    // boundary arithmetic: frac 0 admits nothing, frac 1 everything
+    assert(Coverage.splitThresholdHex(0.0) == "00000000")
+    assert(Coverage.splitThresholdHex(1.0) == "g") // above every hex prefix
+    val allTest = Coverage.splitAssign(docs, testFrac = 1.0, valFrac = 0.0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(allTest == Seq("test"))
+  }
 }

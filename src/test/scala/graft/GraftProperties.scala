@@ -171,6 +171,33 @@ object GraftProperties extends Properties("graft") {
         flagged.contains(1L) == expectFlag && !flagged.contains(2L)
     }
 
+  property("sequence packing tiles exactly for any budget: conservation + gapless sequences") =
+    sparkProp(eventsGen) { rows =>
+      import spark.implicits._
+      val docs = rows.zipWithIndex.map { case ((id, sec), i) =>
+        val nTok = (id % 37 + 1).toInt // 1..37 tokens
+        (i.toLong, Seq.fill(nTok)("w" + (sec % 11)).mkString(" "), "en", "s", nTok.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val b = (rows.head._1 % 17 + 2) // budget 2..18, derived from the sample
+      val packed = graft.ops.Coverage.packSequences(docs, seqTokens = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      val totalTokens = rows.map(r => r._1 % 37 + 1).sum
+      val bySeq = packed.groupBy(_._2)
+      val lastSeq = packed.map(_._2).max
+      packed.map(_._4).sum == totalTokens &&
+        bySeq.forall { case (seqId, slices) =>
+          val sorted = slices.sortBy(_._3)
+          sorted.head._3 == 0L &&
+            sorted.sliding(2).forall {
+              case Array(x, y) => x._3 + x._4 == y._3
+              case _ => true
+            } && {
+              val filled = sorted.last._3 + sorted.last._4
+              if (seqId == lastSeq) filled <= b else filled == b
+            }
+        }
+    }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._
