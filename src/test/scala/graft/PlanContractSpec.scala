@@ -81,4 +81,38 @@ class PlanContractSpec extends SparkSpec {
     val docScan = scans.find(_.contains("documents")).getOrElse(fail("no documents scan"))
     assert(!docScan.contains("text"), s"frame-sample scan reads text: $docScan")
   }
+
+  test("split assignment is shuffle-free: no Exchange anywhere in the plan") {
+    // splitAssign is a pure per-row function of doc_id — at 100 TB it
+    // must run at scan speed. Any Exchange in this plan is a regression
+    // (the sort in the registered query is for the oracle compare only,
+    // so the contract checks the operator, not the ordered query).
+    val plan = graft.ops.Coverage.splitAssign(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"splitAssign shuffles:\n$plan")
+  }
+
+  test("sequence packing's only single-partition work is the 256-row offsets frame") {
+    // the corpus-side running sum must be the 256-way prefix-grouped
+    // window, never a global one: a SinglePartition exchange feeding a
+    // Window over the full corpus serializes 100 TB through one task.
+    // The offsets frame's own single-partition window is fine (256 rows
+    // after a grp aggregate). Assert the corpus-side window partitions
+    // by grp.
+    // asserted on the optimized LOGICAL plan: AQE wraps the physical
+    // tree, hiding WindowExec from collect() before execution
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = graft.ops.Coverage.packSequences(Tables.documents(spark, sf))
+      .queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "no window in packing plan")
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      s"corpus running sum lost its grp partitioning:\n$lp")
+    // and every UNpartitioned window must sit above the tiny grouped
+    // offsets aggregate, not above a corpus-sized child
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"global window not over the aggregated offsets frame:\n$w")
+    }
+  }
 }
