@@ -383,15 +383,38 @@ object TextAnalysis {
     * the one ln() per distinct-bigram-occurrence is the same libm call
     * the TF-IDF oracle row already proves cross-engine stable.
     */
-  def lmBigramScores(documents: DataFrame, k: Double = 0.5): DataFrame = {
-    require(k > 0, s"smoothing k must be > 0 (got $k)")
+  /** One row per bigram OCCURRENCE: (doc_id, w1, w2) over the
+    * lowercased whitespace split — the shared front of [[lmBigramScores]]
+    * (self-scoring) and [[lmScoreAgainst]] (scoring vs a persisted
+    * store; the streaming LM gate's shape).
+    */
+  private[graft] def bigramOccurrences(documents: DataFrame): DataFrame = {
     val arr = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
-    val bi = arr.filter(size(col("a")) >= 2)
+    arr.filter(size(col("a")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("a")) - 2),
           i => struct(get(col("a"), i).as("w1"), get(col("a"), i + 1).as("w2"))))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Per-doc (n_bigrams, r4 avg) over DECIMAL-summed lp terms; docs with
+    * no bigrams surface with n_bigrams = 0 and NULL avg_logp.
+    */
+  private def perDocAvgLogp(documents: DataFrame, scored: DataFrame): DataFrame = {
+    val agg = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).cast("double").as("s"))
+    documents.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (floor(col("s") / col("n_bigrams") * 10000 + 0.5) / 10000).as("avg_logp"))
+  }
+
+  def lmBigramScores(documents: DataFrame, k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0 (got $k)")
+    val arr = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+    val bi = bigramOccurrences(documents)
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
     val v = arr.select(explode(col("a")).as("tok"))
@@ -403,13 +426,34 @@ object TextAnalysis {
       .select(col("doc_id"),
         log((col("cb") + k) / (col("cu") + col("v") * k))
           .cast("decimal(24,12)").as("lp"))
-    val agg = scored.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).cast("double").as("s"))
-    documents.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+    perDocAvgLogp(documents, scored)
+  }
+
+  /** [[lmBigramScores]] against a PERSISTED model instead of the batch's
+    * own statistics — the incremental-pipeline form: build the counts
+    * once over the reference corpus, then score every later batch with
+    * no corpus-wide aggregation at all (two hash joins against the
+    * count tables plus a scan-side smoothing formula). Bigrams and
+    * contexts the store has never seen coalesce to count 0 and take the
+    * full smoothing penalty ln(k / (k·V)) = −ln(V) — out-of-distribution
+    * text scores low by construction, which is the gate's point.
+    */
+  def lmScoreAgainst(
+      documents: DataFrame,
+      bigramCounts: DataFrame,
+      contextCounts: DataFrame,
+      vocabSize: Long,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0 (got $k)")
+    require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
+    val scored = bigramOccurrences(documents)
+      .join(bigramCounts, Seq("w1", "w2"), "left")
+      .join(contextCounts, Seq("w1"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        (floor(col("s") / col("n_bigrams") * 10000 + 0.5) / 10000).as("avg_logp"))
+        log((coalesce(col("cb"), lit(0L)) + k) /
+          (coalesce(col("cu"), lit(0L)) + vocabSize * k))
+          .cast("decimal(24,12)").as("lp"))
+    perDocAvgLogp(documents, scored)
   }
 
   val lmScoreQuery = QueryDef(

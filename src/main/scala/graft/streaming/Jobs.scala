@@ -383,6 +383,89 @@ object Jobs {
       .start()
   }
 
+  /** Build the persisted bigram language model the streaming LM gate
+    * scores against ([[graft.ops.TextAnalysis.lmScoreAgainst]]): bigram
+    * counts under `dir`/bigrams, a one-row vocab-size frame under
+    * `dir`/meta. Context counts are NOT stored — they are exactly the
+    * per-w1 sums of the bigram counts and are re-derived at load (one
+    * small aggregate over the count table), so the store cannot drift
+    * into inconsistency between the two tables. Built once per
+    * reference-corpus release, like the benchmark shingle store.
+    */
+  def buildLmStore(corpus: DataFrame, dir: String): Unit = {
+    graft.ops.TextAnalysis.bigramOccurrences(corpus)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .write.mode("overwrite").parquet(s"$dir/bigrams")
+    corpus.select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def loadLmStore(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val cb = spark.read.parquet(s"$dir/bigrams")
+    val v = spark.read.parquet(s"$dir/meta").head.getLong(0)
+    require(v > 0,
+      s"LM store $dir has vocabSize=$v — an empty model gates NOTHING " +
+        "meaningfully; rebuild the store from a non-empty corpus")
+    (cb, cb.groupBy("w1").agg(sum("cb").as("cu")), v)
+  }
+
+  /** Batch body against PRE-LOADED model frames — what [[startLmGate]]
+    * uses, so the static store is read once per query. Docs with zero
+    * bigrams (fewer than two tokens) have an UNDEFINED average and are
+    * dropped — a perplexity gate cannot vouch for them.
+    */
+  def lmGateBatch(
+      bigramCounts: DataFrame, contextCounts: DataFrame, vocabSize: Long,
+      outDir: String, minAvgLogp: Double, k: Double = 0.5)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    val keep = graft.ops.TextAnalysis
+      .lmScoreAgainst(batch, bigramCounts, contextCounts, vocabSize, k)
+      .filter(col("n_bigrams") > 0 && col("avg_logp") >= minAvgLogp)
+      .select("doc_id")
+    batch.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+  }
+
+  /** Dir-taking form for direct replay after recovery. */
+  def lmGateBatch(
+      lmStoreDir: String, outDir: String, minAvgLogp: Double)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val (cb, cu, v) = loadLmStore(batch.sparkSession, lmStoreDir)
+    lmGateBatch(cb, cu, v, outDir, minAvgLogp)(batch, batchId)
+  }
+
+  /** Streaming LM-perplexity gate — CCNet-style quality filtering lifted
+    * onto micro-batches: each batch scores against the persisted bigram
+    * model and only docs with avg log-prob ≥ `minAvgLogp` land, under
+    * their own `ingest_batch` partition. The store is static for the
+    * life of the query (same contract as the decontamination gate), so
+    * the batch body is a pure function of (batch, store) and replay
+    * idempotence needs only the own-partition dynamic overwrite.
+    */
+  def startLmGate(
+      docs: DataFrame,
+      lmStoreDir: String,
+      outDir: String,
+      checkpointDir: String,
+      minAvgLogp: Double,
+      k: Double = 0.5,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val (cbRaw, cuRaw, v) = loadLmStore(docs.sparkSession, lmStoreDir)
+    val cb = cbRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val cu = cuRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    docs.writeStream
+      .queryName("lm_gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(lmGateBatch(cb, cu, v, outDir, minAvgLogp, k) _)
+      .start()
+  }
+
   /** Streaming distinct-count sketch store — the third persisted-store
     * job, for the KPI the exact forms can't stream at scale: distinct
     * users per day over an unbounded stream needs unbounded user-id

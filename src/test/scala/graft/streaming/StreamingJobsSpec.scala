@@ -484,6 +484,57 @@ class StreamingJobsSpec extends SparkSpec {
     assert(ex.getMessage.contains("shingleSize"))
   }
 
+  test("LM gate stream: in-distribution docs admitted, salad dropped, replay-safe") {
+    import spark.implicits._
+    val store = tmpDir("lm-store"); val out = tmpDir("lm-out")
+    // reference corpus: repeated common constructions -> the model
+    val common = "the cat sat on the mat and the dog slept by the door"
+    val corpus = (1L to 20L).map(i => (i, common, "en", "ref", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Jobs.buildLmStore(corpus, store)
+
+    // pick the threshold from the scores themselves: midway between an
+    // in-distribution doc and an out-of-distribution salad
+    val cb = spark.read.parquet(s"$store/bigrams")
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = spark.read.parquet(s"$store/meta").head.getLong(0)
+    val probe = Seq((1L, common, "en", "s", 1L),
+      (2L, "zebra quantum furnace ballet ocean drift", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val scores = graft.ops.TextAnalysis.lmScoreAgainst(probe, cb, cu, v)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) > scores(2L), s"in-distribution must outscore salad: $scores")
+    val threshold = (scores(1L) + scores(2L)) / 2
+
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startLmGate(ms.toDF(), store, out, tmpDir("lm-ckpt"),
+      minAvgLogp = threshold, queryTrigger = Trigger.ProcessingTime(0))
+    ms.addData(
+      Doc(1, s"$common again tonight"),
+      Doc(2, "zebra quantum furnace ballet ocean drift"))
+    q.processAllAvailable()
+    val b1 = Seq(Doc(10, common), Doc(11, "xylophone glacier turbine mango"),
+      Doc(12, "solo")) // zero bigrams -> undefined score -> dropped
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def admitted() = spark.read.parquet(out)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted() == Map(1L -> 0, 10L -> 1), s"got ${admitted()}")
+    // replay batch 1 directly (foreachBatch at-least-once): static store
+    // + own-partition overwrite keep the re-run byte-identical
+    Jobs.lmGateBatch(store, out, threshold)(b1.toDF(), 1L)
+    assert(admitted() == Map(1L -> 0, 10L -> 1), s"replay changed output: ${admitted()}")
+    // an empty model must fail loudly at load, not admit everything
+    val emptyStore = tmpDir("lm-empty")
+    Jobs.buildLmStore(corpus.filter(col("doc_id") < 0), emptyStore)
+    val ex = intercept[Exception](
+      Jobs.lmGateBatch(emptyStore, out, threshold)(b1.toDF(), 2L))
+    assert(ex.getMessage.contains("vocabSize") || ex.isInstanceOf[java.util.NoSuchElementException],
+      s"unexpected: $ex")
+  }
+
   test("streaming sketch store: estimates track exact distincts across batches, replay-safe") {
     import spark.implicits._
     val ms = MemoryStream[Ev](spark)(org.apache.spark.sql.Encoders.product[Ev])
