@@ -448,6 +448,45 @@ object Coverage {
           - greatest(col("tok_start"), col("seq_id") * b)).as("n_toks"))
   }
 
+  // ---------------------------------------------------- corpus profiling
+
+  /** Per-language corpus profile card — the one-scan summary every
+    * curation run starts and ends with (did the dedup pass move the
+    * duplicate ratio? did the mix shift token share?): doc/token
+    * volumes, source fan-in, and the exact duplicate ratio
+    * (1 − distinct texts / docs). One hash-aggregate over one scan; at
+    * 100 TB the grouping key is low-cardinality so the reduce side is
+    * trivially small — the scan is the cost, as it should be. All ratio
+    * outputs are integer-derived and floor-rounded, so the DuckDB
+    * oracle hash-matches bit-for-bit.
+    */
+  def corpusProfile(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    documents.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\\s+"))).cast("bigint").as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("text")).as("n_distinct"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        r4(col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avg_tokens"),
+        col("n_sources"),
+        r4(lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+          .as("dup_ratio"))
+  }
+
+  val corpusProfileQuery = QueryDef(
+    "report_corpus_profile",
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens,
+      |       floor(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000 AS avg_tokens,
+      |       count(DISTINCT source) AS n_sources,
+      |       floor((1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(
+    (s, d) => corpusProfile(Tables.documents(s, d)).orderBy("lang"))
+
   // ------------------------------------------------- train/val/test split
 
   /** Deterministic train/val/test assignment by hash RANGE, not by
@@ -529,5 +568,6 @@ object Coverage {
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
-    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery)
+    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
+    corpusProfileQuery)
 }
