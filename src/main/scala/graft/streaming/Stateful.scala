@@ -25,6 +25,22 @@ case class OpenSession(start_ms: Long, last_ms: Long, n_events: Long)
 case class ClosedSession(
     user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
 
+/** Carried packing state per shard: the open sequence's id and how many
+  * tokens it already holds.
+  */
+case class PackState(next_seq: Long, fill: Long)
+
+/** One (document, sequence) overlap emitted by [[Stateful.packStream]] —
+  * the same loader-manifest row as the batch
+  * [[graft.ops.Coverage.packSequences]], plus the shard that owns the
+  * sequence.
+  */
+case class PackSlice(
+    shard: Int, doc_id: Long, seq_id: Long, doc_off: Long, seq_off: Long, n_toks: Long)
+
+/** Minimal doc row for [[Stateful.packStream]]. */
+case class PackInput(doc_id: Long, text: String)
+
 /** Stateful streaming beyond tumbling windows — session windows and
   * arbitrary per-key state (SURVEY.md §7.5; the reference has no state
   * ops at all, §2.6 note — this is the modern surface its pipeline
@@ -151,6 +167,73 @@ object Stateful {
           }
       }
   }
+
+  /** STREAMING sequence packing — the batch concat-then-chunk manifest
+    * ([[graft.ops.Coverage.packSequences]]) lifted onto an unbounded
+    * stream via flatMapGroupsWithState: each shard carries its open
+    * sequence's (id, fill) across micro-batches, so the first doc of
+    * batch N+1 continues filling exactly where batch N stopped — no
+    * sequence is padded or abandoned at a batch boundary, which is the
+    * property a naive per-batch repack loses (every boundary would leak
+    * a partial sequence).
+    *
+    * Sharding: doc_id % `shards` spreads the stream over independent
+    * packers; a sequence is identified by (shard, seq_id). Parallelism
+    * and state are both shard-bounded — state is ONE 16-byte record per
+    * shard regardless of stream length, the floor for any stateful
+    * operator. Within a batch each shard sorts its docs by doc_id, so
+    * output is deterministic given batch composition (arrival order
+    * across batches is the stream's own nondeterminism; replay of the
+    * same batches reproduces the same manifest, which StatefulSpec
+    * pins).
+    */
+  def packStream(
+      docs: Dataset[PackInput],
+      seqTokens: Long = 2048L,
+      shards: Int = 256): Dataset[PackSlice] = {
+    import docs.sparkSession.implicits._
+    require(seqTokens >= 1, s"seqTokens must be >= 1 (got $seqTokens)")
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    docs
+      .groupByKey(d => (d.doc_id % shards).toInt)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[PackInput], state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, 0L))
+          var seq = st.next_seq
+          var fill = st.fill
+          val out = Seq.newBuilder[PackSlice]
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            var remaining = d.text.split("\\s+", -1).length.toLong
+            var docOff = 0L
+            while (remaining > 0) {
+              val take = math.min(seqTokens - fill, remaining)
+              out += PackSlice(shard, d.doc_id, seq, docOff, fill, take)
+              docOff += take; fill += take; remaining -= take
+              if (fill == seqTokens) { seq += 1; fill = 0 }
+            }
+          }
+          state.update(PackState(seq, fill))
+          out.result().iterator
+      }
+  }
+
+  /** Streaming starter for [[packStream]]: the manifest appends to
+    * parquet (exactly-once through the sink's _spark_metadata log +
+    * the checkpointed state store).
+    */
+  def startPackStream(
+      docs: Dataset[PackInput],
+      outDir: String,
+      checkpointDir: String,
+      seqTokens: Long = 2048L,
+      shards: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    packStream(docs, seqTokens, shards).writeStream
+      .outputMode(OutputMode.Append())
+      .queryName("pack_stream")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
 
   /** Streaming starter for [[runningUserStats]] (update mode — each batch
     * emits only the keys it touched).

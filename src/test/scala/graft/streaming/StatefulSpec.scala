@@ -89,4 +89,41 @@ class StatefulSpec extends SparkSpec {
       .map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
     assert(out == Map(1L -> ((2L, 5.0)), 2L -> ((1L, 4.0))))
   }
+
+  test("streaming packer carries the open sequence across batches and tiles exactly") {
+    def doc(id: Long, n: Int) = PackInput(id, Seq.fill(n)("w").mkString(" "))
+    val b = 10L
+    val ms = MemoryStream[PackInput](spark)(org.apache.spark.sql.Encoders.product[PackInput])
+    val out = tmpDir("pack-out")
+    val q = Stateful.startPackStream(ms.toDS(), out, tmpDir("pack-ckpt"),
+      seqTokens = b, shards = 1)
+    // batch 0: 7 + 7 tokens -> seq 0 full [7w + 3w], seq 1 open at fill 4
+    ms.addData(doc(1, 7), doc(2, 7))
+    q.processAllAvailable()
+    // batch 1: 9 tokens -> fills seq 1 (6 toks), opens seq 2 (3 toks)
+    ms.addData(doc(3, 9))
+    q.processAllAvailable()
+    q.stop()
+    val slices = spark.read.parquet(out)
+      .as[PackSlice].collect().sortBy(s => (s.seq_id, s.seq_off))
+    assert(slices.map(s => (s.doc_id, s.seq_id, s.doc_off, s.seq_off, s.n_toks)).toSeq == Seq(
+      (1L, 0L, 0L, 0L, 7L), (2L, 0L, 0L, 7L, 3L), // doc 2 split at the boundary
+      (2L, 1L, 3L, 0L, 4L), (3L, 1L, 0L, 4L, 6L), // batch 1 CONTINUES seq 1 at fill 4
+      (3L, 2L, 6L, 0L, 3L)))
+    // sharded variant: each shard tiles independently, token totals conserved
+    val multi = Stateful.packStream(
+      (1L to 20L).map(i => doc(i, (i % 7 + 1).toInt)).toDS(), seqTokens = b, shards = 4)
+      .collect()
+    assert(multi.map(_.n_toks).sum == (1L to 20L).map(_ % 7 + 1).sum)
+    multi.groupBy(_.shard).foreach { case (_, ss) =>
+      ss.groupBy(_.seq_id).foreach { case (_, seqSlices) =>
+        val sorted = seqSlices.sortBy(_.seq_off)
+        assert(sorted.head.seq_off == 0L)
+        sorted.sliding(2).foreach {
+          case Array(x, y) => assert(x.seq_off + x.n_toks == y.seq_off)
+          case _ =>
+        }
+      }
+    }
+  }
 }
