@@ -165,6 +165,13 @@ object Bench {
         ("cosine", wants("sim"),
           () => Similarity.bruteForceTopK(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
+        // format round-trip stores are write-once per process: build them
+        // here so every timed pass (including retries) measures the same
+        // read+aggregate workload — otherwise pass 1 pays the write and
+        // the retry pass doesn't, and min-of-passes compares different
+        // work (same rationale as mm_store below)
+        ("fmt_store", wants("k9", "k10"),
+          () => { Sinks.k9OrcRoundtrip.fn(spark, sfDir); Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),
         ("mm_store", wants("mm"),
           () => Seq(
             Multimodal.imageAssetsStored(spark, sfDir),

@@ -814,6 +814,13 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // The edge cache is corpus-pair-sized and registered in the
+    // CacheManager (never auto-cleaned); the loop is done with it, so
+    // release it here instead of leaking one cache per library call in
+    // long-lived sessions. The iteration localCheckpoints need no such
+    // owner: checkpointed RDDs are plain persisted RDDs the
+    // ContextCleaner unpersists once unreferenced.
+    edges.unpersist(blocking = false)
     // Unconverged labels are WRONG labels downstream: canonicalSurvivors
     // would keep several "canonical" docs from one component with no
     // signal. Surface truncation loudly instead of silently returning.

@@ -247,6 +247,12 @@ object Sinks {
     * preserves every long/double/string value bit-for-bit. Money sums go
     * through DECIMAL(18,2) per the house convention (double summation is
     * partition-order-dependent; decimal is exact and commutative).
+    *
+    * Measurement contract: the store is write-once per process, so a
+    * timed run measures READ + aggregate over the stored copy — Bench
+    * builds the store in its warm-up (fmt_store) so every pass,
+    * including retries, measures that same workload rather than pass 1
+    * paying the write and later passes not.
     */
   val k9OrcRoundtrip = QueryDef(
     "k9_orc_roundtrip",

@@ -416,7 +416,10 @@ object TextAnalysis {
     val arr = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
     val bi = bigramOccurrences(documents)
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val cu = bi.groupBy("w1").agg(count(lit(1)).as("cu"))
+    // context counts are exactly the per-w1 sums of the bigram counts
+    // (the identity the LM store relies on) — deriving them from cb
+    // instead of re-grouping bi saves a third corpus-wide explode
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
     val v = arr.select(explode(col("a")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val scored = bi

@@ -417,7 +417,7 @@ object Jobs {
     */
   def lmGateBatch(
       bigramCounts: DataFrame, contextCounts: DataFrame, vocabSize: Long,
-      outDir: String, minAvgLogp: Double, k: Double = 0.5)(
+      outDir: String, minAvgLogp: Double, k: Double)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val keep = graft.ops.TextAnalysis
@@ -431,12 +431,15 @@ object Jobs {
       .parquet(outDir)
   }
 
-  /** Dir-taking form for direct replay after recovery. */
+  /** Dir-taking form for direct replay after recovery. `k` must match
+    * the running gate's smoothing — a replay with a different k scores
+    * differently and would break the byte-identical-replay contract.
+    */
   def lmGateBatch(
-      lmStoreDir: String, outDir: String, minAvgLogp: Double)(
+      lmStoreDir: String, outDir: String, minAvgLogp: Double, k: Double = 0.5)(
       batch: DataFrame, batchId: Long): Unit = {
     val (cb, cu, v) = loadLmStore(batch.sparkSession, lmStoreDir)
-    lmGateBatch(cb, cu, v, outDir, minAvgLogp)(batch, batchId)
+    lmGateBatch(cb, cu, v, outDir, minAvgLogp, k)(batch, batchId)
   }
 
   /** Streaming LM-perplexity gate — CCNet-style quality filtering lifted

@@ -103,8 +103,11 @@ class SinksSpec extends SparkSpec {
       .orderBy("c_mktsegment"))
     assert(jsonl == directJ)
     // memoized store: a second build must not re-write (same file listing)
+    // THIS process's scratch dir only — a stale graft-fmt-* left by a
+    // killed earlier JVM must not be the one we observe
     val scratch = new java.io.File(sys.props("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft-fmt-")).head
+      .listFiles().filter(f => f.getName.startsWith("graft-fmt-") &&
+        f.getName.endsWith("-" + ProcessHandle.current.pid)).head
     def listing() = {
       def walk(f: java.io.File): Seq[(String, Long)] =
         if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
