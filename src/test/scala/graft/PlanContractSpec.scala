@@ -82,6 +82,24 @@ class PlanContractSpec extends SparkSpec {
     assert(!docScan.contains("text"), s"frame-sample scan reads text: $docScan")
   }
 
+  test("hot scan paths stay inside whole-stage codegen") {
+    // an interpreted Expression dropped into a scan-side path silently
+    // turns a codegen pipeline into per-row eval — assert the flagship
+    // scans carry WholeStageCodegen stages (rendered as *(n) in the
+    // simple plan) so that regression is loud
+    Seq("q1_kpi_quarter_hour", "t5_filter_isin", "q_pricing_summary",
+      "text_quality_scores", "mix_split_assign").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      // AQE only annotates codegen stages in the FINAL plan — execute
+      // first (cheap at sf0.001), then read the finalized plan string.
+      // collect(), not a noop write: the writer clones the
+      // QueryExecution, leaving df's own plan unfinalized.
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$name lost whole-stage codegen:\n$plan")
+    }
+  }
+
   test("split assignment is shuffle-free: no Exchange anywhere in the plan") {
     // splitAssign is a pure per-row function of doc_id — at 100 TB it
     // must run at scan speed. Any Exchange in this plan is a regression
