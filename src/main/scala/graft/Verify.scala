@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queryName ...]")
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional dev filter (driver passes exactly 2 args → runs everything)
+    val only = args.drop(2).toSet
     // default to the machine's cores (the target config is local[32]);
     // SPARK_GRAFT_CPUS pins it explicitly
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -20,6 +24,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

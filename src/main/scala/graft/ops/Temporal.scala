@@ -147,5 +147,101 @@ object Temporal {
       |ORDER BY e.event_id, p_id""".stripMargin)(
     (s, d) => rangeJoin(Tables.events(s, d)).orderBy("event_id", "p_id"))
 
-  val all: Seq[QueryDef] = Seq(asofQuery, saltedQuery, rangeJoinQuery)
+  /** GAP-BASED SESSIONIZATION: group each user's events into sessions
+    * separated by > `gapMinutes` of inactivity — the canonical
+    * user-journey operator (and the batch twin of Structured Streaming's
+    * `session_window`). Two window passes over ONE shuffle on user_id
+    * (lag to flag session starts, running sum to number them), then a
+    * groupBy (user_id, session_idx) whose map-side partial aggregation
+    * collapses events to session grain BEFORE its exchange — the second
+    * shuffle moves session rows, not event rows, so at 100 TB the cost
+    * is one event-grain shuffle + one session-grain shuffle.
+    *
+    * Gap compare runs on integer microseconds (`unix_micros` here,
+    * `epoch_us` in the oracle) — no float boundary ambiguity. Ordering
+    * ties break on event_id so numbering is deterministic across
+    * partitionings and engines.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col("value")), 4).as("total_value"))
+  }
+
+  val sessionizeQuery = QueryDef(
+    "t_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin)(
+    (s, d) => sessionize(Tables.events(s, d)).orderBy("user_id", "session_idx"))
+
+  /** EVENT-TYPE TRANSITION MATRIX: per-user next-event bigram counts and
+    * row-normalized transition probabilities — the order-1 Markov
+    * summary of behavioral sequences (the event-stream analogue of the
+    * token-bigram LM in TextAnalysis). One event-grain shuffle on
+    * user_id for the lag, then a groupBy on (prev_type, event_type)
+    * whose map-side combine reduces to |types|² rows before its
+    * exchange; the probability normalization is a window over the tiny
+    * aggregated frame. Probabilities are floor-rounded the same way both
+    * engines can replay ([[Coverage.corpusProfile]] convention).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prevW = Window.partitionBy("prev_type")
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        floor(col("n").cast("double") / sum(col("n")).over(prevW) * 10000 + 0.5) / 10000)
+  }
+
+  val transitionQuery = QueryDef(
+    "t_transition_matrix",
+    """WITH pairs AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |         event_type
+      |  FROM events
+      |), counted AS (
+      |  SELECT prev_type, event_type, count(*) AS n
+      |  FROM pairs WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type
+      |)
+      |SELECT prev_type, event_type, n,
+      |       floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) * 10000 + 0.5)
+      |         / 10000 AS prob
+      |FROM counted ORDER BY prev_type, event_type""".stripMargin)(
+    (s, d) => transitionMatrix(Tables.events(s, d)).orderBy("prev_type", "event_type"))
+
+  val all: Seq[QueryDef] =
+    Seq(asofQuery, saltedQuery, rangeJoinQuery, sessionizeQuery, transitionQuery)
 }

@@ -31,6 +31,47 @@ class TemporalSpec extends SparkSpec {
       4L -> Some(200L)))
   }
 
+  test("sessionize: gap splits sessions, boundary gap does NOT, numbering restarts per user") {
+    // user 10: events at 10:00, 10:29, 11:00 with a 30-min gap ->
+    //   10:29-10:00 = 29min (same session); 11:00-10:29 = 31min (new session).
+    // user 20: events at 10:00 and exactly 10:30 — gap == 30min is NOT
+    //   a split (strictly-greater contract).
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", 1.0),
+      (2L, 10L, "2024-01-01 10:29:00", 2.0),
+      (3L, 10L, "2024-01-01 11:00:00", 4.0),
+      (4L, 20L, "2024-01-01 10:00:00", 8.0),
+      (5L, 20L, "2024-01-01 10:30:00", 16.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Temporal.sessionize(ev, gapMinutes = 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(5)))
+      .toMap
+    assert(out == Map(
+      (10L, 1L) -> (2L, 3.0),   // events 1+2 in session 1
+      (10L, 2L) -> (1L, 4.0),   // event 3 alone in session 2
+      (20L, 1L) -> (2L, 24.0))) // boundary gap stays one session
+  }
+
+  test("transition matrix: per-user bigram counts, probs sum to 1 per prev_type") {
+    // user 10: a->b->a; user 20: a->b. Transitions: a->b (x2), b->a (x1).
+    val ev = Seq(
+      (1L, 10L, "2024-01-01 10:00:00", "a"),
+      (2L, 10L, "2024-01-01 10:01:00", "b"),
+      (3L, 10L, "2024-01-01 10:02:00", "a"),
+      (4L, 20L, "2024-01-01 10:00:00", "a"),
+      (5L, 20L, "2024-01-01 10:01:00", "b"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("value", lit(0.0))
+    val out = Temporal.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(("a", "b") -> (2L, 1.0), ("b", "a") -> (1L, 1.0)))
+    // no cross-user transition (user 20's 'a' never pairs with user 10's rows)
+    assert(out.size == 2)
+  }
+
   test("salted aggregation equals direct groupBy exactly") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val direct = ev.groupBy("event_type")
