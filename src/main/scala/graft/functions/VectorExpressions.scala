@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -148,6 +148,146 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
     copy(left = l, right = r)
 }
 
+/** Shared shape for unary vector reducers (same element-access and
+  * type-check contract as [[VectorBinaryExpression]], one input array).
+  * Null ELEMENTS are skipped; a null ARRAY yields null.
+  */
+trait VectorUnaryExpression extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.catalogString}")
+  }
+
+  protected def getElem(arr: String, i: String): String =
+    if (elemIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  protected def elemAt(a: ArrayData, i: Int): Double =
+    if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+}
+
+/** graft_absmax(a) — max |aᵢ| over non-null elements (0.0 on an empty or
+  * all-null array). Order-independent, so it equals DuckDB's
+  * `list_max(list_transform(a, x -> abs(x)))` bit-for-bit — the scale
+  * input of symmetric int8 quantization (scale = absmax / 127).
+  */
+case class AbsMax(child: Expression) extends VectorUnaryExpression {
+  override def prettyName: String = "graft_absmax"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { val v = math.abs(elemAt(a, i)); if (v > m) m = v }
+      i += 1
+    }
+    m
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val v = ctx.freshName("v")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |int ${ev.value}_n = $a.numElements();
+         |double ${ev.value}_m = 0.0;
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs(${getElem(a, i)});
+         |    if ($v > ${ev.value}_m) ${ev.value}_m = $v;
+         |  }
+         |}
+         |${ev.value} = ${ev.value}_m;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** graft_int8_mse(a) — mean squared reconstruction error of symmetric
+  * per-vector int8 quantization: scale = absmax/127, qᵢ = ⌊aᵢ/scale +
+  * 0.5⌋ (round-half-up-toward-+∞ — `floor(x + 0.5)` on BOTH engines, the
+  * repo's engine-independent rounding convention), error = aᵢ −
+  * qᵢ·scale, averaged over non-null elements. 0.0 for a zero or
+  * empty vector. Two sequential passes (absmax, then error fold) whose
+  * double arithmetic the DuckDB list_transform/list_sum oracle mirrors
+  * op-for-op, so results hash-match bit-for-bit.
+  */
+case class Int8QuantMse(child: Expression) extends VectorUnaryExpression {
+  override def prettyName: String = "graft_int8_mse"
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) { val v = math.abs(elemAt(a, i)); if (v > m) m = v }
+      i += 1
+    }
+    if (m == 0.0) 0.0
+    else {
+      val scale = m / 127.0
+      var acc = 0.0
+      var cnt = 0
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = elemAt(a, i)
+          val err = x - math.floor(x / scale + 0.5) * scale
+          acc += err * err
+          cnt += 1
+        }
+        i += 1
+      }
+      if (cnt == 0) 0.0 else acc / cnt
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val i = ctx.freshName("i")
+    val v = ctx.freshName("v")
+    val x = ctx.freshName("x")
+    val err = ctx.freshName("err")
+    val scale = ctx.freshName("scale")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |int ${ev.value}_n = $a.numElements();
+         |double ${ev.value}_m = 0.0;
+         |for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = java.lang.Math.abs(${getElem(a, i)});
+         |    if ($v > ${ev.value}_m) ${ev.value}_m = $v;
+         |  }
+         |}
+         |${ev.value} = 0.0;
+         |if (${ev.value}_m != 0.0) {
+         |  double $scale = ${ev.value}_m / 127.0;
+         |  double ${ev.value}_acc = 0.0;
+         |  int ${ev.value}_cnt = 0;
+         |  for (int $i = 0; $i < ${ev.value}_n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      double $x = ${getElem(a, i)};
+         |      double $err = $x - java.lang.Math.floor($x / $scale + 0.5) * $scale;
+         |      ${ev.value}_acc += $err * $err;
+         |      ${ev.value}_cnt++;
+         |    }
+         |  }
+         |  if (${ev.value}_cnt != 0) ${ev.value} = ${ev.value}_acc / ${ev.value}_cnt;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Function registry plumbing. Sessions opt in either via
   * `spark.sql.extensions=graft.functions.GraftExtensions` (cluster
   * config) or `.withExtensions(new GraftExtensions)` (builder) — both
@@ -175,6 +315,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       two("graft_cosine", CosineSimilarity)),
+    (FunctionIdentifier("graft_absmax"),
+      new ExpressionInfo(classOf[AbsMax].getName, "graft_absmax"),
+      one("graft_absmax", AbsMax)),
+    (FunctionIdentifier("graft_int8_mse"),
+      new ExpressionInfo(classOf[Int8QuantMse].getName, "graft_int8_mse"),
+      one("graft_int8_mse", Int8QuantMse)),
     (FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       one("graft_polyhash", PolyHash)),

@@ -583,8 +583,47 @@ object Similarity {
         .orderBy("keep_vec_id")
     })
 
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization audit: scale (= absmax/127)
+    * and mean squared reconstruction error — the go/no-go report before
+    * compressing a 100 TB float32 embedding store 4× (is the MSE within
+    * recall tolerance, per vector, not just on average?). Pure scan-side
+    * compute through two native codegen'd expressions (graft_absmax /
+    * graft_int8_mse — whole-stage-codegen tight loops, no shuffle, no
+    * HOF interpretation), so throughput is parquet-scan-bound at any
+    * scale. Outputs floor-rounded at 1e-10 (the engine-independent
+    * convention) so the DuckDB list-fold oracle hash-matches.
+    */
+  def quantizeInt8Stats(embeddings: DataFrame): DataFrame = {
+    def r10(c: Column): Column = floor(c * 1e10 + 0.5) / 1e10
+    embeddings.select(
+      col("vec_id"), col("label"),
+      r10(expr("graft_absmax(embedding)") / 127.0).as("scale"),
+      r10(expr("graft_int8_mse(embedding)")).as("mse"))
+  }
+
+  val quantizeInt8Query = QueryDef(
+    "sim_quantize_int8",
+    """WITH base AS (
+      |  SELECT vec_id, label, embedding,
+      |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, label,
+      |       floor(amax / 127.0 * 1e10 + 0.5) / 1e10 AS scale,
+      |       floor(CASE WHEN amax = 0 THEN 0.0 ELSE
+      |         list_sum(list_transform(embedding, x ->
+      |           (CAST(x AS DOUBLE)
+      |              - floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) * (amax / 127.0))
+      |           * (CAST(x AS DOUBLE)
+      |              - floor(CAST(x AS DOUBLE) / (amax / 127.0) + 0.5) * (amax / 127.0))))
+      |         / len(embedding) END * 1e10 + 0.5) / 1e10 AS mse
+      |FROM base ORDER BY vec_id""".stripMargin)(
+    (s, d) => quantizeInt8Stats(Tables.embeddings(s, d)).orderBy("vec_id"))
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
-      semanticCanonicalQuery)
+      semanticCanonicalQuery, quantizeInt8Query)
 }

@@ -221,6 +221,50 @@ class VectorExpressionsSpec extends SparkSpec {
       fixture.select(expr("graft_regex_count(text, '[unclosed')")).collect())
   }
 
+  test("graft_absmax / graft_int8_mse match the interpreted HOF spelling exactly") {
+    Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("emb_q")
+    // absmax: order-independent max of |x| — HOF spelling via transform+array_max
+    val amaxDiff = spark.sql(
+      """SELECT graft_absmax(embedding) AS native,
+        |       array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS hof
+        |FROM emb_q""".stripMargin)
+      .filter(col("native") =!= col("hof"))
+    assert(amaxDiff.isEmpty)
+    // mse: same two-pass formula spelled with aggregate() lambdas
+    val mseDiff = spark.sql(
+      """SELECT graft_int8_mse(embedding) AS native,
+        |  aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) ->
+        |    acc + (CAST(x AS DOUBLE)
+        |            - floor(CAST(x AS DOUBLE) / (graft_absmax(embedding) / 127.0) + 0.5)
+        |              * (graft_absmax(embedding) / 127.0))
+        |        * (CAST(x AS DOUBLE)
+        |            - floor(CAST(x AS DOUBLE) / (graft_absmax(embedding) / 127.0) + 0.5)
+        |              * (graft_absmax(embedding) / 127.0))) / size(embedding) AS hof
+        |FROM emb_q WHERE graft_absmax(embedding) != 0""".stripMargin)
+      .filter(col("native") =!= col("hof"))
+    assert(mseDiff.isEmpty)
+  }
+
+  test("int8 edge semantics: zero vector -> 0 mse, exact-grid vector -> 0 mse, null array -> null") {
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),          // zero vector: scale 0, mse 0 (guarded, no NaN)
+      (2L, Seq(127.0f, -127.0f, 0.0f)), // values exactly on the int8 grid: perfect reconstruction
+      (3L, Seq(1.0f, -1.0f))
+    ).toDF("id", "a")
+    val out = df.select(col("id"),
+      expr("graft_absmax(a)").as("m"), expr("graft_int8_mse(a)").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.0, 0.0)))
+    assert(out(2L) == ((127.0, 0.0)))  // scale=1, every element an exact multiple
+    assert(out(3L)._1 == 1.0)
+    // ±1 quantizes to ±127 at scale=1/127, but 127*(1.0/127.0) can miss 1.0
+    // by an ulp — reconstruction is near-exact, not bit-exact
+    assert(out(3L)._2 >= 0.0 && out(3L)._2 < 1e-30)
+    val nullRow = df.withColumn("a", when(col("id") === 1, col("a")))
+      .select(expr("graft_int8_mse(a)")).collect()
+    assert(nullRow.count(_.isNullAt(0)) == 2)
+  }
+
   test("graft_simhash merges partials correctly across repartitionings") {
     import spark.implicits._
     val rows = (1L to 500L).map(i => (i % 7, i * 2654435761L))
