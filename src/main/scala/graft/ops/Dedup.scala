@@ -1167,9 +1167,78 @@ object Dedup {
       |ORDER BY d.doc_id""".stripMargin)(
     (s, d) => spanDedup(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // ------------------------------------------------------- edit distance
+
+  /** Character-level near-dup pairs: normalized Levenshtein distance
+    * within capped prefix blocks — the measure that catches typo-level
+    * and small-patch duplicates token-set Jaccard is blind to (a one-char
+    * edit inside every word zeroes token overlap but barely moves edit
+    * distance).
+    *
+    * Scale shape: same bounded-block contract as [[prefixBlockedJaccard]]
+    * (pairs only within ≤ maxBlock prefix blocks — never all-pairs), plus
+    * a LENGTH PREFILTER that runs before the O(len²) distance kernel:
+    * |len_a − len_b| is a lower bound on Levenshtein, so pairs whose
+    * length gap already exceeds maxNorm · max(len) are pruned by a
+    * codegen'd integer compare without ever touching the texts. The
+    * kernel itself is Spark's builtin codegen Levenshtein (no UDF).
+    *
+    * Spark computes the distance over CODEPOINTS (the correct unit for
+    * multilingual corpora); DuckDB's levenshtein is byte-based, so the
+    * oracle equivalence holds because the fixture text is pure ASCII
+    * (byte == codepoint there) — verified across all langs at build time.
+    */
+  def editDistancePairs(
+      documents: DataFrame,
+      prefixLen: Int = 50,
+      maxBlock: Int = 64,
+      maxNorm: Double = 0.2): DataFrame = {
+    require(maxNorm > 0 && maxNorm <= 1, s"maxNorm must be in (0, 1] (got $maxNorm)")
+    val keyed = documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        substring(col("text"), 1, prefixLen).as("block_key"),
+        length(col("text")).as("len"))
+      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("block_key")))
+      .filter(col("block_n") <= maxBlock)
+    val a = keyed.select(col("block_key"), col("doc_id").as("doc_a"),
+      col("text").as("ta"), col("len").as("la"))
+    val b = keyed.select(col("block_key"), col("doc_id").as("doc_b"),
+      col("text").as("tb"), col("len").as("lb"))
+    a.join(b, Seq("block_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(col("la") - col("lb")) <= greatest(col("la"), col("lb")) * maxNorm)
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        when(greatest(col("la"), col("lb")) === 0, lit(0.0))
+          .otherwise(r4(col("lev").cast("double") /
+            greatest(col("la"), col("lb")).cast("double"))).as("norm_dist"))
+      .filter(col("norm_dist") <= maxNorm)
+  }
+
+  val editDistanceQuery = QueryDef(
+    "dedup_edit_distance",
+    """WITH keyed AS (
+      |  SELECT doc_id, text, substr(text, 1, 50) AS block_key, length(text) AS len,
+      |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
+      |  FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT * FROM keyed WHERE block_n <= 64),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         levenshtein(a.text, b.text) AS lev,
+      |         CASE WHEN greatest(a.len, b.len) = 0 THEN 0.0
+      |              ELSE floor(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      |                         / CAST(greatest(a.len, b.len) AS DOUBLE) * 10000 + 0.5) / 10000
+      |         END AS norm_dist
+      |  FROM f a JOIN f b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |  WHERE abs(a.len - b.len) <= greatest(a.len, b.len) * 0.2)
+      |SELECT doc_a, doc_b, lev, norm_dist FROM pairs
+      |WHERE norm_dist <= 0.2 ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => editDistancePairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
       boundedNearDupsQuery, incrementalExactQuery, incrementalNearDupsQuery,
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery,
-      spanDedupQuery)
+      spanDedupQuery, editDistanceQuery)
 }

@@ -622,8 +622,63 @@ object Similarity {
       |FROM base ORDER BY vec_id""".stripMargin)(
     (s, d) => quantizeInt8Stats(Tables.embeddings(s, d)).orderBy("vec_id"))
 
+  // ---------------------------------------------------- dimension stats
+
+  /** Per-dimension profile of the embedding corpus — the QA pass run
+    * before trusting a vector store: count, min/max, mean, and population
+    * variance for every dimension. A collapsed dimension (variance ≈ 0)
+    * or a runaway one (|mean| or max far off the others) is how encoder
+    * regressions and normalization bugs surface at corpus scale.
+    *
+    * Scale shape: posexplode → ONE hash aggregate over exactly `dims`
+    * groups (64 here) — map-side partial aggregation reduces each
+    * partition to `dims` rows before the single tiny shuffle, so the cost
+    * is the scan itself. Sums run over DECIMAL(18,9)-cast values (exact,
+    * order-independent — a raw double sum would be partition-order-
+    * dependent); products of scale-9 decimals stay inside DECIMAL(38)
+    * in BOTH engines (a (24,10) cast would push DuckDB's multiply past
+    * width 38, silently degrading it to double). Mean and variance are
+    * spelled identically on both sides from the two exact sums.
+    */
+  def embeddingDimStats(embeddings: DataFrame): DataFrame = {
+    def r10(c: Column): Column = floor(c * 1e10 + 0.5) / 1e10
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x"),
+        col("x").cast("double").cast("decimal(18,9)").as("xd"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("min_v"),
+        max(col("x")).as("max_v"),
+        sum(col("xd")).cast("double").as("s"),
+        sum(col("xd") * col("xd")).cast("double").as("ss"))
+      .select(col("dim"), col("n"), col("min_v"), col("max_v"),
+        r10(col("s") / col("n")).as("mean"),
+        r10(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+          .as("variance"))
+  }
+
+  val dimStatsQuery = QueryDef(
+    "sim_embedding_dimstats",
+    """WITH x AS (
+      |  SELECT i - 1 AS dim,
+      |         embedding[i] AS xf,
+      |         CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      |  FROM embeddings,
+      |       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t),
+      |g AS (
+      |  SELECT dim, count(*) AS n, min(xf) AS min_v, max(xf) AS max_v,
+      |         CAST(sum(xd) AS DOUBLE) AS s, CAST(sum(xd * xd) AS DOUBLE) AS ss
+      |  FROM x GROUP BY 1)
+      |SELECT dim, n, min_v, max_v,
+      |       floor(s / n * 1e10 + 0.5) / 1e10 AS mean,
+      |       floor((ss / n - (s / n) * (s / n)) * 1e10 + 0.5) / 1e10 AS variance
+      |FROM g ORDER BY dim""".stripMargin)(
+    (s, d) => embeddingDimStats(Tables.embeddings(s, d)).orderBy("dim"))
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
-      semanticCanonicalQuery, quantizeInt8Query)
+      semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery)
 }

@@ -481,7 +481,109 @@ object TextAnalysis {
       |ORDER BY d.doc_id""".stripMargin)(
     (s, d) => lmBigramScores(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // ------------------------------------------- DSIR importance weights
+
+  /** Data Selection with Importance Resampling (Xie et al. 2023) in its
+    * bigram-LM form: every document's importance weight is
+    * log p_target(doc) − log p_background(doc) under two add-k-smoothed
+    * bigram LMs — the target LM fit on the high-quality slice
+    * (`targetPred`), the background LM on the whole corpus. Documents
+    * whose language-model fit looks more target-like than corpus-like get
+    * positive weights; resampling by weight shifts the training mix
+    * toward the target distribution without hand-written rules.
+    *
+    * Single-scan shape: the corpus is tokenized ONCE and the bigram
+    * occurrence frame carries an `is_target` flag, so BOTH LMs come out
+    * of ONE grouped aggregation (target counts are conditional sums) —
+    * not two pipelines over two scans. The per-(w1,w2) count table is
+    * distinct-bigram-sized, its per-w1 rollup reuses the cu = Σcb
+    * identity from [[lmBigramScores]], the vocab sizes broadcast as a
+    * 1-row frame, and per-doc sums are DECIMAL-cast (order-independent).
+    * Unseen-in-target bigrams take the smoothing penalty by coalesced
+    * zero counts, exactly like [[lmScoreAgainst]].
+    *
+    * Contract: `targetPred` must select a non-empty slice — an empty
+    * target degenerates the smoothing denominator (v_t = 0) and every
+    * weight surfaces NULL rather than a number (loud, not silently
+    * wrong). Weight is rounded ONCE from the unrounded quotients, so the
+    * reported components and the weight stay each exactly 4-decimal.
+    */
+  def importanceWeights(
+      documents: DataFrame,
+      targetPred: org.apache.spark.sql.Column,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be > 0 (got $k)")
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val arr = documents.select(col("doc_id"), targetPred.as("is_t"),
+      split(lower(col("text")), "\\s+").as("a"))
+    val bi = arr.filter(size(col("a")) >= 2)
+      .select(col("doc_id"), col("is_t"),
+        explode(transform(sequence(lit(0), size(col("a")) - 2),
+          i => struct(get(col("a"), i).as("w1"), get(col("a"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("is_t"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(
+      count(lit(1)).as("cb_b"),
+      sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("cb_t"))
+    val cu = cb.groupBy("w1").agg(sum("cb_b").as("cu_b"), sum("cb_t").as("cu_t"))
+    val v = arr.select(col("is_t"), explode(col("a")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v_b"),
+        countDistinct(when(col("is_t"), col("tok"))).as("v_t"))
+    val scored = bi
+      .join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("cb_t") + k) / (col("cu_t") + col("v_t") * k))
+          .cast("decimal(24,12)").as("lp_t"),
+        log((col("cb_b") + k) / (col("cu_b") + col("v_b") * k))
+          .cast("decimal(24,12)").as("lp_b"))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum(col("lp_t")).cast("double").as("st"),
+      sum(col("lp_b")).cast("double").as("sb"))
+    documents.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        r4(col("st") / col("n_bigrams")).as("logp_target"),
+        r4(col("sb") / col("n_bigrams")).as("logp_background"),
+        r4(col("st") / col("n_bigrams") - col("sb") / col("n_bigrams")).as("weight"))
+  }
+
+  /** Registered form: target = the English slice (the corpus' largest,
+    * playing the "trusted high-quality corpus" role DSIR gives e.g.
+    * Wikipedia), background = everything.
+    */
+  val importanceQuery = QueryDef(
+    "mix_importance_weights",
+    """WITH arr AS (SELECT doc_id, (lang = 'en') AS is_t,
+      |                    string_split_regex(lower(text), '\s+') AS a FROM documents),
+      |bi AS (SELECT doc_id, is_t, a[i] AS w1, a[i + 1] AS w2
+      |       FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) t),
+      |cb AS (SELECT w1, w2, count(*) AS cb_b,
+      |              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cb_t
+      |       FROM bi GROUP BY 1, 2),
+      |cu AS (SELECT w1, sum(cb_b) AS cu_b, sum(cb_t) AS cu_t FROM cb GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS v_b,
+      |             count(DISTINCT CASE WHEN is_t THEN tok END) AS v_t
+      |      FROM (SELECT is_t, unnest(a) AS tok FROM arr)),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |         CAST(ln((cb.cb_t + 0.5) / (cu.cu_t + v.v_t * 0.5)) AS DECIMAL(24,12)) AS lp_t,
+      |         CAST(ln((cb.cb_b + 0.5) / (cu.cu_b + v.v_b * 0.5)) AS DECIMAL(24,12)) AS lp_b
+      |  FROM bi b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |               CAST(sum(lp_t) AS DOUBLE) AS st, CAST(sum(lp_b) AS DOUBLE) AS sb
+      |        FROM scored GROUP BY 1)
+      |SELECT d.doc_id,
+      |       coalesce(a2.n_bigrams, 0) AS n_bigrams,
+      |       floor(a2.st / a2.n_bigrams * 10000 + 0.5) / 10000 AS logp_target,
+      |       floor(a2.sb / a2.n_bigrams * 10000 + 0.5) / 10000 AS logp_background,
+      |       floor((a2.st / a2.n_bigrams - a2.sb / a2.n_bigrams) * 10000 + 0.5) / 10000 AS weight
+      |FROM documents d LEFT JOIN agg a2 USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin)(
+    (s, d) => importanceWeights(Tables.documents(s, d), col("lang") === "en").orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery, lmScoreQuery)
+      tfidfQuery, lmScoreQuery, importanceQuery)
 }

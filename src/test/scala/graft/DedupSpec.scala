@@ -363,4 +363,32 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(empt(0L) == (("", 11L)) && empt(1L) == (("", 11L)))
   }
+
+  test("edit-distance pairs: exact + char-level near dups in-block, norm exact") {
+    val out = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // 0-1 identical; 0-2 / 1-2 differ by the 4-substitution warm->cold edit
+    assert(out((0L, 1L)) == ((0L, 0.0)))
+    val (lev, norm) = out((0L, 2L))
+    assert(lev == 4L)
+    assert(norm == math.floor(4.0 / base.length * 10000 + 0.5) / 10000)
+    assert(out.contains((1L, 2L)))
+    // 3 and 4 share no 50-char prefix block with anything
+    assert(!out.keys.exists(p => Set(p._1, p._2).intersect(Set(3L, 4L)).nonEmpty))
+  }
+
+  test("edit-distance length prefilter prunes same-block pairs before the kernel") {
+    // doc 5 shares doc 0's block key but is ~3x longer: |la-lb| exceeds
+    // maxNorm * max(len), so the pair must be pruned (and would fail the
+    // norm gate anyway — the prefilter just does it without running
+    // levenshtein). doc 6 is a small suffix tweak and must survive.
+    val docs6 = docs.union(Seq(
+      (5L, base + (" padding" * 30), "en", "s", 1L),
+      (6L, base + " tonight", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val pairs = Dedup.editDistancePairs(docs6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(pairs.contains((0L, 6L)))
+  }
 }

@@ -147,4 +147,17 @@ class SimilaritySpec extends SparkSpec {
         s"pair (${r.getLong(0)},${r.getLong(1)}): higher end survived")
     }
   }
+
+  test("embedding dim stats: exact hand-computed moments per dimension") {
+    // dyadic-rational floats => every decimal/double step below is exact
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDimStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getFloat(2), r.getFloat(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(0L) == ((2L, 1.0f, 3.0f, 2.0, 1.0)))  // var((1,3)) = 1
+    assert(out(1L) == ((2L, 2.0f, 6.0f, 4.0, 4.0)))  // var((2,6)) = 4
+  }
 }

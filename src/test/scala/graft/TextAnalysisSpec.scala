@@ -133,4 +133,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 == out(3L)._2)          // min 8-gram window survives a suffix edit
     assert(out(4L)._2.isEmpty)                // shorter than the window => NULL
   }
+
+  test("importance weights rank target-like docs above background-like docs") {
+    import org.apache.spark.sql.functions.col
+    // target slice (src=t) speaks alpha/beta; background adds gamma/delta
+    // docs. An unseen doc phrased in target language must out-weight an
+    // unseen doc phrased in background-only language.
+    val df = Seq(
+      (1L, "alpha beta alpha beta alpha", "en", "t", 27L),
+      (2L, "beta alpha beta alpha beta", "en", "t", 26L),
+      (3L, "gamma delta gamma delta gamma", "en", "b", 29L),
+      (4L, "delta gamma delta gamma delta", "en", "b", 29L),
+      (5L, "alpha beta alpha", "en", "b", 16L),   // target-like, not in target
+      (6L, "gamma delta gamma", "en", "b", 17L),  // background-only phrasing
+      (7L, "solo", "en", "b", 4L)                 // no bigrams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.importanceWeights(df, col("source") === "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val w5 = out(5L).getDouble(4)
+    val w6 = out(6L).getDouble(4)
+    assert(w5 > w6, s"target-like weight $w5 should exceed background-like $w6")
+    assert(w5 > 0, s"target-like doc should look more target than corpus (got $w5)")
+    assert(w6 < 0, s"background-only doc should look less target than corpus (got $w6)")
+    // no-bigram doc: n_bigrams 0, NULL scores (loud absence, not a 0.0)
+    assert(out(7L).getLong(1) == 0L && out(7L).isNullAt(4))
+  }
 }
