@@ -565,9 +565,71 @@ object Coverage {
     (s, d) => packSequences(Tables.documents(s, d), seqTokens = 512L)
       .orderBy("seq_id", "seq_off", "doc_id"))
 
+  // ------------------------------------------------------- corpus diff
+
+  /** Version diff between two corpus snapshots: which documents were
+    * added, removed, or changed — the audit every dataset release needs
+    * ("what moved between v1 and v2, and how much retraining does that
+    * imply"). Content equality is by sha256(text), so a re-ingested
+    * byte-identical doc is NOT a change.
+    *
+    * Scale shape: each side reduces to (doc_id, content_hash) at scan
+    * time — the full-outer join ships 40 bytes/row, never text. The join
+    * shuffles both sides on doc_id; with snapshots bucketed by doc_id
+    * (writeBucketed) it needs no exchange at all. Unchanged docs (the
+    * overwhelming majority between adjacent releases) are filtered
+    * immediately after the join, so downstream work is diff-sized.
+    */
+  def corpusDiff(oldCorpus: org.apache.spark.sql.DataFrame,
+                 newCorpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
+      .join(newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_new")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+
+  /** Fixture versions carved from one table: v1 drops doc_id % 10 = 9,
+    * v2 drops doc_id % 10 = 0 and rewrites text where doc_id % 7 = 0 —
+    * so the diff exercises all three statuses deterministically.
+    */
+  val corpusDiffQuery = QueryDef(
+    "pipeline_corpus_diff",
+    """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+      |v2 AS (SELECT doc_id,
+      |              CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 10 <> 0),
+      |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |             sha256(a.text) AS h_old, sha256(b.text) AS h_new
+      |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+      |SELECT doc_id,
+      |       CASE WHEN h_old IS NULL THEN 'added'
+      |            WHEN h_new IS NULL THEN 'removed'
+      |            WHEN h_old <> h_new THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM j
+      |WHERE (CASE WHEN h_old IS NULL THEN 'added'
+      |            WHEN h_new IS NULL THEN 'removed'
+      |            WHEN h_old <> h_new THEN 'changed'
+      |            ELSE 'unchanged' END) <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      corpusDiff(
+        docs.filter(col("doc_id") % 10 =!= 9).select(col("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text")))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
-    corpusProfileQuery)
+    corpusProfileQuery, corpusDiffQuery)
 }

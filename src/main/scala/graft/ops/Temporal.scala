@@ -242,6 +242,47 @@ object Temporal {
       |FROM counted ORDER BY prev_type, event_type""".stripMargin)(
     (s, d) => transitionMatrix(Tables.events(s, d)).orderBy("prev_type", "event_type"))
 
+  /** WEEK-OVER-WEEK DRIFT: weekly volume + value per event type with the
+    * previous week's count and the relative change — the trend/drift
+    * monitor run over every ingest stream ("did a source double or die
+    * this week"). One shuffle to the (type, week) grain with map-side
+    * combine; the lag window then runs over the tiny aggregated frame
+    * (|types| × |weeks| rows), so the drift math is free at any scale.
+    * Value sums go through DECIMAL (order-independent); the change ratio
+    * is floor-rounded; week boundaries are ISO Mondays in both engines.
+    */
+  def weekOverWeek(events: DataFrame): DataFrame = {
+    val weekly = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("pct_change",
+        floor((col("n_events") - col("prev_n")).cast("double") /
+          col("prev_n").cast("double") * 10000 + 0.5) / 10000)
+  }
+
+  val weekOverWeekQuery = QueryDef(
+    "t_week_over_week",
+    """WITH weekly AS (
+      |  SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT *, lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      |  FROM weekly
+      |)
+      |SELECT event_type, week, n_events, total_value, prev_n,
+      |       floor(CAST(n_events - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) * 10000 + 0.5)
+      |         / 10000 AS pct_change
+      |FROM lagged ORDER BY event_type, week""".stripMargin)(
+    (s, d) => weekOverWeek(Tables.events(s, d)).orderBy("event_type", "week"))
+
   val all: Seq[QueryDef] =
-    Seq(asofQuery, saltedQuery, rangeJoinQuery, sessionizeQuery, transitionQuery)
+    Seq(asofQuery, saltedQuery, rangeJoinQuery, sessionizeQuery, transitionQuery,
+      weekOverWeekQuery)
 }

@@ -206,4 +206,13 @@ class CoverageSpec extends SparkSpec {
       .select("split").distinct().collect().map(_.getString(0)).toSeq
     assert(allTest == Seq("test"))
   }
+
+  test("corpus diff: added/removed/changed by content hash, identical re-ingest silent") {
+    import spark.implicits._
+    val v1 = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "bbb"), (3L, "ccc patched"), (4L, "ddd")).toDF("doc_id", "text")
+    val out = Coverage.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
 }

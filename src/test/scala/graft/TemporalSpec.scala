@@ -81,4 +81,26 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == direct)
   }
+
+  test("week-over-week: NULL change on first week, exact ratio after, per-type isolation") {
+    // type a: 2 events week of Jan 1, 3 events week of Jan 8 -> +50%.
+    // type b: single week -> its only row has NULL prev/change.
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00", 10L, "a", 1.0),
+      (2L, "2024-01-03 10:00:00", 11L, "a", 2.0),
+      (3L, "2024-01-09 10:00:00", 10L, "a", 3.0),
+      (4L, "2024-01-10 10:00:00", 11L, "a", 4.0),
+      (5L, "2024-01-11 10:00:00", 12L, "a", 5.0),
+      (6L, "2024-01-09 10:00:00", 10L, "b", 9.0))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Temporal.weekOverWeek(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out(("a", "2024-01-01")) == ((2L, 3.0, None, None)))
+    assert(out(("a", "2024-01-08")) == ((3L, 12.0, Some(2L), Some(0.5))))
+    assert(out(("b", "2024-01-08")) == ((1L, 9.0, None, None)))
+  }
 }
