@@ -1205,14 +1205,26 @@ object Dedup {
       col("text").as("ta"), col("len").as("la"))
     val b = keyed.select(col("block_key"), col("doc_id").as("doc_b"),
       col("text").as("tb"), col("len").as("lb"))
+    val mx = greatest(col("la"), col("lb"))
+    // The kernel is CASE-guarded rather than left to free-standing filters:
+    // Catalyst sinks a post-join filter on lev into the join's extra
+    // condition, where the conjunct ordered the O(len²) kernel BEFORE the
+    // cheap doc_a<doc_b / length-gap prunes — so every block's self-pairs
+    // ran full DP on identical strings (measured 10.8 s vs 1.9 s at
+    // sf0.1). The guard travels WITH the kernel wherever the optimizer
+    // places it, and the ta=tb branch answers the dominant dup-heavy case
+    // with an O(len) equality instead of DP.
+    val guard = col("doc_a") < col("doc_b") &&
+      abs(col("la") - col("lb")) <= mx * maxNorm
     a.join(b, Seq("block_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(abs(col("la") - col("lb")) <= greatest(col("la"), col("lb")) * maxNorm)
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("lev",
+        when(!guard, lit(null).cast("long"))
+          .when(col("ta") === col("tb"), lit(0L))
+          .otherwise(levenshtein(col("ta"), col("tb")).cast("long")))
+      .filter(col("lev").isNotNull)
       .select(col("doc_a"), col("doc_b"), col("lev"),
-        when(greatest(col("la"), col("lb")) === 0, lit(0.0))
-          .otherwise(r4(col("lev").cast("double") /
-            greatest(col("la"), col("lb")).cast("double"))).as("norm_dist"))
+        when(mx === 0, lit(0.0))
+          .otherwise(r4(col("lev").cast("double") / mx.cast("double"))).as("norm_dist"))
       .filter(col("norm_dist") <= maxNorm)
   }
 
