@@ -627,9 +627,50 @@ object Coverage {
         .orderBy("doc_id")
     })
 
+  // ----------------------------------------------- per-source quality gate
+
+  /** Keep the top `keepFrac` of each source's documents by type-token
+    * ratio (distinct/total tokens — repetitive spam scores low), ranked
+    * WITHIN source so a high-quality source can't crowd out a weaker
+    * one entirely: the per-group form of quality pruning that a global
+    * threshold gets wrong. percent_rank is (rank−1)/(n−1) in both
+    * engines — an exact rational — with doc_id breaking ttr ties, so the
+    * keep-set is deterministic under any partitioning. A single-doc
+    * source ranks 0 and is always kept (it IS its source's best).
+    *
+    * Scale shape: one shuffle on source for the rank window; TTR itself
+    * is scan-side codegen (split/array_distinct/size). Skewed sources
+    * are sort-partition work, which AQE splits.
+    */
+  def qualityGatePerSource(documents: org.apache.spark.sql.DataFrame,
+                           keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(keepFrac >= 0 && keepFrac <= 1, s"keepFrac must be in [0,1] (got $keepFrac)")
+    val toks = split(lower(col("text")), "\\s+")
+    documents
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"))
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("source").orderBy(col("ttr").desc, col("doc_id"))))
+      .filter(col("pr") <= keepFrac)
+  }
+
+  val qualityGateQuery = QueryDef(
+    "mix_quality_gate",
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE)
+      |           / CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS ttr
+      |  FROM documents),
+      |r AS (SELECT *, percent_rank() OVER
+      |               (PARTITION BY source ORDER BY ttr DESC, doc_id) AS pr
+      |      FROM scored)
+      |SELECT doc_id, source, ttr, pr FROM r
+      |WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin)(
+    (s, d) => qualityGatePerSource(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
-    corpusProfileQuery, corpusDiffQuery)
+    corpusProfileQuery, corpusDiffQuery, qualityGateQuery)
 }

@@ -583,7 +583,57 @@ object TextAnalysis {
       |ORDER BY d.doc_id""".stripMargin)(
     (s, d) => importanceWeights(Tables.documents(s, d), col("lang") === "en").orderBy("doc_id"))
 
+  // --------------------------------------------------------- chunking
+
+  /** Overlapping fixed-width chunking — the retrieval/embedding-index
+    * prep step: split each document into `chunkChars`-char windows
+    * advancing by `chunkChars − overlap`, keeping the source offset so
+    * chunks remain traceable to their document span. The final chunk is
+    * whatever remains (possibly short); every character is covered and
+    * consecutive chunks share `overlap` chars of context.
+    *
+    * Scale shape: pure scan-side compute — sequence/explode/substr are
+    * all codegen'd builtins, no shuffle anywhere; output order funcs as
+    * (doc_id, chunk_idx) so downstream embedding jobs can repartition on
+    * doc_id without losing chunk identity. Integer arithmetic only, so
+    * the oracle replays it bit-for-bit.
+    */
+  def chunkDocuments(
+      documents: DataFrame,
+      chunkChars: Int = 200,
+      overlap: Int = 50): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be > 0 (got $chunkChars)")
+    require(overlap >= 0 && overlap < chunkChars,
+      s"overlap must be in [0, chunkChars) (got $overlap)")
+    val stride = chunkChars - overlap
+    documents
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), floor((col("len") - 1) / stride).cast("long")))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        col("text").substr((col("chunk_idx") * stride + 1).cast("int"), lit(chunkChars))
+          .as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
+
+  val chunkQuery = QueryDef(
+    "text_chunk_documents",
+    """WITH base AS (SELECT doc_id, text, length(text) AS len
+      |              FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |c AS (SELECT doc_id, i AS chunk_idx, i * 150 AS chunk_start,
+      |             substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+      |      FROM base,
+      |           LATERAL (SELECT unnest(generate_series(0,
+      |                      CAST(floor((len - 1) / 150.0) AS BIGINT))) AS i) t)
+      |SELECT doc_id, chunk_idx, chunk_start, chunk_text,
+      |       length(chunk_text) AS chunk_len
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)(
+    (s, d) => chunkDocuments(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"))
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery, lmScoreQuery, importanceQuery)
+      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery)
 }

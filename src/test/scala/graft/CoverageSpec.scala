@@ -215,4 +215,18 @@ class CoverageSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
   }
+
+  test("per-source quality gate keeps top half per source; singleton sources survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four", "en", "a", 1L),      // ttr 1.0   -> pr 0
+      (2L, "one one two three", "en", "a", 1L),       // ttr 0.75  -> pr 0.5
+      (3L, "one one one two", "en", "a", 1L),         // ttr 0.5   -> pr 1.0 (dropped)
+      (4L, "spam spam spam spam", "en", "b", 1L)      // singleton -> pr 0 (kept)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Coverage.qualityGatePerSource(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(kept.keySet == Set(1L, 2L, 4L))
+    assert(kept(1L) == 0.0 && kept(2L) == 0.5 && kept(4L) == 0.0)
+  }
 }

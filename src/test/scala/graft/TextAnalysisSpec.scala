@@ -158,4 +158,20 @@ class TextAnalysisSpec extends SparkSpec {
     // no-bigram doc: n_bigrams 0, NULL scores (loud absence, not a 0.0)
     assert(out(7L).getLong(1) == 0L && out(7L).isNullAt(4))
   }
+
+  test("chunking: full coverage, exact overlap, short tail, offsets traceable") {
+    val out = TextAnalysis.chunkDocuments(docsOf(1L -> "abcdefghij"), chunkChars = 5, overlap = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 0L, "abcde", 5L),
+      (1L, 3L, "defgh", 5L),
+      (2L, 6L, "ghij", 4L),
+      (3L, 9L, "j", 1L)))
+    // reassembly from strides covers every char exactly once
+    val strided = out.map { case (_, start, txt, _) => (start, txt.take(3)) }
+    assert(strided.map(_._2).mkString == "abcdefghij")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docsOf(1L -> "x"), chunkChars = 5, overlap = 5)
+    }
+  }
 }
