@@ -575,4 +575,20 @@ class StreamingJobsSpec extends SparkSpec {
     assert(opts("startingOffsets") == "earliest")
     assert(opts.contains("maxOffsetsPerTrigger")) // bounded micro-batch at scale
   }
+
+  test("chunking is streaming-stateless: memory-stream output equals batch output") {
+    import spark.implicits._
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = graft.ops.TextAnalysis.chunkDocuments(ms.toDF(), chunkChars = 5, overlap = 2)
+      .writeStream.format("memory").queryName("chunk_parity").outputMode("append").start()
+    ms.addData(Doc(1L, "abcdefghij"), Doc(2L, "xyz"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("chunk_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.ops.TextAnalysis.chunkDocuments(
+      Seq((1L, "abcdefghij"), (2L, "xyz")).toDF("doc_id", "text"),
+      chunkChars = 5, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed == batch && batch.size == 5) // 4 chunks for doc 1, 1 for doc 2
+  }
 }
