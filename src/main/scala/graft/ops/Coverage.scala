@@ -668,9 +668,67 @@ object Coverage {
       |WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin)(
     (s, d) => qualityGatePerSource(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // -------------------------------------------- length-bucketed batches
+
+  /** Length-bucketed batch shaping: group documents into inference/
+    * training batches of similar token counts so per-batch padding
+    * (batch rows padded to the batch max) stays small, and report each
+    * batch's padding efficiency = sum(len) / (count · max(len)). The
+    * audit answers "what does naive vs length-aware batching cost in
+    * wasted pad tokens" — the classic bucketing trick, relationalized.
+    *
+    * Scale shape: docs bucket by a length RANGE (binWidth tokens), and
+    * the within-bin numbering window partitions BY BIN — bounded
+    * partitions, never a global single-partition row_number. md5 order
+    * inside the bin keeps batch assignment layout-independent
+    * ([[tokenBudgetSample]] convention).
+    */
+  def lengthBucketedBatches(
+      documents: org.apache.spark.sql.DataFrame,
+      batchSize: Int = 32,
+      binWidth: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(batchSize > 0 && binWidth > 0,
+      s"batchSize and binWidth must be > 0 (got $batchSize, $binWidth)")
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val sized = documents.select(col("doc_id"),
+      size(split(lower(col("text")), "\\s+")).cast("long").as("n_toks"))
+      .withColumn("bin", floor(col("n_toks") / binWidth).cast("long") * binWidth)
+    val numbered = sized.withColumn("rn", row_number().over(
+      Window.partitionBy("bin").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+    numbered
+      .withColumn("batch_id", floor((col("rn") - 1) / batchSize).cast("long"))
+      .groupBy("bin", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_toks")).as("max_toks"),
+        sum(col("n_toks")).as("sum_toks"))
+      .select(col("bin"), col("batch_id"), col("n_docs"), col("max_toks"), col("sum_toks"),
+        r4(col("sum_toks").cast("double") /
+          (col("n_docs") * col("max_toks")).cast("double")).as("pad_efficiency"))
+  }
+
+  val lengthBatchesQuery = QueryDef(
+    "mix_length_batches",
+    """WITH sized AS (
+      |  SELECT doc_id, CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |binned AS (SELECT doc_id, n_toks,
+      |                  CAST(floor(n_toks / 16.0) AS BIGINT) * 16 AS bin FROM sized),
+      |numbered AS (
+      |  SELECT *, row_number() OVER
+      |            (PARTITION BY bin ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM binned),
+      |batched AS (SELECT bin, CAST(floor((rn - 1) / 32.0) AS BIGINT) AS batch_id, n_toks
+      |            FROM numbered)
+      |SELECT bin, batch_id, count(*) AS n_docs, max(n_toks) AS max_toks,
+      |       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |       floor(CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) * max(n_toks) AS DOUBLE)
+      |             * 10000 + 0.5) / 10000 AS pad_efficiency
+      |FROM batched GROUP BY 1, 2 ORDER BY bin, batch_id""".stripMargin)(
+    (s, d) => lengthBucketedBatches(Tables.documents(s, d)).orderBy("bin", "batch_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
-    corpusProfileQuery, corpusDiffQuery, qualityGateQuery)
+    corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery)
 }

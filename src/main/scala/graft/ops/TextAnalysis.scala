@@ -633,7 +633,58 @@ object TextAnalysis {
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)(
     (s, d) => chunkDocuments(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"))
 
+  // ------------------------------------------------- vocab / OOV audit
+
+  /** Tokenizer-coverage audit: build the top-`vocabSize` corpus
+    * vocabulary by frequency (token asc breaks count ties, so the
+    * boundary is deterministic in both engines) and report each
+    * document's out-of-vocabulary token count and rate — the check run
+    * before committing to a tokenizer or vocab budget ("how much of the
+    * corpus does a V-token vocab actually cover, and which docs fall
+    * outside it").
+    *
+    * Scale shape: the count table is distinct-token-sized; the top-V
+    * comes from orderBy + limit, which Spark plans as
+    * TakeOrderedAndProject — distributed partial top-K per partition,
+    * NOT a single-partition row_number window. The V-row vocab then
+    * broadcasts into the per-token left join, and n_oov is
+    * count(*) − count(matched) so both engines emit BIGINT (a SUM(CASE)
+    * would surface HUGEINT in DuckDB and fail the type-sensitive
+    * compare).
+    */
+  def vocabOovAudit(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0 (got $vocabSize)")
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
+    val tok = documents.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        r4(col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
+  val vocabOovQuery = QueryDef(
+    "text_vocab_oov",
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |             FROM documents),
+      |vocab AS (SELECT tok, 1 AS in_vocab
+      |          FROM (SELECT tok, count(*) AS n FROM tok GROUP BY 1)
+      |          ORDER BY n DESC, tok ASC LIMIT 1000),
+      |j AS (SELECT t.doc_id, v.in_vocab FROM tok t LEFT JOIN vocab v USING (tok))
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       count(*) - count(in_vocab) AS n_oov,
+      |       floor(CAST(count(*) - count(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |             * 10000 + 0.5) / 10000 AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
+    (s, d) => vocabOovAudit(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery)
+      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery)
 }

@@ -229,4 +229,22 @@ class CoverageSpec extends SparkSpec {
     assert(kept.keySet == Set(1L, 2L, 4L))
     assert(kept(1L) == 0.0 && kept(2L) == 0.5 && kept(4L) == 0.0)
   }
+
+  test("length-bucketed batches: same-bin docs batch together, exact padding efficiency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t t", "en", "s", 1L),            // 2 toks -> bin 0
+      (2L, "t t t", "en", "s", 1L),          // 3 toks -> bin 0
+      (3L, "t t t t t", "en", "s", 1L)       // 5 toks -> bin 4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Coverage.lengthBucketedBatches(docs, batchSize = 2, binWidth = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // bin 0: docs 1+2 in one batch -> pad to max 3: eff = 5/(2*3)
+    assert(out((0L, 0L)) == ((2L, 3L, 5L, math.floor(5.0 / 6 * 10000 + 0.5) / 10000)))
+    // singleton batch pads nothing
+    assert(out((4L, 0L)) == ((1L, 5L, 5L, 1.0)))
+    // batches never exceed batchSize
+    assert(out.values.forall(_._1 <= 2L))
+  }
 }

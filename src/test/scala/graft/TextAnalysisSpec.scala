@@ -174,4 +174,15 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkDocuments(docsOf(1L -> "x"), chunkChars = 5, overlap = 5)
     }
   }
+
+  test("vocab/OOV audit: top-V by frequency with asc-token tiebreak, exact rates") {
+    // corpus counts: a=4, b=3, c=2, d=2, e=1. V=3 -> {a, b, c} (c beats d
+    // on the asc tiebreak at count 2).
+    val out = TextAnalysis.vocabOovAudit(docsOf(
+      1L -> "a a b b c d",
+      2L -> "a a b c d e"), vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 1L, math.floor(1.0 / 6 * 10000 + 0.5) / 10000)))
+    assert(out(2L) == ((6L, 2L, math.floor(2.0 / 6 * 10000 + 0.5) / 10000)))
+  }
 }
