@@ -582,13 +582,19 @@ object Coverage {
     */
   def corpusDiff(oldCorpus: org.apache.spark.sql.DataFrame,
                  newCorpus: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
-      .join(newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_new")),
-        Seq("doc_id"), "full_outer")
+    // Presence comes from a literal marker per side, NOT from the hash
+    // being null — sha2(NULL text) is null too, and conflating the two
+    // would report a NULL-text doc as added/removed instead of
+    // present-but-unhashable. Hashes compare null-safely (<=>) so
+    // NULL->'x' and 'x'->NULL text transitions surface as 'changed'.
+    oldCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_old"),
+        lit(1).as("p_old"))
+      .join(newCorpus.select(col("doc_id"), sha2(col("text"), 256).as("h_new"),
+        lit(1).as("p_new")), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_old").isNull, lit("added"))
-          .when(col("h_new").isNull, lit("removed"))
-          .when(col("h_old") =!= col("h_new"), lit("changed"))
+        when(col("p_old").isNull, lit("added"))
+          .when(col("p_new").isNull, lit("removed"))
+          .when(!(col("h_old") <=> col("h_new")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
 
@@ -598,22 +604,24 @@ object Coverage {
     */
   val corpusDiffQuery = QueryDef(
     "pipeline_corpus_diff",
-    """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+    """WITH v1 AS (SELECT doc_id, text, 1 AS p_old FROM documents WHERE doc_id % 10 <> 9),
       |v2 AS (SELECT doc_id,
-      |              CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |              CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+      |              1 AS p_new
       |       FROM documents WHERE doc_id % 10 <> 0),
       |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-      |             sha256(a.text) AS h_old, sha256(b.text) AS h_new
+      |             sha256(a.text) AS h_old, sha256(b.text) AS h_new,
+      |             a.p_old, b.p_new
       |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
       |SELECT doc_id,
-      |       CASE WHEN h_old IS NULL THEN 'added'
-      |            WHEN h_new IS NULL THEN 'removed'
-      |            WHEN h_old <> h_new THEN 'changed'
+      |       CASE WHEN p_old IS NULL THEN 'added'
+      |            WHEN p_new IS NULL THEN 'removed'
+      |            WHEN h_old IS DISTINCT FROM h_new THEN 'changed'
       |            ELSE 'unchanged' END AS status
       |FROM j
-      |WHERE (CASE WHEN h_old IS NULL THEN 'added'
-      |            WHEN h_new IS NULL THEN 'removed'
-      |            WHEN h_old <> h_new THEN 'changed'
+      |WHERE (CASE WHEN p_old IS NULL THEN 'added'
+      |            WHEN p_new IS NULL THEN 'removed'
+      |            WHEN h_old IS DISTINCT FROM h_new THEN 'changed'
       |            ELSE 'unchanged' END) <> 'unchanged'
       |ORDER BY doc_id""".stripMargin)(
     (s, d) => {
@@ -644,7 +652,11 @@ object Coverage {
     */
   def qualityGatePerSource(documents: org.apache.spark.sql.DataFrame,
                            keepFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
-    require(keepFrac >= 0 && keepFrac <= 1, s"keepFrac must be in [0,1] (got $keepFrac)")
+    // keepFrac = 0 is rejected rather than meaning "keep nothing": the
+    // first-ranked row of every source has percent_rank 0, so a <= 0
+    // filter would still keep one doc per source — a silent surprise for
+    // a caller expecting an empty dry-run.
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac must be in (0,1] (got $keepFrac)")
     val toks = split(lower(col("text")), "\\s+")
     documents
       .select(col("doc_id"), col("source"),

@@ -388,14 +388,19 @@ object TextAnalysis {
     * (self-scoring) and [[lmScoreAgainst]] (scoring vs a persisted
     * store; the streaming LM gate's shape).
     */
-  private[graft] def bigramOccurrences(documents: DataFrame): DataFrame = {
-    val arr = documents.select(col("doc_id"), split(lower(col("text")), "\\s+").as("a"))
+  private[graft] def bigramOccurrences(
+      documents: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    // `extra` columns ride along unchanged (e.g. importanceWeights' is_t
+    // flag) so callers never re-implement the 0-based sequence/get
+    // construction below — the one copy of that indexing lives here.
+    val keep = col("doc_id") +: extra.map(col)
+    val arr = documents.select(keep :+ split(lower(col("text")), "\\s+").as("a"): _*)
     arr.filter(size(col("a")) >= 2)
-      .select(col("doc_id"),
+      .select(keep :+
         explode(transform(sequence(lit(0), size(col("a")) - 2),
           i => struct(get(col("a"), i).as("w1"), get(col("a"), i + 1).as("w2"))))
-          .as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .as("bg"): _*)
+      .select(keep :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
   }
 
   /** Per-doc (n_bigrams, r4 avg) over DECIMAL-summed lp terms; docs with
@@ -514,18 +519,14 @@ object TextAnalysis {
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be > 0 (got $k)")
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
-    val arr = documents.select(col("doc_id"), targetPred.as("is_t"),
-      split(lower(col("text")), "\\s+").as("a"))
-    val bi = arr.filter(size(col("a")) >= 2)
-      .select(col("doc_id"), col("is_t"),
-        explode(transform(sequence(lit(0), size(col("a")) - 2),
-          i => struct(get(col("a"), i).as("w1"), get(col("a"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("is_t"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val flagged = documents.withColumn("is_t", targetPred)
+    val bi = bigramOccurrences(flagged, extra = Seq("is_t"))
     val cb = bi.groupBy("w1", "w2").agg(
       count(lit(1)).as("cb_b"),
       sum(when(col("is_t"), lit(1L)).otherwise(lit(0L))).as("cb_t"))
     val cu = cb.groupBy("w1").agg(sum("cb_b").as("cu_b"), sum("cb_t").as("cu_t"))
-    val v = arr.select(col("is_t"), explode(col("a")).as("tok"))
+    val v = flagged
+      .select(col("is_t"), explode(split(lower(col("text")), "\\s+")).as("tok"))
       .agg(countDistinct(col("tok")).as("v_b"),
         countDistinct(when(col("is_t"), col("tok"))).as("v_t"))
     val scored = bi
@@ -597,6 +598,15 @@ object TextAnalysis {
     * (doc_id, chunk_idx) so downstream embedding jobs can repartition on
     * doc_id without losing chunk identity. Integer arithmetic only, so
     * the oracle replays it bit-for-bit.
+    *
+    * The index bound is floor(max(len − overlap − 1, 0) / stride), NOT
+    * floor((len−1)/stride): the naive bound emits a final chunk whenever
+    * any character sits past the last stride boundary, and when the tail
+    * length is ≤ overlap that chunk is a strict SUFFIX of the previous
+    * one — a pure duplicate in the retrieval index (with 200/50 defaults
+    * that's every doc whose length mod 150 lands in [1, 50]). The
+    * tightened bound starts a new chunk only when it adds unseen
+    * characters; coverage stays total.
     */
   def chunkDocuments(
       documents: DataFrame,
@@ -610,7 +620,8 @@ object TextAnalysis {
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), floor((col("len") - 1) / stride).cast("long")))
+        explode(sequence(lit(0L),
+          floor(greatest(col("len") - (overlap + 1), lit(0)) / stride).cast("long")))
           .as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * stride).as("chunk_start"),
@@ -627,7 +638,7 @@ object TextAnalysis {
       |             substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
       |      FROM base,
       |           LATERAL (SELECT unnest(generate_series(0,
-      |                      CAST(floor((len - 1) / 150.0) AS BIGINT))) AS i) t)
+      |                      CAST(floor(greatest(len - 51, 0) / 150.0) AS BIGINT))) AS i) t)
       |SELECT doc_id, chunk_idx, chunk_start, chunk_text,
       |       length(chunk_text) AS chunk_len
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)(
@@ -661,11 +672,16 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("tok").asc)
       .limit(vocabSize)
       .select(col("tok"), lit(1).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("tok"), "left")
+    val perDoc = tok.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
-      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+    // left-join back so NULL-text docs surface with 0 tokens instead of
+    // silently vanishing from the audit (perDocAvgLogp convention)
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         r4(col("n_oov").cast("double") / col("n_tokens").cast("double")).as("oov_rate"))
   }
 
@@ -676,12 +692,15 @@ object TextAnalysis {
       |vocab AS (SELECT tok, 1 AS in_vocab
       |          FROM (SELECT tok, count(*) AS n FROM tok GROUP BY 1)
       |          ORDER BY n DESC, tok ASC LIMIT 1000),
-      |j AS (SELECT t.doc_id, v.in_vocab FROM tok t LEFT JOIN vocab v USING (tok))
-      |SELECT doc_id, count(*) AS n_tokens,
-      |       count(*) - count(in_vocab) AS n_oov,
-      |       floor(CAST(count(*) - count(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-      |             * 10000 + 0.5) / 10000 AS oov_rate
-      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
+      |j AS (SELECT t.doc_id, v.in_vocab FROM tok t LEFT JOIN vocab v USING (tok)),
+      |g AS (SELECT doc_id, count(*) AS n_tokens,
+      |             count(*) - count(in_vocab) AS n_oov,
+      |             floor(CAST(count(*) - count(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |                   * 10000 + 0.5) / 10000 AS oov_rate
+      |      FROM j GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
+      |       coalesce(g.n_oov, 0) AS n_oov, g.oov_rate
+      |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin)(
     (s, d) => vocabOovAudit(Tables.documents(s, d)).orderBy("doc_id"))
 
   val all: Seq[QueryDef] =

@@ -159,17 +159,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(7L).getLong(1) == 0L && out(7L).isNullAt(4))
   }
 
-  test("chunking: full coverage, exact overlap, short tail, offsets traceable") {
+  test("chunking: full coverage, exact overlap, no duplicate tail, offsets traceable") {
     val out = TextAnalysis.chunkDocuments(docsOf(1L -> "abcdefghij"), chunkChars = 5, overlap = 2)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).sortBy(_._1)
+    // chars 9-10 ride in chunk 2's tail; a 4th chunk ("j") would be a
+    // strict suffix of chunk 2 and must NOT be emitted
     assert(out.toSeq == Seq(
       (0L, 0L, "abcde", 5L),
       (1L, 3L, "defgh", 5L),
-      (2L, 6L, "ghij", 4L),
-      (3L, 9L, "j", 1L)))
-    // reassembly from strides covers every char exactly once
-    val strided = out.map { case (_, start, txt, _) => (start, txt.take(3)) }
-    assert(strided.map(_._2).mkString == "abcdefghij")
+      (2L, 6L, "ghij", 4L)))
+    // stride prefixes + the full final chunk reassemble the document
+    val reassembled = out.dropRight(1).map(_._3.take(3)).mkString + out.last._3
+    assert(reassembled == "abcdefghij")
+    // a doc no longer than the overlap still yields exactly one chunk
+    val tiny = TextAnalysis.chunkDocuments(docsOf(1L -> "ab"), chunkChars = 5, overlap = 2)
+      .collect().map(r => (r.getLong(1), r.getString(3)))
+    assert(tiny.toSeq == Seq((0L, "ab")))
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocuments(docsOf(1L -> "x"), chunkChars = 5, overlap = 5)
     }

@@ -589,6 +589,6 @@ class StreamingJobsSpec extends SparkSpec {
       Seq((1L, "abcdefghij"), (2L, "xyz")).toDF("doc_id", "text"),
       chunkChars = 5, overlap = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
-    assert(streamed == batch && batch.size == 5) // 4 chunks for doc 1, 1 for doc 2
+    assert(streamed == batch && batch.size == 4) // 3 chunks for doc 1, 1 for doc 2
   }
 }
