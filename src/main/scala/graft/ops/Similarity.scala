@@ -677,8 +677,55 @@ object Similarity {
       |FROM g ORDER BY dim""".stripMargin)(
     (s, d) => embeddingDimStats(Tables.embeddings(s, d)).orderBy("dim"))
 
+  // ----------------------------------------------------- hard negatives
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most-similar vectors carrying a DIFFERENT label — the
+    * "looks alike, isn't" examples that make embedding/reranker training
+    * effective, mined deterministically instead of sampled.
+    *
+    * Scale shape: the anchor set is bounded (vec_id % anchorMod — in
+    * production, the current training batch) and BROADCASTS into a
+    * nested-loop join against the corpus: candidates-per-anchor work,
+    * never an all-pairs corpus join. Ranking windows partition by
+    * anchor — bounded partitions. cos_sim is rounded to 6 decimals
+    * BEFORE ranking (this family's convention) with vec_id breaking
+    * ties, so the keep-set is engine-independent.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      anchorMod: Int = 50,
+      k: Int = 5): DataFrame = {
+    require(anchorMod > 0 && k > 0, s"anchorMod and k must be > 0 (got $anchorMod, $k)")
+    val anchors = embeddings.filter(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("a_emb"))
+    embeddings
+      .join(broadcast(anchors), col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        round(cosine("embedding", "a_emb"), 6).as("cos_sim"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("cos_sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("neg_rank") <= k)
+  }
+
+  val hardNegativesQuery = QueryDef(
+    "sim_hard_negatives",
+    s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS a_emb
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT a.anchor_id, b.vec_id, b.label,
+       |             round(${duckCosine("b.embedding", "a.a_emb")}, 6) AS cos_sim
+       |      FROM embeddings b JOIN a ON b.label != a.anchor_label),
+       |r AS (SELECT *, row_number() OVER
+       |               (PARTITION BY anchor_id ORDER BY cos_sim DESC, vec_id) AS neg_rank
+       |      FROM c)
+       |SELECT anchor_id, vec_id, label, cos_sim, neg_rank FROM r
+       |WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""".stripMargin)(
+    (s, d) => hardNegatives(Tables.embeddings(s, d)).orderBy("anchor_id", "neg_rank"))
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
-      semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery)
+      semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery, hardNegativesQuery)
 }

@@ -160,4 +160,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == ((2L, 1.0f, 3.0f, 2.0, 1.0)))  // var((1,3)) = 1
     assert(out(1L) == ((2L, 2.0f, 6.0f, 4.0, 4.0)))  // var((2,6)) = 4
   }
+
+  test("hard negatives: cross-label only, dense ranks, hardest (most similar) first") {
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = Similarity.hardNegatives(emb, anchorMod = 100, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (anchor, vec, label, _, _) =>
+      assert(label == labels(vec))
+      assert(label != labels(anchor), s"negative $vec shares anchor $anchor's label")
+    }
+    rows.groupBy(_._1).foreach { case (anchor, group) =>
+      val byRank = group.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to byRank.length).toSeq)
+      val sims = byRank.map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"anchor $anchor negatives not hardest-first: ${sims.toSeq}")
+    }
+  }
 }
