@@ -171,40 +171,50 @@ trait VectorUnaryExpression extends UnaryExpression {
     if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-/** graft_absmax(a) — max |aᵢ| over non-null elements (0.0 on an empty or
-  * all-null array). Order-independent, so it equals DuckDB's
-  * `list_max(list_transform(a, x -> abs(x)))` bit-for-bit — the scale
-  * input of symmetric int8 quantization (scale = absmax / 127).
+/** graft_absmax(a) — max |aᵢ| over non-null elements; NULL on an empty
+  * or all-null array, exactly like DuckDB's
+  * `list_max(list_transform(a, x -> abs(x)))` (list_max of no non-null
+  * values is NULL, not 0). Order-independent, so non-null results equal
+  * the oracle bit-for-bit — the scale input of symmetric int8
+  * quantization (scale = absmax / 127).
   */
 case class AbsMax(child: Expression) extends VectorUnaryExpression {
   override def prettyName: String = "graft_absmax"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var m = 0.0
+    var found = false
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i)) { val v = math.abs(elemAt(a, i)); if (v > m) m = v }
+      if (!a.isNullAt(i)) {
+        found = true
+        val v = math.abs(elemAt(a, i)); if (v > m) m = v
+      }
       i += 1
     }
-    m
+    if (found) m else null
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val i = ctx.freshName("i")
     val v = ctx.freshName("v")
+    val found = ctx.freshName("found")
     nullSafeCodeGen(ctx, ev, a =>
       s"""
          |int ${ev.value}_n = $a.numElements();
          |double ${ev.value}_m = 0.0;
+         |boolean $found = false;
          |for (int $i = 0; $i < ${ev.value}_n; $i++) {
          |  if (!$a.isNullAt($i)) {
+         |    $found = true;
          |    double $v = java.lang.Math.abs(${getElem(a, i)});
          |    if ($v > ${ev.value}_m) ${ev.value}_m = $v;
          |  }
          |}
-         |${ev.value} = ${ev.value}_m;
+         |if ($found) { ${ev.value} = ${ev.value}_m; } else { ${ev.isNull} = true; }
        """.stripMargin)
   }
 
@@ -215,24 +225,36 @@ case class AbsMax(child: Expression) extends VectorUnaryExpression {
   * per-vector int8 quantization: scale = absmax/127, qᵢ = ⌊aᵢ/scale +
   * 0.5⌋ (round-half-up-toward-+∞ — `floor(x + 0.5)` on BOTH engines, the
   * repo's engine-independent rounding convention), error = aᵢ −
-  * qᵢ·scale, averaged over non-null elements. 0.0 for a zero or
-  * empty vector. Two sequential passes (absmax, then error fold) whose
+  * qᵢ·scale, averaged over non-null elements. 0.0 for a zero vector;
+  * NULL for an empty or all-null array (no absmax exists — mirrors
+  * [[AbsMax]]/list_max). Denominator note: the mean divides by the
+  * NON-NULL element count, while the sim_quantize_int8 oracle divides
+  * by `len(embedding)` — identical whenever no element is null (the
+  * fixture and any sane embedding store guarantee this; arrays with
+  * SOME null elements would diverge and are outside the oracle
+  * contract). Two sequential passes (absmax, then error fold) whose
   * double arithmetic the DuckDB list_transform/list_sum oracle mirrors
   * op-for-op, so results hash-match bit-for-bit.
   */
 case class Int8QuantMse(child: Expression) extends VectorUnaryExpression {
   override def prettyName: String = "graft_int8_mse"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     var m = 0.0
+    var any = false
     var i = 0
     while (i < n) {
-      if (!a.isNullAt(i)) { val v = math.abs(elemAt(a, i)); if (v > m) m = v }
+      if (!a.isNullAt(i)) {
+        any = true
+        val v = math.abs(elemAt(a, i)); if (v > m) m = v
+      }
       i += 1
     }
-    if (m == 0.0) 0.0
+    if (!any) null
+    else if (m == 0.0) 0.0
     else {
       val scale = m / 127.0
       var acc = 0.0
@@ -257,18 +279,23 @@ case class Int8QuantMse(child: Expression) extends VectorUnaryExpression {
     val x = ctx.freshName("x")
     val err = ctx.freshName("err")
     val scale = ctx.freshName("scale")
+    val any = ctx.freshName("any")
     nullSafeCodeGen(ctx, ev, a =>
       s"""
          |int ${ev.value}_n = $a.numElements();
          |double ${ev.value}_m = 0.0;
+         |boolean $any = false;
          |for (int $i = 0; $i < ${ev.value}_n; $i++) {
          |  if (!$a.isNullAt($i)) {
+         |    $any = true;
          |    double $v = java.lang.Math.abs(${getElem(a, i)});
          |    if ($v > ${ev.value}_m) ${ev.value}_m = $v;
          |  }
          |}
          |${ev.value} = 0.0;
-         |if (${ev.value}_m != 0.0) {
+         |if (!$any) {
+         |  ${ev.isNull} = true;
+         |} else if (${ev.value}_m != 0.0) {
          |  double $scale = ${ev.value}_m / 127.0;
          |  double ${ev.value}_acc = 0.0;
          |  int ${ev.value}_cnt = 0;

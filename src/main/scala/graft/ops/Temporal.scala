@@ -101,15 +101,19 @@ object Temporal {
     events
       .withColumn("_salt", pmod(col("event_id"), lit(salts.toLong)))
       .groupBy(col("event_type"), col("_salt"))
-      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      // DECIMAL partials: the two-stage merge must be order-independent
+      // for the salted result to be bit-identical to the plain GROUP BY.
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast("decimal(18,6)")).as("pv"))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"),
-        round(sum(col("pv")), 4).as("total_value"))
+        (floor(sum(col("pv")).cast("double") * 10000 + 0.5) / 10000)
+          .as("total_value"))
 
   val saltedQuery = QueryDef(
     "q_salted_skew_agg",
     """SELECT event_type, count(*) AS n,
-      |       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+      |       floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
     (s, d) => saltedAgg(Tables.events(s, d)).orderBy("event_type"))
 
@@ -177,7 +181,11 @@ object Temporal {
         count(lit(1)).as("n_events"),
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
-        round(sum(col("value")), 4).as("total_value"))
+        // DECIMAL sum + floor-round: double summation is partition-order
+        // dependent and round() half-way semantics differ across engines
+        // (weekOverWeek convention below).
+        (floor(sum(col("value").cast("decimal(18,6)")).cast("double") * 10000 + 0.5) / 10000)
+          .as("total_value"))
   }
 
   val sessionizeQuery = QueryDef(
@@ -198,7 +206,7 @@ object Temporal {
       |SELECT user_id, session_idx, count(*) AS n_events,
       |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
-      |       round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+      |       floor(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) * 10000 + 0.5) / 10000 AS total_value
       |FROM sess GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin)(
     (s, d) => sessionize(Tables.events(s, d)).orderBy("user_id", "session_idx"))

@@ -332,10 +332,11 @@ object Jobs {
     * validated ONCE per query, not once per micro-batch.
     */
   def decontaminationGateBatch(
-      bench: DataFrame, outDir: String, minShared: Long)(
+      bench: DataFrame, outDir: String, minShared: Long,
+      shingleSize: Int)( // no default: MUST match the store's shingle_n
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
-    val flagged = graft.ops.Dedup.shingleHashes(batch)
+    val flagged = graft.ops.Dedup.shingleHashes(batch, shingleSize)
       .withColumnRenamed("doc_id", "train_doc")
       .join(bench, Seq("shh"))
       .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
@@ -357,7 +358,7 @@ object Jobs {
       batch: DataFrame, batchId: Long): Unit =
     decontaminationGateBatch(
       loadBenchStore(batch.sparkSession, benchStoreDir, shingleSize),
-      outDir, minShared)(batch, batchId)
+      outDir, minShared, shingleSize)(batch, batchId)
 
   /** [[decontaminationGateBatch]] behind a streaming query; `docs` must
     * carry `doc_id` and `text`. The store is loaded, size-validated and
@@ -379,7 +380,8 @@ object Jobs {
       .queryName("decontamination_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(decontaminationGateBatch(bench, outDir, minShared) _)
+      .foreachBatch(
+        decontaminationGateBatch(bench, outDir, minShared, shingleSize) _)
       .start()
   }
 

@@ -263,6 +263,19 @@ class VectorExpressionsSpec extends SparkSpec {
     val nullRow = df.withColumn("a", when(col("id") === 1, col("a")))
       .select(expr("graft_int8_mse(a)")).collect()
     assert(nullRow.count(_.isNullAt(0)) == 2)
+    // Empty and all-null-element arrays: NULL (matching DuckDB list_max
+    // over no non-null values), NOT 0.0 — codegen and interpreted agree.
+    val edge = Seq((1L, Seq.empty[java.lang.Float]),
+      (2L, Seq[java.lang.Float](null, null))).toDF("id", "a")
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) { // doGenCode AND nullSafeEval paths
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val rows = edge.select(
+          expr("graft_absmax(a)"), expr("graft_int8_mse(a)")).collect()
+        assert(rows.forall(r => r.isNullAt(0) && r.isNullAt(1)),
+          s"expected all-NULL absmax/mse on empty/all-null arrays ($mode), got ${rows.mkString}")
+      } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
   }
 
   test("graft_simhash merges partials correctly across repartitionings") {

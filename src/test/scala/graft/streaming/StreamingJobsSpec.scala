@@ -484,6 +484,32 @@ class StreamingJobsSpec extends SparkSpec {
     assert(ex.getMessage.contains("shingleSize"))
   }
 
+  test("decontamination gate honors a consistent non-default shingle size") {
+    import spark.implicits._
+    // Store AND gate both at shingleSize=4: validation passes — and the
+    // probe must actually shingle at 4, so the leak is still caught.
+    // (A gate that validated at 4 but probed at the default 3 would join
+    // 3-gram hashes against a 4-gram index and admit everything.)
+    val store = tmpDir("decon4-store"); val out = tmpDir("decon4-out")
+    val benchText = "which planet is known as the red planet in our solar system today"
+    val bench = Seq((100L, benchText, "en", "bench", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Jobs.buildBenchmarkShingleStore(bench, store, shingleSize = 4)
+
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startDecontaminationGate(ms.toDF(), store, out,
+      tmpDir("decon4-ckpt"), minShared = 5L, shingleSize = 4,
+      queryTrigger = Trigger.ProcessingTime(0))
+    ms.addData(
+      Doc(1, s"leaking wrapper around the item $benchText with extra words"),
+      Doc(2, "a clean training document about distributed query execution strategies"))
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(admitted == Set(2L), s"size-4 gate failed to drop the leak: $admitted")
+  }
+
   test("LM gate stream: in-distribution docs admitted, salad dropped, replay-safe") {
     import spark.implicits._
     val store = tmpDir("lm-store"); val out = tmpDir("lm-out")
