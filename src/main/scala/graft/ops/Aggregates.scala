@@ -206,11 +206,13 @@ object Aggregates {
       // delta in MICROS then integer-divide on both engines: flooring each
       // timestamp to seconds before subtracting (unix_timestamp) disagrees
       // with subtract-then-truncate (epoch) on sub-second components.
+      // cast(ts as timestamp): no-op on TIMESTAMP, maps the parquet's
+      // TIMESTAMP_NTZ to the UTC instant (unix_micros rejects NTZ).
       Tables.events(s, d)
         .withColumn("prev_ts", lag(col("ts"), 1).over(wUser))
         .select(
         col("event_id"),
-        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+        expr("(unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))) div 1000000")
           .cast("long").as("sec_since_prev"),
         ntile(4).over(wVal).as("value_quartile"),
         (floor(percent_rank().over(wVal) * 10000 + 0.5) / 10000).as("pr"))

@@ -169,11 +169,16 @@ object Temporal {
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // cast("timestamp") first: a no-op on TIMESTAMP, and under the UTC
+    // session it maps TIMESTAMP_NTZ (how the driver's parquet stores ts)
+    // to the same instant DuckDB's epoch_us assigns a naive timestamp —
+    // unix_micros itself rejects NTZ input.
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
     events
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+          tsUs - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_idx"))
