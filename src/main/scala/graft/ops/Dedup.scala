@@ -227,6 +227,17 @@ object Dedup {
     * ownership: same contract as [[minhashLsh]] — the harness barrier
     * frees it between runs.
     */
+  /** The router's small-block path over an already-keyed frame: exact
+    * within-block unigram Jaccard, thresholded. Shared verbatim by the
+    * end-to-end router ([[boundedNearDups]]) and its oracle row
+    * ([[boundedSmallBlocksQuery]]) so the hash-verified query exercises
+    * the same code the production sweep runs.
+    */
+  private def smallBlockPairs(
+      keyed: DataFrame, maxBlock: Int, threshold: Double): DataFrame =
+    pairsWithinBlocks(keyed.filter(col("block_n") <= maxBlock))
+      .filter(col("jaccard") >= threshold)
+
   def boundedNearDups(
       documents: DataFrame,
       prefixLen: Int = 50,
@@ -236,8 +247,7 @@ object Dedup {
     // widest thing this family ever persists (see minhashLsh rationale)
     val keyed = prefixKeyed(documents, prefixLen)
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val smallPairs = pairsWithinBlocks(keyed.filter(col("block_n") <= maxBlock))
-      .filter(col("jaccard") >= threshold)
+    val smallPairs = smallBlockPairs(keyed, maxBlock, threshold)
     val bigDocs = keyed.filter(col("block_n") > maxBlock)
       .select(col("doc_id"), col("text"))
     smallPairs.unionByName(minhashLsh(bigDocs, threshold = threshold))
@@ -245,6 +255,32 @@ object Dedup {
 
   val boundedNearDupsQuery = QueryDef.unverified("dedup_bounded_neardups")(
     (s, d) => boundedNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  /** The bounded sweep's dominant (small-block) path as its own
+    * hash-verified row: [[smallBlockPairs]] over the same keyed frame the
+    * router builds, no cache (single consumer). The LSH-routed big-block
+    * path stays anchored by dedup_shingle_jaccard; this row gives the
+    * exact-Jaccard path a full DuckDB oracle instead of riding on
+    * dedup_blocked_jaccard's unthresholded twin.
+    */
+  val boundedSmallBlocksQuery = QueryDef(
+    "dedup_bounded_smallblocks",
+    """WITH keyed AS (
+      |  SELECT doc_id, substr(text, 1, 50) AS block_key,
+      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |               / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |  WHERE a.block_n <= 64 AND b.block_n <= 64)
+      |SELECT doc_a, doc_b, jaccard FROM pairs
+      |WHERE jaccard >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => smallBlockPairs(prefixKeyed(Tables.documents(s, d), prefixLen = 50),
+      maxBlock = 64, threshold = 0.4).orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------------------------ minhash-lsh
 
@@ -1250,7 +1286,7 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
-      boundedNearDupsQuery, incrementalExactQuery, incrementalNearDupsQuery,
+      boundedNearDupsQuery, boundedSmallBlocksQuery, incrementalExactQuery, incrementalNearDupsQuery,
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery,
       spanDedupQuery, editDistanceQuery)
 }
