@@ -277,7 +277,7 @@ object Curation {
     s"""WITH RECURSIVE $curatedCte,
        |keyed AS (
        |  SELECT keep_doc_id AS doc_id, substr(t, 1, 50) AS block_key,
-       |         list_distinct(string_split(lower(t), ' ')) AS words,
+       |         list_distinct(string_split_regex(lower(t), '\\s+')) AS words,
        |         count(*) OVER (PARTITION BY substr(t, 1, 50)) AS block_n
        |  FROM curated),
        |pairs AS (

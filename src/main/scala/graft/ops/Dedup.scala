@@ -115,7 +115,7 @@ object Dedup {
     "dedup_blocked_jaccard",
     """WITH keyed AS (
       |  SELECT doc_id, substr(text, 1, 50) AS block_key,
-      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         list_distinct(string_split_regex(lower(text), '\s+')) AS words,
       |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
       |  FROM documents)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -201,6 +201,17 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin)(
     (s, d) => prefixBlockedShingleJaccard(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
+  /** The router's small-block path over an already-keyed frame: exact
+    * within-block unigram Jaccard, thresholded. Shared verbatim by the
+    * end-to-end router ([[boundedNearDups]]) and its oracle row
+    * ([[boundedSmallBlocksQuery]]) so the hash-verified query exercises
+    * the same code the production sweep runs.
+    */
+  private def smallBlockPairs(
+      keyed: DataFrame, maxBlock: Int, threshold: Double): DataFrame =
+    pairsWithinBlocks(keyed.filter(col("block_n") <= maxBlock))
+      .filter(col("jaccard") >= threshold)
+
   /** Complete near-dup sweep with bounded work everywhere: small prefix
     * blocks (≤ maxBlock docs) get exact within-block Jaccard; oversized
     * blocks — the boilerplate/template case — are routed to MinHash-LSH,
@@ -227,17 +238,6 @@ object Dedup {
     * ownership: same contract as [[minhashLsh]] — the harness barrier
     * frees it between runs.
     */
-  /** The router's small-block path over an already-keyed frame: exact
-    * within-block unigram Jaccard, thresholded. Shared verbatim by the
-    * end-to-end router ([[boundedNearDups]]) and its oracle row
-    * ([[boundedSmallBlocksQuery]]) so the hash-verified query exercises
-    * the same code the production sweep runs.
-    */
-  private def smallBlockPairs(
-      keyed: DataFrame, maxBlock: Int, threshold: Double): DataFrame =
-    pairsWithinBlocks(keyed.filter(col("block_n") <= maxBlock))
-      .filter(col("jaccard") >= threshold)
-
   def boundedNearDups(
       documents: DataFrame,
       prefixLen: Int = 50,
@@ -267,7 +267,7 @@ object Dedup {
     "dedup_bounded_smallblocks",
     """WITH keyed AS (
       |  SELECT doc_id, substr(text, 1, 50) AS block_key,
-      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         list_distinct(string_split_regex(lower(text), '\s+')) AS words,
       |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
       |  FROM documents),
       |pairs AS (
@@ -896,7 +896,7 @@ object Dedup {
     "dedup_cluster_canonical",
     """WITH RECURSIVE keyed AS (
       |  SELECT doc_id, substr(text, 1, 50) AS block_key,
-      |         list_distinct(string_split(lower(text), ' ')) AS words,
+      |         list_distinct(string_split_regex(lower(text), '\s+')) AS words,
       |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
       |  FROM documents),
       |pairs AS (

@@ -106,7 +106,8 @@ class StreamingJobsSpec extends SparkSpec {
       out, tmpDir("st-ckpt"), Jobs.trigger(0), watermarkDelay = "30 minutes")
     q.awaitTermination(120000)
     // append mode emits exactly the windows whose end <= final watermark
-    val maxTs = fixtureEvents.agg(max(col("ts"))).head.getTimestamp(0).getTime
+    val maxTs =
+      fixtureEvents.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0).getTime
     val watermarkMs = maxTs - 30 * 60000L
     val expected = graft.ops.Kpi.quarterHour(fixtureEvents)
       .collect()
