@@ -87,6 +87,21 @@ object Bench {
     val r = Runtime.getRuntime
     (r.totalMemory - r.freeMemory) >> 20
   }
+  // Process CPU time + 1-min system load, so a contended official run is
+  // attributable FROM THE ARTIFACT: a query whose wall time doubles with
+  // flat cpu_ms did the same work and was starved of cores (external
+  // load — the round-9 pattern: dedup_incremental_neardups 14.0 s
+  // official vs 2.8 s on a quiet machine with identical GC/heap), while
+  // one whose cpu_ms doubles with it genuinely got more expensive.
+  private val osBean = ManagementFactory.getOperatingSystemMXBean
+  private def cpuMillis: Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime / 1000000L
+    case _ => -1L
+  }
+  private def sysLoad: Double = {
+    val l = osBean.getSystemLoadAverage
+    if (l < 0) -1.0 else math.rint(l * 10) / 10
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -170,8 +185,9 @@ object Bench {
         // read+aggregate workload — otherwise pass 1 pays the write and
         // the retry pass doesn't, and min-of-passes compares different
         // work (same rationale as mm_store below)
-        ("fmt_store", wants("k9", "k10"),
-          () => { Sinks.k9OrcRoundtrip.fn(spark, sfDir); Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),
+        ("fmt_store", wants("k8", "k9", "k10"),
+          () => { Sinks.k8JsonRoundtrip.fn(spark, sfDir); Sinks.k9OrcRoundtrip.fn(spark, sfDir)
+            Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),
         ("mm_store", wants("mm"),
           () => Seq(
             Multimodal.imageAssetsStored(spark, sfDir),
@@ -191,9 +207,11 @@ object Bench {
         settle(spark)
       }
     }
+    case class Window(secs: Double, gcMs: Long, gcN: Long, h0: Long, h1: Long,
+        cleanupMs: Long, cpuMs: Long, load: Double)
     def runOne(name: String, fn: (SparkSession, String) => DataFrame, tag: String = "")
-        : (Double, Long, Long, Long, Long, Long) = {
-      val (gc0, gn0, h0) = (gcMillis, gcCount, usedHeapMB)
+        : Window = {
+      val (gc0, gn0, h0, cpu0, load0) = (gcMillis, gcCount, usedHeapMB, cpuMillis, sysLoad)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -221,46 +239,60 @@ object Bench {
       }
       val cleanupMs = ((System.nanoTime() - c0) / 1e6).toLong
       val h1 = usedHeapMB // post-cleanup floor
+      val cpuMs = if (cpu0 < 0) -1L else cpuMillis - cpu0
       System.err.println(
-        f"[bench] $name%-32s ${dt}%7.2fs  gc=+${gcMs}%5dms/${gcN}%3d  " +
-          f"cleanup=${cleanupMs}%5dms  heap=${h0}%5d->${h1}%5dMB$tag")
+        f"[bench] $name%-32s ${dt}%7.2fs  cpu=${cpuMs}%6dms  load=$load0%5.1f  " +
+          f"gc=+${gcMs}%5dms/${gcN}%3d  cleanup=${cleanupMs}%5dms  " +
+          f"heap=${h0}%5d->${h1}%5dMB$tag")
       if (!isolate) spark.catalog.clearCache()
-      (if (ok) dt else -1.0, gcMs, gcN, h0, h1, cleanupMs)
+      Window(if (ok) dt else -1.0, gcMs, gcN, h0, h1, cleanupMs, cpuMs, load0)
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results: Seq[(String, Window)] = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (isolate) settle(spark)
-      val (dt, gcMs, gcN, h0, h1, cleanupMs) = runOne(name, fn)
-      (name, dt, gcMs, gcN, h0, h1, cleanupMs)
+      name -> runOne(name, fn)
     }
     // CONTENTION GUARD (the round-6 lesson): the official run shares the
     // machine with whatever else the driver does, and a transient CPU or
     // GC storm can inflate a single window 3-9× (r6 recorded 53 s for a
     // query that re-measures at 5.9 s). A query's cost claim should be
-    // its repeatable minimum, so the slowest `retries` queries get one
-    // extra isolated pass each and report min-of-passes; both passes and
-    // the retried names land in the JSON so the artifact shows exactly
-    // what was re-measured. Disable with SPARK_GRAFT_BENCH_RETRIES=0.
-    val retryNames = results.filter(_._2 > 0).sortBy(-_._2).take(retries).map(_._1)
+    // its repeatable minimum, so the slowest `retries` queries get extra
+    // isolated passes (up to 3 total) and report min-of-passes — the
+    // extra pass stops early once a pass fails to improve on the best by
+    // >10%, so a quiet-machine run pays one cheap re-measure while a
+    // contended one keeps probing for a clear window (round 9: both
+    // passes of dedup_incremental_neardups landed in the same sustained
+    // external-load window, 20.3/14.0 s vs 2.8 s quiet — a third pass is
+    // one more chance to land outside it). All passes and the retried
+    // names land in the JSON so the artifact shows exactly what was
+    // re-measured. Disable with SPARK_GRAFT_BENCH_RETRIES=0.
+    val retryNames = results.filter(_._2.secs > 0).sortBy(-_._2.secs).take(retries).map(_._1)
     val fnOf = selected.toMap
-    val retryPasses: Map[String, (Double, Double)] = retryNames.map { name =>
-      if (isolate) settle(spark)
-      val pass2 = runOne(name, fnOf(name), tag = "  (retry)")._1
-      val pass1 = results.find(_._1 == name).get._2
-      name -> (pass1, pass2)
+    val retryPasses: Map[String, Seq[Double]] = retryNames.map { name =>
+      val pass1 = results.find(_._1 == name).get._2.secs
+      var passes = Vector(pass1)
+      var continue = true
+      while (continue && passes.size < 3) {
+        if (isolate) settle(spark)
+        val p = runOne(name, fnOf(name), tag = s"  (retry ${passes.size})").secs
+        val bestBefore = passes.filter(_ >= 0).min
+        passes :+= p
+        continue = p >= 0 && p < bestBefore * 0.9
+      }
+      name -> passes
     }.toMap
-    val finalSecs: Seq[(String, Double)] = results.map { case (k, v, _, _, _, _, _) =>
+    val finalSecs: Seq[(String, Double)] = results.map { case (k, w) =>
       k -> (retryPasses.get(k) match {
-        case Some((p1, p2)) if p2 >= 0 => math.min(p1, p2)
-        case _ => v
+        case Some(ps) if ps.exists(_ >= 0) => ps.filter(_ >= 0).min
+        case _ => w.secs
       })
     }
     val total = finalSecs.map(_._2).filter(_ >= 0).sum
-    val totalGcMs = results.map(_._3).sum
-    val totalCleanupMs = results.map(_._7).sum
+    val totalGcMs = results.map(_._2.gcMs).sum
+    val totalCleanupMs = results.map(_._2.cleanupMs).sum
     val retriedJson =
       if (retryPasses.isEmpty) ""
-      else retryPasses.toSeq.sortBy(_._1).map { case (k, (p1, p2)) =>
-        "\"" + k + s"""":[$p1,$p2]"""
+      else retryPasses.toSeq.sortBy(_._1).map { case (k, ps) =>
+        "\"" + k + "\":[" + ps.mkString(",") + "]"
       }.mkString(""","retried":{""", ",", "}")
     def render(entries: Seq[(String, Double)], omitted: Int, profile: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
@@ -270,14 +302,17 @@ object Bench {
         s""""cleanup_ms":$totalCleanupMs,""" +
         s""""queries":$qs$om$retriedJson$profile,"sf":"$sfDir"}"""
     }
-    // Per-query GC time / count and heap occupancy before/after, so a
-    // future regression is attributable from the artifact alone (a query
-    // whose wall time jumps with flat gc_ms did get slower; one whose
-    // gc_ms jumps with it was hit by collection pressure). BENCH_OUT
+    // Per-query GC time / count, heap occupancy before/after, process
+    // CPU time, and pre-window system load, so a future regression is
+    // attributable from the artifact alone: wall up + gc_ms up =
+    // collection pressure; wall up + cpu_ms up = genuinely more
+    // expensive; wall up + cpu_ms flat + load high = starved of cores by
+    // external machine load (the round-9 inflation pattern). BENCH_OUT
     // only — it would blow the stdout line's tail budget.
-    val profileJson = results.map { case (k, _, gcMs, gcN, hh0, hh1, clMs) =>
+    val profileJson = results.map { case (k, w) =>
       "\"" + k +
-        s"""":{"gc_ms":$gcMs,"gc_n":$gcN,"heap0_mb":$hh0,"heap1_mb":$hh1,"cleanup_ms":$clMs}"""
+        s"""":{"gc_ms":${w.gcMs},"gc_n":${w.gcN},"heap0_mb":${w.h0},"heap1_mb":${w.h1},""" +
+        s""""cleanup_ms":${w.cleanupMs},"cpu_ms":${w.cpuMs},"load":${w.load}}"""
     }.mkString(""","profile":{""", ",", "}")
     val json = render(finalSecs, 0, profileJson) // full precision, every query
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
