@@ -117,6 +117,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 100-entry default codegen cache evicts every warmed class over a
+      // 110+ query suite, re-billing Janino compilation to each timed
+      // window — see Sessions.scala for the same setting's rationale
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the session OUTSIDE timing: scan file-listing plus tiny-input

@@ -35,6 +35,13 @@ object Sessions {
       // P5 (reference SparkBigData.scala:21,28) — SQL cartesian products
       // allowed; the DataFrame API still requires explicit crossJoin()
       .config("spark.sql.crossJoin.enabled", "true")
+      // Static conf, so it must ride the first builder: the compiled-
+      // codegen cache defaults to 100 entries, and a session running a
+      // many-query workload (this library registers 110+) evicts every
+      // warm class between plans, re-paying Janino compilation per
+      // query. Generated classes are small; 5000 entries is still a
+      // trivial heap cost on any driver/executor.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
     if (kryo) b = b.config("spark.serializer", "org.apache.spark.serializer.KryoSerializer") // P4
     if (local) b = b.master(s"local[$cpus]")
     b.getOrCreate()

@@ -54,7 +54,14 @@ object Coverage {
       (s, d) => {
         val cities = array(lit("Paris"), lit("Lyon"), lit("Lille"), lit("Nantes"))
         val states = array(lit("IDF"), lit("ARA"), lit("HDF"), lit("PDL"))
-        val envelope = Tables.events(s, d).select(
+        // Cheap scan, expensive map: the per-row Jackson envelope build +
+        // parse dwarfs the scan, so rebalance to the session's shuffle
+        // width FIRST — a single-split input (the fixture's one-row-group
+        // parquet; a gzipped drop at 100 TB) otherwise runs the whole
+        // JSON stage on one core (measured 3.5 s wall / 5.8 s cpu on 32
+        // cores). The exchange moves raw scan columns only — Catalyst
+        // keeps the expensive projection above the repartition.
+        val envelope = Tables.events(s, d).repartition(col("event_id")).select(
           col("event_id"),
           to_json(struct(
             date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
