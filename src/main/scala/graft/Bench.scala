@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, from_json, struct, to_json}
 import java.lang.management.ManagementFactory
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -177,10 +177,36 @@ object Bench {
             Dedup.prefixBlockedJaccard(docs64).filter(col("jaccard") >= 0.9))),
         ("span", wants("dedup_span"),
           () => Dedup.spanDedup(docs64)),
+        // the incremental split pipeline generates its own codegen
+        // shapes (single-scan split, cross-corpus bands) distinct from
+        // minhashLsh's — without this its timed window pays the JIT
+        // (suite pass-1 cpu measured ~3× its warm cpu, all compiler
+        // threads)
+        ("incremental", wants("dedup_incremental"),
+          () => Dedup.incrementalNearDupsSplit(docs64, col("doc_id") % 2 === 1)),
         ("lm", wants("text_lm"),
           () => TextAnalysis.lmBigramScores(docs64)),
+        ("dsir", wants("mix_importance"),
+          () => TextAnalysis.importanceWeights(docs64, col("doc_id") % 5 === 0)),
         ("pack", wants("mix_pack"),
           () => Coverage.packSequences(docs64)),
+        // tiny envelope build+parse warms the to_json/from_json Jackson
+        // paths the t6/t8 windows otherwise JIT in-window
+        ("json_shape", wants("t6", "t8"),
+          () => {
+            val ev = Tables.events(spark, sfDir).limit(256)
+            val shaped = ev.select(col("event_id"),
+              to_json(struct(col("event_type"), col("user_id"), col("value"))).as("j"))
+            shaped.select(col("event_id"),
+              from_json(col("j"), org.apache.spark.sql.types.StructType(Array(
+                org.apache.spark.sql.types.StructField("event_type",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("user_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("value",
+                  org.apache.spark.sql.types.DoubleType)))).as("v"))
+              .select(col("event_id"), col("v.*"))
+          }),
         ("cosine", wants("sim"),
           () => Similarity.bruteForceTopK(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
@@ -197,7 +223,24 @@ object Bench {
             Multimodal.imageAssetsStored(spark, sfDir),
             Multimodal.audioAssetsStored(spark, sfDir),
             Multimodal.videoAssetsStored(spark, sfDir))
-            .map(_.select("asset_id")).reduce(_ unionByName _)))
+            .map(_.select("asset_id")).reduce(_ unionByName _)),
+        // decode/featurize kernels (ImageIO, javax.sound, GVID parse,
+        // channel sums) over a few stored assets — the store warmup
+        // above only materializes payloads, it never decodes one
+        ("mm_decode", wants("mm"),
+          () => {
+            val img = Multimodal.imageAssetsStored(spark, sfDir).limit(16)
+            val aud = Multimodal.audioAssetsStored(spark, sfDir).limit(16)
+            val vid = Multimodal.videoAssetsStored(spark, sfDir).limit(4)
+            Seq(
+              Multimodal.decodeImageStats(img).select("asset_id"),
+              Multimodal.decodeAudioStats(aud).select("asset_id"),
+              Multimodal.decodeVideoStats(vid).select("asset_id"),
+              Multimodal.extractFeatures(
+                img.select(col("asset_id"), col("kind"), col("payload")))
+                .toDF().select("asset_id"))
+              .reduce(_ unionByName _)
+          }))
       warmups.foreach { case (name, wanted, mk) =>
         if (wanted)
           try mk().write.format("noop").mode("overwrite").save()
