@@ -46,7 +46,16 @@ object ProfileCurate {
       .join(curated.drop("t").withColumnRenamed("keep_doc_id", "kid"),
         col("keep_doc_id") === col("kid"))
     time("full canonical tail")(full.write.format("noop").mode("overwrite").save())
-    time("full query re-run")(
+    // Free every cache BEFORE the warm re-run: CacheManager matches
+    // persist() calls by canonicalized plan, so with the stage section's
+    // curated frame still cached, the re-run's own curatedFrame persist
+    // silently reuses those populated blocks and the "re-run" skips the
+    // entire front — it read 3.0 s where the honest warm-JIT cold-data
+    // number (what a bench window pays) is ~6 s.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
+    time("full query re-run (cold data, warm JIT)")(
       Curation.curateCanonical(Tables.documents(spark, sfDir))
         .write.format("noop").mode("overwrite").save())
     spark.stop()
