@@ -133,4 +133,24 @@ class PlanContractSpec extends SparkSpec {
         s"global window not over the aggregated offsets frame:\n$w")
     }
   }
+
+  test("JSON envelope work rebalances off the scan's split before evaluating") {
+    // cheap scan, expensive map: a one-row-group parquet input arrives
+    // as ONE split, and without an explicit rebalance the per-row
+    // Jackson build/parse runs entirely on one core (t8 measured 3.5 s
+    // wall vs 5.8 s cpu on 32 cores). The contract: a repartition exists
+    // AND the JSON expressions evaluate above it, not below (Catalyst
+    // must not have pushed the projection under the exchange).
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation
+    for (q <- Seq("t8_wide_nested_projection", "t6_json_parse_expand")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val reparts = lp.collect { case r: RepartitionOperation => r }
+      assert(reparts.nonEmpty, s"$q lost its pre-projection rebalance:\n$lp")
+      reparts.foreach { r =>
+        val below = r.child.toString
+        assert(!below.contains("from_json") && !below.contains("to_json"),
+          s"$q evaluates JSON below the rebalance (single-split stage):\n$lp")
+      }
+    }
+  }
 }
