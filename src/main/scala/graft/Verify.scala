@@ -26,11 +26,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.isEmpty || only(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      if (only.isEmpty || only(name)) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // same cache-ownership barrier as Bench: ~10 queries persist
+        // intermediates (LSH signatures, curated frames, label frames,
+        // the IVF index); without freeing them here they pile up across
+        // the full registry and the dump's tail runs under the heap
+        // pressure of everything before it (blocking unpersist FIRST —
+        // clearCache() drops entries without waiting on block removal)
+        if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
