@@ -336,6 +336,10 @@ object Bench {
     val total = finalSecs.map(_._2).filter(_ >= 0).sum
     val totalGcMs = results.map(_._2.gcMs).sum
     val totalCleanupMs = results.map(_._2.cleanupMs).sum
+    // total process-CPU across pass-1 windows: the load-independent
+    // "work done" number — wall totals move with machine contention,
+    // this only moves when plans genuinely change cost
+    val totalCpuMs = results.map(_._2.cpuMs).filter(_ >= 0).sum
     val retriedJson =
       if (retryPasses.isEmpty) ""
       else retryPasses.toSeq.sortBy(_._1).map { case (k, ps) =>
@@ -346,7 +350,7 @@ object Bench {
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$totalGcMs,""" +
-        s""""cleanup_ms":$totalCleanupMs,""" +
+        s""""cleanup_ms":$totalCleanupMs,"cpu_ms":$totalCpuMs,""" +
         s""""queries":$qs$om$retriedJson$profile,"sf":"$sfDir"}"""
     }
     // Per-query GC time / count, heap occupancy before/after, process
