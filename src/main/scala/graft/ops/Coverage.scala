@@ -55,13 +55,12 @@ object Coverage {
         val cities = array(lit("Paris"), lit("Lyon"), lit("Lille"), lit("Nantes"))
         val states = array(lit("IDF"), lit("ARA"), lit("HDF"), lit("PDL"))
         // Cheap scan, expensive map: the per-row Jackson envelope build +
-        // parse dwarfs the scan, so rebalance to the session's shuffle
-        // width FIRST — a single-split input (the fixture's one-row-group
-        // parquet; a gzipped drop at 100 TB) otherwise runs the whole
-        // JSON stage on one core (measured 3.5 s wall / 5.8 s cpu on 32
-        // cores). The exchange moves raw scan columns only — Catalyst
-        // keeps the expensive projection above the repartition.
-        val envelope = Tables.events(s, d).repartition(col("event_id")).select(
+        // parse dwarfs the scan — rebalance ahead of it when the input
+        // is narrow (measured 3.5 s wall / 5.8 s cpu on 32 cores from
+        // the fixture's one-split parquet; see [[Rebalance.scanWide]]
+        // for the gate that makes this free on many-split inputs).
+        // Catalyst keeps the expensive projection above the exchange.
+        val envelope = Rebalance.scanWide(Tables.events(s, d), col("event_id")).select(
           col("event_id"),
           to_json(struct(
             date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
@@ -685,7 +684,8 @@ object Coverage {
       |      FROM scored)
       |SELECT doc_id, source, ttr, pr FROM r
       |WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin)(
-    (s, d) => qualityGatePerSource(Tables.documents(s, d)).orderBy("doc_id"))
+    (s, d) => qualityGatePerSource(
+      Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id"))
 
   // -------------------------------------------- length-bucketed batches
 

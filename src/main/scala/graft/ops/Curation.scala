@@ -212,7 +212,7 @@ object Curation {
     s"""WITH $curatedCte
        |SELECT content_hash, keep_doc_id, n_copies, n_tokens, quality
        |FROM curated ORDER BY keep_doc_id""".stripMargin)(
-    (s, d) => curate(Tables.documents(s, d)))
+    (s, d) => curate(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))))
 
   /** The pipeline's last mile: after exact dedup, collapse TRANSITIVE
     * near-duplicate families of the surviving texts — blocked-Jaccard
@@ -304,7 +304,8 @@ object Curation {
        |LEFT JOIN sizes s ON c.keep_doc_id = s.cluster
        |WHERE l.cluster IS NULL OR l.cluster = c.keep_doc_id
        |ORDER BY keep_doc_id""".stripMargin)(
-    (s, d) => curateCanonical(Tables.documents(s, d)).orderBy("keep_doc_id"))
+    (s, d) => curateCanonical(Rebalance.scanWide(Tables.documents(s, d), col("doc_id")))
+      .orderBy("keep_doc_id"))
 
   val all: Seq[QueryDef] = Seq(curateQuery, curateCanonicalQuery)
 }

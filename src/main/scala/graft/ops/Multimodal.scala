@@ -114,14 +114,14 @@ object Multimodal {
     */
   def imageAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    syntheticAssets(spark, sfDir)
-      .filter(col("kind") === "image")
-      // rebalance before the render: the fixture's single-split scan
-      // would otherwise run every CPU-heavy encode on one core, AND the
-      // store write downstream would emit one file, making every stored
-      // read single-split too (each renderer writes its partition, so
-      // the store inherits this parallelism)
-      .repartition(col("asset_id"))
+    // rebalance before the render ([[Rebalance.scanWide]] — identity on
+    // many-split inputs): a single-split scan would otherwise run every
+    // CPU-heavy encode on one core, AND the store write downstream would
+    // emit one file, making every stored read single-split too (each
+    // renderer writes its partition, so the store inherits parallelism)
+    Rebalance.scanWide(
+      syntheticAssets(spark, sfDir).filter(col("kind") === "image"),
+      col("asset_id"))
       .select("asset_id", "width", "height").as[(Long, Int, Int)]
       .mapPartitions { rows =>
         // ImageIO's default encode path stages through a temp-file cache;
@@ -198,9 +198,9 @@ object Multimodal {
     */
   def audioAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    syntheticAssets(spark, sfDir)
-      .filter(col("kind") === "audio")
-      .repartition(col("asset_id")) // see imageAssets — parallel render + multi-file store
+    Rebalance.scanWide( // see imageAssets — parallel render + multi-file store
+      syntheticAssets(spark, sfDir).filter(col("kind") === "audio"),
+      col("asset_id"))
       .select("asset_id", "sample_rate").as[(Long, Int)]
       .mapPartitions(_.map { case (id, rate) => (id, "audio", renderWav(id, rate), rate) })
       .toDF("asset_id", "kind", "payload", "sample_rate")
@@ -403,9 +403,9 @@ object Multimodal {
     */
   def videoAssets(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    syntheticAssets(spark, sfDir)
-      .filter(col("kind") === "video")
-      .repartition(col("asset_id")) // see imageAssets — parallel render + multi-file store
+    Rebalance.scanWide( // see imageAssets — parallel render + multi-file store
+      syntheticAssets(spark, sfDir).filter(col("kind") === "video"),
+      col("asset_id"))
       .select("asset_id").as[Long]
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)

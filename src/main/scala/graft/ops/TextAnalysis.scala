@@ -40,7 +40,7 @@ object TextAnalysis {
       |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
       |       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin)(
-    (s, d) => Tables.documents(s, d)
+    (s, d) => Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
       .select(
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_ws_tokens"),
@@ -96,7 +96,7 @@ object TextAnalysis {
       val uniqRatio = uniq / nTokens
       val punctRatio = punct / chars
       def r4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / 10000
-      Tables.documents(s, d).select(
+      Rebalance.scanWide(Tables.documents(s, d), col("doc_id")).select(
         col("doc_id"),
         r4(lenScore).as("len_score"),
         r4(stopRatio).as("stop_ratio"),
@@ -143,7 +143,7 @@ object TextAnalysis {
          |FROM documents) ORDER BY doc_id""".stripMargin)(
       (s, d) => {
         val withHits = stops.foldLeft(
-          Tables.documents(s, d).select(col("doc_id"), col("lang").as("tagged_lang"), col("text"))) {
+          Rebalance.scanWide(Tables.documents(s, d), col("doc_id")).select(col("doc_id"), col("lang").as("tagged_lang"), col("text"))) {
           case (df, (l, ws)) =>
             df.withColumn(s"${l}_hits",
               expr(s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ${inList(ws)}))").cast("long"))
@@ -199,7 +199,7 @@ object TextAnalysis {
         // interpreted-HOF version of this query measured 7.6 s at sf0.1;
         // bit-equality against the HOF shape is pinned in
         // VectorExpressionsSpec and the DuckDB oracle is unchanged.
-        Tables.documents(s, d)
+        Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
           .select(
             col("doc_id"),
             expr("graft_polyhash(text)").as("doc_hash"),
@@ -241,7 +241,7 @@ object TextAnalysis {
               "<[^>]*>", " "),
             "\\[[A-Z_]+\\]", " "),
           "\\s+", " "))
-      Tables.documents(s, d).select(
+      Rebalance.scanWide(Tables.documents(s, d), col("doc_id")).select(
         col("doc_id"),
         cleaned(col("text")).as("clean_text"),
         (length(col("text")) - length(cleaned(col("text")))).cast("long").as("n_chars_removed"))
@@ -261,7 +261,7 @@ object TextAnalysis {
       |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>') AS masked,
       |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails
       |FROM documents ORDER BY doc_id""".stripMargin)(
-    (s, d) => Tables.documents(s, d).select(
+    (s, d) => Rebalance.scanWide(Tables.documents(s, d), col("doc_id")).select(
       col("doc_id"),
       regexp_replace(
         regexp_replace(col("text"),
@@ -307,7 +307,7 @@ object TextAnalysis {
       |SELECT doc_id,
       |       floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5) / 10000 AS rep_ratio
       |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin)(
-    (s, d) => repetitionRatio(Tables.documents(s, d)).orderBy("doc_id"))
+    (s, d) => repetitionRatio(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id"))
 
   // -------------------------------------------------------------- tf-idf
 
@@ -358,7 +358,7 @@ object TextAnalysis {
        |      FROM w)
        |SELECT doc_id, term, tf, weight, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin)(
-    (s, d) => tfidfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk"))
+    (s, d) => tfidfTopTerms(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id", "rk"))
 
   // ---------------------------------------------------- n-gram LM scoring
 
@@ -484,7 +484,7 @@ object TextAnalysis {
       |       floor(a2.s / a2.n_bigrams * 10000 + 0.5) / 10000 AS avg_logp
       |FROM documents d LEFT JOIN agg a2 USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin)(
-    (s, d) => lmBigramScores(Tables.documents(s, d)).orderBy("doc_id"))
+    (s, d) => lmBigramScores(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id"))
 
   // ------------------------------------------- DSIR importance weights
 
@@ -582,7 +582,7 @@ object TextAnalysis {
       |       floor((a2.st / a2.n_bigrams - a2.sb / a2.n_bigrams) * 10000 + 0.5) / 10000 AS weight
       |FROM documents d LEFT JOIN agg a2 USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin)(
-    (s, d) => importanceWeights(Tables.documents(s, d), col("lang") === "en").orderBy("doc_id"))
+    (s, d) => importanceWeights(Rebalance.scanWide(Tables.documents(s, d), col("doc_id")), col("lang") === "en").orderBy("doc_id"))
 
   // --------------------------------------------------------- chunking
 
@@ -642,7 +642,7 @@ object TextAnalysis {
       |SELECT doc_id, chunk_idx, chunk_start, chunk_text,
       |       length(chunk_text) AS chunk_len
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)(
-    (s, d) => chunkDocuments(Tables.documents(s, d)).orderBy("doc_id", "chunk_idx"))
+    (s, d) => chunkDocuments(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id", "chunk_idx"))
 
   // ------------------------------------------------- vocab / OOV audit
 
@@ -701,7 +701,7 @@ object TextAnalysis {
       |SELECT d.doc_id, coalesce(g.n_tokens, 0) AS n_tokens,
       |       coalesce(g.n_oov, 0) AS n_oov, g.oov_rate
       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin)(
-    (s, d) => vocabOovAudit(Tables.documents(s, d)).orderBy("doc_id"))
+    (s, d) => vocabOovAudit(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id"))
 
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,

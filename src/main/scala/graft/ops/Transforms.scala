@@ -63,9 +63,10 @@ object Transforms {
       |FROM events ORDER BY event_id""".stripMargin)(
     (s, d) => {
       val schema = StructType(Array(StructField("k", IntegerType, nullable = true)))
-      // rebalance before the per-row Jackson parse — single-split input
-      // would run the whole parse on one core (see t8WideProjection)
-      Tables.events(s, d).repartition(col("event_id"))
+      // rebalance before the per-row Jackson parse — a single-split
+      // input would run the whole parse on one core (see
+      // [[Rebalance.scanWide]]; identity on many-split inputs)
+      Rebalance.scanWide(Tables.events(s, d), col("event_id"))
         .select(col("event_id"), from_json(col("props"), schema).as("parsed"))
         .select(col("event_id"), col("parsed.*"))
         .orderBy("event_id")
