@@ -142,6 +142,87 @@ case class MinGramHash(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
+/** Compiled token-membership counting — see [[HitsIn]]. */
+object TokenSet {
+  /** Count of array elements that equal any of `words` (byte-equality on
+    * UTF8String — no String conversion, no per-element allocation).
+    * NULL elements never match, mirroring `w IN (...)` evaluating to
+    * NULL (not kept) inside a higher-order filter.
+    */
+  def hitsIn(
+      arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      words: Array[UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var j = 0
+        var hit = false
+        while (j < words.length && !hit) {
+          if (words(j).equals(t)) hit = true
+          j += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+}
+
+/** graft_hits_in(arr, 'w1,w2,...') — the number of elements of the
+  * string array `arr` that are members of the comma-separated word set:
+  * exactly what `size(filter(arr, w -> w IN ('w1','w2',...)))` computes,
+  * but as a compiled loop inside whole-stage codegen. The higher-order
+  * spelling is interpreted per ELEMENT (lambda eval per token, per
+  * language) and sat in the curation scorer's hottest path — five
+  * stop-hit counts per document (quality + four lang-ID counts). The
+  * word set is foldable, validated at ANALYSIS time, and held as
+  * UTF8String[] so membership is raw byte comparison — no String
+  * materialization per token. NULL array → NULL; NULL elements never
+  * match (IN over NULL is not kept by filter).
+  */
+case class HitsIn(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_hits_in"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), StringType) if right.foldable =>
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: word set must not be null")
+        case w: UTF8String =>
+          val ws = w.toString.split(",", -1)
+          if (ws.isEmpty || ws.exists(_.isEmpty))
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: word set must be non-empty comma-separated words, got '$w'")
+          else TypeCheckResult.TypeCheckSuccess
+        case w => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected word set $w")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val words: Array[UTF8String] =
+    right.eval().asInstanceOf[UTF8String].toString.split(",", -1)
+      .map(UTF8String.fromString)
+
+  override def nullSafeEval(arr: Any, w: Any): Any =
+    TokenSet.hitsIn(arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], words)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wordsRef = ctx.addReferenceObj("graftHitWords", words,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, (arr, _) =>
+      s"${ev.value} = graft.functions.TokenSet.hitsIn($arr, $wordsRef);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** graft_regex_count(text, pattern) — the number of non-overlapping
   * matches of `pattern` in `text`: exactly what
   * `size(regexp_extract_all(text, pattern, 0))` computes, without

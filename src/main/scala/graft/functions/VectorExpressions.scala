@@ -357,6 +357,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_regex_count"),
       new ExpressionInfo(classOf[RegexCount].getName, "graft_regex_count"),
       two("graft_regex_count", RegexCount)),
+    (FunctionIdentifier("graft_hits_in"),
+      new ExpressionInfo(classOf[HitsIn].getName, "graft_hits_in"),
+      two("graft_hits_in", HitsIn)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

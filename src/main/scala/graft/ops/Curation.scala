@@ -50,34 +50,41 @@ object Curation {
       |        '\[[A-Z_]+\]', ' '),
       |      '\s+', ' '))""".stripMargin
 
-  /** The narrow (shuffle-free) front of the pipeline: clean, score,
-    * language-tag, and gate. Works identically on batch and streaming
-    * frames — every stage is scan-side codegen. Output: one row per
-    * SURVIVING raw doc with its cleaned text and admission scores.
+  /** Score + gate over a frame that already carries the cleaned text in
+    * column `t`: appends `n_tokens`/`quality` and applies the admission
+    * gate (token floor, quality floor, predicted-English). All input
+    * columns ride through.
+    *
+    * Tokenize ONCE into a column: the scorer has six array consumers
+    * (four language stop-hit counts, the stopword ratio, the distinct
+    * ratio); one materialized array per row instead of six splits
+    * measured 5.1 s → 2.9 s on pipeline_curate_corpus at sf0.1. (`size`
+    * over the lowered array equals size over the raw split: lowercasing
+    * never adds or removes whitespace.)
+    *
+    * KNOWN PLAN HAZARD, and why the batch path dedups first: Catalyst
+    * pushes the gate filter through the scoring projections with full
+    * substitution — the optimized Filter re-evaluates the cleaning
+    * regex chain ~13×, the split ~11×, and the stop-hit counts ~10×
+    * PER INPUT ROW (measured: the filter node alone carried 53
+    * regexp_replace instances and was ~90% of the front's cost on the
+    * 30× stress corpus). The batch entries route around it structurally
+    * ([[curatedFrame]]: exact-dedup aggregate first, gate above the
+    * aggregate where pushdown cannot substitute); the streaming forms
+    * keep this per-doc shape because their stateful dedup needs the
+    * gate first, and per-micro-batch row counts keep the duplicated
+    * condition cheap.
     */
-  def scoreAndGate(
-      documents: DataFrame,
-      minTokens: Long = 10L,
-      minQuality: Double = 0.55,
-      keep: Seq[String] = Nil): DataFrame = {
-    // Tokenize ONCE into a column: the scorer has six array consumers
-    // (four language stop-hit counts, the stopword ratio, the distinct
-    // ratio) and spelling `split(lower(t))` inline in each one
-    // re-evaluates the split per consumer — higher-order filters run
-    // interpreted, outside codegen subexpression elimination. One
-    // materialized array per row instead of six splits measured
-    // 5.1 s → 2.9 s on pipeline_curate_corpus at sf0.1, and cut
-    // pipeline_curate_canonical's warmed cost to 1.9 s. (`size` over
-    // the lowered array equals size over the raw split: lowercasing
-    // never adds or removes whitespace.)
-    val base = documents.select(
-      col("doc_id") +: cleaned(col("text")).as("t") +: keep.map(col): _*)
-      .withColumn("graft_ltoks", split(lower(col("t")), "\\s+"))
-    val lowToks = "graft_ltoks"
+  private def gateScored(
+      withT: DataFrame,
+      minTokens: Long,
+      minQuality: Double): DataFrame = {
+    val base = withT.withColumn("graft_ltoks", split(lower(col("t")), "\\s+"))
+    val lowToks = col("graft_ltoks")
     val nToks = size(col("graft_ltoks")).cast("long")
     val nToksD = nToks.cast("double")
-    val stopHits = expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)}))").cast("double")
-    val uniq = expr(s"size(array_distinct($lowToks))").cast("double")
+    val stopHits = TextAnalysis.hitsIn(lowToks, TextAnalysis.enStops).cast("double")
+    val uniq = size(array_distinct(lowToks)).cast("double")
     val punct = TextAnalysis.regexCount(col("t"), "[^A-Za-z0-9\\s]").cast("double")
     val chars = length(col("t")).cast("double")
     val quality = r4(
@@ -86,8 +93,7 @@ object Curation {
         + uniq / nToksD * 0.2
         + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2)
     val withHits = TextAnalysis.stops.foldLeft(base) { case (df, (l, ws)) =>
-      df.withColumn(s"${l}_hits",
-        expr(s"size(filter($lowToks, w -> w IN ${TextAnalysis.inList(ws)}))").cast("long"))
+      df.withColumn(s"${l}_hits", TextAnalysis.hitsIn(lowToks, ws).cast("long"))
     }
     withHits
       .withColumn("cjk", TextAnalysis.regexCount(col("t"), "[\\x{4e00}-\\x{9fff}]").cast("double"))
@@ -103,8 +109,54 @@ object Curation {
       // guards first: length >= 1 keeps every ratio denominator positive
       .filter(length(col("t")) >= 1 && col("n_tokens") >= minTokens &&
         col("pred_lang") === "en" && col("quality") >= minQuality)
-      .select(Seq("doc_id", "t", "n_tokens", "quality").++(keep).map(col): _*)
   }
+
+  /** The narrow (shuffle-free) front of the pipeline: clean, score,
+    * language-tag, and gate, one row per SURVIVING raw doc with its
+    * cleaned text and admission scores. This is the STREAMING-shaped
+    * per-doc form (see the plan hazard note on [[gateScored]]); batch
+    * curation goes through [[curatedFrame]]'s dedup-first shape instead.
+    */
+  def scoreAndGate(
+      documents: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      keep: Seq[String] = Nil): DataFrame =
+    gateScored(
+      documents.select(
+        col("doc_id") +: cleaned(col("text")).as("t") +: keep.map(col): _*),
+      minTokens, minQuality)
+      .select(Seq("doc_id", "t", "n_tokens", "quality").++(keep).map(col): _*)
+
+  /** One row per surviving DISTINCT cleaned text with ownership stats —
+    * the shared body of [[curate]] and [[curatedFrame]]. Exact-dedup
+    * FIRST (sha-256 grouped aggregate over the cleaned text), scores and
+    * gate above the aggregate. Correct because the gate COMMUTES with
+    * the dedup: every copy of a text shares its scores, so a group
+    * survives or dies whole and keep_doc_id/n_copies are unchanged (the
+    * DuckDB oracle gates per-doc before grouping — hash-equal outputs).
+    * Two wins at scale: scoring runs once per DISTINCT text, not per
+    * raw doc (the duplication factor is exactly what a crawl corpus is
+    * full of), and the aggregate is a pushdown barrier — the gate
+    * filter cannot be substituted back into a per-raw-row condition
+    * (the [[gateScored]] plan hazard). Measured on the 30× stress
+    * corpus: front 10.3 s (per-doc shape) → ~1 s (this shape).
+    */
+  private def scoredDistinct(
+      documents: DataFrame,
+      minTokens: Long,
+      minQuality: Double): DataFrame =
+    gateScored(
+      documents
+        .select(col("doc_id"), cleaned(col("text")).as("t"))
+        .groupBy(sha2(col("t"), 256).as("content_hash"))
+        .agg(
+          min(col("doc_id")).as("keep_doc_id"),
+          count(lit(1)).as("n_copies"),
+          min(col("t")).as("t")),
+      minTokens, minQuality)
+      .select(col("content_hash"), col("keep_doc_id"), col("n_copies"),
+        col("n_tokens"), col("quality"), col("t"))
 
   /** Curate `documents`: returns one row per surviving distinct cleaned
     * text — its canonical doc_id, how many raw docs collapsed into it,
@@ -115,13 +167,8 @@ object Curation {
       documents: DataFrame,
       minTokens: Long = 10L,
       minQuality: Double = 0.55): DataFrame =
-    scoreAndGate(documents, minTokens, minQuality)
-      .groupBy(sha2(col("t"), 256).as("content_hash"))
-      .agg(
-        min(col("doc_id")).as("keep_doc_id"),
-        count(lit(1)).as("n_copies"),
-        min(col("n_tokens")).as("n_tokens"),
-        min(col("quality")).as("quality"))
+    scoredDistinct(documents, minTokens, minQuality)
+      .select("content_hash", "keep_doc_id", "n_copies", "n_tokens", "quality")
       .orderBy("keep_doc_id")
 
   /** Streaming curation: the SAME narrow gates lifted onto a stream,
@@ -240,14 +287,7 @@ object Curation {
       documents: DataFrame,
       minTokens: Long = 10L,
       minQuality: Double = 0.55): DataFrame =
-    scoreAndGate(documents, minTokens, minQuality)
-      .groupBy(sha2(col("t"), 256).as("content_hash"))
-      .agg(
-        min(col("doc_id")).as("keep_doc_id"),
-        count(lit(1)).as("n_copies"),
-        min(col("n_tokens")).as("n_tokens"),
-        min(col("quality")).as("quality"),
-        min(col("t")).as("t"))
+    scoredDistinct(documents, minTokens, minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
   def curateCanonical(

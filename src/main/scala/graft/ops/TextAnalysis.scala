@@ -27,6 +27,15 @@ object TextAnalysis {
   private[ops] def regexCount(c: org.apache.spark.sql.Column, pattern: String) =
     call_function("graft_regex_count", c, lit(pattern))
 
+  /** Stop-hit counting via the native graft_hits_in expression — same
+    * result as `size(filter(arr, w -> w IN (...)))`, but a compiled
+    * byte-comparison loop inside whole-stage codegen instead of an
+    * interpreted per-token lambda (the curation scorer runs FIVE of
+    * these per document; the HOF spelling was its hottest path).
+    */
+  private[ops] def hitsIn(arr: org.apache.spark.sql.Column, words: Seq[String]) =
+    call_function("graft_hits_in", arr, lit(words.mkString(",")))
+
   // ------------------------------------------------------------- tokens
 
   /** Token counting: whitespace tokens, BPE-ish pieces (word chunks +
@@ -85,10 +94,10 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin)(
     (s, d) => {
       val tokens = split(col("text"), "\\s+")
-      val lowTokens = "split(lower(text), '\\\\s+')"
+      val lowTokens = split(lower(col("text")), "\\s+")
       val nTokens = size(tokens).cast("double")
-      val stopHits = expr(s"size(filter($lowTokens, t -> t IN ${inList(enStops)}))").cast("double")
-      val uniq = expr(s"size(array_distinct($lowTokens))").cast("double")
+      val stopHits = hitsIn(lowTokens, enStops).cast("double")
+      val uniq = size(array_distinct(lowTokens)).cast("double")
       val punct = regexCount(col("text"), "[^A-Za-z0-9\\s]").cast("double")
       val chars = length(col("text")).cast("double")
       val lenScore = least(chars / 500.0, lit(1.0))
@@ -146,7 +155,7 @@ object TextAnalysis {
           Rebalance.scanWide(Tables.documents(s, d), col("doc_id")).select(col("doc_id"), col("lang").as("tagged_lang"), col("text"))) {
           case (df, (l, ws)) =>
             df.withColumn(s"${l}_hits",
-              expr(s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ${inList(ws)}))").cast("long"))
+              hitsIn(split(lower(col("text")), "\\s+"), ws).cast("long"))
         }
         withHits
           .withColumn("cjk", regexCount(col("text"), "[\\x{4e00}-\\x{9fff}]").cast("double"))

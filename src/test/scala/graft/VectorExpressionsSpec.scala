@@ -221,6 +221,36 @@ class VectorExpressionsSpec extends SparkSpec {
       fixture.select(expr("graft_regex_count(text, '[unclosed')")).collect())
   }
 
+  test("graft_hits_in is bit-identical to size(filter(arr, w -> w IN ...)) incl. edges") {
+    import spark.implicits._
+    // a representative stop list: the contract under test is that BOTH
+    // spellings see the same set, not which set the scorer ships
+    val words = Seq("the", "and", "of", "to", "in", "is", "a", "that", "for", "it")
+    val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (90001L, null.asInstanceOf[String]),
+        (90002L, ""),
+        (90003L, "the THE the\tand\nof"), // case + tab/newline separators
+        (90004L, "  leading and trailing  "), // empty split tokens never match
+        (90005L, "nothing matches here")).toDF("doc_id", "text"))
+      .withColumn("arr", split(lower(col("text")), "\\s+"))
+    val cmp = fixture.select(
+      col("doc_id"),
+      call_function("graft_hits_in", col("arr"), lit(words.mkString(","))).as("native"),
+      expr(s"size(filter(arr, w -> w IN $inList))").as("spelled"))
+    // null text -> null array -> native NULL mirrors size(null)
+    assert(cmp.filter(col("doc_id") === 90001L).head.isNullAt(1))
+    assert(cmp.filter(
+      !(col("native") <=> col("spelled")) && col("doc_id") =!= 90001L).isEmpty)
+    // analysis-time word-set validation: empty words fail the QUERY
+    intercept[Exception](
+      fixture.select(expr("graft_hits_in(arr, 'a,,b')")).collect())
+    intercept[Exception](
+      fixture.select(call_function("graft_hits_in", col("text"), lit("a"))).collect())
+  }
+
   test("graft_absmax / graft_int8_mse match the interpreted HOF spelling exactly") {
     Tables.embeddings(spark, "/root/testdata/sf0.001").createOrReplaceTempView("emb_q")
     // absmax: order-independent max of |x| — HOF spelling via transform+array_max
