@@ -134,6 +134,37 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("curation gate is not substituted into a per-raw-row filter") {
+    // The round-10 lesson: PushDownPredicates substitutes a filter on
+    // projected columns through the projections — the curation gate's
+    // optimized Filter carried 53 copies of the cleaning regex chain,
+    // re-evaluated per RAW row (operators don't share subexpressions;
+    // a Filter's copies are real work). The dedup-first shape pins the
+    // gate above the sha-aggregate. Contract: NO Filter node carries
+    // the cleaning chain, and total plan copies stay at the aggregate's
+    // two (grouping key + min(t) — one runtime eval: within a single
+    // operator whole-stage codegen's subexpression elimination shares
+    // them).
+    // counted on the logical TREE, not the plan string: an
+    // InMemoryRelation prints its cached subtree's rebuild recipe as
+    // innerChildren (description, not evaluation sites), and collect()
+    // correctly does not descend into it
+    import org.apache.spark.sql.catalyst.expressions.{Expression, RegExpReplace}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    def copies(e: Expression): Int = e.collect { case _: RegExpReplace => 1 }.sum
+    for (q <- Seq("pipeline_curate_corpus", "pipeline_curate_canonical")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val filterCopies = lp.collect { case f: LFilter => copies(f.condition) }.sum
+      assert(filterCopies == 0,
+        s"$q: cleaning chain substituted into a Filter ($filterCopies copies) — " +
+          s"per-raw-row re-evaluation is back:\n$lp")
+      val total = lp.map(op => op.expressions.map(copies).sum).sum
+      assert(total <= 8,
+        s"$q: cleaning chain has $total evaluation-site copies (want <= 8: " +
+          s"one aggregate's grouping key + min(t), shared by codegen subexpr elim):\n$lp")
+    }
+  }
+
   test("JSON envelope work rebalances off the scan's split before evaluating") {
     // cheap scan, expensive map: a one-row-group parquet input arrives
     // as ONE split, and without an explicit rebalance the per-row
