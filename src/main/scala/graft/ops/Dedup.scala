@@ -1147,17 +1147,24 @@ object Dedup {
     // faster at sf0.1 — the wrong trade under the family's
     // footprint-discipline contract (round-6 verdict).
     val arr = documents.select(col("doc_id"), split(col("text"), " ").as("a"))
-    val gramOf = (i: org.apache.spark.sql.Column) =>
-      concat_ws(" ", slice(col("a"), i + 1, lit(k)))
     // consumed twice (duplicate-gram aggregation + covered-position semi
     // join) but deliberately NOT cached — measured no gain at sf0.1
     // (4.14 s cached vs 4.15 s not: the cost is the gram-string
     // shuffles, not the recompute), so the footprint-discipline default
-    // wins
+    // wins.
+    // Gram formation is the same relational no-lambda shape as
+    // [[shingleHashes]]: posexplode the token array and read the gram's
+    // k tokens with O(1) element_at lookups inside whole-stage codegen —
+    // the earlier transform(sequence(..), i -> concat_ws(slice(..)))
+    // spelling ran the gram builder as an interpreted lambda per output
+    // element (p is 0-based: the gram at p spans a[p+1 .. p+k],
+    // 1-indexed for element_at; it exists iff that slice is full).
     val grams = arr.filter(size(col("a")) >= k)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("a")) - k), gramOf))
-          .as(Seq("p", "g")))
+      .select(col("doc_id"), col("a"), posexplode(col("a")).as(Seq("p", "tok0")))
+      .filter(col("p") + k <= size(col("a")))
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ",
+          (0 until k).map(j => element_at(col("a"), col("p") + j + 1)): _*).as("g"))
       .select(col("doc_id"), col("p"),
         (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
     val dup = grams.groupBy("g")
