@@ -150,6 +150,37 @@ object Bench {
         throw new IllegalArgumentException(
           s"SPARK_GRAFT_BENCH_RETRIES must be an integer, got '$v'"))
     }
+    // Clean-run reference (the round-10 lesson): retrying only the N
+    // slowest first-pass queries misses mid-pack rows inflated by
+    // external machine load — r10's official record carried four rows at
+    // 2.4-4.7× their quiet-machine times because none of them cracked
+    // the top 3. The committed bench_clean.json (a full-suite run on a
+    // quiet machine, refreshed whenever plans change) gives each query a
+    // repeatable-cost reference; any pass-1 time >2× its reference gets
+    // the same isolated re-measure treatment as the slowest queries,
+    // bounded to 8 extra names per run. Missing/unparseable file → empty
+    // reference, policy degrades to slowest-N plus the starvation
+    // signature below.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_clean.json")
+    val refTimes: Map[String, Double] = {
+      try {
+        val txt = Files.readString(Paths.get(refPath))
+        val start = txt.indexOf("\"queries\":{")
+        if (start < 0) Map.empty
+        else {
+          val body = txt.substring(start + "\"queries\":{".length)
+          val entry = """"([A-Za-z0-9_]+)":(-?[0-9][-0-9.eE+]*)[,}]""".r
+          // the queries object ends at the first unmatched '}'; since
+          // values are bare numbers there is no nesting inside it
+          val end = body.indexOf('}')
+          if (end < 0) Map.empty
+          else entry.findAllMatchIn(body.substring(0, end + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    if (refTimes.nonEmpty)
+      System.err.println(s"[bench] retry reference: ${refTimes.size} queries from $refPath")
     // Family warmups, gated on what is actually selected — a named
     // sub-second dev run must not pay tens of seconds of irrelevant
     // JIT/store work (full-suite driver runs trigger all of them).
@@ -312,18 +343,61 @@ object Bench {
     // one more chance to land outside it). All passes and the retried
     // names land in the JSON so the artifact shows exactly what was
     // re-measured. Disable with SPARK_GRAFT_BENCH_RETRIES=0.
-    val retryNames = results.filter(_._2.secs > 0).sortBy(-_._2.secs).take(retries).map(_._1)
+    //
+    // Round-11 widening: slowest-N alone let four contention-inflated
+    // mid-pack rows stand in the r10 official record. Three triggers now
+    // feed one retry set, each tagged in `retry_why`:
+    //   slowN    — the original top-`retries` by pass-1 wall time
+    //   ref2x    — pass-1 > 2× the committed clean-run reference
+    //              (floored at 0.25 s so sub-100 ms rows don't churn)
+    //   starved  — no reference entry, but the window shows the
+    //              starvation signature the profile records: >1.5 s wall
+    //              with effective parallelism (cpu_ms/wall) under a
+    //              quarter of the cores while pre-window load was already
+    //              above cpus/4 — same work, fewer cores.
+    // ref2x/starved extras are capped at 8 per run (worst ratio first) so
+    // a globally-contended run degrades to bounded extra probing, not a
+    // doubled suite.
+    val byName = results.toMap
+    val slowN = results.filter(_._2.secs > 0).sortBy(-_._2.secs).take(retries).map(_._1)
+    val cpusN = cpus.toDouble
+    val ratioOf = (n: String) =>
+      refTimes.get(n).map(r => byName(n).secs / math.max(r, 0.25)).getOrElse(0.0)
+    val ref2x = results.collect {
+      case (n, w) if w.secs > 0 && refTimes.contains(n) && ratioOf(n) > 2.0 => n
+    }
+    val starved = results.collect {
+      case (n, w) if w.secs > 1.5 && !refTimes.contains(n) && w.cpuMs >= 0 &&
+        w.cpuMs < w.secs * 1000 * cpusN / 4 && w.load >= cpusN / 4 => n
+    }
+    val extras = ((ref2x ++ starved).distinct.filterNot(slowN.contains))
+      .sortBy(n => -math.max(ratioOf(n), byName(n).secs)).take(8)
+    val retryWhy: Map[String, String] = (
+      slowN.map(_ -> "slowN") ++
+        extras.map(n => n -> (if (ref2x.contains(n)) "ref2x" else "starved"))).toMap
+    val retryNames = slowN ++ extras
     val fnOf = selected.toMap
     val retryPasses: Map[String, Seq[Double]] = retryNames.map { name =>
-      val pass1 = results.find(_._1 == name).get._2.secs
+      val pass1 = byName(name).secs
+      val ref = refTimes.get(name)
+      // a reference-flagged query gets one more chance to land outside a
+      // sustained load window (r10: dedup_minhash_lsh needed its third
+      // retry to escape, 12.4/10.7/1.6), and stops early the moment a
+      // pass lands within 1.5× of its clean reference — the claim is
+      // then already the repeatable cost
+      val maxPasses = if (retryWhy.get(name).contains("ref2x")) 4 else 3
       var passes = Vector(pass1)
       var continue = true
-      while (continue && passes.size < 3) {
+      while (continue && passes.size < maxPasses) {
         if (isolate) settle(spark)
         val p = runOne(name, fnOf(name), tag = s"  (retry ${passes.size})").secs
         val bestBefore = passes.filter(_ >= 0).min
         passes :+= p
-        continue = p >= 0 && p < bestBefore * 0.9
+        val closedGap = ref.exists(r => p >= 0 && p <= r * 1.5)
+        // keep probing while improving >10%/pass, or while the best pass
+        // still exceeds 2× a known reference (still inside the window)
+        continue = !closedGap && p >= 0 && (p < bestBefore * 0.9 ||
+          ref.exists(r => math.min(p, bestBefore) > r * 2.0))
       }
       name -> passes
     }.toMap
@@ -344,7 +418,10 @@ object Bench {
       if (retryPasses.isEmpty) ""
       else retryPasses.toSeq.sortBy(_._1).map { case (k, ps) =>
         "\"" + k + "\":[" + ps.mkString(",") + "]"
-      }.mkString(""","retried":{""", ",", "}")
+      }.mkString(""","retried":{""", ",", "}") +
+        retryWhy.toSeq.sortBy(_._1).map { case (k, why) =>
+          "\"" + k + "\":\"" + why + "\""
+        }.mkString(""","retry_why":{""", ",", "}")
     def render(entries: Seq[(String, Double)], omitted: Int, profile: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
