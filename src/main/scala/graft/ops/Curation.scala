@@ -75,37 +75,51 @@ object Curation {
     * gate first, and per-micro-batch row counts keep the duplicated
     * condition cheap.
     */
+  /** The shared score spellings over (cleaned text, lowered token
+    * array) — ONE definition for the per-doc (streaming) shape and the
+    * batch aggregate shape, so the two can never drift from each other
+    * or from the DuckDB oracle's arithmetic. Callers materialize the
+    * token array once (projection column) and pass it in; the helpers
+    * never re-split.
+    */
+  private def nToksOf(ltoks: Column): Column = size(ltoks).cast("long")
+
+  private def qualityOf(t: Column, ltoks: Column): Column = {
+    val nToksD = size(ltoks).cast("double")
+    val stopHits = TextAnalysis.hitsIn(ltoks, TextAnalysis.enStops).cast("double")
+    val uniq = size(array_distinct(ltoks)).cast("double")
+    val punct = TextAnalysis.regexCount(t, "[^A-Za-z0-9\\s]").cast("double")
+    val chars = length(t).cast("double")
+    r4(
+      least(chars / 500.0, lit(1.0)) * 0.25
+        + least(stopHits / nToksD * 5.0, lit(1.0)) * 0.35
+        + uniq / nToksD * 0.2
+        + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2)
+  }
+
+  private def predLangOf(t: Column, ltoks: Column): Column = {
+    val hits = TextAnalysis.stops.map { case (l, ws) =>
+      l -> TextAnalysis.hitsIn(ltoks, ws).cast("long")
+    }.toMap
+    val cjk = TextAnalysis.regexCount(t, "[\\x{4e00}-\\x{9fff}]").cast("double")
+    when(cjk * 10.0 >= length(t).cast("double") * 3.0, "zh")
+      .when(greatest(hits("en"), hits("es"), hits("fr"), hits("de")) === 0, "und")
+      .when(hits("en") >= greatest(hits("es"), hits("fr"), hits("de")), "en")
+      .when(hits("es") >= greatest(hits("fr"), hits("de")), "es")
+      .when(hits("fr") >= hits("de"), "fr")
+      .otherwise("de")
+  }
+
   private def gateScored(
       withT: DataFrame,
       minTokens: Long,
       minQuality: Double): DataFrame = {
     val base = withT.withColumn("graft_ltoks", split(lower(col("t")), "\\s+"))
     val lowToks = col("graft_ltoks")
-    val nToks = size(col("graft_ltoks")).cast("long")
-    val nToksD = nToks.cast("double")
-    val stopHits = TextAnalysis.hitsIn(lowToks, TextAnalysis.enStops).cast("double")
-    val uniq = size(array_distinct(lowToks)).cast("double")
-    val punct = TextAnalysis.regexCount(col("t"), "[^A-Za-z0-9\\s]").cast("double")
-    val chars = length(col("t")).cast("double")
-    val quality = r4(
-      least(chars / 500.0, lit(1.0)) * 0.25
-        + least(stopHits / nToksD * 5.0, lit(1.0)) * 0.35
-        + uniq / nToksD * 0.2
-        + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2)
-    val withHits = TextAnalysis.stops.foldLeft(base) { case (df, (l, ws)) =>
-      df.withColumn(s"${l}_hits", TextAnalysis.hitsIn(lowToks, ws).cast("long"))
-    }
-    withHits
-      .withColumn("cjk", TextAnalysis.regexCount(col("t"), "[\\x{4e00}-\\x{9fff}]").cast("double"))
-      .withColumn("pred_lang",
-        when(col("cjk") * 10.0 >= length(col("t")).cast("double") * 3.0, "zh")
-          .when(greatest(col("en_hits"), col("es_hits"), col("fr_hits"), col("de_hits")) === 0, "und")
-          .when(col("en_hits") >= greatest(col("es_hits"), col("fr_hits"), col("de_hits")), "en")
-          .when(col("es_hits") >= greatest(col("fr_hits"), col("de_hits")), "es")
-          .when(col("fr_hits") >= col("de_hits"), "fr")
-          .otherwise("de"))
-      .withColumn("n_tokens", nToks)
-      .withColumn("quality", quality)
+    base
+      .withColumn("pred_lang", predLangOf(col("t"), lowToks))
+      .withColumn("n_tokens", nToksOf(lowToks))
+      .withColumn("quality", qualityOf(col("t"), lowToks))
       // guards first: length >= 1 keeps every ratio denominator positive
       .filter(length(col("t")) >= 1 && col("n_tokens") >= minTokens &&
         col("pred_lang") === "en" && col("quality") >= minQuality)
@@ -145,18 +159,70 @@ object Curation {
   private def scoredDistinct(
       documents: DataFrame,
       minTokens: Long,
-      minQuality: Double): DataFrame =
-    gateScored(
-      documents
-        .select(col("doc_id"), cleaned(col("text")).as("t"))
-        .groupBy(sha2(col("t"), 256).as("content_hash"))
-        .agg(
-          min(col("doc_id")).as("keep_doc_id"),
-          count(lit(1)).as("n_copies"),
-          min(col("t")).as("t")),
-      minTokens, minQuality)
+      minQuality: Double): DataFrame = {
+    // Two-level aggregate, each level for a different constraint:
+    //
+    // A1 carries t as a GROUPING key so its buffers stay primitive
+    // (min long + count) and Spark picks HashAggregateExec — a
+    // single-level groupBy(hash) with min(t) has a variable-width
+    // string buffer, which forces SortAggregate and sorts the whole
+    // RAW corpus partition-by-partition before the shuffle. Grouping
+    // by (sha2(t), t) is the same partition as sha2(t) alone
+    // (collision-free hash ⇒ the hash determines t), so A1 is the
+    // real corpus-sized reduction, hash-based end to end.
+    //
+    // A2 re-emits t and EVERY admission score as AGGREGATE OUTPUTS
+    // (min over the single row per group). Two reasons, both measured:
+    //
+    //  - Pushdown barrier: if t stayed a grouping key, the gate above —
+    //    every conjunct a function of t — would be pushed below the
+    //    aggregate with full expression substitution and re-score every
+    //    RAW row (the round-10 hazard; PlanContractSpec asserts the
+    //    gate Filter carries no cleaning-chain copies). As aggregate
+    //    outputs, the scores reach the Filter as plain attributes — the
+    //    gate is four attribute comparisons, not 13 re-splits per row.
+    //
+    //  - Stage placement: the score arguments are evaluated in A2's
+    //    PARTIAL aggregate, which runs in the same distributed stage as
+    //    A1's final — NOT in the post-shuffle stage, which AQE
+    //    legitimately coalesces to one task (the survivor frame is a
+    //    few MB). With the scoring spelled in a Filter above the final
+    //    aggregate, that one task paid the whole corpus' scoring twice
+    //    (once for the orderBy's range-bounds sampling pass, once for
+    //    the real shuffle map) — two sequential ~1 s single-core stages
+    //    at the 30× stress scale. As agg args the coalesced tail stage
+    //    only merges one-row buffers and compares attributes.
+    //
+    // A2's SortAggregate (string buffers) is over DISTINCT-text-sized
+    // input with ~one row per group, so at 100 TB the sorts that matter
+    // (raw-corpus map-side) are gone and the residual sort is
+    // survivor-sized. The token array is materialized ONCE in a Project
+    // below A2 and shared by all score arguments (CollapseProject keeps
+    // a multiply-referenced non-cheap alias materialized, so the split
+    // cannot be inlined 13×).
+    val ltoks = col("graft_ltoks")
+    documents
+      .select(col("doc_id"), cleaned(col("text")).as("t"))
+      .groupBy(sha2(col("t"), 256).as("content_hash"), col("t"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .withColumn("graft_ltoks", split(lower(col("t")), "\\s+"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("keep_doc_id")).as("keep_doc_id"),
+        sum(col("n_copies")).as("n_copies"),
+        min(col("t")).as("t"),
+        min(length(col("t"))).as("graft_tlen"),
+        min(nToksOf(ltoks)).as("n_tokens"),
+        min(qualityOf(col("t"), ltoks)).as("quality"),
+        min(predLangOf(col("t"), ltoks)).as("pred_lang"))
+      // the same gate as gateScored, over the aggregate's outputs
+      .filter(col("graft_tlen") >= 1 && col("n_tokens") >= minTokens &&
+        col("pred_lang") === "en" && col("quality") >= minQuality)
       .select(col("content_hash"), col("keep_doc_id"), col("n_copies"),
         col("n_tokens"), col("quality"), col("t"))
+  }
 
   /** Curate `documents`: returns one row per surviving distinct cleaned
     * text — its canonical doc_id, how many raw docs collapsed into it,

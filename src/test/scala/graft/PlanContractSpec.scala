@@ -141,10 +141,10 @@ class PlanContractSpec extends SparkSpec {
     // re-evaluated per RAW row (operators don't share subexpressions;
     // a Filter's copies are real work). The dedup-first shape pins the
     // gate above the sha-aggregate. Contract: NO Filter node carries
-    // the cleaning chain, and total plan copies stay at the aggregate's
-    // two (grouping key + min(t) — one runtime eval: within a single
-    // operator whole-stage codegen's subexpression elimination shares
-    // them).
+    // the cleaning chain, and total plan copies stay at the first
+    // aggregate's two grouping keys (sha2(cleaned) + cleaned — one
+    // runtime eval: within a single operator whole-stage codegen's
+    // subexpression elimination shares them).
     // counted on the logical TREE, not the plan string: an
     // InMemoryRelation prints its cached subtree's rebuild recipe as
     // innerChildren (description, not evaluation sites), and collect()
