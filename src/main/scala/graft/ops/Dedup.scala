@@ -1034,7 +1034,20 @@ object Dedup {
   def simhashBandedNearDups(
       documents: DataFrame,
       maxHamming: Int = 7,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): DataFrame =
+    bandedNearDupsFromSimhash(simhash(documents), maxHamming, maxBucket)
+
+  /** The banding machinery itself, over an already-computed `(doc_id,
+    * simhash)` frame — shared verbatim by the xxhash64 production path
+    * ([[simhashBandedNearDups]]) and the sha-keyed oracle twin
+    * ([[simhashBandedShaQuery]]), so the hash-verified row exercises the
+    * exact band/bucket-cap/pair/expansion plumbing the production query
+    * runs.
+    */
+  private[graft] def bandedNearDupsFromSimhash(
+      simhashed: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     val bands = maxHamming + 1
     require(bands >= 2 && 64 % bands == 0,
       s"maxHamming + 1 must divide 64 (got $maxHamming); use 1, 3, 7, 15, or 31")
@@ -1051,7 +1064,7 @@ object Dedup {
     // paid one extra corpus aggregate just to populate. Local (not
     // reliable) checkpointing is fine here: the frame is consumed within
     // this one query, and the harness barrier frees the blocks after.
-    val sh = simhash(documents).localCheckpoint(eager = true)
+    val sh = simhashed.localCheckpoint(eager = true)
     val values = sh.select(col("simhash")).distinct()
     val banded = values.select(col("simhash"),
       posexplode(array((0 until bands).map(b =>
@@ -1096,6 +1109,71 @@ object Dedup {
     */
   val simhashBandedQuery = QueryDef.unverified("dedup_simhash_banded")(
     (s, d) => simhashBandedNearDups(Tables.documents(s, d), maxHamming = 3)
+      .orderBy("doc_a", "doc_b"))
+
+  /** SimHash keyed by a sha256-derived token hash instead of xxhash64 —
+    * the ONLY difference from [[simhash]] is the per-token hash function,
+    * chosen because both engines can compute it: the low 60 bits of
+    * sha256(token) (15 hex chars; bits 60–63 are zero, so their ±1 sums
+    * are all-negative and those output bits are deterministically 0).
+    * The [[graft.functions.SimhashAgg]] aggregate and everything
+    * downstream are the production code paths, which is what makes
+    * [[simhashBandedShaQuery]] a full-pipeline oracle anchor for the
+    * SimHash family rather than a unit test: DuckDB re-derives the same
+    * simhashes from sha256 and replays banding/bucket-cap/expansion in
+    * SQL, and the driver hash-compares every pair row.
+    */
+  def simhashSha(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .dropDuplicates("doc_id", "tok")
+      .select(col("doc_id"),
+        conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id").agg(expr("graft_simhash(h)").as("simhash"))
+
+  /** Oracle-verified twin of [[simhashBandedQuery]] (same radius, same
+    * cap, same machinery — see [[simhashSha]]). The DuckDB side rebuilds
+    * the simhash as 60 per-bit signed sums (`> 0` tie rule identical to
+    * SimhashAgg.eval) and then replays the banded candidate generation:
+    * distinct values → 4×16-bit bands → windowed bucket cap → pair join
+    * with exact bit_count verify → doc expansion + same-value self-join.
+    */
+  val simhashBandedShaQuery = QueryDef(
+    "dedup_simhash_banded_sha",
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |hashed AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(sha256(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b
+      |  FROM hashed CROSS JOIN range(60) t(i) GROUP BY doc_id, i),
+      |sh AS (SELECT doc_id, CAST(sum(b * (1::BIGINT << i)) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+      |vals AS (SELECT DISTINCT simhash FROM sh),
+      |banded AS (
+      |  SELECT simhash, i AS band_idx, (simhash >> CAST(i * 16 AS INTEGER)) & 65535 AS band_val,
+      |         count(*) OVER (PARTITION BY i, (simhash >> CAST(i * 16 AS INTEGER)) & 65535) AS bucket_n
+      |  FROM vals CROSS JOIN range(4) t(i)),
+      |vp AS (
+      |  SELECT DISTINCT a.simhash AS sh_a, b.simhash AS sh_b,
+      |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.simhash < b.simhash
+      |  WHERE a.bucket_n <= 4096 AND b.bucket_n <= 4096
+      |    AND bit_count(xor(a.simhash, b.simhash)) <= 3),
+      |cross_pairs AS (
+      |  SELECT least(x.doc_id, y.doc_id) AS doc_a, greatest(x.doc_id, y.doc_id) AS doc_b, vp.hamming
+      |  FROM vp JOIN sh x ON x.simhash = vp.sh_a JOIN sh y ON y.simhash = vp.sh_b),
+      |same_pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+      |  FROM sh x JOIN sh y ON x.simhash = y.simhash AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming
+      |FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same_pairs)
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => bandedNearDupsFromSimhash(
+      simhashSha(Tables.documents(s, d)), maxHamming = 3, maxBucket = 4096)
       .orderBy("doc_a", "doc_b"))
 
   // ----------------------------------------------- exact substring (span)
@@ -1311,6 +1389,7 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
       boundedNearDupsQuery, boundedSmallBlocksQuery, incrementalExactQuery, incrementalNearDupsQuery,
-      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery, decontaminateQuery,
+      incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery,
+      simhashBandedShaQuery, decontaminateQuery,
       spanDedupQuery, editDistanceQuery)
 }

@@ -181,6 +181,37 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashBandedNearDups(docs, maxHamming = 16))
   }
 
+  test("sha-keyed simhash: 60-bit token hash parity and brute-force banded equality") {
+    // Cross-engine hash contract: the token hash is the first 15 hex
+    // chars of sha256, parsed base-16 — pin one known value so a silent
+    // change on either side (substring length, conv base, sha variant)
+    // fails here, not as an oracle hash mismatch at driver time.
+    // sha256("hello") = 2cf24dba5fb0a30e... → 0x2cf24dba5fb0a30 =
+    // 202421034056092208.
+    val h = Seq("hello").toDF("tok")
+      .select(conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast("long"))
+      .head.getLong(0)
+    assert(h == 202421034056092208L)
+    // Bits 60-63 of every sha-keyed simhash are deterministically 0 (the
+    // ±1 sums over zero input bits are all-negative), so both engines
+    // band identical non-negative values.
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.simhashSha(fixture).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    // The banded result through the shared machinery equals brute-force
+    // hamming enumeration over those simhashes (pigeonhole recall at
+    // radius 3, exact-precision verify).
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      d = java.lang.Long.bitCount(sh(a) ^ sh(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = Dedup.bandedNearDupsFromSimhash(
+      Dedup.simhashSha(fixture), maxHamming = 3, maxBucket = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banded-sha != brute force: " +
+      s"missing=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("banded simhash equals brute-force hamming enumeration (full recall, exact precision)") {
     // ~30 template variants: distinct simhashes a few bits apart, so the
     // value-level banding path does real work (buckets, value pairs,
