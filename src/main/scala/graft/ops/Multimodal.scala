@@ -686,14 +686,22 @@ object Multimodal {
   }
 
   /** [[imageAssets]]/[[audioAssets]]/[[videoAssets]] through the
-    * materialized store — what the registered queries consume.
+    * materialized store — what the registered queries consume. The read
+    * goes through [[Rebalance.scanWide]]: the fixture-sized store can
+    * come back as a handful of splits (file bin-packing), which would
+    * cap the expensive decode stages downstream at that width; on a
+    * production-sized store the gate is the identity and the scan's own
+    * thousands of splits carry the parallelism.
     */
   def imageAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
-    materialized(spark, sfDir, "image")(imageAssets(spark, sfDir))
+    Rebalance.scanWide(
+      materialized(spark, sfDir, "image")(imageAssets(spark, sfDir)), col("asset_id"))
   def audioAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
-    materialized(spark, sfDir, "audio")(audioAssets(spark, sfDir))
+    Rebalance.scanWide(
+      materialized(spark, sfDir, "audio")(audioAssets(spark, sfDir)), col("asset_id"))
   def videoAssetsStored(spark: SparkSession, sfDir: String): DataFrame =
-    materialized(spark, sfDir, "video")(videoAssets(spark, sfDir))
+    Rebalance.scanWide(
+      materialized(spark, sfDir, "video")(videoAssets(spark, sfDir)), col("asset_id"))
 
   // ------------------------------------------------------------- queries
 

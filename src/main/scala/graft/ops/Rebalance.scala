@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** Conditional scan rebalance — the "cheap scan, expensive map" gate.
@@ -17,12 +19,41 @@ import org.apache.spark.sql.{Column, DataFrame}
   * only narrow inputs pay the (raw-bytes-linear, by construction
   * negligible) shuffle.
   *
-  * `df.rdd.getNumPartitions` materializes the physical plan but runs no
-  * job — a few ms at query-construction time.
+  * The planned count comes from `df.rdd.getNumPartitions` — it
+  * materializes a physical plan but runs no job. That cost is paid ONCE
+  * per distinct (session, canonical plan): the suite invokes scanWide on
+  * the same handful of base-table scans hundreds of times, and without
+  * memoization each call re-plans the frame (and the consuming query
+  * then plans it a second time). The memo key is the canonicalized
+  * analyzed plan's semanticHash scoped by session — two semantically
+  * equal scans of the same files share one probe. A (vanishingly
+  * unlikely) hash collision can only mis-gate the REBALANCE decision:
+  * the result is a suboptimal but correct plan, never wrong rows. The
+  * gate reads the pre-AQE static split count by design — AQE re-plans
+  * shuffle boundaries, not file-scan splits, so the static count IS the
+  * scan parallelism the expensive projection would inherit.
   */
 object Rebalance {
+  private val plannedParts = new ConcurrentHashMap[(Int, Int), Integer]()
+
   def scanWide(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(key) else df
+    val memoKey = (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized.semanticHash())
+    val planned = plannedParts
+      .computeIfAbsent(memoKey, _ => Integer.valueOf(df.rdd.getNumPartitions))
+      .intValue()
+    // EXPLICIT partition count, not repartition(key): AQE coalesces a
+    // count-less repartition by shuffle BYTES (parallelismFirst floors
+    // partitions at 1 MB), and the narrow inputs this gate fires on are
+    // exactly the ones whose pre-exchange rows are tiny relative to
+    // their downstream per-row CPU — round-11 measurement: the
+    // multimodal render's 30 KB metadata shuffle was coalesced to ONE
+    // task, serializing every PNG/WAV encode behind the exchange and
+    // writing a one-file store that made every later stored read
+    // single-split too. A user-specified count is exempt from AQE
+    // coalescing, which is the intent: the gate already decided the
+    // stage needs cluster width.
+    if (planned * 2 <= target) df.repartition(target, key) else df
   }
 }
