@@ -882,7 +882,19 @@ object Dedup {
         s"nearDupClusters: label propagation did NOT converge within " +
           s"maxIter=$maxIter iterations (component diameter exceeds the cap); " +
           s"labels may split components — raise maxIter")
-    labels
+    // Lineage-free return: the loop unpersists each round as soon as its
+    // successor materializes, so the final frame's lineage can reach
+    // through up to three unpersisted rounds — correct locally, but on a
+    // real cluster a lost cached block would force recompute through
+    // frames whose blocks are gone. The long-lived, twice-consumed
+    // result is therefore re-rooted as its own localCheckpoint (a
+    // membership-sized scan of the final round's cached blocks), and the
+    // loop's cache is released. The checkpoint is persisted like any
+    // cache, so the ownership contract is unchanged: the harness barrier
+    // (or a long-lived caller) frees it.
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** Canonical survivors after near-dup clustering: every doc outside the

@@ -33,8 +33,17 @@ object TextAnalysis {
     * interpreted per-token lambda (the curation scorer runs FIVE of
     * these per document; the HOF spelling was its hottest path).
     */
-  private[ops] def hitsIn(arr: org.apache.spark.sql.Column, words: Seq[String]) =
+  private[ops] def hitsIn(arr: org.apache.spark.sql.Column, words: Seq[String]) = {
+    // The word set rides to the expression as a comma-joined string; a
+    // word containing a comma would silently split into two different
+    // words there (analysis-time validation only rejects EMPTY
+    // segments). Reject it at the call site, where the caller's word
+    // list is still intact.
+    val bad = words.filter(_.contains(","))
+    require(bad.isEmpty,
+      s"hitsIn words must not contain commas (delimiter): ${bad.mkString("'", "', '", "'")}")
     call_function("graft_hits_in", arr, lit(words.mkString(",")))
+  }
 
   // ------------------------------------------------------------- tokens
 

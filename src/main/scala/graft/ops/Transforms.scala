@@ -158,7 +158,9 @@ object Transforms {
         date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
         hour(col("ts")).cast("long").as("h"),
         minute(col("ts")).cast("long").as("m"),
-        unix_timestamp(col("ts")).as("unix_sec"))
+        // cast is a no-op on the normalized TimestampType ts but keeps
+        // this site NTZ-proof if the input ever arrives as TIMESTAMP_NTZ
+        unix_timestamp(col("ts").cast("timestamp")).as("unix_sec"))
       .orderBy("event_id"))
 
   /** T16/T12 — string functions + display aliasing (reference: concat/cast/

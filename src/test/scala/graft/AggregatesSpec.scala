@@ -70,8 +70,11 @@ class AggregatesSpec extends SparkSpec {
   test("weekly rollup from persisted daily sketches tracks exact distinct within 5%") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
+    // NTZ-safe: week keys are date_trunc over Tables.events' normalized
+    // TimestampType ts (never a raw parquet NTZ read)
     val weekly = graft.ops.Aggregates.sketchRollup.fn(spark, sf)
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // NTZ-safe: same derivation as above
     val exact = ev.groupBy(date_trunc("week", to_date(col("ts"))).as("week"))
       .agg(countDistinct("user_id").as("n"))
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap

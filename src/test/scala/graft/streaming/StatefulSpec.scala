@@ -58,6 +58,8 @@ class StatefulSpec extends SparkSpec {
       .option("checkpointLocation", tmpDir("sess-ckpt"))
       .format("memory")
       .start()
+    // NTZ-safe: session bounds come from Event.ts (java.sql.Timestamp
+    // case-class encoder → TimestampType), never a parquet NTZ read
     def sessions() = spark.table("sessions_out").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
       .toSet
