@@ -818,14 +818,31 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1 (got $minShared)")
     val bloom = benchmarkShingleBloom(
       benchmark, shingleSize, maxBenchDf, expectedItems, numBits)
-    val flagged = shingleStringRows(train, shingleSize)
+    train.join(bloomFlaggedDocs(train, bloom, shingleSize, minShared),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The probe half of [[decontaminateBloom]] against an already-built
+    * filter — shared with the streaming gate
+    * ([[graft.streaming.Jobs.startDecontaminationGateBloom]]), whose
+    * micro-batch body is exactly this plus the partitioned write: docs
+    * whose distinct-shingle hit count against the constant filter
+    * reaches `minShared`. The hash derivation (xxhash64 over the
+    * space-joined lowercase shingle string) MUST match
+    * [[benchmarkShingleBloom]]'s build side — both go through
+    * [[shingleStringRows]], so they cannot drift.
+    */
+  def bloomFlaggedDocs(
+      docs: DataFrame,
+      bloom: Array[Byte],
+      shingleSize: Int,
+      minShared: Long): DataFrame =
+    shingleStringRows(docs, shingleSize)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .filter(call_function("graft_might_contain", lit(bloom), col("h")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minShared)
       .select("doc_id")
-    train.join(flagged, Seq("doc_id"), "left_anti")
-  }
 
   /** The EXACT twin of the Bloom gate's semantics: drop train docs
     * sharing at least `minShared` distinct shingles with the UNION of

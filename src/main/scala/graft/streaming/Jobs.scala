@@ -385,6 +385,101 @@ object Jobs {
       .start()
   }
 
+  // ------------------------------------------- bloom decontamination gate
+
+  /** Build the persisted BLOOM decontamination store: the benchmark's
+    * kept-shingle set as one serialized filter
+    * ([[graft.ops.Dedup.benchmarkShingleBloom]] — stop-shingle cap
+    * applied exactly at build time) plus the shingle size it was built
+    * with, one row. Vs [[buildBenchmarkShingleStore]] this trades
+    * per-bench-doc attribution and exactness (fpp-rate over-drop,
+    * union-count semantics — see [[graft.ops.Dedup.decontaminateUnion]])
+    * for a micro-batch body with NO join at all: the filter loads once
+    * per query as driver bytes and gates every batch inside whole-stage
+    * codegen. At streaming scale that removes the per-batch probe join
+    * AND the resident store cache.
+    */
+  def buildBenchmarkBloomStore(
+      benchmark: DataFrame,
+      dir: String,
+      shingleSize: Int = 3,
+      maxBenchDf: Long = 16L,
+      expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val bloom = graft.ops.Dedup.benchmarkShingleBloom(
+      benchmark, shingleSize, maxBenchDf, expectedItems, numBits)
+    Seq((bloom, shingleSize)).toDF("bloom", "shingle_n")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a bloom store's filter bytes, validating the shingle size the
+    * same loud way as [[loadBenchStore]] (a mismatched probe matches
+    * nothing and would admit every leaking doc).
+    */
+  private def loadBloomStore(
+      spark: SparkSession, dir: String, shingleSize: Int): Array[Byte] = {
+    val row = spark.read.parquet(dir).select("bloom", "shingle_n").head
+    val stored = row.getInt(1)
+    require(stored == shingleSize,
+      s"bloom store $dir was built with shingleSize=$stored but the " +
+        s"gate is probing with shingleSize=$shingleSize — rebuild the store " +
+        "or pass the matching size (a mismatch matches NOTHING)")
+    row.getAs[Array[Byte]](0)
+  }
+
+  /** Batch body against PRE-LOADED filter bytes — what
+    * [[startDecontaminationGateBloom]] uses. Pure function of
+    * (batch, filter), so replay idempotence needs only the
+    * own-partition dynamic overwrite, as with the exact gate.
+    */
+  def decontaminationGateBloomBatch(
+      bloom: Array[Byte], outDir: String, minShared: Long,
+      shingleSize: Int)( // no default: MUST match the store's shingle_n
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    batch.join(
+        graft.ops.Dedup.bloomFlaggedDocs(batch, bloom, shingleSize, minShared),
+        Seq("doc_id"), "left_anti")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+  }
+
+  /** Dir-taking form for direct replay after recovery. */
+  def decontaminationGateBloomBatch(
+      bloomStoreDir: String, outDir: String, minShared: Long = 5L,
+      shingleSize: Int = 3)(
+      batch: DataFrame, batchId: Long): Unit =
+    decontaminationGateBloomBatch(
+      loadBloomStore(batch.sparkSession, bloomStoreDir, shingleSize),
+      outDir, minShared, shingleSize)(batch, batchId)
+
+  /** [[decontaminationGateBloomBatch]] behind a streaming query. The
+    * filter is loaded ONCE as driver bytes (one row, ~`numBits/8`
+    * bytes) and rides every batch plan as a literal — no per-query
+    * persisted store blocks, no per-batch join.
+    */
+  def startDecontaminationGateBloom(
+      docs: DataFrame,
+      bloomStoreDir: String,
+      outDir: String,
+      checkpointDir: String,
+      minShared: Long = 5L,
+      shingleSize: Int = 3,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bloom = loadBloomStore(docs.sparkSession, bloomStoreDir, shingleSize)
+    docs.writeStream
+      .queryName("decontamination_gate_bloom")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(
+        decontaminationGateBloomBatch(bloom, outDir, minShared, shingleSize) _)
+      .start()
+  }
+
   /** Build the persisted bigram language model the streaming LM gate
     * scores against ([[graft.ops.TextAnalysis.lmScoreAgainst]]): bigram
     * counts under `dir`/bigrams, a one-row vocab-size frame under

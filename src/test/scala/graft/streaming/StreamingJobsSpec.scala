@@ -485,6 +485,44 @@ class StreamingJobsSpec extends SparkSpec {
     assert(ex.getMessage.contains("shingleSize"))
   }
 
+  test("bloom decontamination gate stream: leaks dropped join-free, replay-safe, size-validated") {
+    import spark.implicits._
+    val store = tmpDir("decon-bloom-store"); val out = tmpDir("decon-bloom-out")
+    val benchText = "which planet is known as the red planet in our solar system today"
+    val bench = Seq((100L, benchText, "en", "bench", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Jobs.buildBenchmarkBloomStore(bench, store)
+
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startDecontaminationGateBloom(ms.toDF(), store, out,
+      tmpDir("decon-bloom-ckpt"), minShared = 5L,
+      queryTrigger = Trigger.ProcessingTime(0))
+    ms.addData(
+      Doc(1, s"trivia question list item seven $benchText answer mars obviously"),
+      Doc(2, "a clean training document about distributed query execution strategies"))
+    q.processAllAvailable()
+    val b1 = Seq(Doc(10, s"$benchText is a common quiz question"),
+      Doc(11, "more clean material on shuffle partitioning and skew mitigation"))
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def admitted() = spark.read.parquet(out)
+      .select("doc_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    // no false negatives: both leaking docs die; the tiny clean docs
+    // cannot reach minShared=5 even through false positives (they have
+    // few shingles and the filter holds ~12 entries in 2^23 bits)
+    assert(admitted() == Map(2L -> 0, 11L -> 1), s"got ${admitted()}")
+    // replay idempotence: pure function of (batch, filter) + dynamic
+    // own-partition overwrite
+    Jobs.decontaminationGateBloomBatch(store, out)(b1.toDF(), 1L)
+    assert(admitted() == Map(2L -> 0, 11L -> 1), s"replay changed output: ${admitted()}")
+    // size mismatch fails loudly (would otherwise match nothing)
+    val ex = intercept[IllegalArgumentException](
+      Jobs.decontaminationGateBloomBatch(store, out, 5L, shingleSize = 5)(b1.toDF(), 2L))
+    assert(ex.getMessage.contains("shingleSize"))
+  }
+
   test("decontamination gate honors a consistent non-default shingle size") {
     import spark.implicits._
     // Store AND gate both at shingleSize=4: validation passes — and the
