@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -344,10 +344,18 @@ object Dedup {
     * 4's ANSI mode errors on overflow rather than wrapping.
     */
   private val M = 1000000007L
-  private def cwHashed(shingles: DataFrame): DataFrame =
+
+  /** The second CW base hash and the band-key hash are PARAMETERS of the
+    * pipeline spine: the production path spells both as xxhash64
+    * (fastest), the sha-keyed oracle twin ([[minhashLshShaQuery]]) as
+    * the low 60 bits of sha256 so DuckDB can re-derive them. Everything
+    * else — the minima aggregation, banding shape, candidate join,
+    * relational verify — is shared verbatim.
+    */
+  private def cwHashed(shingles: DataFrame, h2of: Column => Column): DataFrame =
     shingles.select(col("doc_id"),
       pmod(col("shh"), lit(M)).as("h1"),
-      pmod(xxhash64(col("shh")), lit(M)).as("h2"))
+      pmod(h2of(col("shh")), lit(M)).as("h2"))
 
   /** Per-doc MinHash signature: ONE grouped aggregation computes all
     * `numHashes` minima over the distinct shingle hashes. min() is
@@ -357,10 +365,13 @@ object Dedup {
   def minhashSignatures(documents: DataFrame, numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
     signaturesFrom(shingleHashes(documents, shingleSize), numHashes)
 
-  private def signaturesFrom(shingles: DataFrame, numHashes: Int): DataFrame = {
+  private def signaturesFrom(
+      shingles: DataFrame,
+      numHashes: Int,
+      h2of: Column => Column = xxhash64(_)): DataFrame = {
     val mins = (0 until numHashes).map(j =>
       min(pmod(col("h1") + lit(j.toLong) * col("h2"), lit(M))).as(s"m$j"))
-    cwHashed(shingles).groupBy("doc_id")
+    cwHashed(shingles, h2of).groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
@@ -370,14 +381,19 @@ object Dedup {
     * band's hash over its `r` signature slots — the join key that makes
     * candidate generation bucketed instead of all-pairs (shared by the
     * self-join sweep [[minhashLsh]] and the cross-corpus
-    * [[incrementalNearDups]]).
+    * [[incrementalNearDups]]). `bandHashSql` wraps the band's
+    * comma-joined slot string in the hash spelling (see [[cwHashed]]).
     */
-  private def bandedKeys(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+  private def bandedKeys(
+      sigs: DataFrame,
+      bands: Int,
+      r: Int,
+      bandHashSql: String => String = c => s"xxhash64($c)"): DataFrame =
     sigs.select(
       col("doc_id"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
-           |  bi -> xxhash64(concat_ws(',', transform(slice(sig, bi * $r + 1, $r), x -> cast(x AS string)))))"""
+           |  bi -> ${bandHashSql(s"concat_ws(',', transform(slice(sig, bi * $r + 1, $r), x -> cast(x AS string)))")})"""
           .stripMargin.replace("\n", " "))).as(Seq("band_idx", "band_hash")))
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rowsPerBand =
@@ -422,13 +438,23 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.4,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3): DataFrame =
+    lshPairsFromShingles(
+      shingleHashes(documents, shingleSize), numHashes, bands, threshold)
+
+  private def lshPairsFromShingles(
+      shingles0: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      h2of: Column => Column = xxhash64(_),
+      bandHashSql: String => String = c => s"xxhash64($c)"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (0-intersection pairs are not emitted)")
     val r = numHashes / bands
-    val shingles = shingleHashes(documents, shingleSize)
+    val shingles = shingles0
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val banded = bandedKeys(signaturesFrom(shingles, numHashes), bands, r)
+    val banded = bandedKeys(signaturesFrom(shingles, numHashes, h2of), bands, r, bandHashSql)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -452,10 +478,84 @@ object Dedup {
 
   /** xxhash64 seeds are Spark-internal → no DuckDB oracle; correctness is
     * asserted in DedupSpec (planted near-dups found; LSH pairs agree with
-    * brute-force Jaccard on the fixture).
+    * brute-force Jaccard on the fixture) and the FULL pipeline is
+    * hash-anchored by [[minhashLshShaQuery]].
     */
   val minhashLshQuery = QueryDef.unverified("dedup_minhash_lsh")(
     (s, d) => minhashLsh(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  /** The low-60-bits-of-sha256 hash both engines can compute — the same
+    * cross-engine contract as [[simhashSha]] (value pinned in DedupSpec).
+    */
+  private def sha60(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+  private def sha60Sql(c: String): String =
+    s"cast(conv(substring(sha2(cast($c as string), 256), 1, 15), 16, 10) as bigint)"
+
+  /** Oracle-verified twin of [[minhashLshQuery]]: the ENTIRE MinHash-LSH
+    * pipeline — shingle identity, both Carter-Wegman base hashes, the
+    * 32-minima signature aggregation, 8×4 banding with hashed band keys,
+    * the bucketed candidate join, and the relational exact-Jaccard
+    * verify — with each of the three hash derivations swapped from
+    * xxhash64 to the low 60 bits of sha256, which DuckDB re-derives
+    * bit-for-bit. Same spine code ([[lshPairsFromShingles]] /
+    * [[signaturesFrom]] / [[bandedKeys]]), same parameters, so a bug in
+    * the banding arithmetic, the minima aggregation, or the verify join
+    * breaks this row's hash. The shingle here keeps its string identity
+    * ([[shingleStringRows]]) so DuckDB can hash the same bytes.
+    */
+  val minhashLshShaQuery = QueryDef(
+    "dedup_minhash_lsh_sha",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
+      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |          FROM documents WHERE text IS NOT NULL) t
+      |    WHERE len(l) >= 3)),
+      |cw AS (
+      |  SELECT doc_id, shh % 1000000007 AS h1,
+      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 1000000007 AS h2
+      |  FROM sh),
+      |mins AS (
+      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
+      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
+      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+      |bandkeys AS (
+      |  SELECT doc_id, bi,
+      |         CAST(concat('0x', substr(sha256(
+      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
+      |           AS band_hash
+      |  FROM sigs CROSS JOIN range(8) t(bi)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.bi = b.bi AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT i.doc_a, i.doc_b,
+      |         floor(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)
+      |               * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.doc_a
+      |  JOIN sizes sb ON sb.doc_id = i.doc_b)
+      |WHERE jaccard >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => lshPairsFromShingles(
+      shingleStringRows(Tables.documents(s, d), shingleSize = 3)
+        .select(col("doc_id"), sha60(col("shingle")).as("shh")),
+      numHashes = 32, bands = 8, threshold = 0.4,
+      h2of = sha60, bandHashSql = sha60Sql)
+      .orderBy("doc_a", "doc_b"))
 
   // ------------------------------------------- incremental (batch vs corpus)
 
@@ -1566,7 +1666,8 @@ object Dedup {
     (s, d) => editDistancePairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
 
   val all: Seq[QueryDef] =
-    Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery, simhashQuery,
+    Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery,
+      minhashLshShaQuery, simhashQuery,
       boundedNearDupsQuery, boundedSmallBlocksQuery, incrementalExactQuery, incrementalNearDupsQuery,
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery,
       simhashBandedShaQuery, decontaminateQuery, decontaminateUnionQuery,

@@ -36,6 +36,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
   }
 
+  test("sha-keyed minhash-lsh finds the same planted dups through the shared spine") {
+    // The sha twin swaps only the three hash derivations; on the tiny
+    // docs fixture its recall/precision behavior must match the
+    // production variant's: exact + near dups found, unrelated docs not.
+    val pairs = Dedup.minhashLshShaQuery.fn(spark, "/root/testdata/sf0.001")
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "jaccard"))
+    val collected = pairs.collect()
+    assert(collected.nonEmpty, "fixture contains planted near-dups; sha-LSH must find some")
+    assert(collected.forall(_.getDouble(2) >= 0.4))
+    // every high-jaccard blocked pair must be recalled (same guarantee
+    // the production variant's fixture test asserts)
+    val fixture = Tables.documents(spark, "/root/testdata/sf0.001")
+    val blocked = Dedup.prefixBlockedJaccard(fixture)
+      .filter(col("jaccard") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = collected.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((blocked -- found).isEmpty, s"sha-LSH missed: ${blocked -- found}")
+  }
+
   test("lsh verified jaccard values are exact (match brute force on the pair)") {
     val j = Dedup.minhashLsh(docs).filter(col("doc_a") === 0 && col("doc_b") === 1)
       .head.getDouble(2)
