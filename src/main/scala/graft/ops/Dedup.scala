@@ -1503,20 +1503,34 @@ object Dedup {
     // speed, while a corpus-sized token-array cache measured only ~5%
     // faster at sf0.1 — the wrong trade under the family's
     // footprint-discipline contract (round-6 verdict).
-    val arr = documents.select(col("doc_id"), split(col("text"), " ").as("a"))
+    val arr = tokenArrays(documents)
     // consumed twice (duplicate-gram aggregation + covered-position semi
     // join) but deliberately NOT cached — measured no gain at sf0.1
     // (4.14 s cached vs 4.15 s not: the cost is the gram-string
     // shuffles, not the recompute), so the footprint-discipline default
     // wins.
-    // Gram formation is the same relational no-lambda shape as
-    // [[shingleHashes]]: posexplode the token array and read the gram's
-    // k tokens with O(1) element_at lookups inside whole-stage codegen —
-    // the earlier transform(sequence(..), i -> concat_ws(slice(..)))
-    // spelling ran the gram builder as an interpreted lambda per output
-    // element (p is 0-based: the gram at p spans a[p+1 .. p+k],
-    // 1-indexed for element_at; it exists iff that slice is full).
-    val grams = arr.filter(size(col("a")) >= k)
+    val grams = gramRows(arr, k, hashGrams)
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("g")
+    stripCoveredSpans(arr, grams, dup, k)
+  }
+
+  private def tokenArrays(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), split(col("text"), " ").as("a"))
+
+  /** Overlapping k-gram rows (doc_id, start position, gram identity) —
+    * the same relational no-lambda shape as [[shingleHashes]]: posexplode
+    * the token array and read the gram's k tokens with O(1) element_at
+    * lookups inside whole-stage codegen — the earlier
+    * transform(sequence(..), i -> concat_ws(slice(..))) spelling ran the
+    * gram builder as an interpreted lambda per output element (p is
+    * 0-based: the gram at p spans a[p+1 .. p+k], 1-indexed for
+    * element_at; it exists iff that slice is full).
+    */
+  private def gramRows(arr: DataFrame, k: Int, hashGrams: Boolean): DataFrame =
+    arr.filter(size(col("a")) >= k)
       .select(col("doc_id"), col("a"), posexplode(col("a")).as(Seq("p", "tok0")))
       .filter(col("p") + k <= size(col("a")))
       .select(col("doc_id"), col("p"),
@@ -1524,11 +1538,16 @@ object Dedup {
           (0 until k).map(j => element_at(col("a"), col("p") + j + 1)): _*).as("g"))
       .select(col("doc_id"), col("p"),
         (if (hashGrams) xxhash64(col("g")) else col("g")).as("g"))
-    val dup = grams.groupBy("g")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("g")
-    val covered = grams.join(dup, Seq("g"), "left_semi")
+
+  /** The removal tail shared by [[spanDedup]] and [[spanDecontaminate]]:
+    * positions covered by any gram occurrence whose identity is in
+    * `removeGrams` are stripped, survivors reassembled in position order.
+    * Covered-position expansion is output-sized (only matching grams
+    * expand); the rebuild is one per-doc grouped aggregation.
+    */
+  private def stripCoveredSpans(
+      arr: DataFrame, grams: DataFrame, removeGrams: DataFrame, k: Int): DataFrame = {
+    val covered = grams.join(removeGrams, Seq("g"), "left_semi")
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + k - 1)).as("pos"))
       .distinct()
     val kept = arr
@@ -1547,6 +1566,78 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** SURGICAL decontamination: strip from each train document every
+    * token covered by a k-gram that appears VERBATIM anywhere in the
+    * benchmark — the span-level counterpart of [[decontaminate]]
+    * (whole-doc drop) built from [[spanDedup]]'s machinery (Lee et al.
+    * substring semantics, with the removal set coming from the
+    * benchmark's grams instead of cross-document duplication counts).
+    * Rationale: dropping a 10k-token document because it quotes one
+    * 50-token benchmark item wastes 99% clean text; removing just the
+    * quoted span keeps the remainder AND removes the leak. Scale shape:
+    * the benchmark gram set is benchmark-sized (small → broadcast semi
+    * join); the corpus side is the same linear gram explode + one
+    * output-sized covered expansion as spanDedup. `hashGrams = true`
+    * narrows the semi-join key to 8 bytes at 100 TB (collision risk
+    * identical to [[spanDedup]]'s analysis — over-removal only).
+    */
+  def spanDecontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 8,
+      hashGrams: Boolean = false): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2 (got $k)")
+    val arr = tokenArrays(train)
+    val benchGrams = gramRows(tokenArrays(benchmark), k, hashGrams)
+      .select("g").distinct()
+    stripCoveredSpans(arr, gramRows(arr, k, hashGrams), benchGrams, k)
+  }
+
+  /** Same fixture split as [[decontaminateQuery]]; k matches
+    * [[spanDedupQuery]]'s rationale. Fully oracle-checkable — DuckDB
+    * replays gram formation, the benchmark gram set, covered-position
+    * expansion, and the ordered rebuild.
+    */
+  val spanDecontaminateQuery = QueryDef(
+    "dedup_span_decontaminate",
+    """WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a
+      |             FROM documents WHERE doc_id % 10 != 0),
+      |barr AS (SELECT doc_id, string_split(text, ' ') AS a
+      |         FROM documents WHERE doc_id % 10 = 0),
+      |bg AS (
+      |  SELECT DISTINCT array_to_string(a[i:i+7], ' ') AS g
+      |  FROM barr, LATERAL (SELECT unnest(generate_series(1, len(a) - 7)) AS i) t),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS p, array_to_string(a[i:i+7], ' ') AS g
+      |  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 7)) AS i) t),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos
+      |  FROM grams JOIN bg USING (g),
+      |       LATERAL (SELECT unnest(generate_series(p, p + 7)) AS pos) c),
+      |toks AS (
+      |  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+      |  FROM arr, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) t),
+      |kept AS (
+      |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+      |               count(*) AS n_kept
+      |        FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(r.text_clean, '') AS text_clean,
+      |       len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS n_removed
+      |FROM documents d LEFT JOIN reb r USING (doc_id)
+      |WHERE d.doc_id % 10 != 0
+      |ORDER BY d.doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      spanDecontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    })
 
   /** k=8: long enough that the fixture's ~30-word vocabulary produces no
     * chance 8-gram collisions between unrelated docs, so removals trace
@@ -1672,5 +1763,5 @@ object Dedup {
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery,
       simhashBandedShaQuery, decontaminateQuery, decontaminateUnionQuery,
       decontaminateBloomQuery,
-      spanDedupQuery, editDistanceQuery)
+      spanDedupQuery, spanDecontaminateQuery, editDistanceQuery)
 }

@@ -415,6 +415,33 @@ class DedupSpec extends SparkSpec {
     assert(union.subsetOf(pairLevel))
   }
 
+  test("span decontamination strips quoted benchmark passages, keeps the clean remainder") {
+    val benchText = "which planet is known as the red planet in our solar system" // 12 tokens
+    val bench = Seq((100L, benchText, "en", "b", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val train = Seq(
+      // quotes the item verbatim inside clean prose: pair-level
+      // decontaminate would drop the WHOLE doc; the span form must strip
+      // only the quoted 12 tokens and keep everything else
+      (1L, s"opening context here then $benchText and a useful clean tail follows", "en", "t", 1L),
+      (2L, "entirely clean training text with no quoted material at all present", "en", "t", 1L),
+      // repeats ITS OWN phrase but shares no 8-gram with the benchmark
+      (3L, "self repeat block one two three four five self repeat block one two three four five", "en", "t", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.spanDecontaminate(train, bench, k = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: exactly the 12 benchmark tokens removed, prose intact
+    assert(out(1L)._2 == 12L, s"expected 12 removed, got ${out(1L)}")
+    assert(out(1L)._1 == "opening context here then and a useful clean tail follows")
+    // docs 2 and 3 untouched (own-repetition is not contamination)
+    assert(out(2L)._2 == 0L && out(3L)._2 == 0L)
+    assert(out(3L)._1.startsWith("self repeat block"))
+    // hashed gram keys (the 100 TB narrow-shuffle path) ≡ string grams
+    val hashed = Dedup.spanDecontaminate(train, bench, k = 8, hashGrams = true).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(hashed == out)
+  }
+
   test("span dedup strips shared passages, keeps unique remainders, hashed ≡ unhashed") {
     val boiler = "terms of service apply to all content on this site always" // 11 tokens
     val d = Seq(
