@@ -130,6 +130,18 @@ object Bench {
       // 110+ query suite, re-billing Janino compilation to each timed
       // window — see Sessions.scala for the same setting's rationale
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE on cached plans (defaults FALSE upstream): without it every
+      // stage over an InMemoryRelation runs at full static shuffle width
+      // — the propagation loop, the LSH bucket joins, and the curated
+      // frame's consumers were burning 32-task stages on KB-sized cached
+      // data. Measured on the three heaviest cache users (isolated,
+      // sf0.1): process-CPU −42/−65/−59% (cluster_canonical 20.3→11.7 s,
+      // minhash_lsh 45.6→16.0 s, curate_canonical 49.3→20.2 s), wall
+      // −10/−19/−44%. Semantically safe here: caches are consumed within
+      // a single query, so nothing relies on their output partitioning
+      // across queries (the upstream-default-false scenario).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHED_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Warm the session OUTSIDE timing: scan file-listing plus tiny-input

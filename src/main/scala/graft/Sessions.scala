@@ -42,6 +42,13 @@ object Sessions {
       // query. Generated classes are small; 5000 entries is still a
       // trivial heap cost on any driver/executor.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // AQE on cached plans (upstream default false): every stage over
+      // an InMemoryRelation otherwise runs at full static shuffle width,
+      // even over KB-sized cached frames — see Bench.scala for the
+      // measured −40-65% process-CPU on the cache-loop queries. Safe for
+      // this library: caches are consumed within one query, so no
+      // consumer relies on a cache's output partitioning surviving.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     if (kryo) b = b.config("spark.serializer", "org.apache.spark.serializer.KryoSerializer") // P4
     if (local) b = b.master(s"local[$cpus]")
     b.getOrCreate()

@@ -22,6 +22,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Sessions.scala — avoid codegen-cache churn across 110+ plans
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // see Sessions.scala/Bench.scala — AQE on cached plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

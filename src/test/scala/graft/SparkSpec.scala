@@ -37,6 +37,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match the production sessions (Sessions.scala): AQE on cached
+      // plans, so the suite exercises the same plan shapes
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
