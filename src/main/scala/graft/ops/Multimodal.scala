@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 
@@ -953,7 +954,116 @@ object Multimodal {
         round(col("avg_b"), 4).as("avg_b"))
       .orderBy("asset_id", "frame_idx"))
 
+  /** PERCEPTUAL (average) HASH over decoded pixels — the image-side
+    * near-dup detector (the multimodal member of the Dedup family).
+    * Low byte: 8 band bits — partition the image into 8 vertical bands,
+    * bit j = band j's gray mass above the global mean (the structural
+    * half: WHERE the light is). Second byte: the global mean gray level
+    * quantized to 0..255 (the luminance half: HOW bright). Two images
+    * collide iff they share both coarse structure and brightness — the
+    * standard aHash construction with its implicit gray normalization
+    * made explicit. All comparisons are integer cross-multiplications
+    * over exact channel sums (block_sum·total_px vs total_sum·block_px)
+    * and one integer division for the luminance byte — no float
+    * thresholds, so the hash is bit-reproducible across engines and the
+    * oracle can recompute it from render arithmetic without seeing a
+    * pixel.
+    *
+    * Scale shape: decode is the same mapPartitions batch as
+    * [[decodeImageStats]]; what shuffles afterward is one 5-column stat
+    * row per image (not payloads), hash-partitioned by phash for the
+    * cluster window — the grouping a dup-cluster sweep needs anyway.
+    * 8 vertical bands (not the full 8×8 grid) because the test
+    * pattern's rows are identical — an 8×8 hash would just repeat each
+    * band bit 8 times; the banding generalizes by swapping the block
+    * geometry inside the decode loop.
+    */
+  def imagePerceptualHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashed = assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-task decoder setup
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"asset $id: undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          // gray mass (r+g+b) per vertical band, exact integers
+          val colSum = new Array[Long](w)
+          var i = 0
+          while (i < px.length) {
+            val rgb = px(i)
+            colSum(i % w) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            i += 1
+          }
+          var total = 0L
+          var x = 0
+          while (x < w) { total += colSum(x); x += 1 }
+          var bandBits = 0L
+          var j = 0
+          while (j < 8) {
+            val lo = j * w / 8
+            val hi = (j + 1) * w / 8
+            var bs = 0L
+            var k = lo
+            while (k < hi) { bs += colSum(k); k += 1 }
+            // block mean > global mean, integer cross-multiplication
+            if (bs * w > total * (hi - lo)) bandBits |= 1L << j
+            j += 1
+          }
+          // mean gray level 0..255 (total is a 3-channel mass), floored
+          val meanGray = total / (w.toLong * h * 3)
+          (id, w, h, (meanGray << 8) | bandBits)
+        }
+      }
+      .toDF("asset_id", "width", "height", "phash")
+    val byHash = Window.partitionBy("phash")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(byHash))
+      .withColumn("canonical_id", min(col("asset_id")).over(byHash))
+  }
+
+  /** Phash pipeline as a verified query: render PNGs, decode, hash,
+    * cluster by hash. The oracle recomputes each band's gray mass from
+    * the ramp arithmetic (sum of x over the band plus the flat fills,
+    * per [[renderPng]]) and replays the identical integer
+    * cross-multiplication — so a hash match proves the decode-side
+    * banding landed on exactly the advertised block boundaries AND the
+    * cluster sizes (n_dups/canonical) that follow from them.
+    */
+  val imagePhashQuery = QueryDef(
+    "mm_image_phash",
+    """WITH img AS (
+      |  SELECT doc_id AS asset_id,
+      |         64 + (doc_id % 16) * 8 AS w,
+      |         64 + (doc_id % 9) * 8 AS h,
+      |         doc_id % 256 AS g,
+      |         (doc_id * 37) % 128 + 64 AS b
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), bands AS (
+      |  SELECT asset_id, w, h, j,
+      |         (j * w) // 8 AS lo, ((j + 1) * w) // 8 AS hi
+      |  FROM img, (SELECT unnest(generate_series(0, 7, 1)) AS j)
+      |), bits AS (
+      |  SELECT asset_id, w, h, j,
+      |         CASE WHEN ((hi * (hi - 1) - lo * (lo - 1)) // 2 + (hi - lo) * (g + b)) * w
+      |                   > (w * (w - 1) // 2 + w * (g + b)) * (hi - lo)
+      |              THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit
+      |  FROM bands JOIN img USING (asset_id, w, h)
+      |), hashed AS (
+      |  SELECT asset_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |         CAST(((h * (w * (w - 1) // 2 + w * (g + b))) // (w * h * 3)) * 256
+      |              + sum(bit) AS BIGINT) AS phash
+      |  FROM bits JOIN img USING (asset_id, w, h) GROUP BY asset_id, w, h, g, b
+      |)
+      |SELECT asset_id, width, height, phash,
+      |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
+      |       CAST(min(asset_id) OVER (PARTITION BY phash) AS BIGINT) AS canonical_id
+      |FROM hashed ORDER BY asset_id""".stripMargin)(
+    (s, d) => imagePerceptualHash(imageAssetsStored(s, d)).orderBy("asset_id"))
+
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, realFeaturesQuery, imageDecodeQuery, imageResizeQuery,
-      audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery)
+      audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery, imagePhashQuery)
 }

@@ -295,7 +295,139 @@ object Temporal {
       |FROM lagged ORDER BY event_type, week""".stripMargin)(
     (s, d) => weekOverWeek(Tables.events(s, d)).orderBy("event_type", "week"))
 
+  /** SEQUENTIAL FUNNEL: how far each user progresses through the ordered
+    * stages signup → click → purchase, where each stage must occur
+    * STRICTLY AFTER the previous stage's first completion and WITHIN its
+    * conversion deadline (click ≤ 24 h after the first signup, purchase
+    * ≤ 48 h after that click — a purchase before the qualifying click,
+    * or one outside the window, does not count). These are the semantics
+    * every product-analytics funnel uses, not mere set membership.
+    *
+    * Shape: three whole-partition window minima over the SAME user_id
+    * partitioning — the first finds the earliest signup, the second the
+    * earliest click after it, the third the earliest purchase after
+    * that. One shuffle on user_id total: the three Window nodes share
+    * partitioning and ordering, so Catalyst plans one exchange + one
+    * sort and the later Sort nodes collapse as already-satisfied. The
+    * per-user reduction then rides the same partitioning (row_number
+    * over the identical window spec — still no new exchange) and only
+    * the final 4-row stage rollup shuffles again, at stage grain. At
+    * 100 TB this is exactly one event-grain exchange, same as any
+    * per-user window aggregate.
+    */
+  def funnelSteps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val staged = events
+      .withColumn("s1", min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+      .withColumn("s2", min(when(col("event_type") === "click" &&
+        col("ts") > col("s1") &&
+        col("ts") <= col("s1") + expr("INTERVAL 24 HOURS"), col("ts"))).over(byUser))
+      .withColumn("s3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 48 HOURS"), col("ts"))).over(byUser))
+      .withColumn("stage",
+        when(col("s3").isNotNull, 3)
+          .when(col("s2").isNotNull, 2)
+          .when(col("s1").isNotNull, 1)
+          .otherwise(0))
+      // one row per user without another exchange: row_number over the
+      // partitioning the data already has
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("stage"))
+    val perStage = staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    // cumulative "reached stage ≥ k" over the ≤4-row rollup — free
+    val reach = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perStage.withColumn("n_reached", sum(col("n_users")).over(reach))
+  }
+
+  val funnelQuery = QueryDef(
+    "t_funnel_steps",
+    """WITH f1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS s1
+      |  FROM events GROUP BY user_id
+      |), f2 AS (
+      |  SELECT e.user_id, f1.s1,
+      |         min(CASE WHEN e.event_type = 'click' AND e.ts > f1.s1
+      |                   AND e.ts <= f1.s1 + INTERVAL 24 HOURS THEN e.ts END) AS s2
+      |  FROM events e JOIN f1 USING (user_id) GROUP BY e.user_id, f1.s1
+      |), f3 AS (
+      |  SELECT e.user_id, f2.s1, f2.s2,
+      |         min(CASE WHEN e.event_type = 'purchase' AND e.ts > f2.s2
+      |                   AND e.ts <= f2.s2 + INTERVAL 48 HOURS THEN e.ts END) AS s3
+      |  FROM events e JOIN f2 USING (user_id) GROUP BY e.user_id, f2.s1, f2.s2
+      |), per_user AS (
+      |  SELECT user_id,
+      |         CASE WHEN s3 IS NOT NULL THEN 3
+      |              WHEN s2 IS NOT NULL THEN 2
+      |              WHEN s1 IS NOT NULL THEN 1
+      |              ELSE 0 END AS stage
+      |  FROM f3
+      |), per_stage AS (
+      |  SELECT stage, count(*) AS n_users FROM per_user GROUP BY stage
+      |)
+      |SELECT stage, n_users,
+      |       CAST(sum(n_users) OVER (ORDER BY stage DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |         AS n_reached
+      |FROM per_stage ORDER BY stage""".stripMargin)(
+    (s, d) => funnelSteps(Tables.events(s, d)).orderBy("stage"))
+
+  /** RETENTION COHORTS: users grouped by first-activity week, counted as
+    * retained in each subsequent week they were active — the cohort
+    * triangle every growth dashboard draws. The first-week lookup is a
+    * whole-partition window min (one event-grain shuffle on user_id);
+    * cohort/offset labels are then per-row arithmetic; the distinct
+    * collapses (cohort, offset, user) BEFORE the count's exchange, so
+    * the second shuffle moves user-week rows (bounded by users ×
+    * active-weeks), not raw events. Retention is floor-rounded against
+    * the cohort's week-0 size via a window over the tiny rollup.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    val cohorts = events
+      .withColumn("cohort_week", date_trunc("week", min(col("ts")).over(byUser)))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val base = Window.partitionBy("cohort").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cohorts.withColumn("retention",
+      floor(col("n_users").cast("double") /
+        first(col("n_users")).over(base).cast("double") * 10000 + 0.5) / 10000)
+  }
+
+  val retentionQuery = QueryDef(
+    "agg_retention_cohorts",
+    """WITH firsts AS (
+      |  SELECT user_id, ts,
+      |         date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS cohort_week
+      |  FROM events
+      |), user_weeks AS (
+      |  SELECT DISTINCT strftime(cohort_week, '%Y-%m-%d') AS cohort,
+      |         CAST(date_diff('day', cohort_week, date_trunc('week', ts)) // 7 AS INTEGER)
+      |           AS week_offset,
+      |         user_id
+      |  FROM firsts
+      |), rolled AS (
+      |  SELECT cohort, week_offset, count(*) AS n_users
+      |  FROM user_weeks GROUP BY cohort, week_offset
+      |)
+      |SELECT cohort, week_offset, n_users,
+      |       floor(CAST(n_users AS DOUBLE) /
+      |             first(n_users) OVER (PARTITION BY cohort ORDER BY week_offset
+      |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |             * 10000 + 0.5) / 10000 AS retention
+      |FROM rolled ORDER BY cohort, week_offset""".stripMargin)(
+    (s, d) => retentionCohorts(Tables.events(s, d)).orderBy("cohort", "week_offset"))
+
   val all: Seq[QueryDef] =
     Seq(asofQuery, saltedQuery, rangeJoinQuery, sessionizeQuery, transitionQuery,
-      weekOverWeekQuery)
+      weekOverWeekQuery, funnelQuery, retentionQuery)
 }

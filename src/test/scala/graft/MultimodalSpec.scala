@@ -244,4 +244,39 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) == (r.getLong(2) + 999) / 1000, s"asset ${r.getLong(0)}")
     }
   }
+
+  test("perceptual hash: luminance byte + band bits match the ramp arithmetic; equal hashes cluster") {
+    val imgs = Multimodal.imageAssets(spark, sf).cache()
+    try {
+      val out = Multimodal.imagePerceptualHash(imgs).collect()
+      assert(out.nonEmpty)
+      val byId = out.map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      // Recompute each hash from the render arithmetic (renderPng: red
+      // ramps with x, green/blue flat) — the spec-side oracle.
+      byId.foreach { case (id, (w, h, phash, _, _)) =>
+        val g = (id % 256).toInt
+        val b = ((id * 37) % 128 + 64).toInt
+        val total = h.toLong * (w.toLong * (w - 1) / 2 + w.toLong * (g + b))
+        var bits = 0L
+        for (j <- 0 until 8) {
+          val lo = j * w / 8; val hi = (j + 1) * w / 8
+          val bs = h.toLong * ((hi.toLong * (hi - 1) - lo.toLong * (lo - 1)) / 2 + (hi - lo).toLong * (g + b))
+          if (bs * w > total * (hi - lo)) bits |= 1L << j
+        }
+        val expected = ((total / (w.toLong * h * 3)) << 8) | bits
+        assert(phash == expected, s"asset $id: got $phash expected $expected")
+      }
+      // Cluster columns are consistent: n_dups = hash frequency,
+      // canonical_id = min asset_id of the hash group.
+      val freq = byId.values.groupBy(_._3).map { case (ph, g) => ph -> g.size }
+      val mins = byId.toSeq.groupBy(_._2._3).map { case (ph, g) => ph -> g.map(_._1).min }
+      byId.foreach { case (id, (_, _, ph, nDups, canon)) =>
+        assert(nDups == freq(ph), s"asset $id n_dups")
+        assert(canon == mins(ph), s"asset $id canonical")
+      }
+      // The fixture corpus genuinely clusters (shared luminance+structure).
+      assert(freq.values.max >= 2, "expected at least one dup cluster")
+    } finally imgs.unpersist(blocking = true)
+  }
 }

@@ -103,4 +103,53 @@ class TemporalSpec extends SparkSpec {
     assert(out(("a", "2024-01-08")) == ((3L, 12.0, Some(2L), Some(0.5))))
     assert(out(("b", "2024-01-08")) == ((1L, 9.0, None, None)))
   }
+
+  test("funnel: stage order + conversion deadlines enforced; n_reached cumulative") {
+    // u1: full funnel inside both deadlines                     -> stage 3
+    // u2: click only after the 24h deadline                     -> stage 1
+    // u3: click BEFORE signup, purchase without qualifying click-> stage 1
+    // u4: click+purchase but never signed up                    -> stage 0
+    // u5: click in window, purchase after the 48h deadline      -> stage 2
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 11:00:00", 1L, "purchase", 5.0),
+      (4L, "2024-01-01 10:00:00", 2L, "signup", 0.0),
+      (5L, "2024-01-02 10:00:01", 2L, "click", 0.0),   // 24h+1s after signup
+      (6L, "2024-01-01 09:00:00", 3L, "click", 0.0),   // pre-signup click
+      (7L, "2024-01-01 10:00:00", 3L, "signup", 0.0),
+      (8L, "2024-01-01 10:30:00", 3L, "purchase", 5.0), // no qualifying click first
+      (9L, "2024-01-01 10:00:00", 4L, "click", 0.0),
+      (10L, "2024-01-01 10:05:00", 4L, "purchase", 5.0),
+      (11L, "2024-01-01 10:00:00", 5L, "signup", 0.0),
+      (12L, "2024-01-01 10:05:00", 5L, "click", 0.0),
+      (13L, "2024-01-03 10:05:01", 5L, "purchase", 5.0)) // 48h+1s after click
+      .map { case (id, ts, u, et, v) => (id, ts, u, et, v, "{}") }
+    val out = Temporal.funnelSteps(eventsDf(ev)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      0 -> ((1L, 5L)),  // u4; everyone "reaches" stage >= 0
+      1 -> ((2L, 4L)),  // u2, u3
+      2 -> ((1L, 2L)),  // u5
+      3 -> ((1L, 1L)))) // u1
+  }
+
+  test("retention cohorts: offsets measured from first-activity week, retention vs week 0") {
+    // Cohort of Mon Jan 1: u1 active weeks 0,1,2; u2 active weeks 0,2.
+    // Cohort of Mon Jan 8: u3 active weeks 0,1.
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00", 1L), (2L, "2024-01-09 10:00:00", 1L),
+      (3L, "2024-01-16 10:00:00", 1L),
+      (4L, "2024-01-03 10:00:00", 2L), (5L, "2024-01-17 10:00:00", 2L),
+      (6L, "2024-01-10 10:00:00", 3L), (7L, "2024-01-18 10:00:00", 3L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 0.0, "{}") }
+    val out = Temporal.retentionCohorts(eventsDf(ev)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> ((2L, 1.0)),
+      ("2024-01-01", 1) -> ((1L, 0.5)),
+      ("2024-01-01", 2) -> ((2L, 1.0)),
+      ("2024-01-08", 0) -> ((1L, 1.0)),
+      ("2024-01-08", 1) -> ((1L, 1.0))))
+  }
 }
