@@ -745,9 +745,64 @@ object Coverage {
       |FROM batched GROUP BY 1, 2 ORDER BY bin, batch_id""".stripMargin)(
     (s, d) => lengthBucketedBatches(Tables.documents(s, d)).orderBy("bin", "batch_id"))
 
+  // ------------------------------------------------- training-order shuffle
+
+  /** DETERMINISTIC GLOBAL SHUFFLE for training order: every document gets
+    * a (shard, position) that is a pure function of its doc_id — the
+    * "write the corpus to N shard files in shuffled order" step before
+    * training. Shard = first hex digit(s) of a salted md5 (the salt
+    * decorrelates shuffle order from [[splitAssign]]'s unsalted hash —
+    * without it, low-order docs would be exactly the test split);
+    * position = rank of the full hash within the shard. Epoch-stable:
+    * adding documents never moves an existing doc to a different shard,
+    * and within a shard existing relative order is preserved (new docs
+    * interleave), so shard-level resume/caching survives corpus growth.
+    *
+    * Scale shape: shard assignment is scan-side codegen (no shuffle);
+    * the rank needs one exchange on shard + an in-partition sort on the
+    * 32-char hash. `hexDigits` sets the fan-out — 16 shards per digit;
+    * at 100 TB use 3-4 digits (4096-65536 shards) so each shard's sort
+    * fits an executor, then write partitioned-by-shard with
+    * sortWithinPartitions(ord) and the sink emits training files in
+    * final order with no further pass.
+    */
+  def shuffleShards(
+      documents: org.apache.spark.sql.DataFrame,
+      hexDigits: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(hexDigits >= 1 && hexDigits <= 8,
+      s"hexDigits must be in [1, 8] (got $hexDigits)")
+    val ord = md5(concat(col("doc_id").cast("string"), lit(":shuffle")))
+    val shard = (1 to hexDigits)
+      .map(i => (expr(s"instr('0123456789abcdef', substring(ord, $i, 1))") - 1) *
+        lit(1L << (4 * (hexDigits - i))))
+      .reduce(_ + _)
+    documents.select(col("doc_id"), ord.as("ord"))
+      .withColumn("shard", shard.cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard").orderBy("ord", "doc_id")) - 1)
+          .cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
+  val shuffleShardsQuery = QueryDef(
+    "mix_shuffle_shards",
+    """WITH ordd AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':shuffle') AS ord
+      |  FROM documents
+      |), sharded AS (
+      |  SELECT doc_id, ord,
+      |         CAST(strpos('0123456789abcdef', substr(ord, 1, 1)) - 1 AS INTEGER) AS shard
+      |  FROM ordd
+      |)
+      |SELECT doc_id, shard,
+      |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+      |FROM sharded ORDER BY doc_id""".stripMargin)(
+    (s, d) => shuffleShards(Tables.documents(s, d)).orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
-    corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery)
+    corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery,
+    shuffleShardsQuery)
 }

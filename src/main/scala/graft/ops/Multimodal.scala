@@ -1063,7 +1063,106 @@ object Multimodal {
       |FROM hashed ORDER BY asset_id""".stripMargin)(
     (s, d) => imagePerceptualHash(imageAssetsStored(s, d)).orderBy("asset_id"))
 
+  /** ACOUSTIC FINGERPRINT over decoded PCM — the audio member of the
+    * near-dup family, same two-part construction as
+    * [[imagePerceptualHash]]: low byte = 8 temporal-segment bits
+    * (segment energy above the clip mean — WHERE in time the energy
+    * sits), second byte = the mean amplitude quantized by 16 (HOW loud).
+    * Segment comparison is an integer cross-multiplication over exact
+    * sample sums (equal-length segments, so segment_sum·8 vs total_sum),
+    * bit-reproducible across engines. A production system would swap the
+    * time-domain segment energies for band energies off an FFT; the
+    * fingerprint algebra, clustering, and batch shape stay.
+    *
+    * Scale shape: decode via the same mapPartitions batch as
+    * [[decodeAudioStats]]; only a 4-column stat row per clip shuffles
+    * afterward, hash-partitioned by fingerprint for the cluster window.
+    */
+  def audioFingerprint(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashed = assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val rate = ais.getFormat.getSampleRate.toInt
+        val bytes =
+          try ais.readAllBytes()
+          finally ais.close()
+        val n = bytes.length / 2
+        require(n > 0 && n % 8 == 0, s"asset $id: clip length $n not segmentable by 8")
+        val segLen = n / 8
+        val segSum = new Array[Long](8)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          segSum(i / segLen) += s
+          total += s
+          i += 1
+        }
+        var bits = 0L
+        var j = 0
+        while (j < 8) {
+          // segment mean > clip mean; segments are equal-length so the
+          // cross-multiplication reduces to segment_sum * 8 vs total
+          if (segSum(j) * 8 > total) bits |= 1L << j
+          j += 1
+        }
+        val meanQ = total / (n.toLong * 16) // mean amplitude, 16-wide buckets
+        (id, rate, n.toLong, (meanQ << 8) | bits)
+      })
+      .toDF("asset_id", "sample_rate", "n_samples", "afp")
+    val byFp = Window.partitionBy("afp")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .withColumn("canonical_id", min(col("asset_id")).over(byFp))
+  }
+
+  /** Fingerprint pipeline as a verified query. The oracle recomputes
+    * each segment's sample mass from the ramp arithmetic: sample i =
+    * (i mod 400)·amp, so a segment [lo, hi) sums to amp·(F(hi) − F(lo))
+    * with F(x) = (x div 400)·79800 + T(x mod 400), T(m) = m(m−1)/2 —
+    * exact integers even where a segment straddles a period boundary
+    * (rates 24000/40000), which is precisely what proves the decode-side
+    * segmentation walked the real sample grid and not a resynthesized
+    * one.
+    */
+  val audioFingerprintQuery = QueryDef(
+    "mm_audio_fingerprint",
+    """WITH aud AS (
+      |  SELECT doc_id AS asset_id,
+      |         CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS rate,
+      |         CAST(doc_id % 16 + 1 AS BIGINT) AS amp
+      |  FROM documents WHERE doc_id % 3 = 1
+      |), params AS (
+      |  SELECT asset_id, rate, amp, rate // 20 AS n, rate // 160 AS seg FROM aud
+      |), segs AS (
+      |  SELECT asset_id, rate, amp, n, j, j * seg AS lo, (j + 1) * seg AS hi
+      |  FROM params, (SELECT unnest(generate_series(0, 7, 1)) AS j)
+      |), sums AS (
+      |  SELECT asset_id, rate, amp, n, j,
+      |         amp * ((hi // 400) * 79800 + (hi % 400) * ((hi % 400) - 1) // 2
+      |              - ((lo // 400) * 79800 + (lo % 400) * ((lo % 400) - 1) // 2)) AS seg_sum,
+      |         amp * (n // 400) * 79800 AS total
+      |  FROM segs
+      |), bits AS (
+      |  SELECT asset_id, rate, n, total,
+      |         CASE WHEN seg_sum * 8 > total THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bit
+      |  FROM sums
+      |), hashed AS (
+      |  SELECT asset_id, CAST(rate AS INTEGER) AS sample_rate, n AS n_samples,
+      |         CAST((total // (n * 16)) * 256 + sum(bit) AS BIGINT) AS afp
+      |  FROM bits GROUP BY asset_id, rate, n, total
+      |)
+      |SELECT asset_id, sample_rate, n_samples, afp,
+      |       CAST(count(*) OVER (PARTITION BY afp) AS BIGINT) AS n_dups,
+      |       CAST(min(asset_id) OVER (PARTITION BY afp) AS BIGINT) AS canonical_id
+      |FROM hashed ORDER BY asset_id""".stripMargin)(
+    (s, d) => audioFingerprint(audioAssetsStored(s, d)).orderBy("asset_id"))
+
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, realFeaturesQuery, imageDecodeQuery, imageResizeQuery,
-      audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery, imagePhashQuery)
+      audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery, imagePhashQuery,
+      audioFingerprintQuery)
 }

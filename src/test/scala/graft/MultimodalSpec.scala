@@ -279,4 +279,41 @@ class MultimodalSpec extends SparkSpec {
       assert(freq.values.max >= 2, "expected at least one dup cluster")
     } finally imgs.unpersist(blocking = true)
   }
+
+  test("audio fingerprint: segment bits + amplitude byte match the PCM ramp arithmetic") {
+    val auds = Multimodal.audioAssets(spark, sf).cache()
+    try {
+      val out = Multimodal.audioFingerprint(auds).collect()
+      assert(out.nonEmpty)
+      // Spec-side oracle: sample i = (i mod 400)*amp (renderWav), so a
+      // segment [lo, hi) sums to amp*(F(hi)-F(lo)) with
+      // F(x) = (x/400)*79800 + T(x mod 400).
+      def F(x: Long): Long = (x / 400) * 79800 + (x % 400) * ((x % 400) - 1) / 2
+      val byId = out.map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      byId.foreach { case (id, (rate, n, afp, _, _)) =>
+        assert(n == rate / 20, s"asset $id n_samples")
+        val amp = id % 16 + 1
+        val seg = n / 8
+        val total = amp * (n / 400) * 79800
+        var bits = 0L
+        for (j <- 0 until 8) {
+          val segSum = amp * (F((j + 1) * seg) - F(j * seg))
+          if (segSum * 8 > total) bits |= 1L << j
+        }
+        val expected = ((total / (n * 16)) << 8) | bits
+        assert(afp == expected, s"asset $id: got $afp expected $expected")
+      }
+      // Cluster columns consistent with fingerprint frequencies.
+      val freq = byId.values.groupBy(_._3).map { case (fp, g) => fp -> g.size }
+      val mins = byId.toSeq.groupBy(_._2._3).map { case (fp, g) => fp -> g.map(_._1).min }
+      byId.foreach { case (id, (_, _, fp, nDups, canon)) =>
+        assert(nDups == freq(fp), s"asset $id n_dups")
+        assert(canon == mins(fp), s"asset $id canonical")
+      }
+      // Segment bits vary with rate (period/segment alignment), so the
+      // fixtures must NOT collapse to one fingerprint class.
+      assert(freq.size >= 5, s"expected rate-driven variety, got ${freq.size} classes")
+    } finally auds.unpersist(blocking = true)
+  }
 }
