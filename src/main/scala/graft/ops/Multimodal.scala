@@ -1161,8 +1161,91 @@ object Multimodal {
       |FROM hashed ORDER BY asset_id""".stripMargin)(
     (s, d) => audioFingerprint(audioAssetsStored(s, d)).orderBy("asset_id"))
 
+  /** CLIP FINGERPRINT — the video member of the near-dup family,
+    * completing the modality triple ([[imagePerceptualHash]],
+    * [[audioFingerprint]]): the frame count packed above the luminance
+    * bytes of the first (up to) four frames. Only those frames are
+    * DECODED — the container's length index seeks past the rest, so
+    * per-clip signature cost is O(sampled frames) regardless of clip
+    * length, the property that makes fingerprinting hour-long videos
+    * viable (the same index contract [[parseVideoFramesStrided]]
+    * documents). Frame luminance is the exact integer mean gray level —
+    * no float thresholds, oracle-reproducible from render arithmetic.
+    */
+  def videoFingerprint(assets: DataFrame, sampleFramesMax: Int = 4): DataFrame = {
+    require(sampleFramesMax >= 1 && sampleFramesMax <= 4,
+      s"sampleFramesMax must be in [1, 4] to fit the packed signature (got $sampleFramesMax)")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashed = assets.select("asset_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+          require(bb.getInt() == VideoMagic, s"asset $id: not a GVID container")
+          val n = bb.getInt()
+          require(n >= 1, s"asset $id: empty clip")
+          require(8L + 4L * n <= payload.length,
+            s"asset $id: corrupt GVID index") // header bounds before use
+          val lengths = Array.fill(n)(bb.getInt())
+          var offset = 8 + 4 * n
+          var sig = 0L
+          var f = 0
+          while (f < n && f < sampleFramesMax) { // decode ONLY sampled frames
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, offset, lengths(f)))
+            require(img != null, s"asset $id: frame $f undecodable")
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (sr, sg, sb) = sumChannels(img.getRGB(0, 0, w, h, null, 0, w))
+            val lum = (sr + sg + sb) / (w.toLong * h * 3)
+            sig |= lum << (8 * f)
+            offset += lengths(f)
+            f += 1
+          }
+          (id, n, (n.toLong << 32) | sig)
+        }
+      }
+      .toDF("asset_id", "n_frames", "vfp")
+    val byFp = Window.partitionBy("vfp")
+    hashed
+      .withColumn("n_dups", count(lit(1)).over(byFp))
+      .withColumn("canonical_id", min(col("asset_id")).over(byFp))
+  }
+
+  /** Clip-fingerprint pipeline as a verified query. Frame f of clip id
+    * has flat fills g = (id+f) mod 256, b = (37·id+11·f) mod 128 + 64
+    * over the 64×48 red ramp ([[renderVideo]]), so its mean gray level
+    * is (2016 + 64·(g+b)) // 192 exactly — the oracle packs the same
+    * bytes and a mismatch would expose a decode that sampled the wrong
+    * frames, decoded them out of order, or mis-seeked the index.
+    */
+  val videoFingerprintQuery = QueryDef(
+    "mm_video_fingerprint",
+    """WITH vid AS (
+      |  SELECT doc_id AS asset_id, CAST(2 + doc_id % 7 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), sampled AS (
+      |  SELECT asset_id, n,
+      |         unnest(generate_series(0, least(n, 4) - 1, 1)) AS f
+      |  FROM vid
+      |), lums AS (
+      |  SELECT asset_id, n, f,
+      |         (2016 + 64 * (((asset_id + f) % 256)
+      |                     + ((asset_id * 37 + f * 11) % 128 + 64))) // 192 AS lum
+      |  FROM sampled
+      |), hashed AS (
+      |  SELECT asset_id, CAST(n AS INTEGER) AS n_frames,
+      |         CAST((n << 32) + sum(lum * (CAST(1 AS BIGINT) << (8 * f))) AS BIGINT) AS vfp
+      |  FROM lums GROUP BY asset_id, n
+      |)
+      |SELECT asset_id, n_frames, vfp,
+      |       CAST(count(*) OVER (PARTITION BY vfp) AS BIGINT) AS n_dups,
+      |       CAST(min(asset_id) OVER (PARTITION BY vfp) AS BIGINT) AS canonical_id
+      |FROM hashed ORDER BY asset_id""".stripMargin)(
+    (s, d) => videoFingerprint(videoAssetsStored(s, d)).orderBy("asset_id"))
+
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, realFeaturesQuery, imageDecodeQuery, imageResizeQuery,
       audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery, imagePhashQuery,
-      audioFingerprintQuery)
+      audioFingerprintQuery, videoFingerprintQuery)
 }

@@ -316,4 +316,28 @@ class MultimodalSpec extends SparkSpec {
       assert(freq.size >= 5, s"expected rate-driven variety, got ${freq.size} classes")
     } finally auds.unpersist(blocking = true)
   }
+
+  test("video fingerprint packs frame count + sampled-frame luminances per the render arithmetic") {
+    val vids = Multimodal.videoAssets(spark, sf).cache()
+    try {
+      val out = Multimodal.videoFingerprint(vids).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        val id = r.getLong(0)
+        val n = 2 + id % 7
+        assert(r.getInt(1) == n, s"asset $id n_frames")
+        // frame f: g=(id+f)%256, b=(37id+11f)%128+64 over the 64x48 ramp
+        var sig = 0L
+        for (f <- 0L until math.min(n, 4L)) {
+          val lum = (2016 + 64 * (((id + f) % 256) + ((id * 37 + f * 11) % 128 + 64))) / 192
+          sig |= lum << (8 * f)
+        }
+        assert(r.getLong(2) == (n << 32 | sig), s"asset $id vfp")
+      }
+      // a 3-frame clip must differ from its own 2-frame prefix signature
+      // (count is packed above the bytes, so prefix clips can't collide)
+      val fps = out.map(r => r.getLong(2))
+      assert(fps.distinct.length > 1)
+    } finally vids.unpersist(blocking = true)
+  }
 }
