@@ -286,7 +286,30 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
+  /** GROUPING SETS — the third grouping-shape sibling (ROLLUP/CUBE
+    * above): two independent margin reports (per-flag, per-status) plus
+    * the grand total from ONE scan and ONE expand+aggregate, instead of
+    * three scans unioned. Same Expand-based plan Spark gives ROLLUP;
+    * at 100 TB the expand factor is the set count (3 here), all
+    * map-side-combined before the single exchange.
+    */
+  val groupingSetsPricing = QueryDef(
+    "q_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)(
+    (s, d) => Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
   val all: Seq[QueryDef] = Seq(
     pricingSummary, revenueByNation, shippingPriority, largeVolumeCustomers, topkOrders,
-    semiJoin, antiJoin, distinctSegments, rollupPricing, cubePricing, windowRank, partRevenue)
+    semiJoin, antiJoin, distinctSegments, rollupPricing, cubePricing, groupingSetsPricing,
+    windowRank, partRevenue)
 }
