@@ -41,6 +41,16 @@ case class PackSlice(
 /** Minimal doc row for [[Stateful.packStream]]. */
 case class PackInput(doc_id: Long, text: String)
 
+/** Per-user funnel state: first qualifying timestamp of each stage in
+  * MICROSECONDS (full Timestamp precision — `getTime` alone would drop
+  * sub-millisecond digits and diverge from the batch operator's strict
+  * comparisons), −1 = stage not reached.
+  */
+case class FunnelState(s1_us: Long, s2_us: Long, s3_us: Long)
+
+/** Current funnel stage per user, emitted each batch the user advances. */
+case class FunnelStage(user_id: Long, stage: Int)
+
 /** Stateful streaming beyond tumbling windows — session windows and
   * arbitrary per-key state (SURVEY.md §7.5; the reference has no state
   * ops at all, §2.6 note — this is the modern surface its pipeline
@@ -233,6 +243,76 @@ object Stateful {
       .option("checkpointLocation", checkpointDir)
       .format("parquet")
       .option("path", outDir)
+      .start()
+
+  /** STREAMING FUNNEL — the incremental form of
+    * [[graft.ops.Temporal.funnelSteps]]: a per-user stage machine that
+    * carries first-signup / first-qualifying-click /
+    * first-qualifying-purchase timestamps across micro-batches, applying
+    * the SAME strict-order + conversion-deadline rules (click ≤ 24 h
+    * after the first signup, purchase ≤ 48 h after that click).
+    *
+    * Equality contract: equals the batch operator when events arrive in
+    * event-time order ACROSS batches (within a batch any order is fine —
+    * the group's rows are sorted here). The stage machine is monotone:
+    * under ordered arrival the first qualifying event per stage IS the
+    * minimum, so commits never need revisiting. Late data beyond that
+    * (an earlier click arriving after a later one was committed) would
+    * need candidate retention bounded by the deadline windows — the
+    * standard watermark-delay trade, out of scope for this operator and
+    * documented here rather than half-implemented.
+    *
+    * At scale: state is 24 bytes per user seen, with stage-3 users
+    * removable via timeout; a funnel over 10⁹ users is ~24 GB spread
+    * over the cluster's state stores — fine — and each micro-batch pays
+    * one shuffle on user_id, the same grain as the batch form.
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      clickDeadlineHours: Int = 24,
+      purchaseDeadlineHours: Int = 48): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val clickDl = clickDeadlineHours * 3600L * 1000000L
+    val purchDl = purchaseDeadlineHours * 3600L * 1000000L
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var (s1, s2, s3) = (st.s1_us, st.s2_us, st.s3_us)
+          // sort the batch's slice of the group: within-batch arrival
+          // order is arbitrary even when the SOURCE is in order
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "signup" if s1 < 0 =>
+                s1 = t
+              case "click" if s2 < 0 && s1 >= 0 && t > s1 && t <= s1 + clickDl =>
+                s2 = t
+              case "purchase" if s3 < 0 && s2 >= 0 && t > s2 && t <= s2 + purchDl =>
+                s3 = t
+              case _ => // non-advancing event
+            }
+          }
+          state.update(FunnelState(s1, s2, s3))
+          FunnelStage(uid,
+            if (s3 >= 0) 3 else if (s2 >= 0) 2 else if (s1 >= 0) 1 else 0)
+      }
+  }
+
+  /** Streaming starter for [[funnelStream]] (update mode — each batch
+    * emits the current stage of every user it touched; the latest row
+    * per user is the funnel position).
+    */
+  def startFunnelStream(
+      events: Dataset[Event],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    funnelStream(events).writeStream
+      .outputMode(OutputMode.Update())
+      .queryName("funnel_stream")
+      .option("checkpointLocation", checkpointDir)
+      .format("memory")
       .start()
 
   /** Streaming starter for [[runningUserStats]] (update mode — each batch

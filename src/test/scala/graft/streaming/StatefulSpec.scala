@@ -84,6 +84,49 @@ class StatefulSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming funnel advances stages across batches, enforces order + deadlines, equals batch") {
+    def e(id: Long, uid: Long, ts: String, et: String) =
+      Event(id, Timestamp.valueOf(ts), uid, et, 0.0, "{}")
+    val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+    val q = Stateful.startFunnelStream(ms.toDS(), tmpDir("funnel-ckpt"))
+    def stages() = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    try {
+      // batch 0: u1 signs up and clicks; u2 clicks WITHOUT signup (stage 0);
+      // u3 purchases before any click (sequence violated)
+      ms.addData(
+        e(1, 1, "2024-01-01 10:00:00", "signup"),
+        e(2, 1, "2024-01-01 10:05:00", "click"),
+        e(3, 2, "2024-01-01 10:05:00", "click"),
+        e(4, 3, "2024-01-01 10:00:00", "signup"),
+        e(5, 3, "2024-01-01 10:30:00", "purchase"))
+      q.processAllAvailable()
+      assert(stages() == Map(1L -> 2, 2L -> 0, 3L -> 1))
+      // batch 1: u1 purchases inside the 48 h window (cross-batch state
+      // advance); u3's click lands past the 24 h deadline (stays 1)
+      ms.addData(
+        e(6, 1, "2024-01-02 09:00:00", "purchase"),
+        e(7, 3, "2024-01-02 10:00:01", "click"))
+      q.processAllAvailable()
+      assert(stages() == Map(1L -> 3, 2L -> 0, 3L -> 1))
+    } finally q.stop()
+    // equality vs the batch operator on the full (ordered) event set
+    val all = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "signup"), e(2, 1, "2024-01-01 10:05:00", "click"),
+      e(3, 2, "2024-01-01 10:05:00", "click"),
+      e(4, 3, "2024-01-01 10:00:00", "signup"), e(5, 3, "2024-01-01 10:30:00", "purchase"),
+      e(6, 1, "2024-01-02 09:00:00", "purchase"), e(7, 3, "2024-01-02 10:00:01", "click"))
+    val streamed = Stateful.funnelStream(all.toDS()).collect()
+      .map(s => s.user_id -> s.stage).toMap
+    val batch = graft.ops.Temporal.funnelSteps(all.toDF())
+    // batch emits the per-stage rollup; recompute per-user via the
+    // same per-user frame: compare stage HISTOGRAMS
+    val batchHist = batch.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val streamHist = streamed.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(streamHist == batchHist, s"stream $streamHist vs batch $batchHist")
+  }
+
   test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
     val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
       ev(3, 2, "2024-01-01 10:00:00", 4.0))
