@@ -799,10 +799,53 @@ object Coverage {
       |FROM sharded ORDER BY doc_id""".stripMargin)(
     (s, d) => shuffleShards(Tables.documents(s, d)).orderBy("doc_id"))
 
+  // ------------------------------------------------- per-source cap
+
+  /** PER-SOURCE CONTRIBUTION CAP: keep at most `cap` documents from any
+    * one source — the anti-dominance gate that stops a single crawled
+    * domain from swamping the mixture (the complement of
+    * [[qualityGate]]'s top-fraction selection: a hard ceiling, not a
+    * ratio). WHICH docs survive is deterministic and admission-stable:
+    * ranked by a salted per-doc hash, so the kept set is a uniform
+    * sample of the source, a doc's rank never depends on doc ordering,
+    * and — same hash-prefix property as [[shuffleShards]] — docs
+    * removed upstream never promote a previously-cut doc ABOVE a
+    * previously-kept one.
+    *
+    * Scale shape: one shuffle on source + in-partition rank, the same
+    * cost as any per-key window; a skewed mega-source is exactly the
+    * case AQE's skew splitting handles, and the rank filter drops its
+    * excess before anything downstream.
+    */
+  def sourceCap(
+      documents: org.apache.spark.sql.DataFrame,
+      cap: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"cap must be >= 1 (got $cap)")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":cap"))), col("doc_id"))
+    documents
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+  }
+
+  val sourceCapQuery = QueryDef(
+    "mix_source_cap",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id) AS BIGINT) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, rk FROM ranked WHERE rk <= 15
+      |ORDER BY doc_id""".stripMargin)(
+    (s, d) => sourceCap(Tables.documents(s, d), cap = 15).orderBy("doc_id"))
+
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
     corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery,
-    shuffleShardsQuery)
+    shuffleShardsQuery, sourceCapQuery)
 }

@@ -273,4 +273,23 @@ class CoverageSpec extends SparkSpec {
     assert(wide.forall(s => s >= 0 && s < 256))
     assert(wide.distinct.length > 16, "2-digit sharding should exceed 16 shards")
   }
+
+  test("source cap: ceiling enforced per source; removals never evict a surviving doc") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val capped = Coverage.sourceCap(docs, cap = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(capped.nonEmpty)
+    // at most `cap` survivors per source, ranks 1..k dense
+    capped.values.groupBy(_._1).foreach { case (src, g) =>
+      val rks = g.map(_._2).toSeq.sorted
+      assert(rks.size <= 10 && rks == (1L to rks.size), s"source $src ranks $rks")
+    }
+    // admission stability: dropping docs only lowers ranks, so a doc
+    // kept on the full corpus that survives the drop stays kept
+    val smaller = Coverage.sourceCap(docs.filter(col("doc_id") % 3 =!= 0), cap = 10)
+      .collect().map(_.getLong(0)).toSet
+    capped.keys.filter(_ % 3 != 0).foreach { id =>
+      assert(smaller.contains(id), s"doc $id evicted by unrelated removals")
+    }
+  }
 }
