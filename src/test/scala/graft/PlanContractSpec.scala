@@ -184,4 +184,27 @@ class PlanContractSpec extends SparkSpec {
       }
     }
   }
+
+  test("per-user window operators pay exactly one event-grain exchange") {
+    // funnel / retention / sessionize all claim "one shuffle on user_id,
+    // windows share it" (Temporal scaladoc + PLANS.md). A second
+    // user_id exchange means the window specs diverged and Catalyst
+    // stopped sharing — at 100 TB that doubles the dominant cost.
+    // Rollup-grain exchanges (stage / cohort / session rows) are fine
+    // and not counted.
+    for (q <- Seq("t_funnel_steps", "agg_retention_cohorts", "t_sessionize")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
+      assert(userExchanges == 1,
+        s"$q has $userExchanges user_id exchanges (want 1):\n$plan")
+    }
+    // training-order sharding: the rank's shard exchange is the ONLY one
+    // (the operator, not the registered query — its ORDER BY is for the
+    // oracle compare, same caveat as the splitAssign contract above)
+    val sh = graft.ops.Coverage.shuffleShards(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(shard".r.findAllIn(sh).size == 1 &&
+      "Exchange".r.findAllIn(sh).size == 1,
+      s"shuffle shards should shuffle once, on shard:\n$sh")
+  }
 }
