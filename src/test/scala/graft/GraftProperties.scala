@@ -92,6 +92,40 @@ object GraftProperties extends Properties("graft") {
         peak == 399 * amp && sum.toDouble / n == 199.5 * amp
     }
 
+  property("png render/decode banded phash matches the ramp closed form for any (id, w, h)") =
+    forAll(Gen.chooseNum(0L, 1000000L), Gen.chooseNum(0, 15), Gen.chooseNum(0, 8)) {
+      (id, ws, hs) =>
+        // the asset metadata's dimension universe (renderPng callers)
+        val (w, h) = (64 + ws * 8, 64 + hs * 8)
+        val png = graft.ops.Multimodal.renderPng(id, w, h)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        // the decode-side algorithm (Multimodal.imagePerceptualHash's loop)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val colSum = new Array[Long](w)
+        for (i <- px.indices)
+          colSum(i % w) += ((px(i) >> 16) & 0xff) + ((px(i) >> 8) & 0xff) + (px(i) & 0xff)
+        val total = colSum.sum
+        var bits = 0L
+        for (j <- 0 until 8) {
+          val (lo, hi) = (j * w / 8, (j + 1) * w / 8)
+          if ((lo until hi).map(colSum).sum * w > total * (hi - lo)) bits |= 1L << j
+        }
+        val decoded = (total / (w.toLong * h * 3) << 8) | bits
+        // the closed form the DuckDB oracle uses (never sees a pixel)
+        val g = (id % 256).toInt
+        val b = ((id * 37) % 128 + 64).toInt
+        var cBits = 0L
+        for (j <- 0 until 8) {
+          val (lo, hi) = (j * w / 8, (j + 1) * w / 8)
+          val bandMass = (hi.toLong * (hi - 1) - lo.toLong * (lo - 1)) / 2 +
+            (hi - lo).toLong * (g + b)
+          val totalMass = w.toLong * (w - 1) / 2 + w.toLong * (g + b)
+          if (bandMass * w > totalMass * (hi - lo)) cBits |= 1L << j
+        }
+        val cTotal = h.toLong * (w.toLong * (w - 1) / 2 + w.toLong * (g + b))
+        decoded == (cTotal / (w.toLong * h * 3) << 8 | cBits)
+    }
+
   /** Reference model for [[graft.ops.Dedup.shingleHashes]]: the DISTINCT
     * shingle count per doc must equal the distinct count of string
     * 3-gram sliding windows (hash collisions would only ever shrink the
