@@ -427,7 +427,48 @@ object Temporal {
       |FROM rolled ORDER BY cohort, week_offset""".stripMargin)(
     (s, d) => retentionCohorts(Tables.events(s, d)).orderBy("cohort", "week_offset"))
 
+  /** TRAILING RANGE-FRAME WINDOW: per-user trailing 7-day event count
+    * and value sum at every event — the feature every fraud/abuse model
+    * reads at decision time ("how much did this user do in the last
+    * week, as of NOW"). This is the RANGE frame (value-based bounds over
+    * event-time), not the ROWS frame the analytic windows elsewhere use:
+    * a user with 3 events in the window gets those 3 regardless of how
+    * many rows sit between them. Bounds are integer epoch seconds on
+    * both engines, so frame membership has no float/timezone ambiguity
+    * ([[sessionize]]'s discipline). Same scale shape as every per-user
+    * window here: one event-grain shuffle, in-partition sort, streaming
+    * frame evaluation (Spark keeps a sliding aggregate, not a per-row
+    * rescan).
+    */
+  def trailingWindow(events: DataFrame, days: Int = 7): DataFrame = {
+    // `div`, not `/`: Spark's / is double division, and float epoch
+    // seconds would give frame membership the last-ulp ambiguity the
+    // integer contract exists to avoid (DuckDB's // is integral too)
+    val w = Window.partitionBy("user_id")
+      .orderBy(expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+      .rangeBetween(-days * 86400L, 0L)
+    events.select(
+      col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      count(lit(1)).over(w).as("n_7d"),
+      (floor(sum(col("value").cast("decimal(18,6)")).over(w).cast("double") * 10000 + 0.5)
+        / 10000).as("value_7d"))
+  }
+
+  val trailingQuery = QueryDef(
+    "t_trailing_window",
+    s"""SELECT event_id, user_id,
+       |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       |       count(*) OVER w AS n_7d,
+       |       floor(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) * 10000 + 0.5)
+       |         / 10000 AS value_7d
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+       |             RANGE BETWEEN ${7 * 86400L} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin)(
+    (s, d) => trailingWindow(Tables.events(s, d)).orderBy("event_id"))
+
   val all: Seq[QueryDef] =
     Seq(asofQuery, saltedQuery, rangeJoinQuery, sessionizeQuery, transitionQuery,
-      weekOverWeekQuery, funnelQuery, retentionQuery)
+      weekOverWeekQuery, funnelQuery, retentionQuery, trailingQuery)
 }

@@ -192,7 +192,8 @@ class PlanContractSpec extends SparkSpec {
     // stopped sharing — at 100 TB that doubles the dominant cost.
     // Rollup-grain exchanges (stage / cohort / session rows) are fine
     // and not counted.
-    for (q <- Seq("t_funnel_steps", "agg_retention_cohorts", "t_sessionize")) {
+    for (q <- Seq("t_funnel_steps", "agg_retention_cohorts", "t_sessionize",
+      "t_trailing_window")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).size
       assert(userExchanges == 1,

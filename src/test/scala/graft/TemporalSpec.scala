@@ -134,6 +134,26 @@ class TemporalSpec extends SparkSpec {
       3 -> ((1L, 1L)))) // u1
   }
 
+  test("trailing window is RANGE-framed: membership by time, inclusive at exactly -7d") {
+    // u1: events at day 0, 3, 7, 10.5 — at day 7 the frame holds days
+    // 0..7 (the -7d bound is INCLUSIVE); at day 10.5 it holds only days
+    // 3.5..10.5 -> {7, 10.5}. A ROWS frame would get this wrong (it
+    // would count rows, not time).
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (2L, "2024-01-04 00:00:00", 1L, 2.0),
+      (3L, "2024-01-08 00:00:00", 1L, 4.0),
+      (4L, "2024-01-11 12:00:00", 1L, 8.0))
+      .map { case (id, ts, u, v) => (id, ts, u, "view", v, "{}") }
+    val out = Temporal.trailingWindow(eventsDf(ev)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      1L -> ((1L, 1.0)),
+      2L -> ((2L, 3.0)),
+      3L -> ((3L, 7.0)),   // day 0 is exactly 7d before day 7: IN frame
+      4L -> ((2L, 12.0)))) // days 0 and 3 have aged out
+  }
+
   test("retention cohorts: offsets measured from first-activity week, retention vs week 0") {
     // Cohort of Mon Jan 1: u1 active weeks 0,1,2; u2 active weeks 0,2.
     // Cohort of Mon Jan 8: u3 active weeks 0,1.
