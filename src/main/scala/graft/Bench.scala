@@ -263,6 +263,14 @@ object Bench {
         ("cosine", wants("sim"),
           () => Similarity.bruteForceTopK(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
+        // Spark ML KMeans first use pays class-loading + its own codegen
+        // paths (BLAS, aggregator); a tiny fit takes that out of the
+        // ivf windows (observed 2.2 s in-suite vs 1.0 s isolated for
+        // fullprobe, all in the fit half)
+        ("ivf_fit", wants("sim_ann_ivf"),
+          () => Similarity.annIvfTopK(
+            Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64),
+            nlist = 2, nprobe = 2, k = 1)),
         // format round-trip stores are write-once per process: build them
         // here so every timed pass (including retries) measures the same
         // read+aggregate workload — otherwise pass 1 pays the write and

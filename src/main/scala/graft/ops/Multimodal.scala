@@ -1032,8 +1032,11 @@ object Multimodal {
     * banding landed on exactly the advertised block boundaries AND the
     * cluster sizes (n_dups/canonical) that follow from them.
     */
-  val imagePhashQuery = QueryDef(
-    "mm_image_phash",
+  /** The phash closed-form CTE chain (shared by [[imagePhashQuery]] and
+    * [[mmDedupCanonicalQuery]]): recompute every band bit and the
+    * luminance byte from render arithmetic, never touching a pixel.
+    */
+  private val phashOracleCtes: String =
     """WITH img AS (
       |  SELECT doc_id AS asset_id,
       |         64 + (doc_id % 16) * 8 AS w,
@@ -1056,12 +1059,46 @@ object Multimodal {
       |         CAST(((h * (w * (w - 1) // 2 + w * (g + b))) // (w * h * 3)) * 256
       |              + sum(bit) AS BIGINT) AS phash
       |  FROM bits JOIN img USING (asset_id, w, h) GROUP BY asset_id, w, h, g, b
-      |)
-      |SELECT asset_id, width, height, phash,
-      |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
-      |       CAST(min(asset_id) OVER (PARTITION BY phash) AS BIGINT) AS canonical_id
-      |FROM hashed ORDER BY asset_id""".stripMargin)(
+      |)""".stripMargin
+
+  val imagePhashQuery = QueryDef(
+    "mm_image_phash",
+    s"""$phashOracleCtes
+       |SELECT asset_id, width, height, phash,
+       |       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
+       |       CAST(min(asset_id) OVER (PARTITION BY phash) AS BIGINT) AS canonical_id
+       |FROM hashed ORDER BY asset_id""".stripMargin)(
     (s, d) => imagePerceptualHash(imageAssetsStored(s, d)).orderBy("asset_id"))
+
+  /** The fingerprint USED as a dedup gate — the multimodal analog of
+    * Dedup's canonical-survivor queries: one asset per phash cluster
+    * (min asset_id) survives, joined back to its document row, so the
+    * output is the visually-deduplicated training corpus slice. The
+    * survivor set is cluster-count-sized; at scale the join to the doc
+    * table shuffles ids, never payloads (the decode already reduced
+    * each image to a 5-column stat row).
+    */
+  val mmDedupCanonicalQuery = QueryDef(
+    "mm_dedup_canonical",
+    s"""$phashOracleCtes, clustered AS (
+       |  SELECT asset_id, phash,
+       |         CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_dups,
+       |         min(asset_id) OVER (PARTITION BY phash) AS canonical_id
+       |  FROM hashed
+       |)
+       |SELECT c.asset_id AS doc_id, c.phash, c.n_dups, d.n_chars
+       |FROM clustered c JOIN documents d ON d.doc_id = c.asset_id
+       |WHERE c.asset_id = c.canonical_id
+       |ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val clustered = imagePerceptualHash(imageAssetsStored(s, d))
+      clustered
+        .filter(col("asset_id") === col("canonical_id"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("asset_id") === col("doc_id"))
+        .select(col("doc_id"), col("phash"), col("n_dups"), col("n_chars"))
+        .orderBy("doc_id")
+    })
 
   /** ACOUSTIC FINGERPRINT over decoded PCM — the audio member of the
     * near-dup family, same two-part construction as
@@ -1247,5 +1284,5 @@ object Multimodal {
   val all: Seq[QueryDef] =
     Seq(metadataStats, frameSampleQuery, realFeaturesQuery, imageDecodeQuery, imageResizeQuery,
       audioDecodeQuery, audioSampleQuery, videoDecodeQuery, videoSampleQuery, imagePhashQuery,
-      audioFingerprintQuery, videoFingerprintQuery)
+      audioFingerprintQuery, videoFingerprintQuery, mmDedupCanonicalQuery)
 }
