@@ -23,7 +23,7 @@ import scala.jdk.CollectionConverters._
   * weak references enqueued at DRIVER GC time. In a 128 GiB single-JVM
   * session a GC may not happen for many queries, so dead cached blocks
   * and old-gen garbage pile up and the eventual collection storms land
-  * on whoever runs next (round 3: 24 s charged to k8_to_json_roundtrip,
+  * on whoever runs next (round 3: 24 s charged to k8_json_parse,
   * a 2 s query that happened to follow the two cache-heavy dedup
   * queries; round 5: 4.9× inflation of dedup_incremental_neardups in the
   * full suite vs an isolated run, from old-gen occupancy accumulated
@@ -211,6 +211,7 @@ object Bench {
       def wants(prefixes: String*) =
         prefixes.exists(p => selected.keysIterator.exists(_.startsWith(p)))
       lazy val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
+      lazy val docs512 = Tables.documents(spark, sfDir).limit(512).cache()
       val warmups: Seq[(String, Boolean, () => DataFrame)] = Seq(
         ("minhash", wants("dedup", "pipeline"),
           () => Dedup.minhashLsh(docs64)),
@@ -237,15 +238,20 @@ object Bench {
         // threads)
         ("incremental", wants("dedup_incremental"),
           () => Dedup.incrementalNearDupsSplit(docs64, col("doc_id") % 2 === 1)),
+        // 512 docs, not 64: the LM queries' in-window cost is JIT-bound,
+        // not data-bound (r12 profile: pass-1 stage CPU ~2× pass-2 on
+        // sub-MB shuffles) — 64 docs doesn't push the hash-agg/join
+        // loops past C2 compilation thresholds, so the timed window
+        // paid the compiler. The larger warmup input does.
         ("lm", wants("text_lm"),
-          () => TextAnalysis.lmBigramScores(docs64)),
+          () => TextAnalysis.lmBigramScores(docs512)),
         ("dsir", wants("mix_importance"),
-          () => TextAnalysis.importanceWeights(docs64, col("doc_id") % 5 === 0)),
+          () => TextAnalysis.importanceWeights(docs512, col("doc_id") % 5 === 0)),
         ("pack", wants("mix_pack"),
           () => Coverage.packSequences(docs64)),
         // tiny envelope build+parse warms the to_json/from_json Jackson
-        // paths the t6/t8 windows otherwise JIT in-window
-        ("json_shape", wants("t6", "t8"),
+        // paths the t6/t8/k8 windows otherwise JIT in-window
+        ("json_shape", wants("t6", "t8", "k8"),
           () => {
             val ev = Tables.events(spark, sfDir).limit(256)
             val shaped = ev.select(col("event_id"),
@@ -277,7 +283,7 @@ object Bench {
         // the retry pass doesn't, and min-of-passes compares different
         // work (same rationale as mm_store below)
         ("fmt_store", wants("k8", "k9", "k10"),
-          () => { Sinks.k8JsonRoundtrip.fn(spark, sfDir); Sinks.k9OrcRoundtrip.fn(spark, sfDir)
+          () => { Sinks.k8JsonParse.fn(spark, sfDir); Sinks.k9OrcRoundtrip.fn(spark, sfDir)
             Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),
         ("mm_store", wants("mm"),
           () => Seq(
@@ -313,7 +319,7 @@ object Bench {
           // Producer-side costs paid OUTSIDE any timed window (store
           // builds, codegen/JIT warming) are recorded per warmup so the
           // artifact names what the windows deliberately exclude — e.g.
-          // k8_to_json_roundtrip times scan+from_json of a store whose
+          // k8_json_parse times scan+from_json of a store whose
           // to_json build cost shows up here under fmt_store, and the
           // mm stores' render+write under mm_store.
           warmupSecs += name -> (System.nanoTime() - t0) / 1e9
@@ -419,12 +425,16 @@ object Bench {
     val retryPasses: Map[String, Seq[Double]] = retryNames.map { name =>
       val pass1 = byName(name).secs
       val ref = refTimes.get(name)
-      // a reference-flagged query gets one more chance to land outside a
-      // sustained load window (r10: dedup_minhash_lsh needed its third
-      // retry to escape, 12.4/10.7/1.6), and stops early the moment a
-      // pass lands within 1.5× of its clean reference — the claim is
-      // then already the repeatable cost
-      val maxPasses = if (retryWhy.get(name).contains("ref2x")) 4 else 3
+      // ANY query with a clean reference gets up to five passes — not
+      // just the ref2x-tagged extras. Round 11's one >2×-clean row
+      // (text_lm_bigram_score) was flagged through slowN and so capped
+      // at 3 passes, all three inside the same sustained load window
+      // (6.89/4.63/14.63 s vs 1.84 clean); the escape-the-window budget
+      // must not depend on WHICH trigger flagged the query. Early stop
+      // the moment a pass lands within 1.5× of the reference (a quiet
+      // run pays at most one extra pass — r10: dedup_minhash_lsh
+      // needed its third retry to escape, 12.4/10.7/1.6).
+      val maxPasses = if (refTimes.contains(name)) 5 else 3
       var passes = Vector(pass1)
       var continue = true
       while (continue && passes.size < maxPasses) {
