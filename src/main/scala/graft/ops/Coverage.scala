@@ -776,8 +776,12 @@ object Coverage {
       .map(i => (expr(s"instr('0123456789abcdef', substring(ord, $i, 1))") - 1) *
         lit(1L << (4 * (hexDigits - i))))
       .reduce(_ + _)
+    // shard stays LONG: at hexDigits = 8 the id range is 16^8 − 1 =
+    // 4294967295, past Int.MaxValue — an int cast would throw under
+    // ANSI mode for any doc whose leading md5 digit is ≥ 8 (or silently
+    // wrap negative with ANSI off)
     documents.select(col("doc_id"), ord.as("ord"))
-      .withColumn("shard", shard.cast("int"))
+      .withColumn("shard", shard.cast("long"))
       .withColumn("pos",
         (row_number().over(Window.partitionBy("shard").orderBy("ord", "doc_id")) - 1)
           .cast("long"))
@@ -791,7 +795,7 @@ object Coverage {
       |  FROM documents
       |), sharded AS (
       |  SELECT doc_id, ord,
-      |         CAST(strpos('0123456789abcdef', substr(ord, 1, 1)) - 1 AS INTEGER) AS shard
+      |         CAST(strpos('0123456789abcdef', substr(ord, 1, 1)) - 1 AS BIGINT) AS shard
       |  FROM ordd
       |)
       |SELECT doc_id, shard,

@@ -33,14 +33,20 @@ object StressEvents {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = Tables.events(spark, sfDir)
-    val (nEvents, nUsers) = {
-      val r = base.agg(count(lit(1)), countDistinct(col("user_id"))).head
-      (r.getLong(0), r.getLong(1))
+    // Shifts derive from MAX ids, not distinct counts: sparse id spaces
+    // (max ≫ count) would make count-based shifts collide shifted
+    // copies with base ids, silently shrinking the k× user fan-out the
+    // SCALING.md numbers are cited from.
+    val (nEvents, nUsers, maxEventId, maxUserId) = {
+      val r = base.agg(count(lit(1)), countDistinct(col("user_id")),
+        max(col("event_id")), max(col("user_id"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    val userShift = nUsers * 10 + 1 // clear of the base id range
+    val userShift = maxUserId + 1
+    val eventShift = maxEventId + 1
     val ev = (0 until copies).map(k =>
       base.select(
-        (col("event_id") + lit(k.toLong * (nEvents + 1))).as("event_id"),
+        (col("event_id") + lit(k.toLong * eventShift)).as("event_id"),
         col("ts"),
         (col("user_id") + lit(k.toLong * userShift)).as("user_id"),
         col("event_type"), col("value"), col("props")))

@@ -251,7 +251,7 @@ class CoverageSpec extends SparkSpec {
   test("shuffle shards: positions contiguous per shard; growth preserves shard + relative order") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val full = Coverage.shuffleShards(docs).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     // every doc placed exactly once; positions are 0..k-1 within a shard
     assert(full.size == docs.count())
     full.values.groupBy(_._1).foreach { case (shard, g) =>
@@ -261,7 +261,7 @@ class CoverageSpec extends SparkSpec {
     // epoch stability: on the half corpus every kept doc stays in its
     // shard, and relative order within each shard is unchanged
     val half = Coverage.shuffleShards(docs.filter(col("doc_id") % 2 === 0)).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     half.foreach { case (id, (shard, _)) => assert(full(id)._1 == shard, s"doc $id moved shards") }
     half.keys.groupBy(id => half(id)._1).foreach { case (shard, ids) =>
       val byHalf = ids.toSeq.sortBy(half(_)._2)
@@ -269,7 +269,7 @@ class CoverageSpec extends SparkSpec {
       assert(byHalf == byFull, s"shard $shard relative order changed")
     }
     // higher fan-out: 2 hex digits -> shards span [0, 256)
-    val wide = Coverage.shuffleShards(docs, hexDigits = 2).collect().map(_.getInt(1))
+    val wide = Coverage.shuffleShards(docs, hexDigits = 2).collect().map(_.getLong(1))
     assert(wide.forall(s => s >= 0 && s < 256))
     assert(wide.distinct.length > 16, "2-digit sharding should exceed 16 shards")
   }
