@@ -155,24 +155,25 @@ object Sinks {
     * (KafkaStreaming.scala:228-238) projected from `orders`, then parsed
     * back and compared against the identity projection. A lossless
     * round-trip proves the record construction preserves every value.
-    * (The literal JSON string is asserted in ScalaTest; DuckDB's float
-    * rendering inside JSON differs from Spark's, so the oracle compares
-    * the round-tripped typed values instead.)
+    * (The literal JSON string is asserted in ScalaTest AND hash-pinned
+    * cross-engine by [[k8EnvelopeBuild]]; this row's oracle compares the
+    * round-tripped typed values.)
     *
     * Measurement contract (same as K9/K10): the shaped (key, value)
-    * envelope is built ONCE into the write-once format store — envelope
-    * construction is the producer's cost, exercised and value-asserted
-    * in SinksSpec — so the timed window measures the consumer's side:
-    * scan the stored records and `from_json`-parse them back. Before
-    * this split the window spent most of its time re-generating the
-    * envelope it was about to parse, which measured neither side
-    * honestly. from_json deliberately parses strings that really went
-    * through to_json (no from_json(to_json(..)) elision) — a hash match
-    * against the plain-orders oracle proves the stored envelope
-    * preserved every value.
+    * envelope is built ONCE into the write-once format store — the
+    * producer's cost, timed as its own row ([[k8EnvelopeBuild]]) — so
+    * THIS row times the consumer's side only: scan the stored records
+    * and `from_json`-parse them back (hence the name `k8_json_parse`;
+    * the r11 name `k8_to_json_roundtrip` claimed a roundtrip while
+    * timing half of one). Before this split the window spent most of
+    * its time re-generating the envelope it was about to parse, which
+    * measured neither side honestly. from_json deliberately parses
+    * strings that really went through to_json (no from_json(to_json(..))
+    * elision) — a hash match against the plain-orders oracle proves
+    * the stored envelope preserved every value.
     */
-  val k8JsonRoundtrip = QueryDef(
-    "k8_to_json_roundtrip",
+  val k8JsonParse = QueryDef(
+    "k8_json_parse",
     """SELECT o_orderkey, o_custkey, o_orderstatus,
       |       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin)(
@@ -196,6 +197,38 @@ object Sinks {
         .select(col("o_orderkey"), col("v.*"))
         .orderBy("o_orderkey")
     })
+
+  /** The producer side of K8 as its own timed, hash-verified row: build
+    * the (key, value) Kafka envelope — string key + to_json(struct)
+    * value — over every order, with NO store write and NO parse-back,
+    * so its bench window is exactly the envelope-construction cost that
+    * [[k8JsonParse]]'s window deliberately excludes (the r11 verdict's
+    * ask: the store build was warmup-hidden and unrecorded).
+    *
+    * The oracle re-derives Spark's LITERAL JSON bytes by string
+    * concatenation: field order is the struct's, longs render
+    * identically, and the one double (o_totalprice) formats the same in
+    * Jackson (Double.toString) and DuckDB's VARCHAR cast — shortest
+    * decimal repr, verified value-for-value over the full sf0.01 orders
+    * table (15000/15000 identical) before this row was registered. A
+    * hash match therefore pins the exact wire bytes, not just parsed
+    * values. (TPC-H string domains contain no JSON-escapable chars;
+    * [[kafkaShaped]] is not otherwise constrained.)
+    */
+  val k8EnvelopeBuild = QueryDef(
+    "k8_envelope_build",
+    """SELECT CAST(o_orderkey AS VARCHAR) AS key,
+      |       '{"o_custkey":' || o_custkey ||
+      |       ',"o_orderstatus":"' || o_orderstatus ||
+      |       '","o_totalprice":' || CAST(o_totalprice AS VARCHAR) ||
+      |       ',"o_orderpriority":"' || o_orderpriority || '"}' AS value
+      |FROM orders ORDER BY key""".stripMargin)(
+    (s, d) => kafkaShaped(
+      Tables.orders(s, d),
+      col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"), col("o_orderpriority"))
+      .orderBy("key"))
 
   // ------------------------------------------------- format round-trips
 
@@ -300,5 +333,5 @@ object Sinks {
         .orderBy("c_mktsegment")
     })
 
-  val all: Seq[QueryDef] = Seq(k8JsonRoundtrip, k9OrcRoundtrip, k10JsonlRoundtrip)
+  val all: Seq[QueryDef] = Seq(k8JsonParse, k8EnvelopeBuild, k9OrcRoundtrip, k10JsonlRoundtrip)
 }

@@ -125,7 +125,7 @@ object Jobs {
   /** Kafka-shaped output stream (K1/K2/K8): shape rows into (key, value
     * JSON) records. On a cluster with the kafka connector this feeds
     * `.writeStream.format("kafka").options(Sinks.kafkaExactlyOnceOptions(...))`;
-    * the shaping is the verifiable part here (see Sinks.k8JsonRoundtrip).
+    * the shaping is the verifiable part here (see Sinks.k8JsonParse).
     */
   def kafkaShapedKpi(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
     Sinks.kafkaShaped(

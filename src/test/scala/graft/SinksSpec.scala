@@ -41,7 +41,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("to_json/from_json round-trip is lossless (K8 query body)") {
-    val out = Sinks.k8JsonRoundtrip.fn(spark, "/root/testdata/sf0.001")
+    val out = Sinks.k8JsonParse.fn(spark, "/root/testdata/sf0.001")
     val orig = Tables.orders(spark, "/root/testdata/sf0.001")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice").cast("double").as("o_totalprice"), col("o_orderpriority"))
