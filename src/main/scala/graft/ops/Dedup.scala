@@ -242,7 +242,22 @@ object Dedup {
       documents: DataFrame,
       prefixLen: Int = 50,
       maxBlock: Int = 64,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    boundedNearDupsWith(documents, prefixLen, maxBlock, threshold,
+      big => minhashLsh(big, threshold = threshold))
+
+  /** Router spine shared by the production sweep ([[boundedNearDups]],
+    * xxhash64 LSH on the big blocks) and its sha-keyed oracle twin
+    * ([[boundedNearDupsShaQuery]]) — the hash spelling of the big-block
+    * path is the ONE parameter; blocking, capping, small-path verify,
+    * and the union are the same code in both rows.
+    */
+  private def boundedNearDupsWith(
+      documents: DataFrame,
+      prefixLen: Int,
+      maxBlock: Int,
+      threshold: Double,
+      lshOf: DataFrame => DataFrame): DataFrame = {
     // serialized: the keyed frame carries full text + word arrays, the
     // widest thing this family ever persists (see minhashLsh rationale)
     val keyed = prefixKeyed(documents, prefixLen)
@@ -250,11 +265,97 @@ object Dedup {
     val smallPairs = smallBlockPairs(keyed, maxBlock, threshold)
     val bigDocs = keyed.filter(col("block_n") > maxBlock)
       .select(col("doc_id"), col("text"))
-    smallPairs.unionByName(minhashLsh(bigDocs, threshold = threshold))
+    smallPairs.unionByName(lshOf(bigDocs))
   }
 
+  /** xxhash64 big-block path → no DuckDB oracle; the FULL router is
+    * hash-anchored by [[boundedNearDupsShaQuery]].
+    */
   val boundedNearDupsQuery = QueryDef.unverified("dedup_bounded_neardups")(
     (s, d) => boundedNearDups(Tables.documents(s, d)).orderBy("doc_a", "doc_b"))
+
+  /** Oracle-verified twin of [[boundedNearDupsQuery]] covering BOTH
+    * router paths end-to-end — r11 anchored only the small-block branch
+    * (dedup_bounded_smallblocks); here the oversized-block branch runs
+    * the complete MinHash-LSH pipeline with its three hash derivations
+    * swapped to the low 60 bits of sha256 (the [[minhashLshShaQuery]]
+    * recipe), so DuckDB replays blocking, capping, routing, banding,
+    * candidate join, verify, and the union bit-for-bit. Same spine code
+    * ([[boundedNearDupsWith]] / [[lshPairsFromShingles]]): a bug in the
+    * routing predicate or either branch breaks this row's hash.
+    */
+  val boundedNearDupsShaQuery = QueryDef(
+    "dedup_bounded_neardups_sha",
+    """WITH keyed AS (
+      |  SELECT doc_id, text, substr(text, 1, 50) AS block_key,
+      |         list_distinct(string_split_regex(lower(text), '\s+')) AS words,
+      |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
+      |  FROM documents),
+      |small AS (
+      |  SELECT doc_a, doc_b, jaccard FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |           floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+      |                 / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 AS jaccard
+      |    FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |    WHERE a.block_n <= 64 AND b.block_n <= 64)
+      |  WHERE jaccard >= 0.4),
+      |big AS (SELECT doc_id, text FROM keyed WHERE block_n > 64),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
+      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |          FROM big WHERE text IS NOT NULL) t
+      |    WHERE len(l) >= 3)),
+      |cw AS (
+      |  SELECT doc_id, shh % 1000000007 AS h1,
+      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 1000000007 AS h2
+      |  FROM sh),
+      |mins AS (
+      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
+      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
+      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+      |bandkeys AS (
+      |  SELECT doc_id, bi,
+      |         CAST(concat('0x', substr(sha256(
+      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
+      |           AS band_hash
+      |  FROM sigs CROSS JOIN range(8) t(bi)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.bi = b.bi AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.shh = x.shh
+      |  GROUP BY 1, 2),
+      |lsh AS (
+      |  SELECT doc_a, doc_b, jaccard FROM (
+      |    SELECT i.doc_a, i.doc_b,
+      |           floor(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)
+      |                 * 10000 + 0.5) / 10000 AS jaccard
+      |    FROM inter i
+      |    JOIN sizes sa ON sa.doc_id = i.doc_a
+      |    JOIN sizes sb ON sb.doc_id = i.doc_b)
+      |  WHERE jaccard >= 0.4)
+      |SELECT doc_a, doc_b, jaccard FROM small
+      |UNION ALL
+      |SELECT doc_a, doc_b, jaccard FROM lsh
+      |ORDER BY doc_a, doc_b""".stripMargin)(
+    (s, d) => boundedNearDupsWith(Tables.documents(s, d),
+      prefixLen = 50, maxBlock = 64, threshold = 0.4,
+      big => lshPairsFromShingles(
+        shingleStringRows(big, shingleSize = 3)
+          .select(col("doc_id"), sha60(col("shingle")).as("shh")),
+        numHashes = 32, bands = 8, threshold = 0.4,
+        h2of = sha60, bandHashSql = sha60Sql))
+      .orderBy("doc_a", "doc_b"))
 
   /** The bounded sweep's dominant (small-block) path as its own
     * hash-verified row: [[smallBlockPairs]] over the same keyed frame the
@@ -657,7 +758,9 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.4,
-      cacheInputs: Boolean = true): DataFrame = {
+      cacheInputs: Boolean = true,
+      h2of: Column => Column = xxhash64(_),
+      bandHashSql: String => String = c => s"xxhash64($c)"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(threshold > 0, "threshold must be positive (0-intersection pairs are not emitted)")
     val r = numHashes / bands
@@ -667,10 +770,11 @@ object Dedup {
     val hsh =
       if (cacheInputs) historyShingles.persist(StorageLevel.MEMORY_AND_DISK_SER)
       else historyShingles
-    val candidates = bandedKeys(signaturesFrom(bsh, numHashes), bands, r).as("a")
-      .join(bandedKeys(signaturesFrom(hsh, numHashes), bands, r).as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash"))
+    val candidates =
+      bandedKeys(signaturesFrom(bsh, numHashes, h2of), bands, r, bandHashSql).as("a")
+        .join(bandedKeys(signaturesFrom(hsh, numHashes, h2of), bands, r, bandHashSql).as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash"))
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_hist"))
       .distinct()
     val inter = candidates
@@ -722,6 +826,75 @@ object Dedup {
   val incrementalNearDupsQuery = QueryDef.unverified("dedup_incremental_neardups")(
     (s, d) => incrementalNearDupsSplit(Tables.documents(s, d), col("doc_id") % 2 === 1)
       .orderBy("doc_new", "doc_hist"))
+
+  /** Oracle-verified twin of [[incrementalNearDupsQuery]] covering the
+    * CROSS-CORPUS LSH routing end-to-end — r11's exact anchor
+    * (dedup_incremental_shingle) verified the shingle-Jaccard measure
+    * but not the band join between corpora. Same single-scan split and
+    * same spine ([[incrementalNearDupsFromShingles]]) as the production
+    * row, with the three hash derivations swapped to the low 60 bits of
+    * sha256 ([[minhashLshShaQuery]] recipe) so DuckDB re-derives the
+    * signatures, the batch→history band join (no within-side pairs),
+    * and the relational verify bit-for-bit.
+    */
+  val incrementalNearDupsShaQuery = QueryDef(
+    "dedup_incremental_neardups_sha",
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
+      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |          FROM documents WHERE text IS NOT NULL) t
+      |    WHERE len(l) >= 3)),
+      |cw AS (
+      |  SELECT doc_id, shh % 1000000007 AS h1,
+      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 1000000007 AS h2
+      |  FROM sh),
+      |mins AS (
+      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
+      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
+      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+      |bandkeys AS (
+      |  SELECT doc_id, bi,
+      |         CAST(concat('0x', substr(sha256(
+      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
+      |           AS band_hash
+      |  FROM sigs CROSS JOIN range(8) t(bi)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_hist
+      |  FROM bandkeys a JOIN bandkeys b
+      |    ON a.bi = b.bi AND a.band_hash = b.band_hash
+      |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.doc_new, c.doc_hist, count(*) AS i
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_new
+      |  JOIN sh y ON y.doc_id = c.doc_hist AND y.shh = x.shh
+      |  GROUP BY 1, 2)
+      |SELECT doc_new, doc_hist, jaccard FROM (
+      |  SELECT i.doc_new, i.doc_hist,
+      |         floor(CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)
+      |               * 10000 + 0.5) / 10000 AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.doc_new
+      |  JOIN sizes sb ON sb.doc_id = i.doc_hist)
+      |WHERE jaccard >= 0.4
+      |ORDER BY doc_new, doc_hist""".stripMargin)(
+    (s, d) => {
+      val sh = shingleStringRows(Tables.documents(s, d), shingleSize = 3)
+        .select(col("doc_id"), sha60(col("shingle")).as("shh"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      val batchPred = col("doc_id") % 2 === 1
+      incrementalNearDupsFromShingles(
+        sh.filter(batchPred), sh.filter(!batchPred),
+        numHashes = 32, bands = 8, threshold = 0.4,
+        cacheInputs = false, h2of = sha60, bandHashSql = sha60Sql)
+        .orderBy("doc_new", "doc_hist")
+    })
 
   /** Cross-corpus near-dup matching with a FULL DuckDB oracle — the
     * exact-measure counterpart of [[incrementalNearDups]], the same way
@@ -1759,7 +1932,8 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(exactQuery, prefixBlockedQuery, shingleJaccardQuery, minhashLshQuery,
       minhashLshShaQuery, simhashQuery,
-      boundedNearDupsQuery, boundedSmallBlocksQuery, incrementalExactQuery, incrementalNearDupsQuery,
+      boundedNearDupsQuery, boundedNearDupsShaQuery, boundedSmallBlocksQuery,
+      incrementalExactQuery, incrementalNearDupsQuery, incrementalNearDupsShaQuery,
       incrementalShingleJaccardQuery, canonicalQuery, simhashBandedQuery,
       simhashBandedShaQuery, decontaminateQuery, decontaminateUnionQuery,
       decontaminateBloomQuery,
