@@ -165,6 +165,76 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("curate's corpus-sized reduction is hash-based; sort aggregates only above the exchange") {
+    // The accepted residual in curate's two-level aggregate
+    // (Curation.scoredDistinct): A1 — the corpus-sized reduction,
+    // grouping by (sha2(t), t) with primitive buffers — must plan as
+    // HashAggregate, because a SortAggregate THERE sorts every raw
+    // partition of a 100 TB scan before the shuffle (the round-10
+    // hazard). A2's min(t)-style string buffers legitimately plan as
+    // SortAggregate, but only over the POST-exchange, distinct-text-
+    // sized side. Round 11 accepted this split on the strength of a
+    // comment; this pins it: a future edit that reintroduces a
+    // raw-corpus sort (e.g. collapsing the levels, or moving min(t)
+    // into A1) fails here, not in a bench regression two rounds later.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{ENSURE_REQUIREMENTS, ShuffleExchangeExec, ShuffleExchangeLike}
+    // another suite/test may have left the curated frame cached, in
+    // which case the cache manager substitutes an InMemoryRelation for
+    // the whole aggregate subtree — plan from a clean cache so the
+    // assertion sees the real tree (the deep helpers below still
+    // descend wrappers for order-independence)
+    spark.catalog.clearCache()
+    // a GROUPING shuffle (EnsureRequirements-inserted) is a cardinality
+    // boundary; scanWide's REPARTITION_BY_NUM width rebalance is not —
+    // everything below the first grouping shuffle is corpus-sized
+    def isGroupingShuffle(p: SparkPlan): Boolean = p match {
+      case e: ShuffleExchangeExec => e.shuffleOrigin == ENSURE_REQUIREMENTS
+      case _: ShuffleExchangeLike => false
+      case _ => false
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: ShuffleQueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    def deepCollect[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+      (if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil) ++ expand(p).flatMap(deepCollect(_)(pf))
+    // reaches the RAW file scan with no grouping shuffle in between
+    def reachesScan(p: SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec => true
+      case _: InMemoryTableScanExec => false
+      case _ if isGroupingShuffle(p) => false
+      case _: ShuffleQueryStageExec => false
+      case _ => expand(p).exists(reachesScan)
+    }
+    def hasExchangeBelow(p: SparkPlan): Boolean = p match {
+      case _ if isGroupingShuffle(p) => true
+      case _: ShuffleQueryStageExec => true
+      case s: InMemoryTableScanExec => hasExchangeBelow(s.relation.cachedPlan)
+      case _ => expand(p).exists(hasExchangeBelow)
+    }
+    val plan = SparkEntry.queries("pipeline_curate_corpus")(spark, sf)
+      .queryExecution.executedPlan
+    val aggs = deepCollect(plan) { case a: BaseAggregateExec => a }
+    val scanSide = aggs.filter(a => a.children.exists(reachesScan))
+    assert(scanSide.nonEmpty, s"no aggregate over the raw scan found:\n$plan")
+    scanSide.foreach { a =>
+      assert(a.isInstanceOf[HashAggregateExec],
+        s"corpus-sided aggregate is ${a.getClass.getSimpleName}, not hash-based " +
+          s"(raw-corpus sort is back):\n$plan")
+    }
+    val sortSide = aggs.filterNot(_.isInstanceOf[HashAggregateExec])
+    sortSide.foreach { a =>
+      assert(a.children.exists(hasExchangeBelow),
+        s"non-hash aggregate consumes pre-shuffle (corpus-sized) input:\n$a")
+    }
+  }
+
   test("JSON envelope work rebalances off the scan's split before evaluating") {
     // cheap scan, expensive map: a one-row-group parquet input arrives
     // as ONE split, and without an explicit rebalance the per-row
