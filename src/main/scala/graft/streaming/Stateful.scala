@@ -51,6 +51,20 @@ case class FunnelState(s1_us: Long, s2_us: Long, s3_us: Long)
 /** Current funnel stage per user, emitted each batch the user advances. */
 case class FunnelStage(user_id: Long, stage: Int)
 
+/** A funnel-relevant event buffered by
+  * [[Stateful.funnelStreamWatermarked]] until the watermark passes it:
+  * kind 1/2/3 = signup/click/purchase, event-time in microseconds, and
+  * the event_id tiebreak the batch operator's ordering uses.
+  */
+case class PendingEv(kind: Int, ts_us: Long, event_id: Long)
+
+/** [[Stateful.funnelStreamWatermarked]] state: the committed stage
+  * machine (24 bytes) plus the not-yet-finalizable event buffer —
+  * bounded by the user's funnel-relevant events inside the watermark
+  * lateness window (~24 bytes each), NOT by history.
+  */
+case class FunnelLateState(s1_us: Long, s2_us: Long, s3_us: Long, pending: Seq[PendingEv])
+
 /** Stateful streaming beyond tumbling windows — session windows and
   * arbitrary per-key state (SURVEY.md §7.5; the reference has no state
   * ops at all, §2.6 note — this is the modern surface its pipeline
@@ -256,17 +270,48 @@ object Stateful {
     * event-time order ACROSS batches (within a batch any order is fine —
     * the group's rows are sorted here). The stage machine is monotone:
     * under ordered arrival the first qualifying event per stage IS the
-    * minimum, so commits never need revisiting. Late data beyond that
-    * (an earlier click arriving after a later one was committed) would
-    * need candidate retention bounded by the deadline windows — the
-    * standard watermark-delay trade, out of scope for this operator and
-    * documented here rather than half-implemented.
+    * minimum, so commits never need revisiting. For out-of-order
+    * arrival (an earlier click arriving after a later one was
+    * committed) use [[funnelStreamWatermarked]], which buffers inside
+    * the watermark window and commits only what can no longer be
+    * reordered — this zero-buffer form remains the cheaper choice when
+    * the source IS ordered (e.g. a per-user-keyed, timestamp-ordered
+    * Kafka topic).
     *
     * At scale: state is 24 bytes per user seen, with stage-3 users
     * removable via timeout; a funnel over 10⁹ users is ~24 GB spread
     * over the cluster's state stores — fine — and each micro-batch pays
     * one shuffle on user_id, the same grain as the batch form.
     */
+  private def microsOf(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+  /** 1/2/3 for the funnel's stage events, 0 for non-advancing types. */
+  private def funnelKind(eventType: String): Int = eventType match {
+    case "signup" => 1
+    case "click" => 2
+    case "purchase" => 3
+    case _ => 0
+  }
+
+  /** ONE transition of the funnel stage machine — shared by the ordered
+    * ([[funnelStream]]) and watermark-buffered
+    * ([[funnelStreamWatermarked]]) variants so the two can only differ
+    * in WHEN events are applied, never in the rules.
+    */
+  private def advanceFunnel(
+      st: FunnelState, kind: Int, t: Long,
+      clickDl: Long, purchDl: Long): FunnelState = kind match {
+    case 1 if st.s1_us < 0 => st.copy(s1_us = t)
+    case 2 if st.s2_us < 0 && st.s1_us >= 0 && t > st.s1_us && t <= st.s1_us + clickDl =>
+      st.copy(s2_us = t)
+    case 3 if st.s3_us < 0 && st.s2_us >= 0 && t > st.s2_us && t <= st.s2_us + purchDl =>
+      st.copy(s3_us = t)
+    case _ => st
+  }
+
+  private def stageOf(st: FunnelState): Int =
+    if (st.s3_us >= 0) 3 else if (st.s2_us >= 0) 2 else if (st.s1_us >= 0) 1 else 0
+
   def funnelStream(
       events: Dataset[Event],
       clickDeadlineHours: Int = 24,
@@ -274,32 +319,103 @@ object Stateful {
     import events.sparkSession.implicits._
     val clickDl = clickDeadlineHours * 3600L * 1000000L
     val purchDl = purchaseDeadlineHours * 3600L * 1000000L
-    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          val st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          var (s1, s2, s3) = (st.s1_us, st.s2_us, st.s3_us)
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           // sort the batch's slice of the group: within-batch arrival
           // order is arbitrary even when the SOURCE is in order
-          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val t = micros(e.ts)
-            e.event_type match {
-              case "signup" if s1 < 0 =>
-                s1 = t
-              case "click" if s2 < 0 && s1 >= 0 && t > s1 && t <= s1 + clickDl =>
-                s2 = t
-              case "purchase" if s3 < 0 && s2 >= 0 && t > s2 && t <= s2 + purchDl =>
-                s3 = t
-              case _ => // non-advancing event
-            }
+          rows.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+            st = advanceFunnel(st, funnelKind(e.event_type), microsOf(e.ts), clickDl, purchDl)
           }
-          state.update(FunnelState(s1, s2, s3))
-          FunnelStage(uid,
-            if (s3 >= 0) 3 else if (s2 >= 0) 2 else if (s1 >= 0) 1 else 0)
+          state.update(st)
+          FunnelStage(uid, stageOf(st))
       }
   }
+
+  /** STREAMING FUNNEL WITH LATE DATA — the watermark-delayed form of
+    * [[funnelStream]], which is exact only under event-time-ordered
+    * arrival ACROSS batches (its documented trade): an out-of-order
+    * click arriving after a later click was committed under-counts
+    * conversions there. Here nothing commits until it is safe: each
+    * user's funnel-relevant events BUFFER in state, and only once the
+    * watermark passes an event's time — i.e. Spark guarantees nothing
+    * earlier can still arrive — is it applied, in (event-time,
+    * event_id) order, through the SAME stage machine
+    * ([[advanceFunnel]]). Within the watermark delay, arrival order is
+    * therefore irrelevant by construction; events later than the
+    * watermark allows are dropped by the operator's own late-row filter
+    * (the standard watermark contract), exactly as an aggregation would.
+    *
+    * Mechanics: `flatMapGroupsWithState` with EventTimeTimeout. On
+    * data: append the batch's funnel-relevant rows to the buffer,
+    * commit the prefix at-or-below the current watermark, emit the
+    * committed stage. On timeout (watermark advanced past a buffered
+    * event with no new data for the user): same commit + emit. The
+    * timeout is re-armed to the earliest still-pending event so a
+    * buffered user finalizes as soon as the watermark allows, not on
+    * its next unrelated event.
+    *
+    * State bound (documented, not hoped): 24 bytes of committed machine
+    * per user ever seen, plus ~24 bytes per funnel-relevant event still
+    * inside the lateness window — the buffer drains to empty every time
+    * the watermark passes it, so its size tracks delay × per-user event
+    * rate, never history. At 10⁹ users with a 1 h delay and sparse
+    * per-user activity this stays within a few GB per state store.
+    * Scale shape is unchanged from [[funnelStream]]: one user_id
+    * shuffle per micro-batch.
+    */
+  def funnelStreamWatermarked(
+      events: Dataset[Event],
+      delay: String = "1 hour",
+      clickDeadlineHours: Int = 24,
+      purchaseDeadlineHours: Int = 48): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    val clickDl = clickDeadlineHours * 3600L * 1000000L
+    val purchDl = purchaseDeadlineHours * 3600L * 1000000L
+    events
+      .withWatermark("ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelLateState]) =>
+          val st = state.getOption.getOrElse(FunnelLateState(-1L, -1L, -1L, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows.flatMap { e =>
+            val k = funnelKind(e.event_type)
+            if (k == 0) None else Some(PendingEv(k, microsOf(e.ts), e.event_id))
+          }.toSeq
+          val (commit, hold) = (st.pending ++ incoming).partition(_.ts_us <= wmUs)
+          var machine = FunnelState(st.s1_us, st.s2_us, st.s3_us)
+          commit.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+            machine = advanceFunnel(machine, p.kind, p.ts_us, clickDl, purchDl)
+          }
+          state.update(FunnelLateState(machine.s1_us, machine.s2_us, machine.s3_us, hold))
+          if (hold.nonEmpty) {
+            // finalize as soon as the watermark passes the earliest
+            // buffered event (must arm strictly past the current
+            // watermark — Spark rejects a timeout at or before it)
+            val nextMs = hold.map(_.ts_us).min / 1000L
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
+          Iterator.single(FunnelStage(uid, stageOf(machine)))
+      }
+  }
+
+  /** Streaming starter for [[funnelStreamWatermarked]] (update mode —
+    * stages are monotone, so the latest row per user is the position).
+    */
+  def startFunnelStreamWatermarked(
+      events: Dataset[Event],
+      checkpointDir: String,
+      delay: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    funnelStreamWatermarked(events, delay).writeStream
+      .outputMode(OutputMode.Update())
+      .queryName("funnel_stream_late")
+      .option("checkpointLocation", checkpointDir)
+      .format("memory")
+      .start()
 
   /** Streaming starter for [[funnelStream]] (update mode — each batch
     * emits the current stage of every user it touched; the latest row

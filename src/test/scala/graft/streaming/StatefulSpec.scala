@@ -127,6 +127,64 @@ class StatefulSpec extends SparkSpec {
     assert(streamHist == batchHist, s"stream $streamHist vs batch $batchHist")
   }
 
+  test("watermarked funnel: shuffled arrival orders all converge to the batch histogram") {
+    // The event set exercises every rule: a conversion (u1), a
+    // sequence-violating purchase-before-click (u3, whose later click
+    // also misses the 24 h deadline), a click with no signup (u2), an
+    // out-of-order EARLIER click arriving after a later one (u4 — the
+    // exact case the ordered funnelStream documents it under-counts:
+    // its later click at +30 h misses the deadline, the earlier one at
+    // +10 h qualifies and re-opens the purchase window), and noise
+    // events. Events span ~3 days; the watermark delay (100 h) exceeds
+    // the span so NO arrival order can drop a row — the operator's
+    // claim is exactly that within the allowed lateness, order is
+    // irrelevant. A far-future sentinel for a throwaway user then
+    // pushes the watermark past everything so every buffer finalizes
+    // via the event-time timeout path.
+    def e(id: Long, uid: Long, ts: String, et: String) =
+      Event(id, Timestamp.valueOf(ts), uid, et, 0.0, "{}")
+    val all = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "signup"), e(2, 1, "2024-01-01 10:05:00", "click"),
+      e(3, 1, "2024-01-02 09:00:00", "purchase"),
+      e(4, 2, "2024-01-01 10:05:00", "click"),
+      e(5, 3, "2024-01-01 10:00:00", "signup"), e(6, 3, "2024-01-01 10:30:00", "purchase"),
+      e(7, 3, "2024-01-02 10:00:01", "click"),
+      e(8, 4, "2024-01-01 00:00:00", "signup"), e(9, 4, "2024-01-02 06:00:00", "click"),
+      e(10, 4, "2024-01-01 10:00:00", "click"), e(11, 4, "2024-01-02 00:30:00", "purchase"),
+      e(12, 5, "2024-01-01 12:00:00", "view"))
+    val batchHist = graft.ops.Temporal.funnelSteps(all.toDF())
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sentinel = e(99, 999, "2024-03-01 00:00:00", "view")
+    for (seed <- Seq(7, 23)) {
+      val shuffled = new scala.util.Random(seed).shuffle(all)
+      val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+      val q = Stateful.startFunnelStreamWatermarked(
+        ms.toDS(), tmpDir(s"funnel-late-ckpt-$seed"), delay = "100 hours")
+      try {
+        shuffled.grouped(4).foreach { batch =>
+          ms.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        // advance the watermark past every buffered event, then once
+        // more so the re-armed timeouts (armed at wm+1 when the first
+        // sentinel's batch computed them) also fire
+        ms.addData(sentinel)
+        q.processAllAvailable()
+        ms.addData(sentinel.copy(event_id = 100))
+        q.processAllAvailable()
+        val perUser = spark.table("funnel_stream_late")
+          .groupBy("user_id").agg(max("stage").as("stage"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          .removed(999L)
+        assert(perUser == Map(1L -> 3, 2L -> 0, 3L -> 1, 4L -> 3, 5L -> 0),
+          s"seed $seed: $perUser")
+        val streamHist = perUser.values.groupBy(identity)
+          .map { case (k, v) => k -> v.size.toLong }
+        assert(streamHist == batchHist, s"seed $seed: stream $streamHist vs batch $batchHist")
+      } finally q.stop()
+    }
+  }
+
   test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
     val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
       ev(3, 2, "2024-01-01 10:00:00", 4.0))
