@@ -34,7 +34,9 @@ object Stress10x {
     spark.sparkContext.setLogLevel("ERROR")
     val base = Tables.documents(spark, sfDir)
     val n = base.count()
-    val shift = n + 1
+    // max-id shift (not count): sparse id spaces must not collide
+    // shifted copies with base rows (same fix as StressEvents)
+    val shift = base.agg(max("doc_id")).head.getLong(0) + 1
     val docs = (0 until copies).map(k =>
       base.select((col("doc_id") + lit(k * shift)).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")))
