@@ -286,9 +286,9 @@ object Dedup {
     */
   val boundedNearDupsShaQuery = QueryDef(
     "dedup_bounded_neardups_sha",
-    """WITH keyed AS (
+    s"""WITH keyed AS (
       |  SELECT doc_id, text, substr(text, 1, 50) AS block_key,
-      |         list_distinct(string_split_regex(lower(text), '\s+')) AS words,
+      |         list_distinct(string_split_regex(lower(text), '\\s+')) AS words,
       |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
       |  FROM documents),
       |small AS (
@@ -300,35 +300,11 @@ object Dedup {
       |    WHERE a.block_n <= 64 AND b.block_n <= 64)
       |  WHERE jaccard >= 0.4),
       |big AS (SELECT doc_id, text FROM keyed WHERE block_n > 64),
-      |sh AS (
-      |  SELECT doc_id,
-      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
-      |  FROM (
-      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
-      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-      |          FROM big WHERE text IS NOT NULL) t
-      |    WHERE len(l) >= 3)),
-      |cw AS (
-      |  SELECT doc_id, shh % 1000000007 AS h1,
-      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
-      |           % 1000000007 AS h2
-      |  FROM sh),
-      |mins AS (
-      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
-      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
-      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
-      |bandkeys AS (
-      |  SELECT doc_id, bi,
-      |         CAST(concat('0x', substr(sha256(
-      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
-      |           AS band_hash
-      |  FROM sigs CROSS JOIN range(8) t(bi)),
+      |${shaLshCtes("big")},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bandkeys a JOIN bandkeys b
       |    ON a.bi = b.bi AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS i
       |  FROM cand c
@@ -593,6 +569,42 @@ object Dedup {
   private def sha60Sql(c: String): String =
     s"cast(conv(substring(sha2(cast($c as string), 256), 1, 15), 16, 10) as bigint)"
 
+  /** Shared DuckDB CTE chain of the sha-keyed LSH oracle twins
+    * ([[minhashLshShaQuery]], [[boundedNearDupsShaQuery]],
+    * [[incrementalNearDupsShaQuery]]): shingle identity as sha256's low
+    * 60 bits, both Carter-Wegman bases, the 32-minima signatures, the
+    * 8x4 banded keys, and per-doc shingle sizes, over `src`. ONE copy
+    * so the constants (32/8/1000000007/slice arithmetic) cannot drift
+    * between the three replays and the matching Scala parameters — the
+    * same SQL-fragment sharing pattern as Curation's curatedCte.
+    */
+  private def shaLshCtes(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+       |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
+       |    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+       |          FROM $src WHERE text IS NOT NULL) t
+       |    WHERE len(l) >= 3)),
+       |cw AS (
+       |  SELECT doc_id, shh % 1000000007 AS h1,
+       |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % 1000000007 AS h2
+       |  FROM sh),
+       |mins AS (
+       |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
+       |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
+       |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
+       |bandkeys AS (
+       |  SELECT doc_id, bi,
+       |         CAST(concat('0x', substr(sha256(
+       |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
+       |           AS band_hash
+       |  FROM sigs CROSS JOIN range(8) t(bi)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
   /** Oracle-verified twin of [[minhashLshQuery]]: the ENTIRE MinHash-LSH
     * pipeline — shingle identity, both Carter-Wegman base hashes, the
     * 32-minima signature aggregation, 8×4 banding with hashed band keys,
@@ -607,35 +619,11 @@ object Dedup {
     */
   val minhashLshShaQuery = QueryDef(
     "dedup_minhash_lsh_sha",
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
-      |  FROM (
-      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
-      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-      |          FROM documents WHERE text IS NOT NULL) t
-      |    WHERE len(l) >= 3)),
-      |cw AS (
-      |  SELECT doc_id, shh % 1000000007 AS h1,
-      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
-      |           % 1000000007 AS h2
-      |  FROM sh),
-      |mins AS (
-      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
-      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
-      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
-      |bandkeys AS (
-      |  SELECT doc_id, bi,
-      |         CAST(concat('0x', substr(sha256(
-      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
-      |           AS band_hash
-      |  FROM sigs CROSS JOIN range(8) t(bi)),
+    s"""WITH ${shaLshCtes("documents")},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bandkeys a JOIN bandkeys b
       |    ON a.bi = b.bi AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.doc_a, c.doc_b, count(*) AS i
       |  FROM cand c
@@ -839,36 +827,12 @@ object Dedup {
     */
   val incrementalNearDupsShaQuery = QueryDef(
     "dedup_incremental_neardups_sha",
-    """WITH sh AS (
-      |  SELECT doc_id,
-      |         CAST(concat('0x', substr(sha256(shingle), 1, 15)) AS BIGINT) AS shh
-      |  FROM (
-      |    SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
-      |                                         FOR i IN range(1, len(l) - 1)])) AS shingle
-      |    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-      |          FROM documents WHERE text IS NOT NULL) t
-      |    WHERE len(l) >= 3)),
-      |cw AS (
-      |  SELECT doc_id, shh % 1000000007 AS h1,
-      |         CAST(concat('0x', substr(sha256(CAST(shh AS VARCHAR)), 1, 15)) AS BIGINT)
-      |           % 1000000007 AS h2
-      |  FROM sh),
-      |mins AS (
-      |  SELECT doc_id, j, min((h1 + j * h2) % 1000000007) AS m
-      |  FROM cw CROSS JOIN range(32) t(j) GROUP BY doc_id, j),
-      |sigs AS (SELECT doc_id, list(m ORDER BY j) AS sig FROM mins GROUP BY doc_id),
-      |bandkeys AS (
-      |  SELECT doc_id, bi,
-      |         CAST(concat('0x', substr(sha256(
-      |           array_to_string(sig[bi * 4 + 1 : bi * 4 + 4], ',')), 1, 15)) AS BIGINT)
-      |           AS band_hash
-      |  FROM sigs CROSS JOIN range(8) t(bi)),
+    s"""WITH ${shaLshCtes("documents")},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_hist
       |  FROM bandkeys a JOIN bandkeys b
       |    ON a.bi = b.bi AND a.band_hash = b.band_hash
       |   AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT c.doc_new, c.doc_hist, count(*) AS i
       |  FROM cand c

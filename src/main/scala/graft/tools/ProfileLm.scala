@@ -22,25 +22,32 @@ object ProfileLm {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // listener events post asynchronously on the bus thread: guard the
+    // buffer and drain before reading/clearing, or a pass's tail stages
+    // get lost or misattributed to the next pass (and an unsynchronized
+    // ArrayBuffer append racing sortBy can corrupt outright)
     val stages = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Int, Long, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val m = i.taskMetrics
-        stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
-          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
-          m.executorCpuTime / 1000000L,
-          m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead))
+        stages.synchronized {
+          stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+            i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L),
+            m.executorCpuTime / 1000000L,
+            m.shuffleWriteMetrics.bytesWritten, m.shuffleReadMetrics.totalBytesRead))
+        }
       }
     })
     def run(name: String)(df: => DataFrame): Unit = {
-      stages.clear()
+      stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // bounded bus drain (listenerBus is private)
       println(f"==== $name: $dt%.2f s ====")
-      stages.sortBy(_._1).foreach { case (id, nm, n, wall, cpu, sw, sr) =>
+      stages.synchronized(stages.sortBy(_._1).toVector).foreach { case (id, nm, n, wall, cpu, sw, sr) =>
         println(f"  stage $id%3d  tasks=$n%3d  wall=${wall}%6d ms  cpu=${cpu}%6d ms  " +
           f"shW=${sw / 1048576.0}%8.1f MB  shR=${sr / 1048576.0}%8.1f MB  $nm")
       }
