@@ -522,6 +522,80 @@ object Similarity {
     (s, d) => labelBlockedPairs(Tables.embeddings(s, d), threshold = 0.3)
       .orderBy("vec_a", "vec_b"))
 
+  // --------------------------------------------- semantic decontamination
+
+  /** SEMANTIC benchmark decontamination — the embedding-space member of
+    * the decontamination family (Dedup has the lexical forms:
+    * pair-attribution shingle gate, exact-union gate, Bloom sweep, span
+    * strip). A paraphrased or translated benchmark item shares few
+    * 3-token shingles with its leak but sits close in embedding space —
+    * exactly the leakage the shingle gates cannot see. Drop every
+    * train vector whose cosine against ANY benchmark vector reaches
+    * `threshold`; survivors carry their max benchmark cosine so the
+    * caller can audit how close the kept tail sits to the suite
+    * (NULL when the benchmark is empty — loud, not silently clean).
+    *
+    * Scale shape: the benchmark side is small by nature (a few thousand
+    * suite items) and rides BROADCAST into a nested-loop over the
+    * corpus — per train vector the cost is |bench| fused dot products
+    * (graft_dot, codegen'd), zero corpus shuffle except the per-vector
+    * max aggregate, which repartitions nothing the scan didn't already
+    * give (map-side combine → vec_id-sized). This linear
+    * corpus × small-bench pass IS the standard production shape; for a
+    * benchmark too large to broadcast, route candidates through
+    * [[lshBuckets]] / the IVF index first and verify exactly, as
+    * [[cosineNearDupPairs]] does.
+    */
+  def semanticDecontaminate(
+      embeddings: DataFrame,
+      benchPred: Column,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0, s"threshold must be positive (got $threshold)")
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"), benchPred.as("is_bench"))
+    val bench = e.filter(col("is_bench"))
+      .select(col("embedding").as("be"), col("nrm").as("bn"))
+    val train = e.filter(!col("is_bench"))
+    val maxCos = train.crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(dot("embedding", "be") / (col("nrm") * col("bn")), 6).as("cs"))
+      .groupBy("vec_id").agg(max(col("cs")).as("max_bench_cos"))
+    train.select(col("vec_id"), col("label"))
+      .join(maxCos, Seq("vec_id"), "left")
+      .filter(coalesce(col("max_bench_cos"), lit(-1.0)) < threshold)
+      .select(col("vec_id"), col("label"), col("max_bench_cos"))
+  }
+
+  /** Registered with vec_id % 37 = 0 as the held-out "benchmark" slice
+    * and a fixture-discriminating threshold (the synthetic embeddings'
+    * max bench cosines span 0.03-0.39, so 0.25 exercises both branches;
+    * production thresholds sit near 0.9 on meaningful embeddings).
+    * Fully oracle-replayable: same round-then-max, same left-join NULL
+    * contract.
+    */
+  val semanticDecontaminateQuery = QueryDef(
+    "sim_decontaminate_semantic",
+    s"""WITH bench AS (
+       |  SELECT embedding FROM embeddings WHERE vec_id % 37 = 0),
+       |m AS (
+       |  SELECT t.vec_id,
+       |         max(round(${duckCosine("t.embedding", "b.embedding")}, 6)) AS max_bench_cos
+       |  FROM embeddings t CROSS JOIN bench b
+       |  WHERE t.vec_id % 37 <> 0
+       |  GROUP BY t.vec_id)
+       |SELECT t.vec_id, t.label, m.max_bench_cos
+       |FROM embeddings t LEFT JOIN m ON t.vec_id = m.vec_id
+       |WHERE t.vec_id % 37 <> 0
+       |  AND coalesce(m.max_bench_cos, -1.0) < 0.25
+       |ORDER BY t.vec_id""".stripMargin)(
+    (s, d) => semanticDecontaminate(
+      // no scanWide here, measured deliberately: the rebalanced variant
+      // is reproducibly ~3x the process CPU (8.9 -> 30 s at sf0.1) —
+      // the broadcast nested-loop's per-task overheads outweigh the
+      // fixture's single-split scan skew for this row shape
+      Tables.embeddings(s, d), col("vec_id") % 37 === 0, threshold = 0.25)
+      .orderBy("vec_id"))
+
   // ------------------------------------------------------ semantic dedup
 
   /** SEMANTIC dedup end-to-end (the SemDeDup shape): embedding-cosine
@@ -727,5 +801,6 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
-      semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery, hardNegativesQuery)
+      semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
+      hardNegativesQuery)
 }

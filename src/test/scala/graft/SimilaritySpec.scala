@@ -148,6 +148,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: planted leak dropped, survivors all below threshold, benchmark never emitted") {
+    // plant an exact copy of benchmark vector 0 as train vector 9001
+    // (cosine 1.0 — the paraphrase-leak stand-in) and a near-copy with
+    // one perturbed coordinate; both must be dropped at any reasonable
+    // threshold while orthogonal-ish fixture vectors survive
+    val bench0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val near = bench0.clone(); near(0) = near(0) + 0.01f
+    val planted = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(Seq(
+        (9001L, 7, bench0), (9002L, 7, near)).toDF("vec_id", "label", "embedding"))
+    val out = Similarity.semanticDecontaminate(
+      planted, col("vec_id") % 37 === 0, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(!out.contains(9001L) && !out.contains(9002L), "planted leaks survived")
+    // benchmark rows are never part of the output (they are the suite,
+    // not the corpus)
+    assert(out.keys.forall(_ % 37 != 0))
+    // every survivor's audit cosine is below the gate
+    assert(out.values.forall(_.forall(_ < 0.9)))
+    // empty benchmark: everyone survives with a NULL audit column
+    val none = Similarity.semanticDecontaminate(emb, lit(false), threshold = 0.9).collect()
+    assert(none.length == emb.count() && none.forall(_.isNullAt(2)))
+  }
+
   test("embedding dim stats: exact hand-computed moments per dimension") {
     // dyadic-rational floats => every decimal/double step below is exact
     val df = Seq(
