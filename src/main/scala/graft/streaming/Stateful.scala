@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.{QueryDef, Tables}
 
@@ -402,6 +402,100 @@ object Stateful {
           Iterator.single(FunnelStage(uid, stageOf(machine)))
       }
   }
+
+  /** The watermark-buffered funnel on Spark 4's `transformWithState` —
+    * the arbitrary-stateful-processing successor to
+    * mapGroupsWithState/flatMapGroupsWithState, and the API a new
+    * pipeline should target: NAMED, TYPED state variables instead of
+    * one opaque blob (the committed 24-byte machine and the pending
+    * buffer live in separate stores, so the buffer's churn never
+    * rewrites the machine), first-class event-time timers
+    * (`registerTimer`) instead of one implicit timeout slot, and
+    * per-state TTL when eviction policy is wanted. Requires the RocksDB
+    * state store provider (enforced by Spark itself) — which is also
+    * the right provider at 10⁹-user scale, where state must spill.
+    *
+    * Semantics are IDENTICAL to [[funnelStreamWatermarked]] by
+    * construction: both feed the same [[advanceFunnel]] transition
+    * function with the same commit-at-watermark discipline (the spec
+    * replays the same shuffled arrivals through both and asserts equal
+    * outcomes). A stale timer left by re-arming fires as a no-op
+    * commit and re-emits the user's unchanged stage — harmless under
+    * update-mode "latest row per user wins" semantics.
+    */
+  class FunnelProcessor(clickDl: Long, purchDl: Long)
+      extends StatefulProcessor[Long, Event, FunnelStage] {
+    @transient private var committed: ValueState[FunnelState] = _
+    @transient private var pending: ListState[PendingEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      committed = getHandle.getValueState(
+        "committed", org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+      pending = getHandle.getListState(
+        "pending", org.apache.spark.sql.Encoders.product[PendingEv], TTLConfig.NONE)
+    }
+
+    private def commitAndEmit(
+        uid: Long, incoming: Seq[PendingEv], wmMs: Long): Iterator[FunnelStage] = {
+      val wmUs = wmMs * 1000L
+      val (commit, hold) = (pending.get().toSeq ++ incoming).partition(_.ts_us <= wmUs)
+      var machine = Option(committed.get()).getOrElse(FunnelState(-1L, -1L, -1L))
+      commit.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+        machine = advanceFunnel(machine, p.kind, p.ts_us, clickDl, purchDl)
+      }
+      committed.update(machine)
+      pending.clear()
+      if (hold.nonEmpty) {
+        pending.put(hold.toArray)
+        getHandle.registerTimer(math.max(hold.map(_.ts_us).min / 1000L, wmMs + 1))
+      }
+      Iterator.single(FunnelStage(uid, stageOf(machine)))
+    }
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event], tv: TimerValues): Iterator[FunnelStage] = {
+      val incoming = rows.flatMap { e =>
+        val k = funnelKind(e.event_type)
+        if (k == 0) None else Some(PendingEv(k, microsOf(e.ts), e.event_id))
+      }.toSeq
+      commitAndEmit(uid, incoming, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[FunnelStage] =
+      commitAndEmit(uid, Nil, tv.getCurrentWatermarkInMs())
+  }
+
+  def funnelStreamTws(
+      events: Dataset[Event],
+      delay: String = "1 hour",
+      clickDeadlineHours: Int = 24,
+      purchaseDeadlineHours: Int = 48): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(
+          clickDeadlineHours * 3600L * 1000000L, purchaseDeadlineHours * 3600L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** Streaming starter for [[funnelStreamTws]] (update mode; caller's
+    * session must run the RocksDB state store provider).
+    */
+  def startFunnelStreamTws(
+      events: Dataset[Event],
+      checkpointDir: String,
+      delay: String = "1 hour"): org.apache.spark.sql.streaming.StreamingQuery =
+    funnelStreamTws(events, delay).writeStream
+      .outputMode(OutputMode.Update())
+      .queryName("funnel_stream_tws")
+      .option("checkpointLocation", checkpointDir)
+      .format("memory")
+      .start()
 
   /** Streaming starter for [[funnelStreamWatermarked]] (update mode —
     * stages are monotone, so the latest row per user is the position).

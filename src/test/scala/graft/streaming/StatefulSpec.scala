@@ -185,6 +185,56 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel equals the mapGroupsWithState form on shuffled arrivals (RocksDB)") {
+    // the same adversarial event set as the watermarked-funnel test,
+    // replayed through the Spark-4 StatefulProcessor implementation —
+    // both feed the same transition function, so per-user outcomes must
+    // be identical. transformWithState requires the RocksDB provider;
+    // set it for this test only and restore the default after (the
+    // suite's other streaming tests run the HDFS-backed default).
+    def e(id: Long, uid: Long, ts: String, et: String) =
+      Event(id, Timestamp.valueOf(ts), uid, et, 0.0, "{}")
+    val all = Seq(
+      e(1, 1, "2024-01-01 10:00:00", "signup"), e(2, 1, "2024-01-01 10:05:00", "click"),
+      e(3, 1, "2024-01-02 09:00:00", "purchase"),
+      e(4, 2, "2024-01-01 10:05:00", "click"),
+      e(5, 3, "2024-01-01 10:00:00", "signup"), e(6, 3, "2024-01-01 10:30:00", "purchase"),
+      e(7, 3, "2024-01-02 10:00:01", "click"),
+      e(8, 4, "2024-01-01 00:00:00", "signup"), e(9, 4, "2024-01-02 06:00:00", "click"),
+      e(10, 4, "2024-01-01 10:00:00", "click"), e(11, 4, "2024-01-02 00:30:00", "purchase"),
+      e(12, 5, "2024-01-01 12:00:00", "view"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val shuffled = new scala.util.Random(23).shuffle(all)
+      val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+      val q = Stateful.startFunnelStreamTws(
+        ms.toDS(), tmpDir("funnel-tws-ckpt"), delay = "100 hours")
+      try {
+        shuffled.grouped(4).foreach { batch =>
+          ms.addData(batch: _*)
+          q.processAllAvailable()
+        }
+        ms.addData(e(99, 999, "2024-03-01 00:00:00", "view"))
+        q.processAllAvailable()
+        ms.addData(e(100, 999, "2024-03-01 00:00:01", "view"))
+        q.processAllAvailable()
+        val perUser = spark.table("funnel_stream_tws")
+          .groupBy("user_id").agg(max("stage").as("stage"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          .removed(999L)
+        assert(perUser == Map(1L -> 3, 2L -> 0, 3L -> 1, 4L -> 3, 5L -> 0), s"$perUser")
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
     val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
       ev(3, 2, "2024-01-01 10:00:00", 4.0))
