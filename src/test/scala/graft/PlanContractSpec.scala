@@ -71,6 +71,13 @@ class PlanContractSpec extends SparkSpec {
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"dimension join is not broadcast:\n$plan")
+    // semantic decontamination: the benchmark side must ride a
+    // BROADCAST nested loop — a shuffled corpus-vs-bench pairing would
+    // move 100 TB of embeddings for a few-thousand-row suite
+    val sd = SparkEntry.queries("sim_decontaminate_semantic")(spark, sf)
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(sdPlan.contains("BroadcastNestedLoopJoin"),
+      s"semantic decontamination lost its broadcast bench side:\n$sdPlan")
   }
 
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
