@@ -226,7 +226,7 @@ object Bench {
         // the propagation loop generates fresh join+union+min plans per
         // iteration — warm one tiny round so the clustering queries
         // measure data work, not first-up codegen of the loop body
-        ("clusters", wants("dedup_cluster", "pipeline", "sim_semantic"),
+        ("clusters", wants("dedup_cluster", "pipeline", "sim_semantic", "mix_split_leakage"),
           () => Dedup.nearDupClusters(
             Dedup.prefixBlockedJaccard(docs64).filter(col("jaccard") >= 0.9))),
         ("span", wants("dedup_span"),

@@ -531,6 +531,90 @@ object Coverage {
   private[graft] def splitThresholdHex(frac: Double): String =
     if (frac >= 1.0) "g" else f"${math.floor(frac * 4294967296.0).toLong}%08x"
 
+  /** LEAKAGE-FREE train/val/test split: assignment by near-dup FAMILY,
+    * not by document. [[splitAssign]]'s per-doc hash puts two near-
+    * duplicate documents on independent coin flips — at typical crawl
+    * duplication rates a measurable slice of every test set is a
+    * near-copy of a training doc, and the eval silently measures
+    * memorization. Here every doc inherits its connected near-dup
+    * component's label ([[Dedup.nearDupClusters]] over the caller's
+    * pair graph; singletons label themselves), and the hash-range split
+    * is taken on the CLUSTER id — an entire family lands on one side or
+    * the other, never straddling.
+    *
+    * Properties: singletons get exactly [[splitAssign]]'s assignment
+    * (cluster = doc_id, same md5 arithmetic — suite-pinned), so the
+    * guarantee costs nothing where there is nothing to leak. Stability
+    * under growth is the one trade: a new doc that MERGES two families
+    * must move one side's members (fundamental to the guarantee, not an
+    * implementation choice); docs whose family is unchanged keep their
+    * split.
+    *
+    * Scale shape: candidate pairs come from whatever bucketed generator
+    * the caller trusts (blocked Jaccard, MinHash-LSH) — never all-pairs
+    * here; the label propagation is the bounded-rounds loop
+    * cluster_canonical already runs at corpus scale; the split itself
+    * is scan-side md5 arithmetic on the joined label.
+    */
+  def splitAssignGrouped(
+      documents: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      testFrac: Double = 0.05,
+      valFrac: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
+      s"fractions must be non-negative and sum to <= 1 (got test=$testFrac val=$valFrac)")
+    val h = substring(md5(col("cluster").cast("string")), 1, 8)
+    documents.select(col("doc_id"))
+      .join(graft.ops.Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("cluster"),
+        when(h < lit(splitThresholdHex(testFrac)), "test")
+          .when(h < lit(splitThresholdHex(testFrac + valFrac)), "val")
+          .otherwise("train").as("split"))
+  }
+
+  /** Registered over the same oracle-checkable pair graph as
+    * dedup_cluster_canonical (blocked Jaccard ≥ 0.6), so DuckDB replays
+    * closure + family-level assignment with the same recursive CTE.
+    */
+  val splitGroupedQuery = QueryDef(
+    "mix_split_leakage_free",
+    s"""WITH RECURSIVE keyed AS (
+       |  SELECT doc_id, substr(text, 1, 50) AS block_key,
+       |         list_distinct(string_split_regex(lower(text), '\\s+')) AS words,
+       |         count(*) OVER (PARTITION BY substr(text, 1, 50)) AS block_n
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+       |  WHERE a.block_n <= 64 AND b.block_n <= 64
+       |    AND floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 >= 0.6),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(l.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < '${splitThresholdHex(0.05)}' THEN 'test'
+       |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8) < '${splitThresholdHex(0.10)}' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      splitAssignGrouped(docs,
+        graft.ops.Dedup.prefixBlockedJaccard(docs).filter(col("jaccard") >= 0.6))
+        .orderBy("doc_id")
+    })
+
   val splitAssignQuery = QueryDef(
     "mix_split_assign",
     s"""SELECT doc_id,
@@ -850,6 +934,7 @@ object Coverage {
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
+    splitGroupedQuery,
     corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery,
     shuffleShardsQuery, sourceCapQuery)
 }

@@ -274,6 +274,38 @@ class CoverageSpec extends SparkSpec {
     assert(wide.distinct.length > 16, "2-digit sharding should exceed 16 shards")
   }
 
+  test("leakage-free split: families never straddle; singletons equal the per-doc split") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = graft.ops.Dedup.prefixBlockedJaccard(docs).filter(col("jaccard") >= 0.6)
+    val pairRows = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairRows.nonEmpty, "fixture has no >=0.6 near-dup pairs; test is vacuous")
+    val grouped = Coverage.splitAssignGrouped(docs, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(grouped.size == docs.count())
+    // the guarantee: both ends of every near-dup pair share a split
+    pairRows.foreach { case (a, b) =>
+      assert(grouped(a)._2 == grouped(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // same-cluster docs share a split by construction; clusters use the
+    // min-id representative
+    grouped.values.groupBy(_._1).foreach { case (cl, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"cluster $cl straddles")
+    }
+    // singletons (cluster == own id, no pair membership) get exactly the
+    // per-doc splitAssign answer — the guarantee is free where there is
+    // nothing to leak
+    val inPairs = pairRows.flatMap(p => Seq(p._1, p._2)).toSet
+    val perDoc = Coverage.splitAssign(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    grouped.foreach { case (id, (cl, sp)) =>
+      if (!inPairs.contains(id)) {
+        assert(cl == id, s"singleton $id has foreign cluster $cl")
+        assert(sp == perDoc(id), s"singleton $id split $sp != per-doc ${perDoc(id)}")
+      }
+    }
+  }
+
   test("source cap: ceiling enforced per source; removals never evict a surviving doc") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val capped = Coverage.sourceCap(docs, cap = 10).collect()
