@@ -80,6 +80,19 @@ class PlanContractSpec extends SparkSpec {
       s"semantic decontamination lost its broadcast bench side:\n$sdPlan")
   }
 
+  test("bucketed fact-fact join pays no exchange and no sort on either input") {
+    // q_bucketed_join_revenue's point: both sides were bucketed AND
+    // sorted by the join key at write time, so the only shuffle in the
+    // whole plan is the 5-row priority rollup's — neither join key may
+    // appear as an exchange, and the merge join's inputs need no Sort.
+    val bj = SparkEntry.queries("q_bucketed_join_revenue")(spark, sf)
+    val plan = bj.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"bucketed join lost its SMJ pin:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join input shuffles:\n$plan")
+  }
+
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
     // mm_frame_sample fans out on metadata only — its scan must not
     // read the documents text column (ReadSchema pruned to doc_id).
