@@ -232,6 +232,32 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("grouped split co-assigns every edge's endpoints for arbitrary pair graphs") =
+    sparkProp(eventsGen) { rows =>
+      import spark.implicits._
+      // arbitrary doc universe + arbitrary pair graph over it (modular
+      // edges produce chains, cliques, self-contained components, and
+      // isolated docs depending on the draw)
+      val ids = rows.map(_._1 % 101).distinct
+      val docs = ids.map(i => (i, s"t$i", "en", "s", 2L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val edges = rows.collect {
+        case (id, sec) if ids.length > 1 =>
+          val a = ids(math.floorMod(id, ids.length).toInt)
+          val b = ids(math.floorMod(sec, ids.length).toInt)
+          if (a < b) (a, b, 1.0) else (b, a, 1.0)
+      }.filter { case (a, b, _) => a != b }.distinct
+      val pairs = edges.toDF("doc_a", "doc_b", "jaccard")
+      val out = graft.ops.Coverage.splitAssignGrouped(docs, pairs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      // every doc assigned exactly once; every edge co-assigned; every
+      // cluster internally consistent
+      out.size == ids.length &&
+        edges.forall { case (a, b, _) =>
+          out(a)._2 == out(b)._2 && out(a)._1 == out(b)._1 } &&
+        out.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1)
+    }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._
