@@ -294,10 +294,7 @@ object Bench {
               .join(spark.table(o).filter(col("o_orderkey") < 2048),
                 col("l_orderkey") === col("o_orderkey"))
               .groupBy("o_orderpriority")
-              .agg(org.apache.spark.sql.functions.sum(
-                col("l_extendedprice").cast("decimal(18,2)") *
-                  (org.apache.spark.sql.functions.lit(1) -
-                    col("l_discount").cast("decimal(18,2)"))).as("r")) }),
+              .agg(Sinks.revenueAgg.as("r")) }),
         ("fmt_store", wants("k8", "k9", "k10"),
           () => { Sinks.k8JsonParse.fn(spark, sfDir); Sinks.k9OrcRoundtrip.fn(spark, sfDir)
             Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),

@@ -560,12 +560,19 @@ object Coverage {
       documents: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       testFrac: Double = 0.05,
-      valFrac: Double = 0.05): org.apache.spark.sql.DataFrame = {
+      valFrac: Double = 0.05,
+      maxIter: Int = 20): org.apache.spark.sql.DataFrame = {
     require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac <= 1,
       s"fractions must be non-negative and sum to <= 1 (got test=$testFrac val=$valFrac)")
+    // maxIter is exposed because the no-straddling guarantee RIDES on
+    // convergence: a component whose diameter exceeds the propagation
+    // rounds gets truncated labels, and two docs of one family could
+    // land on different sides — nearDupClusters warns loudly on
+    // truncation; callers with long-chain graphs (incremental
+    // paraphrase drift) must raise this, not ignore that warning
     val h = substring(md5(col("cluster").cast("string")), 1, 8)
     documents.select(col("doc_id"))
-      .join(graft.ops.Dedup.nearDupClusters(pairs), Seq("doc_id"), "left")
+      .join(graft.ops.Dedup.nearDupClusters(pairs, maxIter), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .select(col("doc_id"), col("cluster"),
         when(h < lit(splitThresholdHex(testFrac)), "test")

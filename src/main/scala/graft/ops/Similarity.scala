@@ -532,8 +532,16 @@ object Similarity {
     * exactly the leakage the shingle gates cannot see. Drop every
     * train vector whose cosine against ANY benchmark vector reaches
     * `threshold`; survivors carry their max benchmark cosine so the
-    * caller can audit how close the kept tail sits to the suite
-    * (NULL when the benchmark is empty — loud, not silently clean).
+    * caller can audit how close the kept tail sits to the suite. A
+    * NULL audit column means the row could not be compared — empty
+    * benchmark, or a degenerate (zero-norm / NULL) embedding on either
+    * side of every pairing (guarded like [[cosine]]'s zero-norm-NULL
+    * contract rather than dividing: ANSI mode would otherwise throw on
+    * the first corrupt vector). Degenerate TRAIN vectors therefore
+    * survive with a NULL audit — semantic comparison is undefined for
+    * them, and the lexical gates (Dedup.decontaminate*) remain
+    * responsible; dropping them silently here would hide data-quality
+    * problems behind a leakage gate.
     *
     * Scale shape: the benchmark side is small by nature (a few thousand
     * suite items) and rides BROADCAST into a nested-loop over the
@@ -558,7 +566,8 @@ object Similarity {
     val train = e.filter(!col("is_bench"))
     val maxCos = train.crossJoin(broadcast(bench))
       .select(col("vec_id"),
-        round(dot("embedding", "be") / (col("nrm") * col("bn")), 6).as("cs"))
+        when(col("nrm") > 0 && col("bn") > 0,
+          round(dot("embedding", "be") / (col("nrm") * col("bn")), 6)).as("cs"))
       .groupBy("vec_id").agg(max(col("cs")).as("max_bench_cos"))
     train.select(col("vec_id"), col("label"))
       .join(maxCos, Seq("vec_id"), "left")
@@ -579,7 +588,9 @@ object Similarity {
        |  SELECT embedding FROM embeddings WHERE vec_id % 37 = 0),
        |m AS (
        |  SELECT t.vec_id,
-       |         max(round(${duckCosine("t.embedding", "b.embedding")}, 6)) AS max_bench_cos
+       |         max(CASE WHEN sqrt(${duckDot("t.embedding", "t.embedding")}) > 0
+       |                   AND sqrt(${duckDot("b.embedding", "b.embedding")}) > 0
+       |              THEN round(${duckCosine("t.embedding", "b.embedding")}, 6) END) AS max_bench_cos
        |  FROM embeddings t CROSS JOIN bench b
        |  WHERE t.vec_id % 37 <> 0
        |  GROUP BY t.vec_id)

@@ -427,12 +427,22 @@ object Stateful {
       extends StatefulProcessor[Long, Event, FunnelStage] {
     @transient private var committed: ValueState[FunnelState] = _
     @transient private var pending: ListState[PendingEv] = _
+    // the currently-armed timer's timestamp, so re-arming DELETES the
+    // superseded timer instead of accumulating one per (key, batch) —
+    // the single-slot discipline setTimeoutTimestamp gives the
+    // flatMapGroupsWithState form for free, made explicit here (a
+    // steady trickle of future-timestamped events would otherwise grow
+    // the timer store without bound and fire a redundant no-op emit
+    // per stale timer)
+    @transient private var armed: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       committed = getHandle.getValueState(
         "committed", org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
       pending = getHandle.getListState(
         "pending", org.apache.spark.sql.Encoders.product[PendingEv], TTLConfig.NONE)
+      armed = getHandle.getValueState(
+        "armed", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     }
 
     private def commitAndEmit(
@@ -445,9 +455,18 @@ object Stateful {
       }
       committed.update(machine)
       pending.clear()
+      val prevArmed = if (armed.exists()) armed.get() else -1L
       if (hold.nonEmpty) {
         pending.put(hold.toArray)
-        getHandle.registerTimer(math.max(hold.map(_.ts_us).min / 1000L, wmMs + 1))
+        val next = math.max(hold.map(_.ts_us).min / 1000L, wmMs + 1)
+        if (prevArmed != next) {
+          if (prevArmed > wmMs) getHandle.deleteTimer(prevArmed)
+          getHandle.registerTimer(next)
+          armed.update(next)
+        }
+      } else if (prevArmed >= 0) {
+        if (prevArmed > wmMs) getHandle.deleteTimer(prevArmed)
+        armed.clear()
       }
       Iterator.single(FunnelStage(uid, stageOf(machine)))
     }

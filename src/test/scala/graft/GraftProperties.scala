@@ -248,7 +248,9 @@ object GraftProperties extends Properties("graft") {
           if (a < b) (a, b, 1.0) else (b, a, 1.0)
       }.filter { case (a, b, _) => a != b }.distinct
       val pairs = edges.toDF("doc_a", "doc_b", "jaccard")
-      val out = graft.ops.Coverage.splitAssignGrouped(docs, pairs).collect()
+      // maxIter raised: the guarantee under test assumes convergence,
+      // and a drawn chain's diameter may exceed the default 20 rounds
+      val out = graft.ops.Coverage.splitAssignGrouped(docs, pairs, maxIter = 128).collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
       // every doc assigned exactly once; every edge co-assigned; every
       // cluster internally consistent

@@ -80,11 +80,17 @@ class PlanContractSpec extends SparkSpec {
       s"semantic decontamination lost its broadcast bench side:\n$sdPlan")
   }
 
-  test("bucketed fact-fact join pays no exchange and no sort on either input") {
-    // q_bucketed_join_revenue's point: both sides were bucketed AND
-    // sorted by the join key at write time, so the only shuffle in the
-    // whole plan is the 5-row priority rollup's — neither join key may
-    // appear as an exchange, and the merge join's inputs need no Sort.
+  test("bucketed fact-fact join pays no exchange on either input") {
+    // q_bucketed_join_revenue's point: both sides were bucketed by the
+    // join key at write time, so the only shuffle in the whole plan is
+    // the 5-row priority rollup's — neither join key may appear as an
+    // exchange. A per-partition Sort DOES remain on each input and is
+    // accepted: Spark 3+ ignores sortBy metadata at scan time (the
+    // pre-3.0 behavior hides behind
+    // spark.sql.legacy.bucketedTableScan.outputOrdering, not a flag a
+    // library should set globally), and sorting writeBucketed's
+    // already-sorted single-file buckets is a merge-ready O(n) pass —
+    // the eliminated EXCHANGE is the 100 TB cost, not the sort.
     val bj = SparkEntry.queries("q_bucketed_join_revenue")(spark, sf)
     val plan = bj.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"bucketed join lost its SMJ pin:\n$plan")

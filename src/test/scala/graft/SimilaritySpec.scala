@@ -171,6 +171,22 @@ class SimilaritySpec extends SparkSpec {
     // empty benchmark: everyone survives with a NULL audit column
     val none = Similarity.semanticDecontaminate(emb, lit(false), threshold = 0.9).collect()
     assert(none.length == emb.count() && none.forall(_.isNullAt(2)))
+    // degenerate vectors: a zero-norm train embedding must neither
+    // throw (ANSI divide-by-zero) nor be silently dropped — it
+    // survives with the NULL cannot-compare audit the scaladoc
+    // documents, and a zero-norm BENCHMARK vector contributes no
+    // comparisons without poisoning anyone else's max
+    val zeros = Array.fill(bench0.length)(0.0f)
+    val degen = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(Seq(
+        (9003L, 8, zeros), (9250L, 8, zeros)).toDF("vec_id", "label", "embedding"))
+    val dOut = Similarity.semanticDecontaminate(
+      degen, col("vec_id") % 37 === 0, threshold = 0.9) // 9250 % 37 == 0: bench side
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(dOut.contains(9003L) && dOut(9003L).isEmpty,
+      "zero-norm train vector should survive with a NULL audit")
+    assert(dOut.filterNot(_._1 == 9003L).forall(_._2.nonEmpty),
+      "zero-norm benchmark vector poisoned other rows' max")
   }
 
   test("embedding dim stats: exact hand-computed moments per dimension") {
