@@ -182,26 +182,57 @@ object Bench {
     // bounded to 8 extra names per run. Missing/unparseable file → empty
     // reference, policy degrades to slowest-N plus the starvation
     // signature below.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_clean.json")
+    //
+    // Resolution is anchored, not CWD-relative: the r12 official run
+    // proved a relative "bench_clean.json" silently degrades to an empty
+    // reference when the driver launches from outside the repo root
+    // (zero ref2x tags, a `starved` tag on a query that has a committed
+    // reference). Walk up from both the CWD and this class's compiled
+    // location (target/scala-2.13/classes/... → repo root) until the
+    // file is found; SPARK_GRAFT_BENCH_REF still overrides.
+    val refPath: String = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse {
+      val fromClass =
+        try Option(getClass.getProtectionDomain.getCodeSource)
+          .flatMap(cs => Option(cs.getLocation))
+          .filter(_.getProtocol == "file")
+          .map(u => Paths.get(u.toURI))
+        catch { case _: Throwable => None }
+      val starts = Paths.get("").toAbsolutePath +: fromClass.toSeq
+      starts.iterator
+        .flatMap(s => Iterator.iterate(s)(_.getParent).takeWhile(_ != null).take(8))
+        .map(_.resolve("bench_clean.json"))
+        .find(Files.isReadable).map(_.toString)
+        .getOrElse("bench_clean.json")
+    }
     val refTimes: Map[String, Double] = {
       try {
+        // whitespace-tolerant: the committed file may have been
+        // round-tripped through a pretty-printer ("queries": { with
+        // spaces) — the r12 reference was empty for exactly this
+        // reason even when the path resolved
         val txt = Files.readString(Paths.get(refPath))
-        val start = txt.indexOf("\"queries\":{")
-        if (start < 0) Map.empty
-        else {
-          val body = txt.substring(start + "\"queries\":{".length)
-          val entry = """"([A-Za-z0-9_]+)":(-?[0-9][-0-9.eE+]*)[,}]""".r
-          // the queries object ends at the first unmatched '}'; since
-          // values are bare numbers there is no nesting inside it
-          val end = body.indexOf('}')
-          if (end < 0) Map.empty
-          else entry.findAllMatchIn(body.substring(0, end + 1))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val head = """"queries"\s*:\s*\{""".r
+        head.findFirstMatchIn(txt) match {
+          case None => Map.empty[String, Double]
+          case Some(h) =>
+            val body = txt.substring(h.end)
+            val entry = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][-0-9.eE+]*)\s*[,}]""".r
+            // the queries object ends at the first unmatched '}'; since
+            // values are bare numbers there is no nesting inside it
+            val end = body.indexOf('}')
+            if (end < 0) Map.empty[String, Double]
+            else entry.findAllMatchIn(body.substring(0, end + 1))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty[String, Double] }
     }
     if (refTimes.nonEmpty)
       System.err.println(s"[bench] retry reference: ${refTimes.size} queries from $refPath")
+    else
+      System.err.println(
+        s"[bench] WARNING: clean-run reference EMPTY (looked for $refPath) — " +
+          "the ref2x >2x-clean retry trigger is INERT this run; only slowest-N " +
+          "and starvation-signature retries will fire")
     // Family warmups, gated on what is actually selected — a named
     // sub-second dev run must not pay tens of seconds of irrelevant
     // JIT/store work (full-suite driver runs trigger all of them).
@@ -491,6 +522,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$totalGcMs,""" +
         s""""cleanup_ms":$totalCleanupMs,"cpu_ms":$totalCpuMs,""" +
         s""""env":"$envName","cpus":$cpus,""" +
+        s""""ref_n":${refTimes.size},"ref_path":"${refPath.replace("\"", "")}",""" +
         s""""queries":$qs$om$retriedJson$profile,"sf":"$sfDir"}"""
     }
     // Per-query GC time / count, heap occupancy before/after, process

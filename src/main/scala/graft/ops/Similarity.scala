@@ -559,8 +559,13 @@ object Similarity {
       benchPred: Column,
       threshold: Double = 0.9): DataFrame = {
     require(threshold > 0, s"threshold must be positive (got $threshold)")
+    // NULL-predicate rows count as train, not silently dropped: a bare
+    // filter(is_bench)/filter(!is_bench) pair excludes NULL from BOTH
+    // sides, so a caller passing a nullable predicate would lose those
+    // train vectors from the output entirely with no warning
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
-      sqrt(dot("embedding", "embedding")).as("nrm"), benchPred.as("is_bench"))
+      sqrt(dot("embedding", "embedding")).as("nrm"),
+      coalesce(benchPred, lit(false)).as("is_bench"))
     val bench = e.filter(col("is_bench"))
       .select(col("embedding").as("be"), col("nrm").as("bn"))
     val train = e.filter(!col("is_bench"))

@@ -251,15 +251,29 @@ object Sinks {
     * the session (tables live in a session catalog; a fresh session
     * must rebuild) — same keyed-thunk shape as [[roundTripDir]].
     */
+  // weak-keyed on the SparkSession itself, NOT identityHashCode: a hash
+  // key never evicts entries for stopped sessions (leak in long-lived
+  // JVMs) and a GC'd session's identity hash can be REUSED by a new
+  // SparkSession, serving cached table names that don't exist in the
+  // new session's in-memory catalog. WeakHashMap drops the entry with
+  // the session; distinct live sessions can never collide.
   private val bucketedPairs =
-    new java.util.concurrent.ConcurrentHashMap[String, () => (String, String)]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, () => (String, String)]]()
 
   def bucketedJoinTables(
       spark: org.apache.spark.sql.SparkSession, sfDir: String): (String, String) = {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val key = s"${System.identityHashCode(spark)}-$digest"
-    val holder = bucketedPairs.computeIfAbsent(key, _ => {
+    val perSession = bucketedPairs.synchronized {
+      var m = bucketedPairs.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, () => (String, String)]()
+        bucketedPairs.put(spark, m)
+      }
+      m
+    }
+    val holder = perSession.computeIfAbsent(digest, _ => {
       lazy val pair: (String, String) = {
         val o = s"orders_bkt_$digest"
         val l = s"lineitem_bkt_$digest"

@@ -386,7 +386,14 @@ object Stateful {
             val k = funnelKind(e.event_type)
             if (k == 0) None else Some(PendingEv(k, microsOf(e.ts), e.event_id))
           }.toSeq
-          val (commit, hold) = (st.pending ++ incoming).partition(_.ts_us <= wmUs)
+          // strictly below the watermark: Spark's late-row filter still
+          // ADMITS rows with event time exactly equal to the watermark,
+          // so committing a ts_us == wmUs event here would let an
+          // equal-timestamp, lower-event_id row arriving next batch be
+          // applied AFTER it — breaking the (ts, event_id) ordering
+          // guarantee at the boundary. Boundary events hold one more
+          // batch; the wm+1 timer re-arm below guarantees they finalize.
+          val (commit, hold) = (st.pending ++ incoming).partition(_.ts_us < wmUs)
           var machine = FunnelState(st.s1_us, st.s2_us, st.s3_us)
           commit.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
             machine = advanceFunnel(machine, p.kind, p.ts_us, clickDl, purchDl)
@@ -448,7 +455,12 @@ object Stateful {
     private def commitAndEmit(
         uid: Long, incoming: Seq[PendingEv], wmMs: Long): Iterator[FunnelStage] = {
       val wmUs = wmMs * 1000L
-      val (commit, hold) = (pending.get().toSeq ++ incoming).partition(_.ts_us <= wmUs)
+      // strictly below the watermark — same boundary discipline as the
+      // flatMapGroupsWithState form (see funnelStreamWatermarked):
+      // Spark still admits rows AT the watermark, so a ts_us == wmUs
+      // event must hold one more batch or an equal-timestamp
+      // lower-event_id late arrival would be applied out of order
+      val (commit, hold) = (pending.get().toSeq ++ incoming).partition(_.ts_us < wmUs)
       var machine = Option(committed.get()).getOrElse(FunnelState(-1L, -1L, -1L))
       commit.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
         machine = advanceFunnel(machine, p.kind, p.ts_us, clickDl, purchDl)

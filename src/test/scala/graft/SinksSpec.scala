@@ -40,6 +40,45 @@ class SinksSpec extends SparkSpec {
       """{"orderid":1001,"customerid":42,"city":"Paris","numunit":2,"totalprice":187.5}""")
   }
 
+  test("k8_envelope_build formatting-equivalence preconditions hold on the fixture") {
+    // The k8_envelope_build oracle pins exact wire bytes by assuming
+    // DuckDB's double->VARCHAR cast equals Jackson's Double.toString.
+    // That was verified empirically, and holds only while (a) every
+    // o_totalprice renders WITHOUT exponent notation (both engines
+    // agree on plain shortest decimal in [1e-3, 1e7) but spell
+    // scientific notation differently), and (b) no string field
+    // contains JSON-escapable characters (Jackson would escape them,
+    // the oracle's string concatenation would not). Assert both on the
+    // live fixture AND re-derive the envelope with the oracle's exact
+    // recipe (Double.toString concatenation) against Spark's to_json
+    // output, so a future fixture change or Jackson divergence fails
+    // HERE with an attributable message; a spec-green oracle
+    // hash-mismatch then isolates to the DuckDB side.
+    val built = Sinks.k8EnvelopeBuild.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rows = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double"), col("o_orderpriority"))
+      .collect()
+    assert(rows.nonEmpty && built.size == rows.length)
+    rows.foreach { r =>
+      val (key, ck, st, price, pr) =
+        (r.getLong(0).toString, r.getLong(1), r.getString(2), r.getDouble(3), r.getString(4))
+      val ps = java.lang.Double.toString(price)
+      assert(!ps.contains("E") && price >= 1e-3 && price < 1e7,
+        s"o_totalprice $price renders as '$ps' — outside the plain-decimal range where " +
+          "Double.toString and DuckDB's VARCHAR cast provably agree; re-verify the oracle")
+      Seq(st, pr).foreach { v =>
+        assert(v.forall(c => c >= 0x20 && c != '"' && c != '\\'),
+          s"string field '$v' contains a JSON-escapable char — oracle concatenation diverges")
+      }
+      val expected =
+        s"""{"o_custkey":$ck,"o_orderstatus":"$st","o_totalprice":$ps,"o_orderpriority":"$pr"}"""
+      assert(built(key) == expected,
+        s"Jackson envelope for key $key diverges from the oracle recipe:\n ${built(key)}\n $expected")
+    }
+  }
+
   test("to_json/from_json round-trip is lossless (K8 query body)") {
     val out = Sinks.k8JsonParse.fn(spark, "/root/testdata/sf0.001")
     val orig = Tables.orders(spark, "/root/testdata/sf0.001")
