@@ -413,5 +413,336 @@ object Curation {
     (s, d) => curateCanonical(Rebalance.scanWide(Tables.documents(s, d), col("doc_id")))
       .orderBy("keep_doc_id"))
 
-  val all: Seq[QueryDef] = Seq(curateQuery, curateCanonicalQuery)
+  // ------------------------------------------------------ rejection audit
+
+  /** Stage table for the per-document rejection-provenance audit.
+    * Pipeline order IS attribution order: a doc that would fail several
+    * gates is charged to the FIRST stage that drops it, so every dropped
+    * doc appears exactly once in the ledger and the funnel's stage
+    * populations telescope exactly.
+    */
+  val auditStages: Seq[(Long, String)] = Seq(
+    1L -> "clean_empty", 2L -> "token_floor", 3L -> "lang_gate",
+    4L -> "quality_gate", 5L -> "exact_dup", 6L -> "near_dup",
+    7L -> "decontaminated")
+
+  /** Per-doc scored frame with the first-failing-gate attribution column
+    * (`gate_stage`, NULL = admitted). The audit necessarily runs the
+    * PER-DOC scoring shape — each raw doc needs its own verdict, so the
+    * dedup-first aggregate trick ([[scoredDistinct]]) can't apply here.
+    * The [[gateScored]] plan hazard doesn't bite because there is no
+    * gate FILTER to push: attribution is a projection (CASE), and the
+    * caller persists this frame before filtering on `gate_stage`, which
+    * makes the InMemoryRelation a substitution barrier for the
+    * downstream stage filters.
+    *
+    * `t IS NULL` routes to clean_empty FIRST: a NULL raw text yields
+    * NULL scores, which would sail through every later `<` comparison
+    * as not-true and mis-classify the doc as admitted.
+    */
+  private def auditScored(
+      documents: DataFrame,
+      minTokens: Long,
+      minQuality: Double): DataFrame = {
+    val ltoks = col("graft_ltoks")
+    documents
+      .select(col("doc_id"), cleaned(col("text")).as("t"))
+      .withColumn("graft_ltoks", split(lower(col("t")), "\\s+"))
+      .withColumn("n_tokens", nToksOf(ltoks))
+      .withColumn("quality", qualityOf(col("t"), ltoks))
+      .withColumn("pred_lang", predLangOf(col("t"), ltoks))
+      .withColumn("gate_stage",
+        when(col("t").isNull || length(col("t")) < 1, "clean_empty")
+          .when(col("n_tokens") < minTokens, "token_floor")
+          .when(col("pred_lang") =!= "en", "lang_gate")
+          .when(col("quality") < minQuality, "quality_gate"))
+      .drop("graft_ltoks")
+  }
+
+  /** The drop ledger — (doc_id, stage_idx, stage, reason) for every raw
+    * doc the curation pipeline rejects, attributed to the first dropping
+    * stage ("where did my 40% go?"). Stages, in pipeline order:
+    *
+    *   1 clean_empty    cleaning left no text
+    *   2 token_floor    n_tokens < minTokens      (reason carries the count)
+    *   3 lang_gate      predicted language != en  (reason carries the tag)
+    *   4 quality_gate   quality < minQuality      (reason carries basis points)
+    *   5 exact_dup      another doc owns this cleaned text (reason: its id)
+    *   6 near_dup       collapsed into a Jaccard cluster   (reason: canonical id)
+    *   7 decontaminated shares >= 5 shingles with a benchmark doc (reason: its id)
+    *
+    * Reasons embed only integers and language tags — never a raw double
+    * — so the rendering is engine-stable for the DuckDB oracle (quality
+    * is reported in basis points: floor(q*10000+0.5), exact in both
+    * engines because quality is already r4-rounded).
+    *
+    * Every doc the pipeline admits appears in NO row; ledger size +
+    * final survivor count = input count (asserted in CurationSpec).
+    *
+    * Scale shape: one corpus scan scores per-doc (cached MEMORY_AND_DISK_SER
+    * — the same persist-contract as [[curatedFrame]]; the harness
+    * barrier frees it), then each removal stage reuses its verified
+    * operator: windowed min over content-hash groups (group-sized
+    * partitions), [[Dedup.prefixBlockedJaccard]] capped blocks,
+    * [[Dedup.nearDupClusters]] min-label propagation, and
+    * [[Dedup.contaminatedPairs]]'s inverted-index join whose corpus side
+    * is already down to canonical survivors. Nothing here is all-pairs;
+    * the only corpus-sized exchange is the content-hash window.
+    */
+  def auditLedger(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = defaultJaccardThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = auditScored(documents, minTokens, minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    scored.count() // eager populate — three downstream readers (see curateCanonical)
+    val gateDrops = scored.filter(col("gate_stage").isNotNull)
+      .select(
+        col("doc_id"),
+        when(col("gate_stage") === "clean_empty", 1L)
+          .when(col("gate_stage") === "token_floor", 2L)
+          .when(col("gate_stage") === "lang_gate", 3L)
+          .otherwise(4L).as("stage_idx"),
+        col("gate_stage").as("stage"),
+        when(col("gate_stage") === "clean_empty", lit("cleaned_text_empty"))
+          .when(col("gate_stage") === "token_floor",
+            concat(lit("n_tokens="), col("n_tokens")))
+          .when(col("gate_stage") === "lang_gate",
+            concat(lit("pred_lang="), col("pred_lang")))
+          .otherwise(concat(lit("quality_bp="),
+            floor(col("quality") * 10000 + 0.5).cast("long"))).as("reason"))
+    val keeps = scored.filter(col("gate_stage").isNull)
+      .withColumn("content_hash", sha2(col("t"), 256))
+      .withColumn("keep_doc_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+    val exactDrops = keeps.filter(col("doc_id") =!= col("keep_doc_id"))
+      .select(col("doc_id"), lit(5L).as("stage_idx"), lit("exact_dup").as("stage"),
+        concat(lit("duplicate_of="), col("keep_doc_id")).as("reason"))
+    val asDocs = keeps.filter(col("doc_id") === col("keep_doc_id"))
+      .select(col("doc_id"), col("t").as("text"))
+    val pairs = Dedup.prefixBlockedJaccard(asDocs)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val nearDropped = Dedup.nearDupClusters(pairs)
+      .filter(col("cluster") =!= col("doc_id"))
+    val nearDrops = nearDropped
+      .select(col("doc_id"), lit(6L).as("stage_idx"), lit("near_dup").as("stage"),
+        concat(lit("near_dup_of="), col("cluster")).as("reason"))
+    val canonical = asDocs.join(
+      nearDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+    // decontaminate what would actually ship: the CLEANED canonical text
+    // against the CLEANED benchmark (the oracle shingles the same CTE)
+    val deconDrops = Dedup.contaminatedPairs(
+      canonical,
+      benchmark.select(col("doc_id"), cleaned(col("text")).as("text")))
+      .groupBy("train_doc").agg(min(col("bench_doc")).as("bench_doc"))
+      .select(col("train_doc").as("doc_id"), lit(7L).as("stage_idx"),
+        lit("decontaminated").as("stage"),
+        concat(lit("contaminated_by="), col("bench_doc")).as("reason"))
+    gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops)
+  }
+
+  /** Per-stage yield funnel over the same ledger: how many docs entered
+    * each stage, how many it dropped, how many it passed on — the
+    * operator's first question answered in seven rows. All stages are
+    * listed even when they dropped nothing. The 7-row window (global
+    * cumulative sum) is driver-trivial by construction.
+    */
+  def auditFunnel(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = defaultJaccardThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val drops = auditLedger(documents, benchmark, minTokens, minQuality, jaccardThreshold)
+      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_dropped"))
+    val stages = auditStages.toDF("stage_idx", "stage")
+    val totals = documents.agg(count(lit(1)).as("n_total"))
+    stages.join(drops, Seq("stage_idx", "stage"), "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum", sum(col("n_dropped")).over(
+        Window.orderBy("stage_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage_idx"), col("stage"),
+        (col("n_total") - col("cum") + col("n_dropped")).as("n_in"),
+        col("n_dropped"),
+        (col("n_total") - col("cum")).as("n_out"))
+      .orderBy("stage_idx")
+  }
+
+  /** The ledger CTE chain shared by both audit oracles — per-doc scoring
+    * (the exact spellings of [[curatedCte]]'s scored/tagged, over the
+    * doc_id % 10 != 0 train split), first-failing-gate attribution,
+    * windowed exact-dup keeps, the recursive-CTE near-dup closure of
+    * [[curateCanonicalQuery]] over the distinct survivors, and the
+    * shingle decontamination join of dedup_decontaminate — on CLEANED
+    * text on both sides — against the doc_id % 10 = 0 benchmark split.
+    */
+  private lazy val auditLedgerCte: String = {
+    val stopRatioD = s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(TextAnalysis.enStops)})) AS DOUBLE) / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE)"
+    val qualityDuck = TextAnalysis.r4duck(
+      s"""least(CAST(length(t) AS DOUBLE) / 500.0, 1.0) * 0.25
+         |      + least($stopRatioD * 5.0, 1.0) * 0.35
+         |      + CAST(len(list_distinct(string_split_regex(lower(t), '\\s+'))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(t, '\\s+')) AS DOUBLE) * 0.2
+         |      + (1.0 - least(CAST(len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |                     / CAST(length(t) AS DOUBLE) * 10.0, 1.0)) * 0.2""".stripMargin)
+    val hitsDuck = TextAnalysis.stops.map { case (l, ws) =>
+      s"CAST(len(list_filter(string_split_regex(lower(t), '\\s+'), w -> w IN ${TextAnalysis.inList(ws)})) AS BIGINT) AS ${l}_hits"
+    }.mkString(",\n       ")
+    s"""cleaned AS (
+       |  SELECT doc_id, $cleanedDuck AS t FROM documents WHERE doc_id % 10 != 0),
+       |bench_cleaned AS (
+       |  SELECT doc_id, $cleanedDuck AS t FROM documents WHERE doc_id % 10 = 0),
+       |scored AS (
+       |  SELECT doc_id, t,
+       |       CAST(len(string_split_regex(t, '\\s+')) AS BIGINT) AS n_tokens,
+       |       $qualityDuck AS quality,
+       |       $hitsDuck,
+       |       CAST(len(regexp_extract_all(t, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) AS cjk
+       |  FROM cleaned),
+       |tagged AS (
+       |  SELECT *,
+       |       CASE WHEN cjk * 10.0 >= CAST(length(t) AS DOUBLE) * 3.0 THEN 'zh'
+       |            WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+       |            WHEN en_hits >= greatest(es_hits, fr_hits, de_hits) THEN 'en'
+       |            WHEN es_hits >= greatest(fr_hits, de_hits) THEN 'es'
+       |            WHEN fr_hits >= de_hits THEN 'fr'
+       |            ELSE 'de' END AS pred_lang
+       |  FROM scored),
+       |gated AS (
+       |  SELECT *,
+       |       CASE WHEN t IS NULL OR length(t) < 1 THEN 'clean_empty'
+       |            WHEN n_tokens < 10 THEN 'token_floor'
+       |            WHEN pred_lang != 'en' THEN 'lang_gate'
+       |            WHEN quality < 0.55 THEN 'quality_gate' END AS gate_stage
+       |  FROM tagged),
+       |keeps AS (
+       |  SELECT doc_id, t,
+       |         min(doc_id) OVER (PARTITION BY sha256(t)) AS keep_doc_id
+       |  FROM gated WHERE gate_stage IS NULL),
+       |distincts AS (SELECT doc_id, t FROM keeps WHERE doc_id = keep_doc_id),
+       |keyed AS (
+       |  SELECT doc_id, substr(t, 1, 50) AS block_key,
+       |         list_distinct(string_split_regex(lower(t), '\\s+')) AS words,
+       |         count(*) OVER (PARTITION BY substr(t, 1, 50)) AS block_n
+       |  FROM distincts),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+       |  WHERE a.block_n <= 64 AND b.block_n <= 64
+       |    AND floor(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(a.words, b.words))) AS DOUBLE) * 10000 + 0.5) / 10000 >= $defaultJaccardThreshold),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster
+       |  FROM reach GROUP BY src),
+       |near_dropped AS (SELECT doc_id, cluster FROM labels WHERE cluster != doc_id),
+       |canonical AS (
+       |  SELECT d.doc_id, d.t FROM distincts d
+       |  LEFT JOIN near_dropped n ON d.doc_id = n.doc_id
+       |  WHERE n.doc_id IS NULL),
+       |sh_train AS (
+       |  SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+       |                                       FOR i IN range(1, len(l) - 1)])) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(lower(t), '\\s+') AS l
+       |        FROM canonical WHERE t IS NOT NULL) x
+       |  WHERE len(l) >= 3),
+       |sh_bench AS (
+       |  SELECT doc_id, unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+       |                                       FOR i IN range(1, len(l) - 1)])) AS shingle
+       |  FROM (SELECT doc_id, string_split_regex(lower(t), '\\s+') AS l
+       |        FROM bench_cleaned WHERE t IS NOT NULL) x
+       |  WHERE len(l) >= 3),
+       |bkept AS (
+       |  SELECT bench_doc, shingle FROM (
+       |    SELECT doc_id AS bench_doc, shingle,
+       |           count(*) OVER (PARTITION BY shingle) AS bench_df
+       |    FROM sh_bench)
+       |  WHERE bench_df <= 16),
+       |contaminated AS (
+       |  SELECT train_doc, min(bench_doc) AS bench_doc FROM (
+       |    SELECT t.doc_id AS train_doc, b.bench_doc
+       |    FROM sh_train t JOIN bkept b USING (shingle)
+       |    GROUP BY 1, 2 HAVING count(*) >= 5)
+       |  GROUP BY train_doc),
+       |ledger AS (
+       |  SELECT doc_id,
+       |         CASE gate_stage WHEN 'clean_empty' THEN 1 WHEN 'token_floor' THEN 2
+       |              WHEN 'lang_gate' THEN 3 ELSE 4 END::BIGINT AS stage_idx,
+       |         gate_stage AS stage,
+       |         CASE gate_stage
+       |              WHEN 'clean_empty' THEN 'cleaned_text_empty'
+       |              WHEN 'token_floor' THEN 'n_tokens=' || n_tokens
+       |              WHEN 'lang_gate' THEN 'pred_lang=' || pred_lang
+       |              ELSE 'quality_bp=' || CAST(floor(quality * 10000 + 0.5) AS BIGINT) END AS reason
+       |  FROM gated WHERE gate_stage IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 5::BIGINT, 'exact_dup', 'duplicate_of=' || keep_doc_id
+       |  FROM keeps WHERE doc_id != keep_doc_id
+       |  UNION ALL
+       |  SELECT doc_id, 6::BIGINT, 'near_dup', 'near_dup_of=' || cluster
+       |  FROM near_dropped
+       |  UNION ALL
+       |  SELECT train_doc, 7::BIGINT, 'decontaminated', 'contaminated_by=' || bench_doc
+       |  FROM contaminated)""".stripMargin
+  }
+
+  /** Fixture split mirrors dedup_decontaminate: every 10th doc is the
+    * held-out "benchmark", the rest are the corpus under curation.
+    */
+  val auditQuery: QueryDef = QueryDef(
+    "pipeline_curate_audit",
+    s"""WITH RECURSIVE $auditLedgerCte
+       |SELECT doc_id, stage_idx, stage, reason FROM ledger
+       |ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val docs = Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
+      auditLedger(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+        .orderBy("doc_id")
+    })
+
+  val auditFunnelQuery: QueryDef = QueryDef(
+    "pipeline_curate_funnel",
+    s"""WITH RECURSIVE $auditLedgerCte,
+       |stages(stage_idx, stage) AS (VALUES
+       |  (1::BIGINT, 'clean_empty'), (2, 'token_floor'), (3, 'lang_gate'),
+       |  (4, 'quality_gate'), (5, 'exact_dup'), (6, 'near_dup'),
+       |  (7, 'decontaminated')),
+       |drops AS (
+       |  SELECT stage_idx, stage, count(*) AS n_dropped FROM ledger GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS n_total FROM documents WHERE doc_id % 10 != 0)
+       |SELECT s.stage_idx, s.stage,
+       |       CAST(n_total - (sum(coalesce(d.n_dropped, 0)) OVER (ORDER BY s.stage_idx)
+       |                       - coalesce(d.n_dropped, 0)) AS BIGINT) AS n_in,
+       |       coalesce(d.n_dropped, 0) AS n_dropped,
+       |       CAST(n_total - sum(coalesce(d.n_dropped, 0)) OVER (ORDER BY s.stage_idx)
+       |            AS BIGINT) AS n_out
+       |FROM stages s
+       |LEFT JOIN drops d ON s.stage_idx = d.stage_idx AND s.stage = d.stage
+       |CROSS JOIN tot
+       |ORDER BY s.stage_idx""".stripMargin)(
+    (s, d) => {
+      val docs = Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
+      auditFunnel(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    })
+
+  val all: Seq[QueryDef] =
+    Seq(curateQuery, curateCanonicalQuery, auditQuery, auditFunnelQuery)
 }

