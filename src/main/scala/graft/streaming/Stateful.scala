@@ -151,45 +151,129 @@ object Stateful {
     *    any further event for that key (state removed — at scale this is
     *    the guarantee that idle keys don't accumulate state forever).
     */
+  /** The sessionizer's SHARED transition function — one definition fed
+    * by both the flatMapGroupsWithState form and the transformWithState
+    * form ([[SessionProcessor]]), the same anti-drift recipe as the
+    * funnel's [[advanceFunnel]]: fold a batch's sorted event times into
+    * the open session, returning the new open state and every session
+    * the batch closed inline (a new event past the gap closes the old
+    * session and opens a fresh one).
+    */
+  private def advanceSession(
+      open0: Option[OpenSession],
+      times: Seq[Long],
+      gapMs: Long): (Option[OpenSession], Seq[OpenSession]) = {
+    var open = open0
+    val closed = Seq.newBuilder[OpenSession]
+    times.foreach { t =>
+      open match {
+        case Some(s) if t - s.last_ms <= gapMs =>
+          open = Some(s.copy(last_ms = math.max(s.last_ms, t), n_events = s.n_events + 1))
+        case Some(s) =>
+          closed += s
+          open = Some(OpenSession(t, t, 1))
+        case None =>
+          open = Some(OpenSession(t, t, 1))
+      }
+    }
+    (open, closed.result())
+  }
+
+  private def closedOf(uid: Long, s: OpenSession, gapMs: Long): ClosedSession =
+    ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms + gapMs), s.n_events)
+
   def sessionizeWithState(
       events: Dataset[Event],
       gapMinutes: Int = 30,
       watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    def close(uid: Long, s: OpenSession): ClosedSession =
-      ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms + gapMs), s.n_events)
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val closed = close(uid, state.get)
+            val closed = closedOf(uid, state.get, gapMs)
             state.remove()
             Iterator(closed)
           } else {
             val times = rows.map(_.ts.getTime).toSeq.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            times.foreach { t =>
-              open match {
-                case Some(s) if t - s.last_ms <= gapMs =>
-                  open = Some(s.copy(last_ms = math.max(s.last_ms, t), n_events = s.n_events + 1))
-                case Some(s) =>
-                  closed += close(uid, s)
-                  open = Some(OpenSession(t, t, 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
-            }
+            val (open, closedInline) = advanceSession(state.getOption, times, gapMs)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last_ms + gapMs)
             }
-            closed.result().iterator
+            closedInline.map(closedOf(uid, _, gapMs)).iterator
           }
       }
+  }
+
+  /** The sessionizer on Spark 4's `transformWithState` — same migration
+    * story as [[FunnelProcessor]]: named typed state, explicit
+    * event-time timers, RocksDB provider required. Semantics are
+    * IDENTICAL to [[sessionizeWithState]] by construction — both feed
+    * [[advanceSession]] with the batch's sorted times and close idle
+    * sessions once the watermark passes last_event + gap (the spec
+    * replays the same batches through both and asserts equal outputs).
+    * The armed-timer bookkeeping mirrors [[FunnelProcessor]]: re-arming
+    * DELETES the superseded timer, and a stale timer that fires anyway
+    * (its expiry no longer matches the open session's deadline) is a
+    * no-op instead of an early close.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState(
+        "open", org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+      armed = getHandle.getValueState(
+        "armed", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event], tv: TimerValues): Iterator[ClosedSession] = {
+      val times = rows.map(_.ts.getTime).toSeq.sorted
+      val (next, closedInline) = advanceSession(Option(open.get()), times, gapMs)
+      val prevArmed = if (armed.exists()) armed.get() else -1L
+      next.foreach { s =>
+        open.update(s)
+        val deadline = s.last_ms + gapMs
+        if (prevArmed != deadline) {
+          if (prevArmed > tv.getCurrentWatermarkInMs()) getHandle.deleteTimer(prevArmed)
+          getHandle.registerTimer(deadline)
+          armed.update(deadline)
+        }
+      }
+      closedInline.map(closedOf(uid, _, gapMs)).iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val cur = Option(open.get())
+      cur match {
+        case Some(s) if info.getExpiryTimeInMs() >= s.last_ms + gapMs =>
+          open.clear(); armed.clear()
+          Iterator.single(closedOf(uid, s, gapMs))
+        case _ => Iterator.empty // stale timer: the session was extended
+      }
+    }
+  }
+
+  def sessionizeWithStateTws(
+      events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** STREAMING sequence packing — the batch concat-then-chunk manifest
@@ -211,6 +295,33 @@ object Stateful {
     * same batches reproduces the same manifest, which StatefulSpec
     * pins).
     */
+  /** The packer's SHARED transition function — both the
+    * flatMapGroupsWithState form and [[PackProcessor]] feed it, so the
+    * two manifests can never drift: fold a batch's docs (sorted by
+    * doc_id) into the shard's open sequence, tiling each doc's tokens
+    * across sequence boundaries.
+    */
+  private def advancePack(
+      shard: Int,
+      st: PackState,
+      docs: Seq[PackInput],
+      seqTokens: Long): (PackState, Seq[PackSlice]) = {
+    var seq = st.next_seq
+    var fill = st.fill
+    val out = Seq.newBuilder[PackSlice]
+    docs.sortBy(_.doc_id).foreach { d =>
+      var remaining = d.text.split("\\s+", -1).length.toLong
+      var docOff = 0L
+      while (remaining > 0) {
+        val take = math.min(seqTokens - fill, remaining)
+        out += PackSlice(shard, d.doc_id, seq, docOff, fill, take)
+        docOff += take; fill += take; remaining -= take
+        if (fill == seqTokens) { seq += 1; fill = 0 }
+      }
+    }
+    (PackState(seq, fill), out.result())
+  }
+
   def packStream(
       docs: Dataset[PackInput],
       seqTokens: Long = 2048L,
@@ -222,23 +333,48 @@ object Stateful {
       .groupByKey(d => (d.doc_id % shards).toInt)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (shard: Int, rows: Iterator[PackInput], state: GroupState[PackState]) =>
-          val st = state.getOption.getOrElse(PackState(0L, 0L))
-          var seq = st.next_seq
-          var fill = st.fill
-          val out = Seq.newBuilder[PackSlice]
-          rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            var remaining = d.text.split("\\s+", -1).length.toLong
-            var docOff = 0L
-            while (remaining > 0) {
-              val take = math.min(seqTokens - fill, remaining)
-              out += PackSlice(shard, d.doc_id, seq, docOff, fill, take)
-              docOff += take; fill += take; remaining -= take
-              if (fill == seqTokens) { seq += 1; fill = 0 }
-            }
-          }
-          state.update(PackState(seq, fill))
-          out.result().iterator
+          val (next, out) = advancePack(
+            shard, state.getOption.getOrElse(PackState(0L, 0L)), rows.toSeq, seqTokens)
+          state.update(next)
+          out.iterator
       }
+  }
+
+  /** The packer on `transformWithState` — no timers (packing is purely
+    * arrival-driven, `TimeMode.None`), one named 16-byte ValueState per
+    * shard. Semantics IDENTICAL to [[packStream]] by construction: both
+    * feed [[advancePack]] (the spec replays the same batches through
+    * both and asserts equal manifests). Requires the RocksDB provider,
+    * like every StatefulProcessor.
+    */
+  class PackProcessor(seqTokens: Long)
+      extends StatefulProcessor[Int, PackInput, PackSlice] {
+    @transient private var st: ValueState[PackState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState(
+        "pack", org.apache.spark.sql.Encoders.product[PackState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Int, rows: Iterator[PackInput], tv: TimerValues): Iterator[PackSlice] = {
+      val (next, out) = advancePack(
+        shard, Option(st.get()).getOrElse(PackState(0L, 0L)), rows.toSeq, seqTokens)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  def packStreamTws(
+      docs: Dataset[PackInput],
+      seqTokens: Long = 2048L,
+      shards: Int = 256): Dataset[PackSlice] = {
+    import docs.sparkSession.implicits._
+    require(seqTokens >= 1, s"seqTokens must be >= 1 (got $seqTokens)")
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    docs
+      .groupByKey(d => (d.doc_id % shards).toInt)
+      .transformWithState(
+        new PackProcessor(seqTokens), TimeMode.None(), OutputMode.Append())
   }
 
   /** Streaming starter for [[packStream]]: the manifest appends to

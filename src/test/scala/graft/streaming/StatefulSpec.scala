@@ -235,6 +235,74 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  private def withRocksDb[A](body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  test("transformWithState sessionizer equals the flatMapGroupsWithState form (RocksDB)") {
+    // identical batches through both APIs — both feed advanceSession,
+    // so inline closes, timeout closes, and stale-timer no-ops must
+    // produce the same session set
+    val batches = Seq(
+      Seq(ev(1, 1, "2024-01-01 10:00:00"), ev(2, 1, "2024-01-01 10:05:00")),
+      Seq(ev(3, 1, "2024-01-01 11:30:00")),          // inline close past the gap
+      Seq(ev(6, 3, "2024-01-01 11:40:00")),          // second key, keeps its own state
+      Seq(ev(4, 2, "2024-01-01 13:00:00")),          // watermark push
+      Seq(ev(5, 2, "2024-01-01 13:01:00")))          // -> idle sessions close by timer
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[ClosedSession]) = {
+      val ms = MemoryStream[Event](spark)(org.apache.spark.sql.Encoders.product[Event])
+      val q = f(ms.toDS()).writeStream.outputMode("append").queryName(name)
+        .option("checkpointLocation", tmpDir(name + "-ckpt")).format("memory").start()
+      try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+    }
+    withRocksDb {
+      val legacy = run("sess_parity_legacy", ds => Stateful.sessionizeWithState(ds))
+      val tws = run("sess_parity_tws", ds => Stateful.sessionizeWithStateTws(ds))
+      assert(legacy.nonEmpty, "fixture closed no sessions — parity check vacuous")
+      // the inline close and at least one timer close are both present
+      assert(legacy.exists(_._1 == 1L) && legacy.exists(_._1 == 3L))
+      assert(tws == legacy, s"tws=$tws legacy=$legacy")
+    }
+  }
+
+  test("transformWithState packer equals the flatMapGroupsWithState form (RocksDB)") {
+    def doc(id: Long, n: Int) = PackInput(id, Seq.fill(n)("w").mkString(" "))
+    val batches = Seq(
+      Seq(doc(1, 7), doc(2, 7)),   // splits doc 2 at the sequence boundary
+      Seq(doc(3, 9), doc(4, 2)),   // continues the open sequence
+      Seq(doc(5, 23)))             // spans multiple sequences
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[PackInput] => org.apache.spark.sql.Dataset[PackSlice]) = {
+      val ms = MemoryStream[PackInput](spark)(org.apache.spark.sql.Encoders.product[PackInput])
+      val out = tmpDir(name + "-out")
+      val q = f(ms.toDS()).writeStream.outputMode("append").queryName(name)
+        .option("checkpointLocation", tmpDir(name + "-ckpt"))
+        .format("parquet").option("path", out).start()
+      try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(out).as[PackSlice].collect().toSet
+    }
+    withRocksDb {
+      val legacy = run("pack_parity_legacy", ds => Stateful.packStream(ds, seqTokens = 10L, shards = 2))
+      val tws = run("pack_parity_tws", ds => Stateful.packStreamTws(ds, seqTokens = 10L, shards = 2))
+      assert(legacy.nonEmpty && legacy.exists(_.seq_id >= 2L)) // really tiled across sequences
+      assert(tws == legacy, s"tws=$tws legacy=$legacy")
+    }
+  }
+
   test("batch run of mapGroupsWithState equals a plain aggregation (no prior state)") {
     val rows = Seq(ev(1, 1, "2024-01-01 10:00:00", 2.0), ev(2, 1, "2024-01-01 10:05:00", 3.0),
       ev(3, 2, "2024-01-01 10:00:00", 4.0))
