@@ -49,6 +49,63 @@ class CoverageSpec extends SparkSpec {
     natural.keys.foreach(k => assert(mixed.getOrElse(k, 0L) > 0, s"source $k dropped"))
   }
 
+  test("Bernoulli stratified sample concentrates around the _take twin's exact quotas") {
+    // The no-oracle mix_stratified_sample is anchored by the
+    // hash-verified mix_stratified_take; this closes the anchor into an
+    // assertion: per stratum, the Bernoulli count is Binomial(n_k, f_k)
+    // and must land within 6 binomial sd (+1 for the quota's rounding)
+    // of the take twin's exact quota floor(n_k*f_k+0.5). A seeded
+    // sample is deterministic, so this either always passes or flags a
+    // real drift between the two forms' target proportions.
+    val docs = Tables.documents(spark, sf)
+    val fracs = Map("en" -> 0.8, "fr" -> 0.5, "es" -> 0.5, "de" -> 0.2, "zh" -> 0.1)
+    val quota = Coverage.hashStratifiedSample(docs, fractions = fracs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Coverage.stratifiedMix(docs, fracs)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fracs.foreach { case (lang, f) =>
+      val n = totals.getOrElse(lang, 0L)
+      assert(n > 0, s"fixture has no '$lang' docs — concentration check vacuous")
+      val sd = math.sqrt(n * f * (1 - f))
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      val q = quota.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - q) <= 6 * sd + 1,
+        s"$lang: Bernoulli count $got vs take quota $q exceeds 6sd=${6 * sd} (n=$n, f=$f)")
+    }
+  }
+
+  test("Bernoulli temperature sample concentrates around the _take twin's exact quotas") {
+    // Same closure for mix_temperature_sample vs mix_temperature_take:
+    // the Bernoulli per-stratum count is Binomial(n_k, p_k) with
+    // p_k = min(1, target*(n_k^a/z)/n_k) — recomputed here with the
+    // operator's own formula — and must land within 6 sd (+1) of the
+    // take twin's quota.
+    val docs = Tables.documents(spark, sf)
+    val (alpha, target) = (0.5, 200L)
+    val quota = Coverage.temperatureTakeSample(docs, alpha = alpha, targetRows = target)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Coverage.temperatureMix(docs, alpha = alpha, targetRows = target)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = totals.values.map(n => math.pow(n.toDouble, alpha)).sum
+    totals.foreach { case (lang, n) =>
+      val p = math.min(1.0, target * (math.pow(n.toDouble, alpha) / z) / n.toDouble)
+      val sd = math.sqrt(n * p * (1 - p))
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      val q = quota.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - q) <= 6 * sd + 1,
+        s"$lang: Bernoulli count $got vs take quota $q exceeds 6sd=${6 * sd} (n=$n, p=$p)")
+    }
+  }
+
   test("token-budget sample: per-key budget respected, selection is layout-independent") {
     val docs = Tables.documents(spark, sf)
     val out = Coverage.tokenBudgetSample(docs, budgetTokens = 2000L)
