@@ -254,6 +254,13 @@ object Bench {
         // vs 1.7 s warm) — tiny-input compilation removes most of it
         ("curate", wants("pipeline", "text"),
           () => Curation.curateCanonical(docs64)),
+        // the audit's codegen shapes differ from curate's (per-doc CASE
+        // attribution, content-hash window, shingle decontamination
+        // join) — warm them on the same tiny split the query uses
+        ("audit", wants("pipeline_curate_audit", "pipeline_curate_funnel"),
+          () => Curation.auditLedger(
+            docs64.filter(col("doc_id") % 10 =!= 0),
+            docs64.filter(col("doc_id") % 10 === 0))),
         // the propagation loop generates fresh join+union+min plans per
         // iteration — warm one tiny round so the clustering queries
         // measure data work, not first-up codegen of the loop body

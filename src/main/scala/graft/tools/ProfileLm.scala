@@ -45,7 +45,7 @@ object ProfileLm {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // bounded bus drain (listenerBus is private)
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext) // deterministic bus drain
       println(f"==== $name: $dt%.2f s ====")
       stages.synchronized(stages.sortBy(_._1).toVector).foreach { case (id, nm, n, wall, cpu, sw, sr) =>
         println(f"  stage $id%3d  tasks=$n%3d  wall=${wall}%6d ms  cpu=${cpu}%6d ms  " +

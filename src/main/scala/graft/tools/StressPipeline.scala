@@ -59,10 +59,11 @@ object StressPipeline {
       val out = df.persist(StorageLevel.MEMORY_AND_DISK_SER)
       val n = out.count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events are posted asynchronously; a short drain keeps
-      // the deltas attributable to this window (private listenerBus —
-      // a bounded sleep is the accessible option)
-      Thread.sleep(300)
+      // listener events are posted asynchronously; drain the bus
+      // DETERMINISTICALLY before reading the deltas (the previous fixed
+      // 300 ms sleep under-drained at 100x — a 584-task stage's events
+      // landed in the NEXT stage's window, swapping their CPU columns)
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
       rows += StageRow(name, op, rowsIn, n, wall,
         shW.sum / 1048576.0, shR.sum / 1048576.0, cpuNs.sum / 1e9, nTasks.get)
       System.gc()

@@ -264,6 +264,8 @@ class StatefulSpec extends SparkSpec {
         .option("checkpointLocation", tmpDir(name + "-ckpt")).format("memory").start()
       try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
       finally q.stop()
+      // NTZ-safe: session bounds come from Event.ts (java.sql.Timestamp
+      // case-class encoder -> TimestampType), never a parquet NTZ read
       spark.table(name).collect()
         .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
         .toSet
