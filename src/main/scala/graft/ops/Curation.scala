@@ -533,10 +533,18 @@ object Curation {
     val canonical = asDocs.join(
       nearDropped.select("doc_id"), Seq("doc_id"), "left_anti")
     // decontaminate what would actually ship: the CLEANED canonical text
-    // against the CLEANED benchmark (the oracle shingles the same CTE)
-    val deconDrops = Dedup.contaminatedPairs(
-      canonical,
-      benchmark.select(col("doc_id"), cleaned(col("text")).as("text")))
+    // against the CLEANED benchmark (the oracle shingles the same CTE).
+    // The bench side gets its own cache barrier: without it, the shingle
+    // guards inside contaminatedPairs constraint-substitute the cleaning
+    // chain into a per-bench-row Filter (12 regex copies — measured;
+    // PlanContractSpec pins zero). Benchmark suites are small by
+    // contract, so materializing one is trivial and the harness barrier
+    // frees it with the scored frame.
+    val benchCleaned = benchmark
+      .select(col("doc_id"), cleaned(col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    benchCleaned.count()
+    val deconDrops = Dedup.contaminatedPairs(canonical, benchCleaned)
       .groupBy("train_doc").agg(min(col("bench_doc")).as("bench_doc"))
       .select(col("train_doc").as("doc_id"), lit(7L).as("stage_idx"),
         lit("decontaminated").as("stage"),

@@ -160,6 +160,34 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("audit stage filters read the cached scored frame, never re-score") {
+    // The rejection audit necessarily scores PER DOC (each raw doc needs
+    // its own verdict), so it cannot use curate's dedup-first pushdown
+    // barrier; its barrier is the persisted scored frame instead. The
+    // contract: every Filter in the optimized plan is free of cleaning-
+    // chain copies on the TRAIN side — stage filters (gate_stage
+    // is/isn't null, doc_id = keep) must read InMemoryRelation
+    // attributes, not re-run the regexes per raw row. The small bench
+    // side is re-cleaned by construction (it is not cached) but carries
+    // no Filter over the cleaning chain either: its shingle guards
+    // (isNotNull, size >= 3) constraint-rewrite onto the raw text
+    // column, not the cleaned alias.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, RegExpReplace}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    def copies(e: Expression): Int = e.collect { case _: RegExpReplace => 1 }.sum
+    for (q <- Seq("pipeline_curate_audit", "pipeline_curate_funnel")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val perFilter = lp.collect { case f: LFilter => copies(f.condition) }
+      assert(perFilter.sum == 0,
+        s"$q: cleaning chain substituted into a Filter (copies per filter: " +
+          s"${perFilter.mkString(",")}) — per-raw-row re-evaluation:\n$lp")
+      val cached = lp.collect {
+        case r if r.getClass.getSimpleName.startsWith("InMemoryRelation") => 1
+      }.sum
+      assert(cached >= 1, s"$q: no InMemoryRelation — the persist barrier is gone:\n$lp")
+    }
+  }
+
   test("curation gate is not substituted into a per-raw-row filter") {
     // The round-10 lesson: PushDownPredicates substitutes a filter on
     // projected columns through the projections — the curation gate's
