@@ -90,11 +90,18 @@ object Curation {
     val uniq = size(array_distinct(ltoks)).cast("double")
     val punct = TextAnalysis.regexCount(t, "[^A-Za-z0-9\\s]").cast("double")
     val chars = length(t).cast("double")
-    r4(
-      least(chars / 500.0, lit(1.0)) * 0.25
-        + least(stopHits / nToksD * 5.0, lit(1.0)) * 0.35
-        + uniq / nToksD * 0.2
-        + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2)
+    // NULL for empty/NULL cleaned text, never a divide: Spark 4's ANSI
+    // mode raises DIVIDE_BY_ZERO even for doubles, and projections
+    // evaluate eagerly — the length>=1 gates downstream cannot protect
+    // this expression. (nToksD is never 0: split of any string yields
+    // at least one element.) Empty docs are dropped by every caller's
+    // length/clean-empty gate before quality is consulted.
+    when(chars > 0,
+      r4(
+        least(chars / 500.0, lit(1.0)) * 0.25
+          + least(stopHits / nToksD * 5.0, lit(1.0)) * 0.35
+          + uniq / nToksD * 0.2
+          + (lit(1.0) - least(punct / chars * 10.0, lit(1.0))) * 0.2))
   }
 
   private def predLangOf(t: Column, ltoks: Column): Column = {
@@ -440,7 +447,7 @@ object Curation {
     * NULL scores, which would sail through every later `<` comparison
     * as not-true and mis-classify the doc as admitted.
     */
-  private def auditScored(
+  private[graft] def auditScored(
       documents: DataFrame,
       minTokens: Long,
       minQuality: Double): DataFrame = {
@@ -489,17 +496,13 @@ object Curation {
     * is already down to canonical survivors. Nothing here is all-pairs;
     * the only corpus-sized exchange is the content-hash window.
     */
-  def auditLedger(
-      documents: DataFrame,
-      benchmark: DataFrame,
-      minTokens: Long = 10L,
-      minQuality: Double = 0.55,
-      jaccardThreshold: Double = defaultJaccardThreshold): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = auditScored(documents, minTokens, minQuality)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    scored.count() // eager populate — three downstream readers (see curateCanonical)
-    val gateDrops = scored.filter(col("gate_stage").isNotNull)
+  /** Gate-stage ledger rows over an [[auditScored]] frame — shared by the
+    * batch [[auditLedger]] and the streaming lift
+    * ([[graft.streaming.Jobs.auditLedgerBatch]]) so the stage names,
+    * indices, and reason renderings can never drift between them.
+    */
+  private[graft] def gateDropRows(scored: DataFrame): DataFrame =
+    scored.filter(col("gate_stage").isNotNull)
       .select(
         col("doc_id"),
         when(col("gate_stage") === "clean_empty", 1L)
@@ -514,6 +517,18 @@ object Curation {
             concat(lit("pred_lang="), col("pred_lang")))
           .otherwise(concat(lit("quality_bp="),
             floor(col("quality") * 10000 + 0.5).cast("long"))).as("reason"))
+
+  def auditLedger(
+      documents: DataFrame,
+      benchmark: DataFrame,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = defaultJaccardThreshold): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = auditScored(documents, minTokens, minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    scored.count() // eager populate — three downstream readers (see curateCanonical)
+    val gateDrops = gateDropRows(scored)
     val keeps = scored.filter(col("gate_stage").isNull)
       .withColumn("content_hash", sha2(col("t"), 256))
       .withColumn("keep_doc_id",

@@ -88,18 +88,22 @@ object TextAnalysis {
   private[ops] def r4duck(x: String) = s"floor(($x) * 10000 + 0.5) / 10000"
   val qualityScores = QueryDef(
     "text_quality_scores",
+    // punct_ratio and quality divide by length(text): NULL for empty
+    // text on BOTH engines (Spark 4 ANSI raises DIVIDE_BY_ZERO even for
+    // doubles; the fixture has no empty docs, but the operator must not
+    // explode on a corpus that does)
     s"""SELECT doc_id,
        |  ${r4duck("least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)")} AS len_score,
        |  ${r4duck(s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE) / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)")} AS stop_ratio,
        |  ${r4duck("CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE) / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)")} AS uniq_ratio,
-       |  ${r4duck("CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} AS punct_ratio,
-       |  ${r4duck(s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+       |  CASE WHEN length(text) >= 1 THEN ${r4duck("CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE)")} END AS punct_ratio,
+       |  CASE WHEN length(text) >= 1 THEN ${r4duck(s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.25
        |      + least(CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ${inList(enStops)})) AS DOUBLE)
        |              / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 5.0, 1.0) * 0.35
        |      + CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
        |        / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) * 0.2
        |      + (1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-       |                     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""")} AS quality
+       |                     / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2""")} END AS quality
        |FROM documents ORDER BY doc_id""".stripMargin)(
     (s, d) => {
       val tokens = split(col("text"), "\\s+")
@@ -119,11 +123,12 @@ object TextAnalysis {
         r4(lenScore).as("len_score"),
         r4(stopRatio).as("stop_ratio"),
         r4(uniqRatio).as("uniq_ratio"),
-        r4(punctRatio).as("punct_ratio"),
-        r4(lenScore * 0.25
-          + least(stopRatio * 5.0, lit(1.0)) * 0.35
-          + uniqRatio * 0.2
-          + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2).as("quality"))
+        when(chars > 0, r4(punctRatio)).as("punct_ratio"),
+        when(chars > 0,
+          r4(lenScore * 0.25
+            + least(stopRatio * 5.0, lit(1.0)) * 0.35
+            + uniqRatio * 0.2
+            + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2)).as("quality"))
         .orderBy("doc_id")
     })
 

@@ -656,6 +656,175 @@ object Jobs {
       .select(col("event_id"), col("user_id"), col("p_id"), col("ts"), col("p_ts"))
   }
 
+  // ------------------------------------------------- streaming audit
+
+  /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s
+    * drop ledger lifted onto micro-batches: every doc a batch rejects
+    * gets a (doc_id, stage_idx, stage, reason) row under its
+    * `ingest_batch` partition, admitted docs land in `admitted/` and
+    * extend two persisted stores (content hashes for the exact gate,
+    * prefix-keyed word sets for the near-dup gate). Stage names,
+    * indices, and reason renderings come from the SAME helpers as the
+    * batch form ([[graft.ops.Curation.gateDropRows]]/`auditScored`), so
+    * the two ledgers cannot drift in spelling.
+    *
+    * Semantics vs the batch ledger — identical for stages 1-4 and 7
+    * (pure per-doc functions / a static benchmark), FIRST-ADMITTED-WINS
+    * for the dedup stages (a stream cannot wait for "the smallest
+    * doc_id ever", the [[graft.ops.Curation.curateStream]] contract):
+    *
+    *  - exact_dup: a batch doc whose hash is already stored drops with
+    *    `duplicate_of=` the STORED keeper even if its own id is
+    *    smaller; within a batch the min-id copy wins, as in batch.
+    *  - near_dup: a doc drops if it matches an already-ADMITTED doc
+    *    (word-set Jaccard within capped prefix blocks — the batch
+    *    measure); within-batch near-dups deliberately pass
+    *    ([[nearDupGateBatch]]'s contract), and a chain A~B~C where
+    *    only B bridges admits BOTH A and C once B is dropped — the
+    *    batch form's transitive closure would collapse all three.
+    *    AuditStreamSpec pins both divergences explicitly.
+    *
+    * Replay idempotence: the [[incrementalDedupBatch]] recipe — every
+    * output partitioned by `ingest_batch`, batch N reads only store
+    * partitions `< N` and dynamic-overwrites its own.
+    */
+  def auditLedgerBatch(
+      storeRoot: String,
+      benchStore: Option[DataFrame],
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = graft.ops.Curation.defaultJaccardThreshold,
+      minShared: Long = 5L,
+      shingleSize: Int = 3,
+      maxBlock: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val hashDir = s"$storeRoot/hashes"
+    val wordsDir = s"$storeRoot/words"
+    def writeOwn(df: DataFrame, dir: String): Unit =
+      df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(dir)
+    val scored = graft.ops.Curation.auditScored(batch, minTokens, minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    scored.count()
+    try {
+      val gateDrops = graft.ops.Curation.gateDropRows(scored)
+      val hashed = scored.filter(col("gate_stage").isNull)
+        .withColumn("content_hash", sha2(col("t"), 256))
+        .withColumn("batch_keep",
+          min(col("doc_id")).over(Window.partitionBy("content_hash")))
+      val storeKeeps =
+        if (storeNonEmpty(spark, hashDir))
+          spark.read.parquet(hashDir).filter(col("ingest_batch") < batchId)
+            .groupBy("content_hash").agg(min(col("keep_doc_id")).as("store_keep"))
+        else spark.range(0).select(
+          col("id").cast("string").as("content_hash"), col("id").as("store_keep"))
+      val keyedHash = hashed.join(storeKeeps, Seq("content_hash"), "left")
+        .withColumn("keep_doc_id", coalesce(col("store_keep"), col("batch_keep")))
+      val exactDrops = keyedHash.filter(col("doc_id") =!= col("keep_doc_id"))
+        .select(col("doc_id"), lit(5L).as("stage_idx"), lit("exact_dup").as("stage"),
+          concat(lit("duplicate_of="), col("keep_doc_id")).as("reason"))
+      val distincts = keyedHash.filter(col("doc_id") === col("keep_doc_id"))
+        .select(col("doc_id"), col("t"))
+      def keyedWords(df: DataFrame): DataFrame = df.select(
+        col("doc_id"),
+        substring(col("t"), 1, 50).as("block_key"),
+        array_distinct(split(lower(col("t")), "\\s+")).as("words"))
+      val nearDropped: DataFrame =
+        if (storeNonEmpty(spark, wordsDir)) {
+          val sw = spark.read.parquet(wordsDir)
+            .filter(col("ingest_batch") < batchId)
+          val blockSizes = sw.groupBy("block_key").agg(count(lit(1)).as("store_n"))
+          // the batch measure's spelling (Dedup.pairsWithinBlocks):
+          // r4-rounded intersect/union word-set Jaccard
+          val jac = floor(
+            size(array_intersect(col("words"), col("adm_words"))).cast("double")
+              / size(array_union(col("words"), col("adm_words"))).cast("double")
+              * 10000 + 0.5) / 10000
+          keyedWords(distincts)
+            .withColumn("batch_n", count(lit(1)).over(Window.partitionBy("block_key")))
+            .join(blockSizes, Seq("block_key"), "left")
+            // the batch cap, over the COMBINED block population
+            .filter(coalesce(col("store_n"), lit(0L)) + col("batch_n") <= maxBlock)
+            .join(sw.select(col("doc_id").as("adm_doc"), col("block_key"),
+              col("words").as("adm_words")), Seq("block_key"))
+            .filter(jac >= jaccardThreshold)
+            .groupBy("doc_id").agg(min(col("adm_doc")).as("near_of"))
+        } else spark.range(0).select(col("id").as("doc_id"), col("id").as("near_of"))
+      val nearDrops = nearDropped
+        .select(col("doc_id"), lit(6L).as("stage_idx"), lit("near_dup").as("stage"),
+          concat(lit("near_dup_of="), col("near_of")).as("reason"))
+      val canonical = distincts
+        .join(nearDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      val deconDropped: DataFrame = benchStore match {
+        case Some(bench) =>
+          graft.ops.Dedup.shingleHashes(
+            canonical.select(col("doc_id"), col("t").as("text")), shingleSize)
+            .withColumnRenamed("doc_id", "train_doc")
+            .join(bench, Seq("shh"))
+            .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= minShared)
+            .groupBy("train_doc").agg(min(col("bench_doc")).as("bench_doc"))
+            .select(col("train_doc").as("doc_id"), col("bench_doc"))
+        case None =>
+          spark.range(0).select(col("id").as("doc_id"), col("id").as("bench_doc"))
+      }
+      val deconDrops = deconDropped
+        .select(col("doc_id"), lit(7L).as("stage_idx"),
+          lit("decontaminated").as("stage"),
+          concat(lit("contaminated_by="), col("bench_doc")).as("reason"))
+      val admitted = canonical
+        .join(deconDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // outputs first, stores derived from the WRITTEN output (the
+      // incrementalDedupBatch discipline: one compute, and a store job
+      // never reads and overwrites its own dir in one plan)
+      writeOwn(
+        gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops),
+        s"$storeRoot/ledger")
+      writeOwn(admitted, s"$storeRoot/admitted")
+      // an all-dropped FIRST batch leaves admitted/ with no parquet files
+      // at all — nothing to read back, and nothing the stores need
+      if (storeNonEmpty(spark, s"$storeRoot/admitted")) {
+        val written = spark.read.parquet(s"$storeRoot/admitted")
+          .filter(col("ingest_batch") === batchId)
+        writeOwn(
+          written.select(sha2(col("t"), 256).as("content_hash"),
+            col("doc_id").as("keep_doc_id")),
+          hashDir)
+        writeOwn(keyedWords(written), wordsDir)
+      }
+    } finally scored.unpersist(blocking = true)
+  }
+
+  /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
+    * `doc_id` and `text`. The optional benchmark shingle store
+    * ([[buildBenchmarkShingleStore]] over the CLEANED benchmark — the
+    * batch audit's contract) is loaded, size-validated, and persisted
+    * once for the life of the query.
+    */
+  def startAuditStream(
+      docs: DataFrame,
+      storeRoot: String,
+      checkpointDir: String,
+      benchStoreDir: Option[String] = None,
+      shingleSize: Int = 3,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bench = benchStoreDir.map { dir =>
+      loadBenchStore(docs.sparkSession, dir, shingleSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    }
+    docs.writeStream
+      .queryName("audit_stream")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(auditLedgerBatch(storeRoot, bench, shingleSize = shingleSize) _)
+      .start()
+  }
+
   /** Streaming telemetry (replaces the reference's producer ack callback
     * logging offset/topic/partition/timestamp, KafkaStreaming.scala:245-276):
     * a StreamingQueryListener reporting per-batch rows, processing time and

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.ops.Curation
+
+/** Streaming rejection audit — per-batch drop ledger vs the batch
+  * auditLedger: exact parity under ordered arrival, plus the two
+  * documented first-admitted-wins divergences.
+  */
+class AuditStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+    "on the warm windowsill every afternoon enjoying the quiet sunshine"
+  private val fresh = "entirely new material discussing the streaming watermark state " +
+    "expiry and the checkpoint recovery semantics in long running jobs"
+  private val benchText = "when the benchmark asks about the capital of france the answer " +
+    "is paris and the model should not have memorized this exact phrasing"
+  // embeds the benchmark verbatim (>= 5 shared shingles) behind a
+  // distinct prefix so it can never prefix-block with anything
+  private val leak = "students please note that " + benchText
+
+  test("audit stream equals the batch ledger under ordered arrival (all stages exercised)") {
+    val train = Seq(
+      Doc(1, base),
+      Doc(2, base.replace("warm", "cold")), // near-dup of 1
+      Doc(3, base), // exact dup of 1
+      Doc(4, "too short"), // token floor
+      Doc(5, "zz qq ww rr tt yy uu ii oo pp aa ss"), // no stopwords -> und -> lang gate
+      Doc(6, "the the the the the the the the the the ! ! ! ! ! ! ! ! ! !"), // en but junk -> quality gate
+      Doc(7, "[REDACTED_BLOCK]"), // cleans to empty
+      Doc(8, leak), // decontaminated
+      Doc(9, fresh)) // admitted
+    val bench = Seq(Doc(1000, benchText))
+    val expected = Curation.auditLedger(train.toDF(), bench.toDF())
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    // guard: the fixture really exercises every stage, or parity is vacuous
+    assert(expected.map(_._2) == Set("clean_empty", "token_floor", "lang_gate",
+      "quality_gate", "exact_dup", "near_dup", "decontaminated"), s"fixture gap: $expected")
+
+    val root = tmpDir("audit-stream-store")
+    val benchStore = tmpDir("audit-bench-store")
+    // benchText contains no URL/tag/boilerplate: raw == cleaned, so the
+    // store built on raw text matches the batch audit's cleaned contract
+    Jobs.buildBenchmarkShingleStore(bench.toDF(), benchStore)
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit-stream-ckpt"),
+      benchStoreDir = Some(benchStore), queryTrigger = Trigger.ProcessingTime(0))
+    try train.foreach { d => ms.addData(d); q.processAllAvailable() } // singleton, id-ordered
+    finally q.stop()
+
+    val got = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    assert(got == expected, s"stream=$got\nbatch=$expected")
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == train.map(_.doc_id).toSet -- got.map(_._1))
+
+    // replay idempotence (foreachBatch is at-least-once): re-running the
+    // last batch body changes neither the ledger nor the stores
+    val benchFrame = spark.read.parquet(benchStore).select("bench_doc", "shh")
+    Jobs.auditLedgerBatch(root, Some(benchFrame))(Seq(train.last).toDF(), (train.length - 1).toLong)
+    val got2 = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    assert(got2 == expected, s"replay changed the ledger: $got2")
+    assert(spark.read.parquet(s"$root/hashes").count() ==
+      admitted.size, "replay changed the hash store")
+  }
+
+  test("near-dup chain: stream admits the far end once the bridge drops (documented divergence)") {
+    // A ~ B ~ C with A !~ C. The batch form's transitive closure drops
+    // B and C (cluster canonical A); the stream has no closure — B is
+    // rejected against admitted A, then C arrives, compares against the
+    // ADMITTED set {A} only (0.45 < 0.6), and is admitted. This is the
+    // first-admitted-wins contract, pinned here so the divergence stays
+    // a documented trade, not a surprise.
+    val p = "the of and to in a is that it for every morning brightly" // >= 50 shared chars
+    val aW = "apple banana cherry dates elder figs grape honey"
+    val b4 = "ocean river mountain valley"
+    val bW = "apple banana cherry dates " + b4
+    val cW = b4 + " silver copper bronze golden"
+    val docs = Seq(Doc(1, s"$p $aW"), Doc(2, s"$p $bW"), Doc(3, s"$p $cW"))
+
+    val batchLedger = Curation.auditLedger(docs.toDF(),
+      Seq.empty[Doc].toDF("doc_id", "text"))
+      .select("doc_id", "stage").as[(Long, String)].collect().toSet
+    assert(batchLedger == Set((2L, "near_dup"), (3L, "near_dup")),
+      s"batch closure should drop both B and C: $batchLedger")
+
+    val root = tmpDir("audit-chain-store")
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit-chain-ckpt"),
+      queryTrigger = Trigger.ProcessingTime(0))
+    try docs.foreach { d => ms.addData(d); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "near_dup")), s"stream should drop only the bridge: $got")
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 3L))
+  }
+}
