@@ -800,6 +800,37 @@ object Jobs {
     } finally scored.unpersist(blocking = true)
   }
 
+  /** Yield funnel over a streaming audit's persisted outputs — the
+    * batch [[graft.ops.Curation.auditFunnel]] shape recomputed from the
+    * ledger + admitted stores (total in = ledger rows + admitted rows,
+    * telescoping per stage). Run it any time against a live stream's
+    * `storeRoot`; it reads only the two parquet outputs.
+    */
+  def auditFunnelFromStores(spark: SparkSession, storeRoot: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val drops = spark.read.parquet(s"$storeRoot/ledger")
+      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_dropped"))
+    val nAdmitted =
+      if (storeNonEmpty(spark, s"$storeRoot/admitted"))
+        spark.read.parquet(s"$storeRoot/admitted").count()
+      else 0L
+    val stages = graft.ops.Curation.auditStages.toDF("stage_idx", "stage")
+    val totals = drops.agg(
+      (sum(col("n_dropped")) + nAdmitted).cast("long").as("n_total"))
+    stages.join(drops, Seq("stage_idx", "stage"), "left")
+      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum", sum(col("n_dropped")).over(
+        Window.orderBy("stage_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("stage_idx"), col("stage"),
+        (col("n_total") - col("cum") + col("n_dropped")).as("n_in"),
+        col("n_dropped"),
+        (col("n_total") - col("cum")).as("n_out"))
+      .orderBy("stage_idx")
+  }
+
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text`. The optional benchmark shingle store
     * ([[buildBenchmarkShingleStore]] over the CLEANED benchmark — the

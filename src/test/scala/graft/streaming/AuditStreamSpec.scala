@@ -68,6 +68,15 @@ class AuditStreamSpec extends SparkSpec {
     assert(got2 == expected, s"replay changed the ledger: $got2")
     assert(spark.read.parquet(s"$root/hashes").count() ==
       admitted.size, "replay changed the hash store")
+
+    // the store-side funnel telescopes over the stream's whole history
+    val funnel = Jobs.auditFunnelFromStores(spark, root).collect()
+    assert(funnel.length == Curation.auditStages.length)
+    assert(funnel.head.getAs[Long]("n_in") == train.length.toLong)
+    assert(funnel.last.getAs[Long]("n_out") == admitted.size.toLong)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+    }
   }
 
   test("near-dup chain: stream admits the far end once the bridge drops (documented divergence)") {
