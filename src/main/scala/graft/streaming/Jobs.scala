@@ -807,28 +807,14 @@ object Jobs {
     * `storeRoot`; it reads only the two parquet outputs.
     */
   def auditFunnelFromStores(spark: SparkSession, storeRoot: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val drops = spark.read.parquet(s"$storeRoot/ledger")
-      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_dropped"))
+    val ledger = spark.read.parquet(s"$storeRoot/ledger")
     val nAdmitted =
       if (storeNonEmpty(spark, s"$storeRoot/admitted"))
         spark.read.parquet(s"$storeRoot/admitted").count()
       else 0L
-    val stages = graft.ops.Curation.auditStages.toDF("stage_idx", "stage")
-    val totals = drops.agg(
-      (sum(col("n_dropped")) + nAdmitted).cast("long").as("n_total"))
-    stages.join(drops, Seq("stage_idx", "stage"), "left")
-      .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
-      .crossJoin(broadcast(totals))
-      .withColumn("cum", sum(col("n_dropped")).over(
-        Window.orderBy("stage_idx")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("stage_idx"), col("stage"),
-        (col("n_total") - col("cum") + col("n_dropped")).as("n_in"),
-        col("n_dropped"),
-        (col("n_total") - col("cum")).as("n_out"))
-      .orderBy("stage_idx")
+    graft.ops.Curation.auditFunnelFromLedger(
+      ledger,
+      ledger.agg((count(lit(1)) + nAdmitted).cast("long").as("n_total")))
   }
 
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry

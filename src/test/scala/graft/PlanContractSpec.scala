@@ -181,11 +181,25 @@ class PlanContractSpec extends SparkSpec {
       assert(perFilter.sum == 0,
         s"$q: cleaning chain substituted into a Filter (copies per filter: " +
           s"${perFilter.mkString(",")}) — per-raw-row re-evaluation:\n$lp")
-      val cached = lp.collect {
-        case r if r.getClass.getSimpleName.startsWith("InMemoryRelation") => 1
-      }.sum
-      assert(cached >= 1, s"$q: no InMemoryRelation — the persist barrier is gone:\n$lp")
     }
+    // each query's barrier, asserted in its own shape: the audit's is
+    // the persisted scored frame (InMemoryRelation in its plan); the
+    // funnel reads the write-once ledger PARQUET store instead, so its
+    // plan must carry no cleaning chain at all — anywhere — or the
+    // store amortization silently regressed to a full recompute
+    val auditLp = SparkEntry.queries("pipeline_curate_audit")(spark, sf)
+      .queryExecution.optimizedPlan
+    val cached = auditLp.collect {
+      case r if r.getClass.getSimpleName.startsWith("InMemoryRelation") => 1
+    }.sum
+    assert(cached >= 1,
+      s"pipeline_curate_audit: no InMemoryRelation — the persist barrier is gone:\n$auditLp")
+    val funnelLp = SparkEntry.queries("pipeline_curate_funnel")(spark, sf)
+      .queryExecution.optimizedPlan
+    val funnelTotal = funnelLp.map(op => op.expressions.map(copies).sum).sum
+    assert(funnelTotal == 0,
+      s"pipeline_curate_funnel: $funnelTotal cleaning-chain copies — the funnel " +
+        s"should aggregate the materialized ledger store, not recompute it:\n$funnelLp")
   }
 
   test("curation gate is not substituted into a per-raw-row filter") {
