@@ -79,6 +79,71 @@ class AuditStreamSpec extends SparkSpec {
     }
   }
 
+  test("randomized batching: conservation, gate parity, and first-wins dedup invariants") {
+    // Universal invariants that must hold for ANY batch partitioning and
+    // arrival order (unlike full ledger parity, which needs ordered
+    // arrival): every doc lands in exactly one of {ledger, admitted};
+    // stage 1-4 verdicts are pure per-doc functions and equal the batch
+    // form's doc-for-doc; admitted texts are pairwise distinct (exact
+    // first-wins); and every exact_dup reason names an admitted doc with
+    // the identical text. Five seeded trials over random batchings of a
+    // pool with planted exact copies and gate failures.
+    val pool = Seq(
+      1L -> base, 2L -> base, 3L -> base, // exact family
+      4L -> fresh, 5L -> fresh, // second family
+      6L -> "too short",
+      7L -> "zz qq ww rr tt yy uu ii oo pp aa ss",
+      8L -> "[REDACTED_BLOCK]",
+      9L -> benchText, // admitted (no bench store in this test)
+      10L -> (base + " entirely unrelated suffix making it a distinct text"))
+    val batchExpected = Curation.auditLedger(
+      pool.map { case (i, t) => Doc(i, t) }.toDF(),
+      Seq.empty[Doc].toDF("doc_id", "text"))
+      .select("doc_id", "stage").as[(Long, String)].collect().toMap
+    val gateStages = Set("clean_empty", "token_floor", "lang_gate", "quality_gate")
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val shuffled = rnd.shuffle(pool).map { case (i, t) => Doc(i, t) }
+      val root = tmpDir(s"audit-prop-$seed")
+      var batchId = 0L
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(4)
+        Jobs.auditLedgerBatch(root, None)(rest.take(take).toDF(), batchId)
+        rest = rest.drop(take); batchId += 1
+      }
+      val ledger = spark.read.parquet(s"$root/ledger")
+        .select("doc_id", "stage", "reason").as[(Long, String, String)].collect()
+      val admitted = spark.read.parquet(s"$root/admitted")
+        .select("doc_id").as[Long].collect().toSet
+      // conservation: exactly one verdict per doc
+      assert(ledger.map(_._1).distinct.length == ledger.length, s"seed $seed: dup ledger rows")
+      assert((ledger.map(_._1).toSet ++ admitted) == pool.map(_._1).toSet &&
+        ledger.map(_._1).toSet.intersect(admitted).isEmpty, s"seed $seed: conservation broken")
+      // gate verdicts are order-independent and equal the batch form
+      ledger.filter(r => gateStages(r._2)).foreach { case (id, stage, _) =>
+        assert(batchExpected.get(id).contains(stage), s"seed $seed: doc $id gate drift")
+      }
+      pool.map(_._1).filter(id => batchExpected.get(id).exists(gateStages)).foreach { id =>
+        assert(ledger.exists(r => r._1 == id && r._2 == batchExpected(id)),
+          s"seed $seed: doc $id lost its gate verdict")
+      }
+      // first-wins exact dedup: admitted texts pairwise distinct, and
+      // each exact_dup names an admitted keeper with the same text
+      val textOf = pool.toMap
+      val admittedTexts = admitted.toSeq.map(textOf)
+      assert(admittedTexts.distinct.length == admittedTexts.length,
+        s"seed $seed: two admitted docs share a text")
+      ledger.filter(_._2 == "exact_dup").foreach { case (id, _, reason) =>
+        val keeper = reason.stripPrefix("duplicate_of=").toLong
+        assert(admitted.contains(keeper) || ledger.exists(r =>
+          r._1 == keeper && r._2 == "near_dup"),
+          s"seed $seed: doc $id's keeper $keeper neither admitted nor near-dup-collapsed")
+        assert(textOf(keeper) == textOf(id), s"seed $seed: keeper text mismatch for $id")
+      }
+    }
+  }
+
   test("near-dup chain: stream admits the far end once the bridge drops (documented divergence)") {
     // A ~ B ~ C with A !~ C. The batch form's transitive closure drops
     // B and C (cluster canonical A); the stream has no closure — B is
