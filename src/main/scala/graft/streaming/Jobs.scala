@@ -161,6 +161,19 @@ object Jobs {
     fs.exists(path) && fs.listStatus(path).nonEmpty
   }
 
+  /** Like [[storeNonEmpty]] for `partitionBy("ingest_batch")` stores,
+    * where an EMPTY write still creates the directory with a lone
+    * `_SUCCESS` marker (no partition subdir) — any-file probing would
+    * then hand a schema-less directory to `spark.read.parquet`. Data in
+    * a partitioned store always lives under `ingest_batch=N/`
+    * subdirectories, so "has a subdirectory" is the readability test.
+    */
+  private def partitionedStoreNonEmpty(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists(_.isDirectory)
+  }
+
   /** Unbounded-history streaming exact dedup: each micro-batch of
     * documents is checked against a PERSISTED content-hash store
     * ([[graft.ops.Dedup.incrementalExact]]), survivors land in `outDir`
@@ -718,7 +731,7 @@ object Jobs {
         .withColumn("batch_keep",
           min(col("doc_id")).over(Window.partitionBy("content_hash")))
       val storeKeeps =
-        if (storeNonEmpty(spark, hashDir))
+        if (partitionedStoreNonEmpty(spark, hashDir))
           spark.read.parquet(hashDir).filter(col("ingest_batch") < batchId)
             .groupBy("content_hash").agg(min(col("keep_doc_id")).as("store_keep"))
         else spark.range(0).select(
@@ -735,7 +748,7 @@ object Jobs {
         substring(col("t"), 1, 50).as("block_key"),
         array_distinct(split(lower(col("t")), "\\s+")).as("words"))
       val nearDropped: DataFrame =
-        if (storeNonEmpty(spark, wordsDir)) {
+        if (partitionedStoreNonEmpty(spark, wordsDir)) {
           val sw = spark.read.parquet(wordsDir)
             .filter(col("ingest_batch") < batchId)
           val blockSizes = sw.groupBy("block_key").agg(count(lit(1)).as("store_n"))
@@ -788,7 +801,7 @@ object Jobs {
       writeOwn(admitted, s"$storeRoot/admitted")
       // an all-dropped FIRST batch leaves admitted/ with no parquet files
       // at all — nothing to read back, and nothing the stores need
-      if (storeNonEmpty(spark, s"$storeRoot/admitted")) {
+      if (partitionedStoreNonEmpty(spark, s"$storeRoot/admitted")) {
         val written = spark.read.parquet(s"$storeRoot/admitted")
           .filter(col("ingest_batch") === batchId)
         writeOwn(
@@ -809,7 +822,7 @@ object Jobs {
   def auditFunnelFromStores(spark: SparkSession, storeRoot: String): DataFrame = {
     val ledger = spark.read.parquet(s"$storeRoot/ledger")
     val nAdmitted =
-      if (storeNonEmpty(spark, s"$storeRoot/admitted"))
+      if (partitionedStoreNonEmpty(spark, s"$storeRoot/admitted"))
         spark.read.parquet(s"$storeRoot/admitted").count()
       else 0L
     graft.ops.Curation.auditFunnelFromLedger(

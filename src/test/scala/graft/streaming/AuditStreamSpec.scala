@@ -144,6 +144,25 @@ class AuditStreamSpec extends SparkSpec {
     }
   }
 
+  test("all-dropped first batch leaves readable stores (empty-partitioned-write edge)") {
+    // A fully-rejected FIRST batch writes admitted/ with a lone _SUCCESS
+    // and no partition subdir; an any-file existence probe would then
+    // hand the schema-less directory to spark.read.parquet and crash the
+    // batch. The partition-subdir probe must skip the read-back, and the
+    // next batch must admit normally against the still-empty stores.
+    val root = tmpDir("audit-empty-first")
+    Jobs.auditLedgerBatch(root, None)(
+      Seq(Doc(1, "too short"), Doc(2, "[REDACTED_BLOCK]")).toDF(), 0L)
+    Jobs.auditLedgerBatch(root, None)(Seq(Doc(3, base)).toDF(), 1L)
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage").as[(Long, String)].collect().toSet
+    assert(ledger == Set((1L, "token_floor"), (2L, "clean_empty")), s"$ledger")
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    val funnel = Jobs.auditFunnelFromStores(spark, root).collect()
+    assert(funnel.head.getAs[Long]("n_in") == 3L && funnel.last.getAs[Long]("n_out") == 1L)
+  }
+
   test("near-dup chain: stream admits the far end once the bridge drops (documented divergence)") {
     // A ~ B ~ C with A !~ C. The batch form's transitive closure drops
     // B and C (cluster canonical A); the stream has no closure — B is
