@@ -197,7 +197,13 @@ object Bench {
           .filter(_.getProtocol == "file")
           .map(u => Paths.get(u.toURI))
         catch { case _: Throwable => None }
-      val starts = Paths.get("").toAbsolutePath +: fromClass.toSeq
+      // class location FIRST: target/scala-*/classes walks up to THIS
+      // repo's root unambiguously, while a CWD-first walk launched from
+      // an unrelated tree could find some other project's
+      // bench_clean.json and silently drive the retry policy with
+      // foreign baselines — the r12 wrong-reference failure mode in a
+      // new costume. CWD stays as the fallback for jar-packaged runs.
+      val starts = fromClass.toSeq :+ Paths.get("").toAbsolutePath
       starts.iterator
         .flatMap(s => Iterator.iterate(s)(_.getParent).takeWhile(_ != null).take(8))
         .map(_.resolve("bench_clean.json"))

@@ -32,7 +32,7 @@ object Curation {
   /** The cleanText regexp chain (spelled identically to
     * TextAnalysis.cleanText and its oracle).
     */
-  private def cleaned(c: Column): Column =
+  private[graft] def cleaned(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(
         regexp_replace(

@@ -58,6 +58,21 @@ object Dedup {
     (size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b))).cast("double"))
 
+  /** The near-dup measure's three spellings as ONE definition each —
+    * shared with the streaming audit's admitted-vs-batch gate
+    * ([[graft.streaming.Jobs.auditLedgerBatch]]) so a future change to
+    * the prefix length, tokenization, or rounding cannot silently
+    * diverge the streaming verdicts from the batch form.
+    */
+  private[graft] def blockKeyOf(text: org.apache.spark.sql.Column, prefixLen: Int = 50) =
+    substring(text, 1, prefixLen)
+  private[graft] def wordSetOf(text: org.apache.spark.sql.Column) =
+    array_distinct(split(lower(text), "\\s+"))
+  private[graft] def r4Jaccard(
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    r4(size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double"))
+
   /** Engine-independent 4-decimal rounding (see TextAnalysis scaladoc on
     * round() half-way divergence — Jaccard is k/n rational, which lands
     * on half-way doubles routinely).
@@ -86,8 +101,8 @@ object Dedup {
     val w = Window.partitionBy("block_key")
     documents.select(
       col("doc_id"), col("text"),
-      substring(col("text"), 1, prefixLen).as("block_key"),
-      array_distinct(split(lower(col("text")), "\\s+")).as("words"))
+      blockKeyOf(col("text"), prefixLen).as("block_key"),
+      wordSetOf(col("text")).as("words"))
       .withColumn("block_n", count(lit(1)).over(w))
   }
 
@@ -101,7 +116,7 @@ object Dedup {
     a.join(b, Seq("block_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        r4(jaccard("wa", "wb")).as("jaccard"))
+        r4Jaccard(col("wa"), col("wb")).as("jaccard"))
   }
 
   def prefixBlockedJaccard(

@@ -299,7 +299,15 @@ object Sinks {
       }
       () => pair
     })
-    holder()
+    val built = holder()
+    // Replace the builder thunk with a strings-only closure once built:
+    // the builder closes over `spark`, and a WeakHashMap value that
+    // (transitively) strongly references its own key pins the entry
+    // forever — the documented WeakHashMap pitfall, which would undo the
+    // stopped-session eviction this map exists for. Racers that got the
+    // same builder all evaluate the same lazy val; the put is idempotent.
+    perSession.put(digest, () => built)
+    built
   }
 
   /** House revenue aggregate (the q_join_revenue_by_nation spelling:

@@ -171,7 +171,14 @@ object Jobs {
   private def partitionedStoreNonEmpty(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(path) && fs.listStatus(path).exists(_.isDirectory)
+    // hidden dirs don't count: a crash mid-write can leave _temporary/
+    // behind, which is a directory but holds nothing a parquet read will
+    // see (readers skip _/.-prefixed paths) — counting it would send a
+    // replayed batch into UNABLE_TO_INFER_SCHEMA forever
+    fs.exists(path) && fs.listStatus(path).exists { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
   /** Unbounded-history streaming exact dedup: each micro-batch of
@@ -745,19 +752,16 @@ object Jobs {
         .select(col("doc_id"), col("t"))
       def keyedWords(df: DataFrame): DataFrame = df.select(
         col("doc_id"),
-        substring(col("t"), 1, 50).as("block_key"),
-        array_distinct(split(lower(col("t")), "\\s+")).as("words"))
+        graft.ops.Dedup.blockKeyOf(col("t")).as("block_key"),
+        graft.ops.Dedup.wordSetOf(col("t")).as("words"))
       val nearDropped: DataFrame =
         if (partitionedStoreNonEmpty(spark, wordsDir)) {
           val sw = spark.read.parquet(wordsDir)
             .filter(col("ingest_batch") < batchId)
           val blockSizes = sw.groupBy("block_key").agg(count(lit(1)).as("store_n"))
-          // the batch measure's spelling (Dedup.pairsWithinBlocks):
-          // r4-rounded intersect/union word-set Jaccard
-          val jac = floor(
-            size(array_intersect(col("words"), col("adm_words"))).cast("double")
-              / size(array_union(col("words"), col("adm_words"))).cast("double")
-              * 10000 + 0.5) / 10000
+          // the batch measure, by the SAME definition (Dedup.r4Jaccard —
+          // the spelling pairsWithinBlocks verifies with)
+          val jac = graft.ops.Dedup.r4Jaccard(col("words"), col("adm_words"))
           keyedWords(distincts)
             .withColumn("batch_n", count(lit(1)).over(Window.partitionBy("block_key")))
             .join(blockSizes, Seq("block_key"), "left")
@@ -820,7 +824,15 @@ object Jobs {
     * `storeRoot`; it reads only the two parquet outputs.
     */
   def auditFunnelFromStores(spark: SparkSession, storeRoot: String): DataFrame = {
-    val ledger = spark.read.parquet(s"$storeRoot/ledger")
+    // BOTH stores need the partition-subdir guard: a stream that admits
+    // every doc (clean corpus) writes ledger/ as _SUCCESS-only, the
+    // mirror image of the all-dropped admitted/ edge
+    val ledger =
+      if (partitionedStoreNonEmpty(spark, s"$storeRoot/ledger"))
+        spark.read.parquet(s"$storeRoot/ledger")
+      else spark.range(0).select(
+        col("id").as("doc_id"), col("id").as("stage_idx"),
+        col("id").cast("string").as("stage"), col("id").cast("string").as("reason"))
     val nAdmitted =
       if (partitionedStoreNonEmpty(spark, s"$storeRoot/admitted"))
         spark.read.parquet(s"$storeRoot/admitted").count()

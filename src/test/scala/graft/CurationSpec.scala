@@ -146,15 +146,37 @@ class CurationSpec extends SparkSpec {
       assert(ledger.select("doc_id").distinct().count() == nDropped)
       // every ledger doc_id is a real train doc, never a benchmark doc
       assert(ledger.join(train.select("doc_id"), Seq("doc_id")).count() == nDropped)
-      // survivors = docs in no ledger row; they must pass every gate and
-      // be the canonical, decontaminated end of the pipeline — so the
-      // count reconciles against an independent survivor derivation:
-      // curateCanonical's survivor set minus the contaminated ones
+      // survivors = docs in no ledger row
       val survivors = train.select("doc_id")
         .join(ledger.select("doc_id"), Seq("doc_id"), "left_anti")
       val nSurvive = survivors.count()
       assert(nDropped + nSurvive == nTrain,
         s"$nDropped dropped + $nSurvive survived != $nTrain input docs")
+      // INDEPENDENT survivor derivation through the other code path:
+      // curatedFrame's dedup-FIRST aggregate (the audit scores per-doc),
+      // canonical collapse, then the pair-level decontamination gate on
+      // cleaned text. A ledger that mis-attributes an admitted doc (or
+      // admits a dropped one) disagrees with this set even though every
+      // count above still reconciles.
+      val curated = Curation.curatedFrame(train)
+      curated.count()
+      try {
+        val asDocs = curated.select(col("keep_doc_id").as("doc_id"), col("t").as("text"))
+        val canonDocs = asDocs.join(
+          graft.ops.Dedup.canonicalSurvivors(asDocs,
+            graft.ops.Dedup.prefixBlockedJaccard(asDocs)
+              .filter(col("jaccard") >= Curation.defaultJaccardThreshold))
+            .select(col("keep_doc_id").as("doc_id")),
+          Seq("doc_id"))
+        val indep = graft.ops.Dedup.decontaminate(
+          canonDocs,
+          bench.select(col("doc_id"), Curation.cleaned(col("text")).as("text")))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val got = survivors.collect().map(_.getLong(0)).toSet
+        assert(got == indep,
+          s"ledger survivors diverge from the dedup-first derivation: " +
+            s"only-ledger=${got -- indep} only-indep=${indep -- got}")
+      } finally curated.unpersist(blocking = true)
       // the funnel telescopes to the same totals, stage by stage
       val funnel = Curation.auditFunnel(train, bench).collect()
       assert(funnel.length == Curation.auditStages.length)
