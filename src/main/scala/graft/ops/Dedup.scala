@@ -1094,7 +1094,9 @@ object Dedup {
       .filter(call_function("graft_might_contain", lit(bloom), col("h")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minShared)
-      .select("doc_id")
+      // n_hits rides along for callers that report WHY (the streaming
+      // audit's rejection reason); anti-join callers key on doc_id only
+      .select(col("doc_id"), col("n_hits"))
 
   /** The EXACT twin of the Bloom gate's semantics: drop train docs
     * sharing at least `minShared` distinct shingles with the UNION of

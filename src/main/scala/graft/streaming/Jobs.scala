@@ -708,9 +708,28 @@ object Jobs {
     * output partitioned by `ingest_batch`, batch N reads only store
     * partitions `< N` and dynamic-overwrites its own.
     */
+  /** Decontamination gate config for [[auditLedgerBatch]]:
+    *  - [[AuditGate.Off]] — no benchmark, stage 7 never fires;
+    *  - [[AuditGate.Exact]] — the persisted shingle store's inverted-
+    *    index join, per-bench-doc attribution
+    *    (`contaminated_by=<bench_doc>`);
+    *  - [[AuditGate.Bloom]] — the zero-join 100 TB shape: the
+    *    benchmark's kept-shingle set as one constant filter probed
+    *    inside codegen. UNION semantics, so no per-bench-doc
+    *    attribution — the reason reports the evidence instead
+    *    (`bench_union_hits=<n>`), and over-dropping is the conservative
+    *    failure direction ([[graft.ops.Dedup.decontaminateBloom]]).
+    */
+  sealed trait AuditGate
+  object AuditGate {
+    case object Off extends AuditGate
+    final case class Exact(bench: DataFrame) extends AuditGate
+    final case class Bloom(filter: Array[Byte]) extends AuditGate
+  }
+
   def auditLedgerBatch(
       storeRoot: String,
-      benchStore: Option[DataFrame],
+      gate: AuditGate = AuditGate.Off,
       minTokens: Long = 10L,
       minQuality: Double = 0.55,
       jaccardThreshold: Double = graft.ops.Curation.defaultJaccardThreshold,
@@ -777,8 +796,9 @@ object Jobs {
           concat(lit("near_dup_of="), col("near_of")).as("reason"))
       val canonical = distincts
         .join(nearDropped.select("doc_id"), Seq("doc_id"), "left_anti")
-      val deconDropped: DataFrame = benchStore match {
-        case Some(bench) =>
+      // each gate yields (doc_id, reason); stage framing is shared below
+      val deconDropped: DataFrame = gate match {
+        case AuditGate.Exact(bench) =>
           graft.ops.Dedup.shingleHashes(
             canonical.select(col("doc_id"), col("t").as("text")), shingleSize)
             .withColumnRenamed("doc_id", "train_doc")
@@ -786,14 +806,20 @@ object Jobs {
             .groupBy("train_doc", "bench_doc").agg(count(lit(1)).as("n_shared"))
             .filter(col("n_shared") >= minShared)
             .groupBy("train_doc").agg(min(col("bench_doc")).as("bench_doc"))
-            .select(col("train_doc").as("doc_id"), col("bench_doc"))
-        case None =>
-          spark.range(0).select(col("id").as("doc_id"), col("id").as("bench_doc"))
+            .select(col("train_doc").as("doc_id"),
+              concat(lit("contaminated_by="), col("bench_doc")).as("reason"))
+        case AuditGate.Bloom(filter) =>
+          graft.ops.Dedup.bloomFlaggedDocs(
+            canonical.select(col("doc_id"), col("t").as("text")),
+            filter, shingleSize, minShared)
+            .select(col("doc_id"),
+              concat(lit("bench_union_hits="), col("n_hits")).as("reason"))
+        case AuditGate.Off =>
+          spark.range(0).select(col("id").as("doc_id"), col("id").cast("string").as("reason"))
       }
       val deconDrops = deconDropped
         .select(col("doc_id"), lit(7L).as("stage_idx"),
-          lit("decontaminated").as("stage"),
-          concat(lit("contaminated_by="), col("bench_doc")).as("reason"))
+          lit("decontaminated").as("stage"), col("reason"))
       val admitted = canonical
         .join(deconDropped.select("doc_id"), Seq("doc_id"), "left_anti")
       // outputs first, stores derived from the WRITTEN output (the
@@ -853,17 +879,24 @@ object Jobs {
       storeRoot: String,
       checkpointDir: String,
       benchStoreDir: Option[String] = None,
+      bloomStoreDir: Option[String] = None,
       shingleSize: Int = 3,
       queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val bench = benchStoreDir.map { dir =>
-      loadBenchStore(docs.sparkSession, dir, shingleSize)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    require(benchStoreDir.isEmpty || bloomStoreDir.isEmpty,
+      "pass ONE decontamination store: the exact shingle store OR the bloom store")
+    val gate: AuditGate = (benchStoreDir, bloomStoreDir) match {
+      case (Some(dir), _) => AuditGate.Exact(
+        loadBenchStore(docs.sparkSession, dir, shingleSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      case (_, Some(dir)) => AuditGate.Bloom(
+        loadBloomStore(docs.sparkSession, dir, shingleSize))
+      case _ => AuditGate.Off
     }
     docs.writeStream
       .queryName("audit_stream")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(auditLedgerBatch(storeRoot, bench, shingleSize = shingleSize) _)
+      .foreachBatch(auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize) _)
       .start()
   }
 

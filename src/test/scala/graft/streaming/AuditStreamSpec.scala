@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -62,7 +63,7 @@ class AuditStreamSpec extends SparkSpec {
     // replay idempotence (foreachBatch is at-least-once): re-running the
     // last batch body changes neither the ledger nor the stores
     val benchFrame = spark.read.parquet(benchStore).select("bench_doc", "shh")
-    Jobs.auditLedgerBatch(root, Some(benchFrame))(Seq(train.last).toDF(), (train.length - 1).toLong)
+    Jobs.auditLedgerBatch(root, Jobs.AuditGate.Exact(benchFrame))(Seq(train.last).toDF(), (train.length - 1).toLong)
     val got2 = spark.read.parquet(s"$root/ledger")
       .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
     assert(got2 == expected, s"replay changed the ledger: $got2")
@@ -77,6 +78,44 @@ class AuditStreamSpec extends SparkSpec {
     funnel.foreach { r =>
       assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
     }
+  }
+
+  test("bloom-gated audit equals the exact gate on a single-bench fixture (union == pair)") {
+    // With ONE benchmark doc, the Bloom gate's union semantics coincide
+    // with the pair gate's, so the two audits must produce identical
+    // verdicts — only the stage-7 reason differs (evidence count vs
+    // per-bench-doc attribution). A Bloom FP would need >= minShared
+    // distinct false hits on one doc (~impossible at 2^23 bits), so the
+    // no-false-negative containment here is equality.
+    val train = Seq(Doc(1, base), Doc(2, leak), Doc(3, fresh))
+    val bench = Seq(Doc(1000, benchText))
+    val exactRoot = tmpDir("audit-bloom-exact")
+    val bloomRoot = tmpDir("audit-bloom-bloom")
+    val exactStore = tmpDir("audit-bloom-estore")
+    val bloomStore = tmpDir("audit-bloom-bstore")
+    Jobs.buildBenchmarkShingleStore(bench.toDF(), exactStore)
+    Jobs.buildBenchmarkBloomStore(bench.toDF(), bloomStore)
+    def run(root: String, benchDir: Option[String], bloomDir: Option[String]): Unit = {
+      val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+      val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir(root.split('/').last + "-ckpt"),
+        benchStoreDir = benchDir, bloomStoreDir = bloomDir,
+        queryTrigger = Trigger.ProcessingTime(0))
+      try train.foreach { d => ms.addData(d); q.processAllAvailable() }
+      finally q.stop()
+    }
+    run(exactRoot, Some(exactStore), None)
+    run(bloomRoot, None, Some(bloomStore))
+    def ledgerOf(root: String) = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage").as[(Long, String)].collect().toSet
+    val exact = ledgerOf(exactRoot)
+    assert(exact.contains((2L, "decontaminated")), s"fixture gap: $exact")
+    assert(ledgerOf(bloomRoot) == exact)
+    val bloomReason = spark.read.parquet(s"$bloomRoot/ledger")
+      .filter(col("stage") === "decontaminated")
+      .select("reason").as[String].head()
+    assert(bloomReason.startsWith("bench_union_hits="), bloomReason)
+    assert(spark.read.parquet(s"$bloomRoot/admitted").select("doc_id").as[Long].collect().toSet ==
+      spark.read.parquet(s"$exactRoot/admitted").select("doc_id").as[Long].collect().toSet)
   }
 
   test("randomized batching: conservation, gate parity, and first-wins dedup invariants") {
@@ -109,7 +148,7 @@ class AuditStreamSpec extends SparkSpec {
       var rest = shuffled
       while (rest.nonEmpty) {
         val take = 1 + rnd.nextInt(4)
-        Jobs.auditLedgerBatch(root, None)(rest.take(take).toDF(), batchId)
+        Jobs.auditLedgerBatch(root)(rest.take(take).toDF(), batchId)
         rest = rest.drop(take); batchId += 1
       }
       val ledger = spark.read.parquet(s"$root/ledger")
@@ -151,9 +190,9 @@ class AuditStreamSpec extends SparkSpec {
     // batch. The partition-subdir probe must skip the read-back, and the
     // next batch must admit normally against the still-empty stores.
     val root = tmpDir("audit-empty-first")
-    Jobs.auditLedgerBatch(root, None)(
+    Jobs.auditLedgerBatch(root)(
       Seq(Doc(1, "too short"), Doc(2, "[REDACTED_BLOCK]")).toDF(), 0L)
-    Jobs.auditLedgerBatch(root, None)(Seq(Doc(3, base)).toDF(), 1L)
+    Jobs.auditLedgerBatch(root)(Seq(Doc(3, base)).toDF(), 1L)
     val ledger = spark.read.parquet(s"$root/ledger")
       .select("doc_id", "stage").as[(Long, String)].collect().toSet
     assert(ledger == Set((1L, "token_floor"), (2L, "clean_empty")), s"$ledger")
