@@ -1034,7 +1034,7 @@ object Dedup {
       .select(xxhash64(col("shingle")).as("h")).distinct()
       .agg(call_function("graft_bloom_agg",
         col("h"), lit(expectedItems), lit(numBits)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+      .head().getAs[Array[Byte]]("bloom")
 
   /** Decontamination through the Bloom filter — the 100 TB shape of
     * [[decontaminate]]. The exact form joins every train shingle
@@ -1265,7 +1265,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the sum action doubles as the cache-materializing action
     def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head.getDecimal(0)
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var i = 0
     var converged = false

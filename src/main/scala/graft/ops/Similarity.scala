@@ -247,14 +247,14 @@ object Similarity {
     val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
     val assigned = model.transform(withVec).cache()
     val q = assigned.filter(col("vec_id") === queryVecId)
-      .select("features").head.getAs[MlVector](0)
+      .select("features").head().getAs[MlVector](0)
     val probes = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, Vectors.sqdist(c, q)) }
       .sortBy(_._2).take(nprobe).map(_._1)
     val qEmb = assigned.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_emb"))
     assigned
-      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= queryVecId)
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(qEmb))
       .select(col("vec_id"), col("label"),
         round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
@@ -365,7 +365,7 @@ object Similarity {
       .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
       .sortBy(_._2).take(nprobe).map(_._1)
     spark.read.parquet(s"$dir/assigned")
-      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= excludeVecId)
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
       .withColumn("q_emb", typedLit(queryVec.toSeq))
       .select(col("vec_id"), col("label"),
         round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
@@ -408,7 +408,7 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       buildIvfIndex(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       queryIvfIndex(s, dir, q, excludeVecId = 0L)
     })
 
@@ -434,7 +434,7 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       buildIvfIndex(emb, dir)
       val q = emb.filter(col("vec_id") === 0L)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       queryIvfIndex(s, dir, q, nprobe = 16, excludeVecId = 0L)
     })
 

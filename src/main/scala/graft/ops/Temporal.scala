@@ -47,10 +47,10 @@ object Temporal {
     val rPayload = payload.foldLeft(rAligned) { case (df, (rc, out)) =>
       df.withColumn(out, col(rc))
     }
-    val unioned = lAligned.select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag")) ++
-        payload.map(p => col(p._2))): _*)
-      .unionByName(rPayload.select((leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag")) ++
-        payload.map(p => col(p._2))): _*))
+    val unionCols = (leftCols.map(col) ++ Seq(col("_k"), col("_t"), col("_tag")) ++
+        payload.map(p => col(p._2))).toIndexedSeq
+    val unioned = lAligned.select(unionCols: _*)
+      .unionByName(rPayload.select(unionCols: _*))
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(unioned) { case (df, (_, out)) =>

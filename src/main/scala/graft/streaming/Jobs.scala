@@ -339,7 +339,7 @@ object Jobs {
   private def loadBenchStore(
       spark: SparkSession, dir: String, shingleSize: Int): DataFrame = {
     val bench = spark.read.parquet(dir)
-    val stored = bench.select("shingle_n").head.getInt(0)
+    val stored = bench.select("shingle_n").head().getInt(0)
     require(stored == shingleSize,
       s"benchmark store $dir was built with shingleSize=$stored but the " +
         s"gate is probing with shingleSize=$shingleSize — rebuild the store " +
@@ -440,7 +440,7 @@ object Jobs {
     */
   private def loadBloomStore(
       spark: SparkSession, dir: String, shingleSize: Int): Array[Byte] = {
-    val row = spark.read.parquet(dir).select("bloom", "shingle_n").head
+    val row = spark.read.parquet(dir).select("bloom", "shingle_n").head()
     val stored = row.getInt(1)
     require(stored == shingleSize,
       s"bloom store $dir was built with shingleSize=$stored but the " +
@@ -520,7 +520,7 @@ object Jobs {
 
   private def loadLmStore(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
     val cb = spark.read.parquet(s"$dir/bigrams")
-    val v = spark.read.parquet(s"$dir/meta").head.getLong(0)
+    val v = spark.read.parquet(s"$dir/meta").head().getLong(0)
     require(v > 0,
       s"LM store $dir has vocabSize=$v — an empty model gates NOTHING " +
         "meaningfully; rebuild the store from a non-empty corpus")

@@ -36,7 +36,7 @@ object Stress10x {
     val n = base.count()
     // max-id shift (not count): sparse id spaces must not collide
     // shifted copies with base rows (same fix as StressEvents)
-    val shift = base.agg(max("doc_id")).head.getLong(0) + 1
+    val shift = base.agg(max("doc_id")).head().getLong(0) + 1
     val docs = (0 until copies).map(k =>
       base.select((col("doc_id") + lit(k * shift)).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars")))

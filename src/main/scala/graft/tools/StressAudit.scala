@@ -64,7 +64,7 @@ object StressAudit {
     }
 
     val base = Tables.documents(spark, sfDir)
-    val shift = base.agg(max("doc_id")).head.getLong(0) + 1
+    val shift = base.agg(max("doc_id")).head().getLong(0) + 1
     val (corpus, nCorpus) = stage("corpus") {
       (0 until copies).map(k =>
         base.select((col("doc_id") + lit(k * shift)).as("doc_id"), col("text")))

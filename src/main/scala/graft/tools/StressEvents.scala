@@ -39,7 +39,7 @@ object StressEvents {
     // SCALING.md numbers are cited from.
     val (nEvents, nUsers, maxEventId, maxUserId) = {
       val r = base.agg(count(lit(1)), countDistinct(col("user_id")),
-        max(col("event_id")), max(col("user_id"))).head
+        max(col("event_id")), max(col("user_id"))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     val userShift = maxUserId + 1

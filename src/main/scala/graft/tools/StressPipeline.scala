@@ -71,7 +71,7 @@ object StressPipeline {
     }
 
     val base = Tables.documents(spark, sfDir)
-    val shift = base.agg(max("doc_id")).head.getLong(0) + 1
+    val shift = base.agg(max("doc_id")).head().getLong(0) + 1
     val nBase = base.count()
     val (corpus, nCorpus) = stage("corpus", s"$copies x union (planted dup families)", nBase) {
       (0 until copies).map(k =>
