@@ -118,6 +118,15 @@ class AuditStreamSpec extends SparkSpec {
       spark.read.parquet(s"$exactRoot/admitted").select("doc_id").as[Long].collect().toSet)
   }
 
+  test("startAuditStream rejects two decontamination stores loudly") {
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val e = intercept[IllegalArgumentException] {
+      Jobs.startAuditStream(ms.toDF(), tmpDir("audit-2stores"), tmpDir("audit-2stores-ckpt"),
+        benchStoreDir = Some("/nonexistent/a"), bloomStoreDir = Some("/nonexistent/b"))
+    }
+    assert(e.getMessage.contains("ONE decontamination store"))
+  }
+
   test("randomized batching: conservation, gate parity, and first-wins dedup invariants") {
     // Universal invariants that must hold for ANY batch partitioning and
     // arrival order (unlike full ledger parity, which needs ordered
