@@ -271,7 +271,7 @@ object Bench {
         // producer/consumer contract): build it here so the timed
         // window measures the 7-row funnel aggregate, not the one-time
         // ledger materialization it amortizes
-        ("audit_store", wants("pipeline_curate_funnel"),
+        ("audit_store", wants("pipeline_curate_funnel", "pipeline_curate_audit_examples"),
           () => spark.read.parquet(
             Curation.auditLedgerStore(spark, sfDir)).limit(64)),
         // the propagation loop generates fresh join+union+min plans per

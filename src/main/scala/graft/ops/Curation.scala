@@ -821,6 +821,45 @@ object Curation {
       Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
         .agg(count(lit(1)).cast("long").as("n_total"))))
 
+  /** Example docs per drop stage — the debugging affordance next to the
+    * funnel ("show me WHAT I'm throwing away, not just how many"): the
+    * first `perStage` dropped docs of each stage by doc_id, with the
+    * rejection reason and an 80-char snippet of the cleaned text. Like
+    * the funnel, a consumer of the ledger a pipeline materializes
+    * anyway; the snippet join touches only the dropped ids.
+    */
+  def auditExamples(
+      ledger: DataFrame,
+      cleanedDocs: DataFrame,
+      perStage: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("stage").orderBy("doc_id")
+    ledger
+      .join(cleanedDocs.select(col("doc_id"), substring(col("t"), 1, 80).as("snippet")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStage)
+      .select(col("stage_idx"), col("stage"), col("doc_id"), col("reason"), col("snippet"))
+      .orderBy("stage_idx", "doc_id")
+  }
+
+  val auditExamplesQuery: QueryDef = QueryDef(
+    "pipeline_curate_audit_examples",
+    s"""WITH RECURSIVE $auditLedgerCte,
+       |examples AS (
+       |  SELECT l.stage_idx, l.stage, l.doc_id, l.reason,
+       |         substr(c.t, 1, 80) AS snippet,
+       |         row_number() OVER (PARTITION BY l.stage ORDER BY l.doc_id) AS rn
+       |  FROM ledger l JOIN cleaned c ON l.doc_id = c.doc_id)
+       |SELECT stage_idx, stage, doc_id, reason, snippet
+       |FROM examples WHERE rn <= 3
+       |ORDER BY stage_idx, doc_id""".stripMargin)(
+    (s, d) => auditExamples(
+      s.read.parquet(auditLedgerStore(s, d)),
+      Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), cleaned(col("text")).as("t"))))
+
   val all: Seq[QueryDef] =
-    Seq(curateQuery, curateCanonicalQuery, auditQuery, auditFunnelQuery)
+    Seq(curateQuery, curateCanonicalQuery, auditQuery, auditFunnelQuery,
+      auditExamplesQuery)
 }

@@ -204,6 +204,30 @@ class CurationSpec extends SparkSpec {
     } finally ledger.unpersist(blocking = true)
   }
 
+  test("audit examples: at most perStage rows per stage, all drawn from the ledger") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val ledger = Curation.auditLedger(train, bench).cache()
+    try {
+      val cleaned = train.select(col("doc_id"), Curation.cleaned(col("text")).as("t"))
+      val ex = Curation.auditExamples(ledger, cleaned, perStage = 2).collect()
+      val perStage = ex.groupBy(_.getAs[String]("stage")).view.mapValues(_.length)
+      perStage.foreach { case (s, n) => assert(n <= 2, s"stage $s has $n examples") }
+      // every example is a real ledger row with its reason, snippet from
+      // the doc's own cleaned text, and the per-stage pick is the LOWEST
+      // doc_ids of that stage
+      val byStage = ledger.collect()
+        .groupBy(_.getAs[String]("stage"))
+        .view.mapValues(_.map(_.getAs[Long]("doc_id")).sorted.take(2).toSet)
+      ex.foreach { r =>
+        val (stage, id) = (r.getAs[String]("stage"), r.getAs[Long]("doc_id"))
+        assert(byStage(stage).contains(id), s"$stage example $id is not among its lowest ids")
+        assert(r.getAs[String]("snippet").length <= 80)
+      }
+    } finally ledger.unpersist(blocking = true)
+  }
+
   test("a stricter quality floor keeps a subset") {
     val docs = Tables.documents(spark, sf)
     val loose = Curation.curate(docs, minQuality = 0.55)
