@@ -566,9 +566,25 @@ object Similarity {
     val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       sqrt(dot("embedding", "embedding")).as("nrm"),
       coalesce(benchPred, lit(false)).as("is_bench"))
-    val bench = e.filter(col("is_bench"))
-      .select(col("embedding").as("be"), col("nrm").as("bn"))
-    val train = e.filter(!col("is_bench"))
+    semanticSurvivorsAgainst(
+      e.filter(!col("is_bench")),
+      e.filter(col("is_bench"))
+        .select(col("embedding").as("be"), col("nrm").as("bn")),
+      threshold)
+  }
+
+  /** The two-frame core of [[semanticDecontaminate]], shared with the
+    * streaming gate ([[graft.streaming.Jobs.semanticGateBatch]]): train
+    * rows (vec_id, label, embedding, nrm) against an explicit benchmark
+    * frame (be, bn), broadcast — survivors with their max bench cosine
+    * as the audit column. One definition, so the batch and streaming
+    * verdicts share every arithmetic detail (rounding, zero-norm NULL
+    * contract, left-join empty-bench behavior).
+    */
+  private[graft] def semanticSurvivorsAgainst(
+      train: DataFrame,
+      bench: DataFrame,
+      threshold: Double): DataFrame = {
     val maxCos = train.crossJoin(broadcast(bench))
       .select(col("vec_id"),
         when(col("nrm") > 0 && col("bn") > 0,
@@ -579,6 +595,13 @@ object Similarity {
       .filter(coalesce(col("max_bench_cos"), lit(-1.0)) < threshold)
       .select(col("vec_id"), col("label"), col("max_bench_cos"))
   }
+
+  /** Norm-annotated (vec_id, label, embedding, nrm) projection — the
+    * shape both sides of the semantic gate store/stream in.
+    */
+  private[graft] def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      sqrt(dot("embedding", "embedding")).as("nrm"))
 
   /** Registered with vec_id % 37 = 0 as the held-out "benchmark" slice
     * and a fixture-discriminating threshold (the synthetic embeddings'

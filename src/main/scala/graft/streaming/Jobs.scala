@@ -676,6 +676,75 @@ object Jobs {
       .select(col("event_id"), col("user_id"), col("p_id"), col("ts"), col("p_ts"))
   }
 
+  // ------------------------------------- semantic decontamination gate
+
+  /** Build the persisted benchmark EMBEDDING store the streaming
+    * semantic gate probes: (be, bn) — each benchmark vector with its
+    * precomputed norm — plus the embedding dimensionality, so a gate
+    * probing with differently-sized vectors fails loudly instead of
+    * erroring row-by-row inside the dot product. A benchmark suite is
+    * broadcast-sized by nature (same contract as the shingle stores).
+    */
+  def buildBenchmarkEmbeddingStore(benchmark: DataFrame, dir: String): Unit =
+    graft.ops.Similarity.withNorm(benchmark)
+      .select(col("embedding").as("be"), col("nrm").as("bn"),
+        size(col("embedding")).as("emb_dim"))
+      .write.mode("overwrite").parquet(dir)
+
+  private[streaming] def loadEmbeddingStore(
+      spark: SparkSession, dir: String, expectDim: Option[Int]): DataFrame = {
+    val bench = spark.read.parquet(dir)
+    val stored = bench.select("emb_dim").head().getInt(0)
+    expectDim.foreach(d => require(stored == d,
+      s"benchmark embedding store $dir holds $stored-dim vectors but the " +
+        s"gate is probing with $d-dim vectors — rebuild the store or fix the source " +
+        "(a dimension mismatch would error inside the dot product per row)"))
+    bench.select("be", "bn")
+  }
+
+  /** Streaming SEMANTIC decontamination — the embedding-space member of
+    * the gate family ([[graft.ops.Similarity.semanticDecontaminate]])
+    * lifted onto micro-batches: each batch's vectors are scored against
+    * the broadcast benchmark store (the paraphrase/translation leakage
+    * the shingle gates can't see), and rows with max bench cosine >=
+    * `threshold` are dropped. The store is STATIC (like the shingle
+    * benchmark), so the body is a pure function of (batch, store) and
+    * replay needs only the own-partition dynamic overwrite. Survivors
+    * carry `max_bench_cos` as the audit column.
+    */
+  def semanticGateBatch(
+      bench: DataFrame, outDir: String, threshold: Double)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return // F7-style empty-batch guard
+    graft.ops.Similarity.semanticSurvivorsAgainst(
+      graft.ops.Similarity.withNorm(batch), bench, threshold)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+  }
+
+  /** [[semanticGateBatch]] behind a streaming query; `docs` must carry
+    * (vec_id, label, embedding). The store is loaded, dim-validated
+    * against the stream's schema where possible, and persisted once.
+    */
+  def startSemanticDecontaminationGate(
+      docs: DataFrame,
+      embStoreDir: String,
+      outDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.9,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val bench = loadEmbeddingStore(docs.sparkSession, embStoreDir, None)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    docs.writeStream
+      .queryName("semantic_decontamination_gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(semanticGateBatch(bench, outDir, threshold) _)
+      .start()
+  }
+
   // ------------------------------------------------- streaming audit
 
   /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s

@@ -16,6 +16,9 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, text: String)
 
+/** Embedding row for the semantic-gate stream test. */
+case class Emb(vec_id: Long, label: String, embedding: Seq[Double])
+
 /** Structured-Streaming lift — parity with batch, watermark append
   * semantics, per-batch faithful mode, checkpoint recovery, empty-batch
   * marker (SURVEY.md §5 item 3).
@@ -483,6 +486,46 @@ class StreamingJobsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Jobs.decontaminationGateBatch(store, out, 5L, shingleSize = 5)(b1.toDF(), 2L))
     assert(ex.getMessage.contains("shingleSize"))
+  }
+
+  test("semantic decontamination gate stream: embedding-space leaks dropped, replay-safe, dim-validated") {
+    import spark.implicits._
+    // unit-ish vectors: b is the benchmark direction; the leak is b
+    // scaled (cosine 1.0), nearleak is b with a small orthogonal nudge
+    // (cosine ~0.995); clean vectors are (near-)orthogonal to b
+    val b = Seq(1.0, 0.0, 0.0, 0.0)
+    val store = tmpDir("semgate-store"); val out = tmpDir("semgate-out")
+    Jobs.buildBenchmarkEmbeddingStore(
+      Seq(Emb(100L, "bench", b)).toDF(), store)
+    val ms = MemoryStream[Emb](spark)(org.apache.spark.sql.Encoders.product[Emb])
+    val q = Jobs.startSemanticDecontaminationGate(ms.toDF(), store, out,
+      tmpDir("semgate-ckpt"), threshold = 0.9,
+      queryTrigger = Trigger.ProcessingTime(0))
+    ms.addData(
+      Emb(1, "clean", Seq(0.0, 1.0, 0.0, 0.0)),
+      Emb(2, "leak", b.map(_ * 2))) // scaled copy: cosine exactly 1.0
+    q.processAllAvailable()
+    val b1 = Seq(
+      Emb(10, "nearleak", Seq(1.0, 0.1, 0.0, 0.0)), // cos ~0.995 >= 0.9
+      Emb(11, "clean", Seq(0.0, 0.3, 0.9, 0.0)))
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def admitted() = spark.read.parquet(out)
+      .select("vec_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted() == Map(1L -> 0, 11L -> 1), s"got ${admitted()}")
+    // survivors carry the audit column and respect the threshold
+    val maxCos = spark.read.parquet(out)
+      .select("max_bench_cos").as[Option[Double]].collect().flatten
+    assert(maxCos.forall(_ < 0.9))
+    // replay idempotence: the static store + own-partition overwrite
+    val bench = spark.read.parquet(store).select("be", "bn")
+    Jobs.semanticGateBatch(bench, out, 0.9)(b1.toDF(), 1L)
+    assert(admitted() == Map(1L -> 0, 11L -> 1), s"replay changed output: ${admitted()}")
+    // a store built on 4-dim vectors must refuse a caller expecting 8
+    val ex = intercept[IllegalArgumentException](
+      Jobs.loadEmbeddingStore(spark, store, expectDim = Some(8)))
+    assert(ex.getMessage.contains("4-dim") && ex.getMessage.contains("8-dim"))
   }
 
   test("bloom decontamination gate stream: leaks dropped join-free, replay-safe, size-validated") {
