@@ -118,6 +118,48 @@ class AuditStreamSpec extends SparkSpec {
       spark.read.parquet(s"$exactRoot/admitted").select("doc_id").as[Long].collect().toSet)
   }
 
+  test("audit stream restart resumes from the checkpoint; stores and ledger stay consistent") {
+    // An actual checkpoint RESTART (not just a direct body replay): run
+    // over a spool dir, stop, drop a new file, start a fresh query on
+    // the same checkpoint. The second run must process only the new
+    // file, dedup against the FIRST run's persisted hash store, and
+    // leave exactly one verdict per doc across both lifetimes.
+    import org.apache.spark.sql.types._
+    val in = tmpDir("audit-restart-in")
+    val root = tmpDir("audit-restart-store")
+    val ckpt = tmpDir("audit-restart-ckpt")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def drop(name: String, docs: Seq[Doc]): Unit = {
+      val stage = tmpDir("audit-restart-stage")
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, new java.io.File(s"$in/$name").toPath)
+    }
+    def runOnce(): Unit = {
+      val q = Jobs.startAuditStream(
+        Sources.parquetSpoolDir(spark, in, docSchema, maxFilesPerTrigger = 1),
+        root, ckpt, queryTrigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    drop("01.parquet", Seq(Doc(1, base), Doc(2, base))) // 2 dups 1
+    runOnce()
+    drop("02.parquet", Seq(Doc(3, base), Doc(4, fresh))) // 3 dups STORED 1; 4 fresh
+    runOnce()
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect()
+    assert(ledger.map(_._1).distinct.length == ledger.length, s"dup verdicts: ${ledger.toSeq}")
+    assert(ledger.toSet == Set(
+      (2L, "exact_dup", "duplicate_of=1"),
+      (3L, "exact_dup", "duplicate_of=1")), s"${ledger.toSeq}")
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // the hash store holds exactly the two admitted distinct texts
+    assert(spark.read.parquet(s"$root/hashes")
+      .select("content_hash").distinct().count() == 2)
+  }
+
   test("startAuditStream rejects two decontamination stores loudly") {
     val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
     val e = intercept[IllegalArgumentException] {
