@@ -834,11 +834,18 @@ object Curation {
       perStage: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("stage").orderBy("doc_id")
+    // window BEFORE the snippet join: the ledger has one row per dropped
+    // doc (corpus-fraction-sized), the survivors of the top-N filter are
+    // <= 7*perStage rows — joining first would evaluate the cleaning
+    // chain for millions of docs to keep ~21. Order is unaffected: every
+    // ledger doc_id exists in cleanedDocs, so the inner join drops
+    // nothing and rn is the same either way (the DuckDB oracle spells
+    // join-then-window; same output).
     ledger
-      .join(cleanedDocs.select(col("doc_id"), substring(col("t"), 1, 80).as("snippet")),
-        Seq("doc_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= perStage)
+      .join(cleanedDocs.select(col("doc_id"), substring(col("t"), 1, 80).as("snippet")),
+        Seq("doc_id"))
       .select(col("stage_idx"), col("stage"), col("doc_id"), col("reason"), col("snippet"))
       .orderBy("stage_idx", "doc_id")
   }

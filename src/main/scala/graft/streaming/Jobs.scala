@@ -681,8 +681,10 @@ object Jobs {
   /** Build the persisted benchmark EMBEDDING store the streaming
     * semantic gate probes: (be, bn) — each benchmark vector with its
     * precomputed norm — plus the embedding dimensionality, so a gate
-    * probing with differently-sized vectors fails loudly instead of
-    * erroring row-by-row inside the dot product. A benchmark suite is
+    * probing with differently-sized vectors fails loudly up front —
+    * graft_dot would NOT error on a mismatch (it folds the shared
+    * prefix against full-length norms, silently deflating cosines), so
+    * [[semanticGateBatch]] checks every batch. A benchmark suite is
     * broadcast-sized by nature (same contract as the shingle stores).
     */
   def buildBenchmarkEmbeddingStore(benchmark: DataFrame, dir: String): Unit =
@@ -697,8 +699,9 @@ object Jobs {
     val stored = bench.select("emb_dim").head().getInt(0)
     expectDim.foreach(d => require(stored == d,
       s"benchmark embedding store $dir holds $stored-dim vectors but the " +
-        s"gate is probing with $d-dim vectors — rebuild the store or fix the source " +
-        "(a dimension mismatch would error inside the dot product per row)"))
+        s"caller expects $d-dim vectors — rebuild the store or fix the source " +
+        "(graft_dot would NOT error on a mismatch: it folds the shared prefix " +
+        "against full-length norms, silently deflating every cosine)"))
     bench.select("be", "bn")
   }
 
@@ -711,11 +714,25 @@ object Jobs {
     * benchmark), so the body is a pure function of (batch, store) and
     * replay needs only the own-partition dynamic overwrite. Survivors
     * carry `max_bench_cos` as the audit column.
+    *
+    * Every batch's embedding dimensionality is checked against the
+    * store's (`benchDim`) — this CANNOT be left to the dot product:
+    * graft_dot folds over the SHARED PREFIX of mismatched vectors while
+    * the norms cover full length, silently deflating every cosine and
+    * admitting leakage (the embedding-model-upgrade failure mode). The
+    * min/max aggregate also catches a heterogeneous batch.
     */
   def semanticGateBatch(
-      bench: DataFrame, outDir: String, threshold: Double)(
+      bench: DataFrame, benchDim: Int, outDir: String, threshold: Double)(
       batch: DataFrame, batchId: Long): Unit = {
+    require(threshold > 0, s"threshold must be positive (got $threshold)")
     if (batch.isEmpty) return // F7-style empty-batch guard
+    val dims = batch.agg(
+      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi")).head()
+    require(dims.getInt(0) == benchDim && dims.getInt(1) == benchDim,
+      s"batch $batchId carries ${dims.getInt(0)}..${dims.getInt(1)}-dim embeddings " +
+        s"but the benchmark store holds $benchDim-dim vectors — a mismatch would " +
+        "silently deflate every cosine (prefix dot over full-length norms), not error")
     graft.ops.Similarity.semanticSurvivorsAgainst(
       graft.ops.Similarity.withNorm(batch), bench, threshold)
       .withColumn("ingest_batch", lit(batchId))
@@ -725,8 +742,8 @@ object Jobs {
   }
 
   /** [[semanticGateBatch]] behind a streaming query; `docs` must carry
-    * (vec_id, label, embedding). The store is loaded, dim-validated
-    * against the stream's schema where possible, and persisted once.
+    * (vec_id, label, embedding). The store is loaded once; its recorded
+    * dimensionality gates every batch.
     */
   def startSemanticDecontaminationGate(
       docs: DataFrame,
@@ -735,17 +752,39 @@ object Jobs {
       checkpointDir: String,
       threshold: Double = 0.9,
       queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val bench = loadEmbeddingStore(docs.sparkSession, embStoreDir, None)
+    require(threshold > 0, s"threshold must be positive (got $threshold)")
+    val spark = docs.sparkSession
+    val benchDim = spark.read.parquet(embStoreDir).select("emb_dim").head().getInt(0)
+    val bench = loadEmbeddingStore(spark, embStoreDir, Some(benchDim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     docs.writeStream
       .queryName("semantic_decontamination_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(semanticGateBatch(bench, outDir, threshold) _)
+      .foreachBatch(semanticGateBatch(bench, benchDim, outDir, threshold) _)
       .start()
   }
 
   // ------------------------------------------------- streaming audit
+
+  /** Decontamination gate config for [[auditLedgerBatch]]:
+    *  - [[AuditGate.Off]] — no benchmark, stage 7 never fires;
+    *  - [[AuditGate.Exact]] — the persisted shingle store's inverted-
+    *    index join, per-bench-doc attribution
+    *    (`contaminated_by=<bench_doc>`);
+    *  - [[AuditGate.Bloom]] — the zero-join 100 TB shape: the
+    *    benchmark's kept-shingle set as one constant filter probed
+    *    inside codegen. UNION semantics, so no per-bench-doc
+    *    attribution — the reason reports the evidence instead
+    *    (`bench_union_hits=<n>`), and over-dropping is the conservative
+    *    failure direction ([[graft.ops.Dedup.decontaminateBloom]]).
+    */
+  sealed trait AuditGate
+  object AuditGate {
+    case object Off extends AuditGate
+    final case class Exact(bench: DataFrame) extends AuditGate
+    final case class Bloom(filter: Array[Byte]) extends AuditGate
+  }
 
   /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s
     * drop ledger lifted onto micro-batches: every doc a batch rejects
@@ -777,25 +816,6 @@ object Jobs {
     * output partitioned by `ingest_batch`, batch N reads only store
     * partitions `< N` and dynamic-overwrites its own.
     */
-  /** Decontamination gate config for [[auditLedgerBatch]]:
-    *  - [[AuditGate.Off]] — no benchmark, stage 7 never fires;
-    *  - [[AuditGate.Exact]] — the persisted shingle store's inverted-
-    *    index join, per-bench-doc attribution
-    *    (`contaminated_by=<bench_doc>`);
-    *  - [[AuditGate.Bloom]] — the zero-join 100 TB shape: the
-    *    benchmark's kept-shingle set as one constant filter probed
-    *    inside codegen. UNION semantics, so no per-bench-doc
-    *    attribution — the reason reports the evidence instead
-    *    (`bench_union_hits=<n>`), and over-dropping is the conservative
-    *    failure direction ([[graft.ops.Dedup.decontaminateBloom]]).
-    */
-  sealed trait AuditGate
-  object AuditGate {
-    case object Off extends AuditGate
-    final case class Exact(bench: DataFrame) extends AuditGate
-    final case class Bloom(filter: Array[Byte]) extends AuditGate
-  }
-
   def auditLedgerBatch(
       storeRoot: String,
       gate: AuditGate = AuditGate.Off,

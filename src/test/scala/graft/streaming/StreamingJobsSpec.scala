@@ -520,7 +520,7 @@ class StreamingJobsSpec extends SparkSpec {
     assert(maxCos.forall(_ < 0.9))
     // replay idempotence: the static store + own-partition overwrite
     val bench = spark.read.parquet(store).select("be", "bn")
-    Jobs.semanticGateBatch(bench, out, 0.9)(b1.toDF(), 1L)
+    Jobs.semanticGateBatch(bench, 4, out, 0.9)(b1.toDF(), 1L)
     assert(admitted() == Map(1L -> 0, 11L -> 1), s"replay changed output: ${admitted()}")
     // a store built on 4-dim vectors must refuse a caller expecting 8
     val ex = intercept[IllegalArgumentException](
