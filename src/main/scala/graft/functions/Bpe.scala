@@ -1,0 +1,333 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real subword (BPE) tokenization as a native expression —
+  * `graft_bpe_count(text, mergesSpec)` returns the number of BPE tokens
+  * the text encodes to under a fixed, committed merges table.
+  *
+  * Everything token-denominated in the registry (token budgets,
+  * sequence packing, length batching) previously counted WHITESPACE
+  * tokens, which misestimates LLM token budgets by 1.3-1.7× on real
+  * text; this runs the actual greedy-merge encoder (Sennrich et al.
+  * 2016 — the public BPE algorithm every GPT/LLaMA-family tokenizer
+  * uses) as a compiled loop inside whole-stage codegen, so the count is
+  * still scan-side shuffle-free compute.
+  *
+  * Encoding spec (the DuckDB oracle replays it verbatim, so it is
+  * normative):
+  *  1. pre-tokenize with [[Bpe.PretokenPattern]] (word chunks +
+  *     standalone punctuation — the split every BPE runs first);
+  *  2. per pre-token, start from Unicode-codepoint symbols, then
+  *     repeat: find the LOWEST-RANK merge pair present among adjacent
+  *     symbols; merge ALL its non-overlapping occurrences
+  *     left-to-right; stop when no table pair is present;
+  *  3. token count = surviving symbols summed over pre-tokens.
+  * Ranks are unique (table position), so every step is deterministic.
+  *
+  * The merges table is DATA, not code: committed in [[Bpe.merges]]
+  * (learned from the documents fixture by `graft.tools.BpeTrain` —
+  * rerunnable, deterministic) and shipped to the expression as a
+  * foldable spec string, so a production deployment swaps vocabularies
+  * by swapping the literal, not the jar. The DuckDB oracle replays the
+  * greedy loop over the same table via a recursive CTE
+  * ([[Bpe.duckWordTokens]]), making the whole encoder hash-verifiable.
+  *
+  * Scale shape: per-row compiled compute, no shuffle, no UDF
+  * serialization boundary — at 100 TB this runs at parquet scan speed
+  * like the rest of the text family. A bounded per-thread word→count
+  * cache exploits natural-language redundancy (Zipf: a few thousand
+  * distinct words dominate any corpus), the same memoization every
+  * production BPE encoder ships.
+  */
+object Bpe {
+
+  /** Pre-tokenizer: maximal alphanumeric runs + standalone punctuation
+    * codepoints — the identical committed pattern `text_token_stats`
+    * counts as `n_bpe_pieces`. Whitespace never reaches the encoder.
+    */
+  val PretokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Committed merges table; rank = vector position. Learned from the
+    * sf0.01 documents fixture by `graft.tools.BpeTrain` (48 merges —
+    * deliberately mid-merge for the fixture's vocabulary, so some words
+    * encode to one token and others stay split; see the tool's
+    * scaladoc). Symbols are alphanumeric by construction (punctuation
+    * pre-tokens are single codepoints and never pair), which keeps the
+    * spec string and the oracle's VALUES list escaping-free.
+    */
+  val merges: Vector[(String, String)] = Vector(
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"),
+    ("at", "c"),
+    ("atc", "h"),
+    ("b", "atch"),
+    ("a", "n"),
+    ("c", "an"),
+    ("s", "can"),
+    ("c", "o"),
+    ("c", "u"),
+    ("co", "lu"),
+    ("colu", "m"),
+    ("colum", "n"),
+    ("cu", "st"),
+    ("cust", "o"),
+    ("custo", "mer"),
+    ("f", "i"),
+    ("fi", "l"),
+    ("fil", "t"),
+    ("filt", "er"),
+    ("a", "l"),
+    ("al", "l"),
+    ("m", "all"),
+    ("s", "mall"),
+    ("g", "e"),
+    ("l", "ow"),
+    ("mer", "ge"),
+    ("s", "low"),
+    ("c", "t"),
+    ("ct", "or"),
+    ("d", "er"),
+    ("e", "ctor"),
+    ("or", "der"),
+    ("v", "ector"))
+
+  /** The merges table serialized for the expression's foldable second
+    * argument: "l r" pairs comma-joined in rank order.
+    */
+  val mergesSpec: String = merges.map { case (l, r) => s"$l $r" }.mkString(",")
+
+  /** The merges table as a DuckDB `(rank, l, r)` VALUES list. */
+  def duckMergesValues: String =
+    merges.zipWithIndex.map { case ((l, r), i) => s"($i, '$l', '$r')" }.mkString(", ")
+
+  /** DuckDB CTE block replaying the greedy encoder per DISTINCT word of
+    * `documents` (template/natural corpora repeat words heavily — the
+    * same Zipf argument as the Scala-side cache; per-doc counts come
+    * from joining back on the word).
+    *
+    * State per word is the symbol sequence joined with chr(31) (US —
+    * cannot appear in a symbol: symbols are alphanumeric), with leading
+    * and trailing separators so a pair pattern `US l US r US` is
+    * anchored on symbol boundaries. One recursive step = one greedy
+    * merge application: the lateral subquery picks the lowest-rank pair
+    * PRESENT in the state, and `replace` merges all its non-overlapping
+    * occurrences left-to-right (after a match, scanning resumes past
+    * the replacement — the exact left-to-right semantics of step 2).
+    * The recursion is UNION (distinct): a terminal state reproduces
+    * itself via the LEFT JOIN's NULL arm, the duplicate is eliminated,
+    * and that word stops iterating — while states still shrink (every
+    * merge removes a separator) so no cycles exist. `final` then keeps
+    * exactly the states with no applicable merge.
+    *
+    * Names `bpe_merges`/`bpe_words`/`bpe_steps`/`bpe_final` are
+    * namespaced so callers can compose the block with their own CTEs.
+    */
+  def duckWordTokens: String =
+    s"""bpe_merges(rank, l, r) AS (
+       |  SELECT * FROM (VALUES $duckMergesValues) t),
+       |bpe_words(word) AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(text, '$PretokenPattern'))
+       |  FROM documents),
+       |bpe_steps AS (
+       |  SELECT word, chr(31) || array_to_string(string_split(word, ''), chr(31)) || chr(31) AS st
+       |  FROM bpe_words
+       |  UNION
+       |  SELECT s.word,
+       |         CASE WHEN m.l IS NULL THEN s.st
+       |              ELSE replace(s.st, chr(31)||m.l||chr(31)||m.r||chr(31),
+       |                                 chr(31)||m.l||m.r||chr(31)) END AS st
+       |  FROM bpe_steps s
+       |  LEFT JOIN LATERAL (
+       |    SELECT l, r FROM bpe_merges
+       |    WHERE contains(s.st, chr(31)||l||chr(31)||r||chr(31))
+       |    ORDER BY rank LIMIT 1) m ON true),
+       |bpe_final AS (
+       |  SELECT word, len(string_split(st, chr(31))) - 2 AS n_toks
+       |  FROM bpe_steps s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM bpe_merges
+       |    WHERE contains(s.st, chr(31)||l||chr(31)||r||chr(31))))""".stripMargin
+
+  /** DuckDB CTE block mapping every document to its BPE token count
+    * (`bpe_doc_tokens(doc_id, n_bpe_tokens)`); builds on
+    * [[duckWordTokens]]. LEFT JOIN from `documents`, so a document
+    * whose text yields zero pre-tokens still appears with count 0
+    * (mirroring the expression, which returns 0 when the matcher finds
+    * nothing).
+    */
+  def duckDocTokens: String =
+    s"""$duckWordTokens,
+       |bpe_doc_words AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$PretokenPattern')) AS word
+       |  FROM documents),
+       |bpe_doc_tokens AS (
+       |  SELECT d.doc_id,
+       |         CAST(coalesce(sum(f.n_toks), 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents d
+       |  LEFT JOIN (SELECT w.doc_id, fin.n_toks
+       |             FROM bpe_doc_words w JOIN bpe_final fin USING (word)) f
+       |    ON d.doc_id = f.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** The compiled greedy encoder over one parsed merges table. One
+    * instance per expression (shipped via `addReferenceObj`), shared by
+    * interpreted and generated code.
+    */
+  final class Coder(spec: String) extends Serializable {
+    private val pairs: Array[(String, String)] =
+      spec.split(",", -1).map { seg =>
+        val ix = seg.indexOf(' ')
+        (seg.substring(0, ix), seg.substring(ix + 1))
+      }
+
+    // "l r" -> rank; NUL never appears in a symbol
+    @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        m.put(pairs(i)._1 + " " + pairs(i)._2, i)
+        i += 1
+      }
+      m
+    }
+
+    @transient private lazy val pretok: Pattern = Pattern.compile(PretokenPattern)
+
+    // Bounded per-thread memo (word -> token count). Per-THREAD, not
+    // shared: no locking in the hot loop; each executor thread warms its
+    // own map. Cleared when full — corpus vocabularies are Zipfian, so
+    // 64Ki residents cover essentially all hits.
+    @transient private lazy val memo: ThreadLocal[java.util.HashMap[String, Integer]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[String, Integer](1 << 10))
+    private val MemoCap = 1 << 16
+
+    def countTokens(text: UTF8String): Int = {
+      val m = pretok.matcher(text.toString)
+      val cache = memo.get()
+      var total = 0
+      while (m.find()) {
+        val w = m.group()
+        var c = cache.get(w)
+        if (c == null) {
+          c = countWord(w)
+          if (cache.size() >= MemoCap) cache.clear()
+          cache.put(w, c)
+        }
+        total += c.intValue()
+      }
+      total
+    }
+
+    /** Greedy merge loop for one pre-token (spec step 2). */
+    private def countWord(w: String): Int = {
+      val n = w.codePointCount(0, w.length)
+      if (n <= 1) return n
+      val syms = new Array[String](n)
+      var i = 0
+      var j = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        syms(j) = new String(Character.toChars(cp))
+        j += 1
+        i += Character.charCount(cp)
+      }
+      var len = n
+      while (true) {
+        var bestRank = Int.MaxValue
+        i = 0
+        while (i < len - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) return len
+        val bl = pairs(bestRank)._1
+        val br = pairs(bestRank)._2
+        var out = 0
+        i = 0
+        while (i < len) {
+          if (i + 1 < len && syms(i) == bl && syms(i + 1) == br) {
+            syms(out) = bl + br
+            i += 2
+          } else {
+            syms(out) = syms(i)
+            i += 1
+          }
+          out += 1
+        }
+        len = out
+      }
+      len // unreachable
+    }
+  }
+}
+
+/** graft_bpe_count(text, 'l r,l r,...') — BPE token count of `text`
+  * under the foldable merges spec (rank order, "l r" pairs
+  * comma-joined — [[Bpe.mergesSpec]] for the committed table). The spec
+  * is validated at ANALYSIS time and parsed ONCE per expression; the
+  * per-row work is the compiled greedy loop, called from generated
+  * code. NULL text → NULL.
+  */
+case class BpeCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_bpe_count"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, StringType) if right.foldable =>
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: merges spec must not be null")
+        case s: UTF8String =>
+          val segs = s.toString.split(",", -1)
+          val bad = segs.find { seg =>
+            val ix = seg.indexOf(' ')
+            ix <= 0 || ix != seg.lastIndexOf(' ') || ix == seg.length - 1
+          }
+          if (segs.isEmpty || bad.isDefined)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: each merge must be 'left right' (one space, both non-empty); " +
+                s"bad segment: '${bad.getOrElse("")}'")
+          else TypeCheckResult.TypeCheckSuccess
+        case s => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected merges spec $s")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val coder: Bpe.Coder =
+    new Bpe.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    coder.countTokens(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coderRef = ctx.addReferenceObj("graftBpeCoder", coder, classOf[Bpe.Coder].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $coderRef.countTokens($t);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -360,6 +360,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hits_in"),
       new ExpressionInfo(classOf[HitsIn].getName, "graft_hits_in"),
       two("graft_hits_in", HitsIn)),
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
+      two("graft_bpe_count", BpeCount)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

@@ -419,12 +419,22 @@ object Coverage {
     */
   def packSequences(
       documents: org.apache.spark.sql.DataFrame,
-      seqTokens: Long = 2048L): org.apache.spark.sql.DataFrame = {
+      seqTokens: Long = 2048L,
+      tokenCount: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be >= 1 (got $seqTokens)")
+    // Pluggable token denomination: whitespace tokens by default, or a
+    // caller-supplied counter (e.g. the native BPE expression for real
+    // LLM token budgets — mix_pack_sequences_bpe). A zero-token doc
+    // occupies no span and is dropped up front: tok_start == tok_end
+    // would otherwise make the sequence() bounds run BACKWARD when
+    // tok_start lands exactly on a boundary (Spark's sequence(x, x-1)
+    // emits a descending 2-row array, not an empty one).
+    val nTokens = tokenCount.getOrElse(size(split(col("text"), "\\s+")).cast("long"))
     val toks = documents.select(
       col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("long").as("n_tokens"),
+      nTokens.cast("long").as("n_tokens"),
       md5(col("doc_id").cast("string")).as("ord"))
+      .filter(col("n_tokens") >= 1)
       .withColumn("grp", conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
     val w = Window.partitionBy(col("grp")).orderBy(col("ord"))
     val cum = toks.withColumn("cum_in", sum(col("n_tokens")).over(w))
@@ -660,6 +670,48 @@ object Coverage {
       |         - greatest(tok_start, seq_id * 512) AS n_toks
       |FROM spans ORDER BY seq_id, seq_off, doc_id""".stripMargin)(
     (s, d) => packSequences(Tables.documents(s, d), seqTokens = 512L)
+      .orderBy("seq_id", "seq_off", "doc_id"))
+
+  /** Sequence packing denominated in REAL subword tokens: identical
+    * concat-then-chunk manifest as [[packSequencesQuery]], but
+    * `n_tokens` comes from the native BPE encoder
+    * (functions/Bpe.scala) instead of whitespace splitting — the
+    * manifest a loader feeding an actual LLM tokenizer needs, since
+    * whitespace counts under-fill fixed-size sequences by the subword
+    * inflation factor. Same scale shape (256-way-parallel prefix
+    * windows, broadcast offsets, output-sized explode); the encoder is
+    * scan-side compiled compute. The oracle replays the greedy BPE
+    * merge loop via recursive CTE, then runs the identical packing SQL
+    * over the replayed counts.
+    */
+  val packSequencesBpeQuery = QueryDef(
+    "mix_pack_sequences_bpe",
+    s"""WITH RECURSIVE ${graft.functions.Bpe.duckDocTokens},
+       |toks AS (
+       |  SELECT d.doc_id, t.n_bpe_tokens AS n_tokens,
+       |         md5(CAST(d.doc_id AS VARCHAR)) AS ord
+       |  FROM documents d JOIN bpe_doc_tokens t USING (doc_id)
+       |  WHERE t.n_bpe_tokens >= 1),
+       |placed AS (
+       |  SELECT doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY ord) AS BIGINT) AS tok_end
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, tok_end - n_tokens AS tok_start, tok_end,
+       |         s.seq_id
+       |  FROM placed,
+       |       LATERAL (SELECT unnest(generate_series(
+       |                  (tok_end - n_tokens) // 512,
+       |                  (tok_end - 1) // 512)) AS seq_id) s)
+       |SELECT doc_id, seq_id,
+       |       greatest(tok_start, seq_id * 512) - tok_start AS doc_off,
+       |       greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_off,
+       |       least(tok_end, (seq_id + 1) * 512)
+       |         - greatest(tok_start, seq_id * 512) AS n_toks
+       |FROM spans ORDER BY seq_id, seq_off, doc_id""".stripMargin)(
+    (s, d) => packSequences(Tables.documents(s, d), seqTokens = 512L,
+      tokenCount = Some(call_function("graft_bpe_count",
+        col("text"), lit(graft.functions.Bpe.mergesSpec))))
       .orderBy("seq_id", "seq_off", "doc_id"))
 
   // ------------------------------------------------------- corpus diff
@@ -940,7 +992,8 @@ object Coverage {
   val all: Seq[QueryDef] = Seq(
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
-    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, splitAssignQuery,
+    hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, packSequencesBpeQuery,
+    splitAssignQuery,
     splitGroupedQuery,
     corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery,
     shuffleShardsQuery, sourceCapQuery)

@@ -776,7 +776,45 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin)(
     (s, d) => vocabOovAudit(Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))).orderBy("doc_id"))
 
+  // ------------------------------------------------------- bpe tokens
+
+  /** Real subword token counts under the committed BPE merges table —
+    * the native graft_bpe_count expression (functions/Bpe.scala) run
+    * over every document, next to the whitespace count and the
+    * resulting subword-per-whitespace inflation factor (the 1.x×
+    * misestimate every chars/4-style heuristic hides). Scan-side
+    * compiled compute, zero shuffles; the DuckDB oracle replays the
+    * greedy merge loop over the same committed table via a recursive
+    * CTE, so the whole encoder is hash-verified, not just row counts.
+    *
+    * `bpe_per_ws` never divides by zero: split('\s+') yields at least
+    * one element (possibly empty-string) on both engines, so the
+    * whitespace count is >= 1 for any non-NULL text.
+    */
+  val bpeTokens = QueryDef(
+    "text_bpe_tokens",
+    s"""WITH RECURSIVE ${graft.functions.Bpe.duckDocTokens}
+       |SELECT d.doc_id,
+       |       CAST(len(regexp_extract_all(d.text, '${graft.functions.Bpe.PretokenPattern}')) AS BIGINT) AS n_pretokens,
+       |       t.n_bpe_tokens,
+       |       ${r4duck(s"CAST(t.n_bpe_tokens AS DOUBLE) / CAST(len(string_split_regex(d.text, '\\s+')) AS BIGINT)")} AS bpe_per_ws
+       |FROM documents d JOIN bpe_doc_tokens t USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin)(
+    (s, d) => {
+      val bpe = call_function("graft_bpe_count",
+        col("text"), lit(graft.functions.Bpe.mergesSpec)).cast("long")
+      val ws = size(split(col("text"), "\\s+")).cast("long")
+      Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
+        .select(
+          col("doc_id"),
+          regexCount(col("text"), graft.functions.Bpe.PretokenPattern)
+            .cast("long").as("n_pretokens"),
+          bpe.as("n_bpe_tokens"),
+          (floor(bpe.cast("double") / ws * 10000 + 0.5) / 10000).as("bpe_per_ws"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery)
+      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery, bpeTokens)
 }
