@@ -535,6 +535,15 @@ object Bench {
         retryWhy.toSeq.sortBy(_._1).map { case (k, why) =>
           "\"" + k + "\":\"" + why + "\""
         }.mkString(""","retry_why":{""", ",", "}")
+    // Minimal JSON string escape (backslash, quote, control chars) —
+    // ref_path is environment-supplied, so naive quote-stripping could
+    // still emit invalid JSON for a path containing a backslash
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def render(entries: Seq[(String, Double)], omitted: Int, profile: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
@@ -542,7 +551,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$totalGcMs,""" +
         s""""cleanup_ms":$totalCleanupMs,"cpu_ms":$totalCpuMs,""" +
         s""""env":"$envName","cpus":$cpus,""" +
-        s""""ref_n":${refTimes.size},"ref_path":"${refPath.replace("\"", "")}",""" +
+        s""""ref_n":${refTimes.size},"ref_path":${jstr(refPath)},""" +
         s""""queries":$qs$om$retriedJson$profile,"sf":"$sfDir"}"""
     }
     // Per-query GC time / count, heap occupancy before/after, process

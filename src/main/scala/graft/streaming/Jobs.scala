@@ -687,22 +687,50 @@ object Jobs {
     * [[semanticGateBatch]] checks every batch. A benchmark suite is
     * broadcast-sized by nature (same contract as the shingle stores).
     */
-  def buildBenchmarkEmbeddingStore(benchmark: DataFrame, dir: String): Unit =
+  def buildBenchmarkEmbeddingStore(benchmark: DataFrame, dir: String): Unit = {
+    // The store IS the dim contract every batch is checked against, so
+    // it must be homogeneous itself: emb_dim is recorded per row, but
+    // readers take one arbitrary row as truth — a mixed-dim benchmark
+    // would pass that read and silently deflate the mismatched rows'
+    // cosines (the exact failure this store exists to prevent). NULL
+    // embeddings are rejected for the same reason: size(NULL) is NULL
+    // under ANSI, so they'd dodge the min/max check and score nothing.
+    val d = benchmark.agg(
+      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+      count(lit(1)).as("n"), count(col("embedding")).as("nonNull")).head()
+    require(d.getLong(2) > 0, "benchmark embedding store must not be empty")
+    require(d.getLong(3) == d.getLong(2),
+      s"benchmark has ${d.getLong(2) - d.getLong(3)} NULL embeddings — drop or fix " +
+        "them before building the store (NULL rows cannot gate anything)")
+    require(d.getInt(0) == d.getInt(1),
+      s"benchmark embeddings are heterogeneous: ${d.getInt(0)}..${d.getInt(1)} dims — " +
+        "a mixed store would validate against one arbitrary row's dim and " +
+        "silently deflate the rest's cosines")
     graft.ops.Similarity.withNorm(benchmark)
       .select(col("embedding").as("be"), col("nrm").as("bn"),
         size(col("embedding")).as("emb_dim"))
       .write.mode("overwrite").parquet(dir)
+  }
 
+  /** Returns (probe frame (be, bn), validated embedding dim). */
   private[streaming] def loadEmbeddingStore(
-      spark: SparkSession, dir: String, expectDim: Option[Int]): DataFrame = {
+      spark: SparkSession, dir: String, expectDim: Option[Int]): (DataFrame, Int) = {
     val bench = spark.read.parquet(dir)
-    val stored = bench.select("emb_dim").head().getInt(0)
+    // min/max, not head(): a store written before the build-side
+    // homogeneity check (or by another writer) must not validate off
+    // one arbitrary row
+    val dims = bench.agg(min(col("emb_dim")).as("lo"), max(col("emb_dim")).as("hi")).head()
+    require(!dims.isNullAt(0) && dims.getInt(0) == dims.getInt(1),
+      s"benchmark embedding store $dir is heterogeneous or empty " +
+        s"(emb_dim ${dims.get(0)}..${dims.get(1)}) — rebuild it with " +
+        "buildBenchmarkEmbeddingStore")
+    val stored = dims.getInt(0)
     expectDim.foreach(d => require(stored == d,
       s"benchmark embedding store $dir holds $stored-dim vectors but the " +
         s"caller expects $d-dim vectors — rebuild the store or fix the source " +
         "(graft_dot would NOT error on a mismatch: it folds the shared prefix " +
         "against full-length norms, silently deflating every cosine)"))
-    bench.select("be", "bn")
+    (bench.select("be", "bn"), stored)
   }
 
   /** Streaming SEMANTIC decontamination — the embedding-space member of
@@ -720,7 +748,12 @@ object Jobs {
     * graft_dot folds over the SHARED PREFIX of mismatched vectors while
     * the norms cover full length, silently deflating every cosine and
     * admitting leakage (the embedding-model-upgrade failure mode). The
-    * min/max aggregate also catches a heterogeneous batch.
+    * min/max aggregate also catches a heterogeneous batch, and NULL
+    * embeddings are counted in the same pass and rejected loudly:
+    * size(NULL) is NULL under ANSI, so NULL rows are invisible to
+    * min/max — an all-NULL batch would otherwise NPE on getInt and a
+    * partly-NULL batch would pass the check while its NULL rows
+    * sailed through the gate unscored (coalesce(-1) < threshold).
     */
   def semanticGateBatch(
       bench: DataFrame, benchDim: Int, outDir: String, threshold: Double)(
@@ -728,7 +761,12 @@ object Jobs {
     require(threshold > 0, s"threshold must be positive (got $threshold)")
     if (batch.isEmpty) return // F7-style empty-batch guard
     val dims = batch.agg(
-      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi")).head()
+      min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+      count(lit(1)).as("n"), count(col("embedding")).as("nonNull")).head()
+    require(dims.getLong(3) == dims.getLong(2),
+      s"batch $batchId carries ${dims.getLong(2) - dims.getLong(3)} NULL embeddings — " +
+        "NULL rows cannot be scored against the benchmark and would pass the " +
+        "gate unexamined; drop or fix them upstream")
     require(dims.getInt(0) == benchDim && dims.getInt(1) == benchDim,
       s"batch $batchId carries ${dims.getInt(0)}..${dims.getInt(1)}-dim embeddings " +
         s"but the benchmark store holds $benchDim-dim vectors — a mismatch would " +
@@ -754,8 +792,10 @@ object Jobs {
       queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(threshold > 0, s"threshold must be positive (got $threshold)")
     val spark = docs.sparkSession
-    val benchDim = spark.read.parquet(embStoreDir).select("emb_dim").head().getInt(0)
-    val bench = loadEmbeddingStore(spark, embStoreDir, Some(benchDim))
+    // loadEmbeddingStore validates homogeneity (min==max over emb_dim);
+    // its validated dim is then the contract every batch checks against
+    val (bench0, benchDim) = loadEmbeddingStore(spark, embStoreDir, None)
+    val bench = bench0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     docs.writeStream
       .queryName("semantic_decontamination_gate")

@@ -528,6 +528,48 @@ class StreamingJobsSpec extends SparkSpec {
     assert(ex.getMessage.contains("4-dim") && ex.getMessage.contains("8-dim"))
   }
 
+  test("benchmark embedding store refuses heterogeneous dims and NULL embeddings at build") {
+    import spark.implicits._
+    // heterogeneous: one 4-dim + one 3-dim vector — a mixed store would
+    // validate off one arbitrary row and silently deflate the rest
+    val het = intercept[IllegalArgumentException](
+      Jobs.buildBenchmarkEmbeddingStore(
+        Seq(Emb(1, "a", Seq(1.0, 0.0, 0.0, 0.0)), Emb(2, "b", Seq(1.0, 0.0, 0.0))).toDF(),
+        tmpDir("semstore-het")))
+    assert(het.getMessage.contains("heterogeneous"))
+    // NULL embedding rows can never gate anything
+    val withNull = Seq(Emb(1, "a", Seq(1.0, 0.0, 0.0, 0.0))).toDF()
+      .unionByName(Seq(("b", 2L)).toDF("label", "vec_id")
+        .withColumn("embedding", org.apache.spark.sql.functions.lit(null)
+          .cast("array<double>")))
+    val nul = intercept[IllegalArgumentException](
+      Jobs.buildBenchmarkEmbeddingStore(withNull, tmpDir("semstore-null")))
+    assert(nul.getMessage.contains("NULL embeddings"))
+    // empty benchmark frame: loud, not a store that gates nothing
+    val emp = intercept[IllegalArgumentException](
+      Jobs.buildBenchmarkEmbeddingStore(
+        Seq.empty[Emb].toDF(), tmpDir("semstore-empty")))
+    assert(emp.getMessage.contains("empty"))
+  }
+
+  test("semantic gate batch refuses NULL embeddings instead of admitting them unscored") {
+    import spark.implicits._
+    val store = tmpDir("semgate-null-store"); val out = tmpDir("semgate-null-out")
+    Jobs.buildBenchmarkEmbeddingStore(
+      Seq(Emb(100L, "bench", Seq(1.0, 0.0, 0.0, 0.0))).toDF(), store)
+    val bench = spark.read.parquet(store).select("be", "bn")
+    // one scoreable row + one NULL-embedding row: under ANSI size(NULL)
+    // is NULL, so min/max alone would pass and the NULL row would
+    // survive the gate with max_bench_cos NULL (coalesce(-1) admits it)
+    val batch = Seq(Emb(1, "clean", Seq(0.0, 1.0, 0.0, 0.0))).toDF()
+      .unionByName(Seq(("leaky?", 2L)).toDF("label", "vec_id")
+        .withColumn("embedding", org.apache.spark.sql.functions.lit(null)
+          .cast("array<double>")))
+    val ex = intercept[IllegalArgumentException](
+      Jobs.semanticGateBatch(bench, 4, out, 0.9)(batch, 0L))
+    assert(ex.getMessage.contains("NULL embeddings"))
+  }
+
   test("bloom decontamination gate stream: leaks dropped join-free, replay-safe, size-validated") {
     import spark.implicits._
     val store = tmpDir("decon-bloom-store"); val out = tmpDir("decon-bloom-out")
