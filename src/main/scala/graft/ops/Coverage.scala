@@ -218,7 +218,8 @@ object Coverage {
       keyCol: String = "lang",
       alpha: Double = 0.5,
       targetRows: Long = 200L,
-      seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+      seed: Long = 42L,
+      maxStrata: Int = 100000): org.apache.spark.sql.DataFrame = {
     // String-key contract, checked up front (a non-string key would only
     // fail later as a ClassCastException in the collect below). Null-key
     // rows are excluded DELIBERATELY, matching sampleBy's treatment of
@@ -229,9 +230,23 @@ object Coverage {
         org.apache.spark.sql.types.StringType,
       s"temperatureMix requires a string key column; '$keyCol' is " +
         documents.schema(keyCol).dataType.simpleString)
+    require(maxStrata >= 1, s"maxStrata must be >= 1 (got $maxStrata)")
     val keyed = documents.filter(col(keyCol).isNotNull)
-    val counts = keyed.groupBy(keyCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The per-stratum counts land on the DRIVER (sampleBy's fractions
+    // map is a driver-side argument) — fine for any realistic source
+    // key (languages, domains, crawls: hundreds to low thousands), but
+    // a high-cardinality key would bloat the driver map unboundedly.
+    // Probe via limit(max+1) so the aggregate stays distributed and the
+    // driver never receives more than max+1 rows even when failing.
+    val probe = keyed.groupBy(keyCol).count().limit(maxStrata + 1).collect()
+    require(probe.length <= maxStrata,
+      s"temperatureMix found more than $maxStrata distinct '$keyCol' strata — " +
+        "the per-stratum fractions map lives on the driver, so a " +
+        "high-cardinality key does not scale here; use the deterministic " +
+        "window-ranked twin (temperatureTakeSample / tokenBudgetSample), " +
+        "which keeps per-key quotas distributed, or raise maxStrata " +
+        "deliberately")
+    val counts = probe.map(r => r.getString(0) -> r.getLong(1)).toMap
     // No non-null keys → no strata: return the (empty) keyed frame
     // rather than dividing by a zero normalizer (z = 0 would make every
     // fraction NaN and sampleBy would throw).

@@ -49,6 +49,24 @@ class CoverageSpec extends SparkSpec {
     natural.keys.foreach(k => assert(mixed.getOrElse(k, 0L) > 0, s"source $k dropped"))
   }
 
+  test("temperature mix refuses high-cardinality strata instead of bloating the driver map") {
+    val docs = Tables.documents(spark, sf)
+    // doc_id-as-string: every row its own stratum — exactly the key
+    // shape that must NOT be fed through a driver-side fractions map
+    val perDoc = docs.withColumn("k",
+      org.apache.spark.sql.functions.col("doc_id").cast("string"))
+    val ex = intercept[IllegalArgumentException](
+      Coverage.temperatureMix(perDoc, keyCol = "k", maxStrata = 10))
+    assert(ex.getMessage.contains("distinct 'k' strata"))
+    assert(ex.getMessage.contains("temperatureTakeSample"),
+      "error must route the caller to the distributed twin")
+    // at-the-cap cardinality still works (5 langs, cap 5)
+    assert(Coverage.temperatureMix(docs, maxStrata = 5).select("doc_id").count() > 0)
+    val ex2 = intercept[IllegalArgumentException](
+      Coverage.temperatureMix(docs, maxStrata = 4))
+    assert(ex2.getMessage.contains("more than 4"))
+  }
+
   test("Bernoulli stratified sample concentrates around the _take twin's exact quotas") {
     // The no-oracle mix_stratified_sample is anchored by the
     // hash-verified mix_stratified_take; this closes the anchor into an
