@@ -438,6 +438,102 @@ object Similarity {
       queryIvfIndex(s, dir, q, nprobe = 16, excludeVecId = 0L)
     })
 
+  // ------------------------------------------------------- recall audit
+
+  /** Recall@k of ANN result frames against the exact top-k, as data:
+    * rank both sides by (rounded cosine desc, vec_id) — the same
+    * deterministic total order every top-k here uses — join on vec_id,
+    * and per (method, k) count how many of the ANN's top k are in the
+    * exact top k. Methods with an empty overlap still report (recall 0)
+    * via the seeded (method, k) base frame. Every input is a ≤ kMax-row
+    * result frame, so the windows/joins here are result-sized — the
+    * corpus-scale work happened inside the ANN queries themselves.
+    */
+  def annRecallAudit(
+      exact: DataFrame,
+      annByMethod: Seq[(String, DataFrame)],
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be positive (got $ks)")
+    val spark = exact.sparkSession
+    import spark.implicits._
+    def ranked(df: DataFrame, rkCol: String): DataFrame =
+      df.withColumn(rkCol,
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .select(col("vec_id"), col(rkCol))
+    val e = ranked(exact, "e_rk")
+    val overlaps = annByMethod.map { case (m, ann) =>
+      ranked(ann, "a_rk").join(e, "vec_id").withColumn("method", lit(m))
+    }.reduce(_ unionByName _)
+    val hits = overlaps
+      .withColumn("k", explode(array(ks.map(lit): _*)))
+      .groupBy("method", "k")
+      .agg(sum(when(col("a_rk") <= col("k") && col("e_rk") <= col("k"), 1L)
+        .otherwise(0L)).as("n_hits"))
+    annByMethod.map(_._1).flatMap(m => ks.map(k => (m, k))).toDF("method", "k")
+      .join(hits, Seq("method", "k"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k"))
+      .orderBy("method", "k")
+  }
+
+  /** The fullprobe-equals-brute-force property (the anchor behind both
+    * `_fullprobe` rows) turned into a queryable, hash-verified metric:
+    * recall@{1,5,10,20} of the exhaustive-probe LSH and IVF paths
+    * against the exact top-k, computed by a REAL overlap join of the
+    * independently-produced frames (any plumbing bug that drops or
+    * reorders a candidate shows up as recall < 1 here). The oracle
+    * replays both sides from the brute-force CTE and runs the identical
+    * rank-join-count, so the expected all-ones surface is verified
+    * value-by-value, not assumed. Production-path recall (the genuinely
+    * lossy numbers) is the [[annRecallQuery]] twin.
+    */
+  val annRecallAuditQuery = QueryDef(
+    "sim_ann_recall_audit",
+    s"""WITH exact AS (
+       |  SELECT b.vec_id,
+       |         round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |  FROM embeddings b
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  WHERE b.vec_id != 0
+       |  ORDER BY cos_sim DESC, b.vec_id LIMIT 20),
+       |ranked AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rk
+       |  FROM exact),
+       |ks(k) AS (SELECT * FROM (VALUES (1), (5), (10), (20)) t),
+       |methods(method) AS (SELECT * FROM (VALUES ('ivf_fullprobe'), ('lsh_fullprobe')) t)
+       |SELECT m.method, ks.k,
+       |       CAST(sum(CASE WHEN a.rk <= ks.k AND e.rk <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |       CAST(sum(CASE WHEN a.rk <= ks.k AND e.rk <= ks.k THEN 1 ELSE 0 END) AS DOUBLE) / ks.k AS recall
+       |FROM ranked a JOIN ranked e ON a.vec_id = e.vec_id
+       |CROSS JOIN ks CROSS JOIN methods m
+       |GROUP BY m.method, ks.k
+       |ORDER BY method, k""".stripMargin)(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annRecallAudit(
+        bruteForceTopK(emb),
+        Seq(
+          "ivf_fullprobe" -> annIvfTopK(emb, nlist = 16, nprobe = 16),
+          "lsh_fullprobe" -> annTopKFullProbe(emb)),
+        Seq(1, 5, 10, 20))
+    })
+
+  /** Production-path ANN quality observability: recall@k of the real
+    * (lossy) LSH and IVF probe paths at their registered defaults.
+    * Hyperplane/KMeans internals are Spark-specific → no DuckDB oracle
+    * (same story as the `_topk` rows it measures); SimilaritySpec pins
+    * floors, and the measurement MACHINERY is the hash-verified
+    * [[annRecallAuditQuery]] (identical code path, fullprobe inputs).
+    */
+  val annRecallQuery = QueryDef.unverified("sim_ann_recall")(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annRecallAudit(
+        bruteForceTopK(emb),
+        Seq("ivf" -> annIvfTopK(emb), "lsh" -> annTopK(emb)),
+        Seq(1, 5, 10, 20))
+    })
+
   // ------------------------------------------------------ near-dup pairs
 
   /** Embedding-cosine near-dup pairs (the vector analog of Dedup): pairs
@@ -839,7 +935,8 @@ object Similarity {
 
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
-      annIvfPersistedQuery, annIvfPersistedFullProbeQuery, nearDupQuery, labelBlockedQuery,
+      annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
+      annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery)
 }

@@ -47,6 +47,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"recall@20 = $recall — LSH config degraded")
   }
 
+  test("recall audit: fullprobe methods report exactly 1.0 at every k; production floors hold") {
+    // The audit machinery must MEASURE, not assume: fullprobe inputs
+    // give the all-ones surface through a real overlap join...
+    val audit = Similarity.annRecallAudit(
+      Similarity.bruteForceTopK(emb),
+      Seq(
+        "ivf_fullprobe" -> Similarity.annIvfTopK(emb, nlist = 16, nprobe = 16),
+        "lsh_fullprobe" -> Similarity.annTopKFullProbe(emb)),
+      Seq(1, 5, 10, 20)).collect()
+    assert(audit.length == 8)
+    audit.foreach { r =>
+      assert(r.getLong(2) == r.getInt(1).toLong, s"$r: n_hits != k")
+      assert(r.getDouble(3) == 1.0, s"$r: fullprobe recall != 1")
+    }
+    // ...and lossy inputs give genuinely lossy numbers in [0, 1] with
+    // the established floor at k=20 (0.25 — the LSH-config pin above)
+    val prod = Similarity.annRecallAudit(
+      Similarity.bruteForceTopK(emb),
+      Seq("ivf" -> Similarity.annIvfTopK(emb), "lsh" -> Similarity.annTopK(emb)),
+      Seq(1, 5, 10, 20)).collect()
+    assert(prod.length == 8)
+    prod.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"$r out of range")
+      assert(r.getLong(2) <= r.getInt(1).toLong, s"$r: hits exceed k")
+    }
+    prod.filter(r => r.getInt(1) == 20)
+      .foreach(r => assert(r.getDouble(3) >= 0.25, s"$r below recall floor"))
+    // a method whose ANN frame overlaps nothing still reports (as 0)
+    val none = Similarity.annRecallAudit(
+      Similarity.bruteForceTopK(emb),
+      Seq("empty" -> Similarity.bruteForceTopK(emb).filter(col("vec_id") < 0)),
+      Seq(1, 5)).collect()
+    assert(none.map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      == Set(("empty", 1, 0L, 0.0), ("empty", 5, 0L, 0.0)))
+  }
+
   test("near-dup pairs: all pairs verified >= threshold, no self/dup pairs, found the top pair") {
     val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.45).collect()
     assert(pairs.forall(_.getDouble(2) >= 0.45))
