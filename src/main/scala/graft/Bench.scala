@@ -262,16 +262,20 @@ object Bench {
           () => Curation.curateCanonical(docs64)),
         // the audit's codegen shapes differ from curate's (per-doc CASE
         // attribution, content-hash window, shingle decontamination
-        // join) — warm them on the same tiny split the query uses
-        ("audit", wants("pipeline_curate_audit"),
+        // join) — warm them on a tiny split BEFORE the real store
+        // build below pays them at full scale
+        ("audit", wants("pipeline_curate_audit", "pipeline_curate_funnel",
+            "pipeline_curate_audit_examples"),
           () => Curation.auditLedger(
             docs64.filter(col("doc_id") % 10 =!= 0),
             docs64.filter(col("doc_id") % 10 === 0))),
-        // the funnel reads the write-once ledger store (the k8
-        // producer/consumer contract): build it here so the timed
-        // window measures the 7-row funnel aggregate, not the one-time
-        // ledger materialization it amortizes
-        ("audit_store", wants("pipeline_curate_funnel", "pipeline_curate_audit_examples"),
+        // the whole audit family reads the write-once ledger store (the
+        // k8 producer/consumer contract): build it here so the timed
+        // windows measure their own reads/aggregates, and the one-time
+        // ledger materialization they amortize stays visible as THIS
+        // warmup's recorded seconds
+        ("audit_store", wants("pipeline_curate_audit", "pipeline_curate_funnel",
+            "pipeline_curate_audit_examples"),
           () => spark.read.parquet(
             Curation.auditLedgerStore(spark, sfDir)).limit(64)),
         // the propagation loop generates fresh join+union+min plans per

@@ -182,24 +182,29 @@ class PlanContractSpec extends SparkSpec {
         s"$q: cleaning chain substituted into a Filter (copies per filter: " +
           s"${perFilter.mkString(",")}) — per-raw-row re-evaluation:\n$lp")
     }
-    // each query's barrier, asserted in its own shape: the audit's is
-    // the persisted scored frame (InMemoryRelation in its plan); the
-    // funnel reads the write-once ledger PARQUET store instead, so its
-    // plan must carry no cleaning chain at all — anywhere — or the
-    // store amortization silently regressed to a full recompute
-    val auditLp = SparkEntry.queries("pipeline_curate_audit")(spark, sf)
+    // the barrier behind the whole family is the write-once ledger
+    // PARQUET store (the k8 producer/consumer contract): audit reads
+    // the ledger itself, the funnel aggregates it, the examples top-N
+    // join it — so none of their plans may carry the cleaning chain at
+    // all, anywhere, or the store amortization silently regressed to a
+    // full recompute. (The ledger COMPUTATION's own barrier — the
+    // persisted scored frame — is asserted on auditLedger directly.)
+    for (q <- Seq("pipeline_curate_audit", "pipeline_curate_funnel")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val total = lp.map(op => op.expressions.map(copies).sum).sum
+      assert(total == 0,
+        s"$q: $total cleaning-chain copies — this row should consume the " +
+          s"materialized ledger store, not recompute it:\n$lp")
+    }
+    val ledgerLp = graft.ops.Curation.auditLedger(
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0),
+      Tables.documents(spark, sf).filter(col("doc_id") % 10 === 0))
       .queryExecution.optimizedPlan
-    val cached = auditLp.collect {
+    val cached = ledgerLp.collect {
       case r if r.getClass.getSimpleName.startsWith("InMemoryRelation") => 1
     }.sum
     assert(cached >= 1,
-      s"pipeline_curate_audit: no InMemoryRelation — the persist barrier is gone:\n$auditLp")
-    val funnelLp = SparkEntry.queries("pipeline_curate_funnel")(spark, sf)
-      .queryExecution.optimizedPlan
-    val funnelTotal = funnelLp.map(op => op.expressions.map(copies).sum).sum
-    assert(funnelTotal == 0,
-      s"pipeline_curate_funnel: $funnelTotal cleaning-chain copies — the funnel " +
-        s"should aggregate the materialized ledger store, not recompute it:\n$funnelLp")
+      s"auditLedger: no InMemoryRelation — the persist barrier is gone:\n$ledgerLp")
   }
 
   test("curation gate is not substituted into a per-raw-row filter") {
