@@ -577,12 +577,15 @@ object Curation {
     * store-reading query, and the streaming
     * [[graft.streaming.Jobs.auditFunnelFromStores]].
     */
-  def auditFunnelFromLedger(ledger: DataFrame, totals: DataFrame): DataFrame = {
+  def auditFunnelFromLedger(
+      ledger: DataFrame,
+      totals: DataFrame,
+      stageTable: Seq[(Long, String)] = auditStages): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = ledger.sparkSession
     import spark.implicits._
     val drops = ledger.groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_dropped"))
-    val stages = auditStages.toDF("stage_idx", "stage")
+    val stages = stageTable.toDF("stage_idx", "stage")
     stages.join(drops, Seq("stage_idx", "stage"), "left")
       .withColumn("n_dropped", coalesce(col("n_dropped"), lit(0L)))
       .crossJoin(broadcast(totals))

@@ -826,6 +826,46 @@ object Jobs {
     final case class Bloom(filter: Array[Byte]) extends AuditGate
   }
 
+  /** Stage-8 config for [[auditLedgerBatch]]: the LM-perplexity gate
+    * ([[startLmGate]]'s scoring — same model frames, same smoothing)
+    * folded into the audit as a first-class stage instead of a separate
+    * stream re-scanning every batch. Scores the CLEANED text (the
+    * audit's contract: everything downstream of stage 1 operates on
+    * `t`). Docs with zero bigrams have an undefined average and drop
+    * (reason `n_bigrams=0`); otherwise the reason carries the
+    * r4-rounded average as integer basis points (`avg_logp_bp=`),
+    * keeping the ledger's no-raw-doubles rendering rule.
+    */
+  final case class AuditLmGate(
+      bigramCounts: DataFrame,
+      contextCounts: DataFrame,
+      vocabSize: Long,
+      minAvgLogp: Double,
+      k: Double = 0.5)
+
+  /** Stage-9 config for [[auditLedgerBatch]]: the semantic
+    * decontamination gate ([[startSemanticDecontaminationGate]]'s
+    * scoring) as a first-class audit stage. The batch must carry an
+    * `embedding` column; NULL/dim validation runs once per batch over
+    * ALL rows ([[semanticGateBatch]]'s contract — a NULL or mismatched
+    * embedding must fail loudly even on a doc an earlier stage would
+    * drop, because silent admission is the failure mode). Reason
+    * carries the max bench cosine in basis points (`bench_cos_bp=`).
+    */
+  final case class AuditSemanticGate(
+      bench: DataFrame,
+      benchDim: Int,
+      threshold: Double)
+
+  /** Stage table of the FULLY-composed streaming audit: the batch
+    * pipeline's seven stages plus the stream-only LM and semantic
+    * gates. Streams running without those gates still report against
+    * [[graft.ops.Curation.auditStages]] (pass the right table to
+    * [[auditFunnelFromStores]]).
+    */
+  val streamAuditStages: Seq[(Long, String)] =
+    graft.ops.Curation.auditStages ++ Seq(8L -> "lm_gate", 9L -> "semantic")
+
   /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s
     * drop ledger lifted onto micro-batches: every doc a batch rejects
     * gets a (doc_id, stage_idx, stage, reason) row under its
@@ -855,6 +895,15 @@ object Jobs {
     * Replay idempotence: the [[incrementalDedupBatch]] recipe — every
     * output partitioned by `ingest_batch`, batch N reads only store
     * partitions `< N` and dynamic-overwrites its own.
+    *
+    * Stages 8 ([[AuditLmGate]], `lm_gate`) and 9 ([[AuditSemanticGate]],
+    * `semantic`) compose the LM-perplexity and semantic-decontamination
+    * gates into the SAME batch body: one foreachBatch drives all nine
+    * stages off one cached scored frame, each stage scoring only the
+    * previous stage's survivors — a production stream pays one scan of
+    * each batch instead of N separate gate streams re-reading it. Both
+    * are static-store pure functions of (batch, store), so they add
+    * nothing to the replay contract.
     */
   def auditLedgerBatch(
       storeRoot: String,
@@ -864,11 +913,29 @@ object Jobs {
       jaccardThreshold: Double = graft.ops.Curation.defaultJaccardThreshold,
       minShared: Long = 5L,
       shingleSize: Int = 3,
-      maxBlock: Int = 64)(
+      maxBlock: Int = 64,
+      lmGate: Option[AuditLmGate] = None,
+      semanticGate: Option[AuditSemanticGate] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
+    // the semantic contract is validated over the WHOLE batch up front,
+    // not just stage-9 survivors: a NULL or wrong-dim embedding is a
+    // data fault that must fail the batch loudly either way
+    semanticGate.foreach { cfg =>
+      val dims = batch.agg(
+        min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
+        count(lit(1)).as("n"), count(col("embedding")).as("nonNull")).head()
+      require(dims.getLong(3) == dims.getLong(2),
+        s"audit batch $batchId carries ${dims.getLong(2) - dims.getLong(3)} NULL " +
+          "embeddings — NULL rows cannot be scored by the semantic stage and " +
+          "would pass it unexamined; drop or fix them upstream")
+      require(dims.getInt(0) == cfg.benchDim && dims.getInt(1) == cfg.benchDim,
+        s"audit batch $batchId carries ${dims.getInt(0)}..${dims.getInt(1)}-dim " +
+          s"embeddings but the benchmark store holds ${cfg.benchDim}-dim vectors — " +
+          "a mismatch would silently deflate every cosine, not error")
+    }
     val hashDir = s"$storeRoot/hashes"
     val wordsDir = s"$storeRoot/words"
     def writeOwn(df: DataFrame, dir: String): Unit =
@@ -949,13 +1016,58 @@ object Jobs {
       val deconDrops = deconDropped
         .select(col("doc_id"), lit(7L).as("stage_idx"),
           lit("decontaminated").as("stage"), col("reason"))
-      val admitted = canonical
+      val afterDecon = canonical
         .join(deconDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // stage 8: LM perplexity over decon survivors' cleaned text —
+      // ONE batch body drives all gates, so a production stream pays
+      // one scan (+ cached scored frame) instead of N separate streams
+      // each re-reading the batch
+      val noDrops = spark.range(0).select(
+        col("id").as("doc_id"), col("id").cast("string").as("reason"))
+      val lmDropped: DataFrame = lmGate match {
+        case Some(cfg) =>
+          graft.ops.TextAnalysis.lmScoreAgainst(
+            afterDecon.select(col("doc_id"), col("t").as("text")),
+            cfg.bigramCounts, cfg.contextCounts, cfg.vocabSize, cfg.k)
+            .filter(col("n_bigrams") === 0 || col("avg_logp") < cfg.minAvgLogp)
+            .select(col("doc_id"),
+              when(col("n_bigrams") === 0, lit("n_bigrams=0"))
+                .otherwise(concat(lit("avg_logp_bp="),
+                  floor(col("avg_logp") * 10000 + 0.5).cast("long"))).as("reason"))
+        case None => noDrops
+      }
+      val lmDrops = lmDropped.select(col("doc_id"), lit(8L).as("stage_idx"),
+        lit("lm_gate").as("stage"), col("reason"))
+      val afterLm = afterDecon.join(lmDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // stage 9: semantic decontamination over LM survivors — the
+      // embedding rides the batch row, joined back by doc_id
+      val semDropped: DataFrame = semanticGate match {
+        case Some(cfg) =>
+          val withN = afterLm.select(col("doc_id"))
+            .join(batch.select(col("doc_id"), col("embedding")), Seq("doc_id"))
+            .withColumn("nrm",
+              sqrt(graft.ops.Similarity.dot("embedding", "embedding")))
+          withN.crossJoin(broadcast(cfg.bench))
+            .select(col("doc_id"),
+              when(col("nrm") > 0 && col("bn") > 0,
+                round(graft.ops.Similarity.dot("embedding", "be")
+                  / (col("nrm") * col("bn")), 6)).as("cs"))
+            .groupBy("doc_id").agg(max(col("cs")).as("max_bench_cos"))
+            .filter(coalesce(col("max_bench_cos"), lit(-1.0)) >= cfg.threshold)
+            .select(col("doc_id"), concat(lit("bench_cos_bp="),
+              floor(col("max_bench_cos") * 10000 + 0.5).cast("long")).as("reason"))
+        case None => noDrops
+      }
+      val semDrops = semDropped.select(col("doc_id"), lit(9L).as("stage_idx"),
+        lit("semantic").as("stage"), col("reason"))
+      val admitted = afterLm
+        .join(semDropped.select("doc_id"), Seq("doc_id"), "left_anti")
       // outputs first, stores derived from the WRITTEN output (the
       // incrementalDedupBatch discipline: one compute, and a store job
       // never reads and overwrites its own dir in one plan)
       writeOwn(
-        gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops),
+        gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops)
+          .unionAll(lmDrops).unionAll(semDrops),
         s"$storeRoot/ledger")
       writeOwn(admitted, s"$storeRoot/admitted")
       // an all-dropped FIRST batch leaves admitted/ with no parquet files
@@ -978,7 +1090,10 @@ object Jobs {
     * telescoping per stage). Run it any time against a live stream's
     * `storeRoot`; it reads only the two parquet outputs.
     */
-  def auditFunnelFromStores(spark: SparkSession, storeRoot: String): DataFrame = {
+  def auditFunnelFromStores(
+      spark: SparkSession,
+      storeRoot: String,
+      stageTable: Seq[(Long, String)] = graft.ops.Curation.auditStages): DataFrame = {
     // BOTH stores need the partition-subdir guard: a stream that admits
     // every doc (clean corpus) writes ledger/ as _SUCCESS-only, the
     // mirror image of the all-dropped admitted/ edge
@@ -994,14 +1109,18 @@ object Jobs {
       else 0L
     graft.ops.Curation.auditFunnelFromLedger(
       ledger,
-      ledger.agg((count(lit(1)) + nAdmitted).cast("long").as("n_total")))
+      ledger.agg((count(lit(1)) + nAdmitted).cast("long").as("n_total")),
+      stageTable)
   }
 
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
-    * `doc_id` and `text`. The optional benchmark shingle store
-    * ([[buildBenchmarkShingleStore]] over the CLEANED benchmark — the
-    * batch audit's contract) is loaded, size-validated, and persisted
-    * once for the life of the query.
+    * `doc_id` and `text` (plus `embedding` when `embStoreDir` is set).
+    * Every configured static store — benchmark shingles
+    * ([[buildBenchmarkShingleStore]] over the CLEANED benchmark, the
+    * batch audit's contract), the bigram LM ([[buildLmStore]]), the
+    * benchmark embeddings ([[buildBenchmarkEmbeddingStore]]) — is
+    * loaded, validated, and persisted ONCE for the life of the query;
+    * one foreachBatch then drives all nine stages per batch.
     */
   def startAuditStream(
       docs: DataFrame,
@@ -1010,22 +1129,38 @@ object Jobs {
       benchStoreDir: Option[String] = None,
       bloomStoreDir: Option[String] = None,
       shingleSize: Int = 3,
+      lmStoreDir: Option[String] = None,
+      lmMinAvgLogp: Double = -9.0,
+      lmK: Double = 0.5,
+      embStoreDir: Option[String] = None,
+      semanticThreshold: Double = 0.9,
       queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(benchStoreDir.isEmpty || bloomStoreDir.isEmpty,
       "pass ONE decontamination store: the exact shingle store OR the bloom store")
+    val spark = docs.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val gate: AuditGate = (benchStoreDir, bloomStoreDir) match {
       case (Some(dir), _) => AuditGate.Exact(
-        loadBenchStore(docs.sparkSession, dir, shingleSize)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+        pin(loadBenchStore(spark, dir, shingleSize)))
       case (_, Some(dir)) => AuditGate.Bloom(
-        loadBloomStore(docs.sparkSession, dir, shingleSize))
+        loadBloomStore(spark, dir, shingleSize))
       case _ => AuditGate.Off
+    }
+    val lmGate = lmStoreDir.map { dir =>
+      val (cb, cu, v) = loadLmStore(spark, dir)
+      AuditLmGate(pin(cb), pin(cu), v, lmMinAvgLogp, lmK)
+    }
+    val semanticGate = embStoreDir.map { dir =>
+      val (bench, dim) = loadEmbeddingStore(spark, dir, None)
+      AuditSemanticGate(pin(bench), dim, semanticThreshold)
     }
     docs.writeStream
       .queryName("audit_stream")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize) _)
+      .foreachBatch(auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize,
+        lmGate = lmGate, semanticGate = semanticGate) _)
       .start()
   }
 

@@ -7,6 +7,9 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSpec
 import graft.ops.Curation
 
+/** Embedding-carrying document row for the fully-composed audit test. */
+case class DocEmb(doc_id: Long, text: String, embedding: Seq[Double])
+
 /** Streaming rejection audit — per-batch drop ledger vs the batch
   * auditLedger: exact parity under ordered arrival, plus the two
   * documented first-admitted-wins divergences.
@@ -78,6 +81,118 @@ class AuditStreamSpec extends SparkSpec {
     funnel.foreach { r =>
       assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
     }
+  }
+
+  test("fully-composed audit: nine stages in ONE batch body, parity and replay") {
+    // One foreachBatch drives gate stages 1-4, the dedup stores (5-6),
+    // shingle decontamination (7), the LM-perplexity gate (8), and the
+    // semantic embedding gate (9). Stages 1-7 must equal the batch
+    // auditLedger doc-for-doc; 8 and 9 are pinned against the scoring
+    // primitives they wrap (lmScoreAgainst / exact cosine).
+    val semTarget = "the checkpoint recovery semantics keep every long " +
+      "running job consistent after a restart"
+    // in-vocabulary words in out-of-distribution order: unigrams the LM
+    // knows, bigrams it has never seen -> low average log-prob
+    val salad = "jobs the watermark a recovery the expiry material " +
+      "checkpoint a streaming state new semantics"
+    val ortho = Seq(0.0, 1.0, 0.0, 0.0)
+    val train = Seq(
+      DocEmb(1, base, ortho),
+      DocEmb(2, base.replace("warm", "cold"), ortho), // near-dup of 1
+      DocEmb(3, base, ortho), // exact dup of 1
+      DocEmb(4, "too short", ortho), // token floor
+      DocEmb(5, "zz qq ww rr tt yy uu ii oo pp aa ss", ortho), // lang gate
+      DocEmb(6, "the the the the the the the the the the ! ! ! ! ! ! ! ! ! !", ortho), // quality
+      DocEmb(7, "[REDACTED_BLOCK]", ortho), // cleans to empty
+      DocEmb(8, leak, ortho), // decontaminated
+      DocEmb(9, fresh, ortho), // admitted through all nine stages
+      DocEmb(10, salad, Seq(0.0, 0.0, 1.0, 0.0)), // lm_gate
+      DocEmb(11, semTarget, Seq(2.0, 0.0, 0.0, 0.0))) // semantic (cos 1 vs bench)
+    val bench = Seq(Doc(1000, benchText))
+
+    // stages 1-7 ground truth from the batch form (it admits 9, 10, 11)
+    val batchExpected = Curation.auditLedger(
+      train.map(d => Doc(d.doc_id, d.text)).toDF(), bench.toDF())
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    assert(batchExpected.map(_._1) == Set(2L, 3L, 4L, 5L, 6L, 7L, 8L),
+      s"fixture drift: $batchExpected")
+    assert(batchExpected.map(_._2) == Set("clean_empty", "token_floor", "lang_gate",
+      "quality_gate", "exact_dup", "near_dup", "decontaminated"),
+      s"fixture gap: $batchExpected")
+
+    // static stores: shingle benchmark, bigram LM, benchmark embedding
+    val benchStore = tmpDir("audit9-bench")
+    Jobs.buildBenchmarkShingleStore(bench.toDF(), benchStore)
+    val lmStore = tmpDir("audit9-lm")
+    Jobs.buildLmStore(Seq(Doc(100, base), Doc(101, fresh), Doc(102, semTarget),
+      Doc(103, benchText)).toDF(), lmStore)
+    val embStore = tmpDir("audit9-emb")
+    Jobs.buildBenchmarkEmbeddingStore(
+      Seq(Emb(1000L, "bench", Seq(1.0, 0.0, 0.0, 0.0))).toDF(), embStore)
+
+    // derive the LM threshold from the actual scores: salad must sit
+    // clearly below the legitimate stage-8 entrants (9 and 11)
+    val cb = spark.read.parquet(s"$lmStore/bigrams")
+    val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
+    val v = spark.read.parquet(s"$lmStore/meta").head().getLong(0)
+    val scores = graft.ops.TextAnalysis.lmScoreAgainst(
+      Seq(9L -> fresh, 10L -> salad, 11L -> semTarget).toDF("doc_id", "text"), cb, cu, v)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) < math.min(scores(9L), scores(11L)) - 0.5,
+      s"salad not separable: $scores")
+    val thr = (scores(10L) + math.min(scores(9L), scores(11L))) / 2
+
+    val root = tmpDir("audit9-store")
+    val ms = MemoryStream[DocEmb](spark)(org.apache.spark.sql.Encoders.product[DocEmb])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit9-ckpt"),
+      benchStoreDir = Some(benchStore),
+      lmStoreDir = Some(lmStore), lmMinAvgLogp = thr,
+      embStoreDir = Some(embStore), semanticThreshold = 0.9,
+      queryTrigger = Trigger.ProcessingTime(0))
+    try train.foreach { d => ms.addData(d); q.processAllAvailable() }
+    finally q.stop()
+
+    val got = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    // stages 1-7: doc-for-doc parity with the batch ledger
+    assert(got.filter(r => r._2 != "lm_gate" && r._2 != "semantic") == batchExpected,
+      s"stream=$got\nbatch=$batchExpected")
+    // stage 8: the salad doc, with the basis-point rendering
+    val lmRows = got.filter(_._2 == "lm_gate")
+    assert(lmRows.map(_._1) == Set(10L), s"lm_gate rows: $lmRows")
+    assert(lmRows.head._3 == s"avg_logp_bp=${math.floor(scores(10L) * 10000 + 0.5).toLong}",
+      s"lm reason: ${lmRows.head._3}")
+    // stage 9: the bench-aligned doc at cosine exactly 1
+    assert(got.filter(_._2 == "semantic") == Set((11L, "semantic", "bench_cos_bp=10000")),
+      s"semantic rows: ${got.filter(_._2 == "semantic")}")
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 9L)) // the two docs that clear all nine stages
+
+    // the nine-stage funnel telescopes over the whole history
+    val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
+    assert(funnel.length == 9)
+    assert(funnel.head.getAs[Long]("n_in") == train.length.toLong)
+    assert(funnel.last.getAs[Long]("n_out") == 2L)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+    }
+    assert(funnel.map(r => r.getAs[String]("stage")).toSeq ==
+      Jobs.streamAuditStages.map(_._2))
+
+    // replay idempotence with ALL gates live: re-running the last batch
+    // body (at-least-once) changes neither ledger nor stores
+    val benchFrame = spark.read.parquet(benchStore).select("bench_doc", "shh")
+    val embFrame = spark.read.parquet(embStore).select("be", "bn")
+    Jobs.auditLedgerBatch(root, Jobs.AuditGate.Exact(benchFrame),
+      lmGate = Some(Jobs.AuditLmGate(cb, cu, v, thr)),
+      semanticGate = Some(Jobs.AuditSemanticGate(embFrame, 4, 0.9)))(
+      Seq(train.last).toDF(), (train.length - 1).toLong)
+    val got2 = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage", "reason").as[(Long, String, String)].collect().toSet
+    assert(got2 == got, s"replay changed the ledger")
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 9L), "replay changed admitted")
   }
 
   test("bloom-gated audit equals the exact gate on a single-bench fixture (union == pair)") {
