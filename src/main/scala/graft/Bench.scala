@@ -161,8 +161,31 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     if (unknown.nonEmpty)
       System.err.println(s"[bench] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
-    val selected =
+    val selectedAll =
       if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // Twin-tier opt-in (the SCALING.md twin-tiering proposal, round 14;
+    // driver-side switch, default unchanged): the oracle-tax twins exist
+    // so DuckDB can replay seeded/approximate operators — sha256 in the
+    // hot loop (`_sha`), pruning disabled (`_fullprobe`), deterministic
+    // take (`_take`), and the recall-audit join. Their correctness value
+    // lives in the sf0.01 Verify run; timing them at sf0.1 re-measures
+    // deliberately-slower kernels over the same plans as their
+    // production rows. SPARK_GRAFT_BENCH_TIER=production drops them from
+    // the TIMED suite only (Verify still checks every row); unset/full
+    // keeps the complete suite — no rows are dropped unilaterally.
+    val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "full")
+    val tierTwinSuffixes = Seq("_sha", "_fullprobe", "_take")
+    val selected = tier match {
+      case "full" => selectedAll
+      case "production" => selectedAll.filterNot { case (n, _) =>
+        tierTwinSuffixes.exists(n.endsWith) || n == "sim_ann_recall_audit" }
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BENCH_TIER must be 'full' or 'production', got '$other'")
+    }
+    if (tier != "full")
+      System.err.println(
+        s"[bench] tier=$tier: timing ${selected.size} of ${selectedAll.size} rows " +
+          s"(${selectedAll.size - selected.size} oracle-tax twins are correctness-only)")
     // Parse BEFORE the measurement pass: a malformed value must fail
     // fast, not throw after ~100 s of timing and discard the whole run.
     val retries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES") match {
@@ -243,28 +266,29 @@ object Bench {
     // sub-second dev run must not pay tens of seconds of irrelevant
     // JIT/store work (full-suite driver runs trigger all of them).
     val warmupSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val storeConsumers = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     locally {
       import graft.ops._
-      def wants(prefixes: String*) =
-        prefixes.exists(p => selected.keysIterator.exists(_.startsWith(p)))
+      def matching(prefixes: Seq[String]): Seq[String] =
+        selected.keys.filter(n => prefixes.exists(n.startsWith)).toSeq.sorted
       lazy val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
       lazy val docs512 = Tables.documents(spark, sfDir).limit(512).cache()
-      val warmups: Seq[(String, Boolean, () => DataFrame)] = Seq(
-        ("minhash", wants("dedup", "pipeline"),
+      val warmups: Seq[(String, Seq[String], () => DataFrame)] = Seq(
+        ("minhash", Seq("dedup", "pipeline"),
           () => Dedup.minhashLsh(docs64)),
-        ("simhash", wants("dedup"),
+        ("simhash", Seq("dedup"),
           () => Dedup.simhashBandedNearDups(docs64, maxHamming = 3)),
         // the FULL canonical pipeline (score+gate front, blocked-jaccard
         // pairs, propagation, survivor tail): a fresh JVM pays ~14 s of
         // Janino+JIT on its first scaled run (ProfileCurate: 16.2 s cold
         // vs 1.7 s warm) — tiny-input compilation removes most of it
-        ("curate", wants("pipeline", "text"),
+        ("curate", Seq("pipeline", "text"),
           () => Curation.curateCanonical(docs64)),
         // the audit's codegen shapes differ from curate's (per-doc CASE
         // attribution, content-hash window, shingle decontamination
         // join) — warm them on a tiny split BEFORE the real store
         // build below pays them at full scale
-        ("audit", wants("pipeline_curate_audit", "pipeline_curate_funnel",
+        ("audit", Seq("pipeline_curate_audit", "pipeline_curate_funnel",
             "pipeline_curate_audit_examples"),
           () => Curation.auditLedger(
             docs64.filter(col("doc_id") % 10 =!= 0),
@@ -274,39 +298,39 @@ object Bench {
         // windows measure their own reads/aggregates, and the one-time
         // ledger materialization they amortize stays visible as THIS
         // warmup's recorded seconds
-        ("audit_store", wants("pipeline_curate_audit", "pipeline_curate_funnel",
+        ("audit_store", Seq("pipeline_curate_audit", "pipeline_curate_funnel",
             "pipeline_curate_audit_examples"),
           () => spark.read.parquet(
             Curation.auditLedgerStore(spark, sfDir)).limit(64)),
         // the propagation loop generates fresh join+union+min plans per
         // iteration — warm one tiny round so the clustering queries
         // measure data work, not first-up codegen of the loop body
-        ("clusters", wants("dedup_cluster", "pipeline", "sim_semantic", "mix_split_leakage"),
+        ("clusters", Seq("dedup_cluster", "pipeline", "sim_semantic", "mix_split_leakage"),
           () => Dedup.nearDupClusters(
             Dedup.prefixBlockedJaccard(docs64).filter(col("jaccard") >= 0.9))),
-        ("span", wants("dedup_span"),
+        ("span", Seq("dedup_span"),
           () => Dedup.spanDedup(docs64)),
         // the incremental split pipeline generates its own codegen
         // shapes (single-scan split, cross-corpus bands) distinct from
         // minhashLsh's — without this its timed window pays the JIT
         // (suite pass-1 cpu measured ~3× its warm cpu, all compiler
         // threads)
-        ("incremental", wants("dedup_incremental"),
+        ("incremental", Seq("dedup_incremental"),
           () => Dedup.incrementalNearDupsSplit(docs64, col("doc_id") % 2 === 1)),
         // 512 docs, not 64: the LM queries' in-window cost is JIT-bound,
         // not data-bound (r12 profile: pass-1 stage CPU ~2× pass-2 on
         // sub-MB shuffles) — 64 docs doesn't push the hash-agg/join
         // loops past C2 compilation thresholds, so the timed window
         // paid the compiler. The larger warmup input does.
-        ("lm", wants("text_lm"),
+        ("lm", Seq("text_lm"),
           () => TextAnalysis.lmBigramScores(docs512)),
-        ("dsir", wants("mix_importance"),
+        ("dsir", Seq("mix_importance"),
           () => TextAnalysis.importanceWeights(docs512, col("doc_id") % 5 === 0)),
-        ("pack", wants("mix_pack"),
+        ("pack", Seq("mix_pack"),
           () => Coverage.packSequences(docs64)),
         // tiny envelope build+parse warms the to_json/from_json Jackson
         // paths the t6/t8/k8 windows otherwise JIT in-window
-        ("json_shape", wants("t6", "t8", "k8"),
+        ("json_shape", Seq("t6", "t8", "k8"),
           () => {
             val ev = Tables.events(spark, sfDir).limit(256)
             val shaped = ev.select(col("event_id"),
@@ -321,14 +345,14 @@ object Bench {
                   org.apache.spark.sql.types.DoubleType)))).as("v"))
               .select(col("event_id"), col("v.*"))
           }),
-        ("cosine", wants("sim"),
+        ("cosine", Seq("sim"),
           () => Similarity.bruteForceTopK(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64))),
         // Spark ML KMeans first use pays class-loading + its own codegen
         // paths (BLAS, aggregator); a tiny fit takes that out of the
         // ivf windows (observed 2.2 s in-suite vs 1.0 s isolated for
         // fullprobe, all in the fit half)
-        ("ivf_fit", wants("sim_ann_ivf"),
+        ("ivf_fit", Seq("sim_ann_ivf"),
           () => Similarity.annIvfTopK(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") < 64),
             nlist = 2, nprobe = 2, k = 1)),
@@ -340,7 +364,7 @@ object Bench {
         // bucketed tables are a write-once store like fmt/mm: build
         // them here so the timed window measures the exchange-free JOIN,
         // not the one-time bucketed write it amortizes
-        ("bucketed_store", wants("q_bucketed"),
+        ("bucketed_store", Seq("q_bucketed"),
           () => { val (o, l) = Sinks.bucketedJoinTables(spark, sfDir)
             // a key-range slice of the real bucketed join: warms the
             // SMJ/decimal/parquet machinery the timed window exercises
@@ -350,10 +374,10 @@ object Bench {
                 col("l_orderkey") === col("o_orderkey"))
               .groupBy("o_orderpriority")
               .agg(Sinks.revenueAgg.as("r")) }),
-        ("fmt_store", wants("k8", "k9", "k10"),
+        ("fmt_store", Seq("k8", "k9", "k10"),
           () => { Sinks.k8JsonParse.fn(spark, sfDir); Sinks.k9OrcRoundtrip.fn(spark, sfDir)
             Sinks.k10JsonlRoundtrip.fn(spark, sfDir) }),
-        ("mm_store", wants("mm"),
+        ("mm_store", Seq("mm"),
           () => Seq(
             Multimodal.imageAssetsStored(spark, sfDir),
             Multimodal.audioAssetsStored(spark, sfDir),
@@ -362,7 +386,7 @@ object Bench {
         // decode/featurize kernels (ImageIO, javax.sound, GVID parse,
         // channel sums) over a few stored assets — the store warmup
         // above only materializes payloads, it never decodes one
-        ("mm_decode", wants("mm"),
+        ("mm_decode", Seq("mm"),
           () => {
             val img = Multimodal.imageAssetsStored(spark, sfDir).limit(16)
             val aud = Multimodal.audioAssetsStored(spark, sfDir).limit(16)
@@ -376,8 +400,8 @@ object Bench {
                 .toDF().select("asset_id"))
               .reduce(_ unionByName _)
           }))
-      warmups.foreach { case (name, wanted, mk) =>
-        if (wanted) {
+      warmups.foreach { case (name, prefixes, mk) =>
+        if (matching(prefixes).nonEmpty) {
           val t0 = System.nanoTime()
           try mk().write.format("noop").mode("overwrite").save()
           catch {
@@ -392,6 +416,16 @@ object Bench {
           // mm stores' render+write under mm_store.
           warmupSecs += name -> (System.nanoTime() - t0) / 1e9
         }
+      }
+      // Producer/consumer attribution for the STORE-building warmups
+      // (the k8/audit/mm/bucketed convention): which timed rows consume
+      // each store whose build seconds are recorded above — so a reader
+      // of the artifact cannot mistake e.g. pipeline_curate_audit's
+      // timed read for the cost of computing the audit chain; that cost
+      // is warmups.audit_store, attributed here to its consumer rows.
+      warmups.foreach { case (name, prefixes, _) =>
+        if (name.endsWith("_store") && warmupSecs.contains(name))
+          storeConsumers += name -> matching(prefixes)
       }
       if (spark.sparkContext.getPersistentRDDs.nonEmpty) {
         docs64.unpersist(blocking = true)
@@ -554,7 +588,8 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":$total,"unit":"sec","gc_ms":$totalGcMs,""" +
         s""""cleanup_ms":$totalCleanupMs,"cpu_ms":$totalCpuMs,""" +
-        s""""env":"$envName","cpus":$cpus,""" +
+        s""""env":"$envName","cpus":$cpus,"tier":"$tier",""" +
+        (if (tier == "full") "" else s""""tier_skipped":${selectedAll.size - selected.size},""") +
         s""""ref_n":${refTimes.size},"ref_path":${jstr(refPath)},""" +
         s""""queries":$qs$om$retriedJson$profile,"sf":"$sfDir"}"""
     }
@@ -571,7 +606,10 @@ object Bench {
         s""""cleanup_ms":${w.cleanupMs},"cpu_ms":${w.cpuMs},"load":${w.load}}"""
     }.mkString(""","profile":{""", ",", "}") +
       warmupSecs.map { case (k, s) => "\"" + k + "\":" + math.rint(s * 1000) / 1000 }
-        .mkString(""","warmups":{""", ",", "}")
+        .mkString(""","warmups":{""", ",", "}") +
+      storeConsumers.map { case (k, qs) =>
+        "\"" + k + "\":[" + qs.map("\"" + _ + "\"").mkString(",") + "]"
+      }.mkString(""","warmup_consumers":{""", ",", "}")
     val json = render(finalSecs, 0, profileJson) // full precision, every query
     val outPath = sys.env.getOrElse("BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(outPath), json + "\n")

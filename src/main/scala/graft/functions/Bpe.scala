@@ -3,8 +3,9 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -53,6 +54,14 @@ object Bpe {
     * counts as `n_bpe_pieces`. Whitespace never reaches the encoder.
     */
   val PretokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Id-space split for [[BpeEncode]]: single-codepoint symbols use the
+    * codepoint itself (< 0x110000, the Unicode ceiling), merged symbols
+    * use MergedIdOffset + merge rank — disjoint by construction, and
+    * trivially replayable by the oracle (`unicode(sym)` vs
+    * `1114112 + min(rank)`).
+    */
+  val MergedIdOffset = 0x110000
 
   /** Committed merges table; rank = vector position. Learned from the
     * sf0.01 documents fixture by `graft.tools.BpeTrain` (48 merges —
@@ -131,9 +140,23 @@ object Bpe {
     * and trailing separators so a pair pattern `US l US r US` is
     * anchored on symbol boundaries. One recursive step = one greedy
     * merge application: the lateral subquery picks the lowest-rank pair
-    * PRESENT in the state, and `replace` merges all its non-overlapping
-    * occurrences left-to-right (after a match, scanning resumes past
-    * the replacement — the exact left-to-right semantics of step 2).
+    * PRESENT in the state, and `replace` merges its non-overlapping
+    * occurrences left-to-right. Caveat: ADJACENT occurrences share a
+    * separator (e.g. 'erer' under merge (e,r): `US e US r US e US r
+    * US` — the first match consumes the shared US), so one `replace`
+    * merges only the odd-positioned occurrences; the evens merge on a
+    * LATER recursion step because the pair is still present and is
+    * re-selected until exhausted. The per-step trace is therefore not
+    * bit-identical to the expression's all-occurrences-at-once step —
+    * the staggering could interleave with a lower-rank pair created by
+    * the partial merge — but for the committed table the FINAL counts
+    * coincide (hash-verified every round, plus the pinned
+    * adjacent-occurrence cases in BpeSpec replaying this replace-step
+    * semantics in Scala). The divergence is REAL for SELF-pair tables:
+    * under (a,a), runs of 6 or 8 strand two singles apart (BpeSpec pins
+    * 3-vs-4 and 4-vs-5); the committed table contains no self-pair
+    * (asserted in BpeSpec), so no oracle-checked row can reach it — the
+    * expression is normative, this CTE is the replay.
     * The recursion is UNION (distinct): a terminal state reproduces
     * itself via the LEFT JOIN's NULL arm, the duplicate is eliminated,
     * and that word stops iterating — while states still shrink (every
@@ -163,7 +186,7 @@ object Bpe {
        |    WHERE contains(s.st, chr(31)||l||chr(31)||r||chr(31))
        |    ORDER BY rank LIMIT 1) m ON true),
        |bpe_final AS (
-       |  SELECT word, len(string_split(st, chr(31))) - 2 AS n_toks
+       |  SELECT word, st, len(string_split(st, chr(31))) - 2 AS n_toks
        |  FROM bpe_steps s
        |  WHERE NOT EXISTS (
        |    SELECT 1 FROM bpe_merges
@@ -190,6 +213,45 @@ object Bpe {
        |    ON d.doc_id = f.doc_id
        |  GROUP BY d.doc_id)""".stripMargin
 
+  /** DuckDB CTE block mapping every document to its BPE token-ID
+    * sequence (`bpe_doc_ids(doc_id, ids)` — INTEGER list, pretoken
+    * order preserved); builds on [[duckWordTokens]]. Ids replay
+    * [[Coder.symbolId]] exactly: a single-codepoint surviving symbol is
+    * `unicode(sym)`, a merged symbol is [[MergedIdOffset]] + the LOWEST
+    * rank whose l||r equals it (min(rank) = the putIfAbsent rule).
+    * Documents with zero pretokens do not appear (callers LEFT JOIN or
+    * filter, exactly like [[duckDocTokens]]'s n >= 1 consumers).
+    *
+    * Order preservation is explicit on both axes: within a word via the
+    * symbol position subscript, across a document via the pretoken
+    * position subscript — never relying on unnest ordering through a
+    * GROUP BY.
+    */
+  def duckDocIds: String =
+    s"""$duckWordTokens,
+       |bpe_vocab AS (
+       |  SELECT l || r AS sym, $MergedIdOffset + min(rank) AS id
+       |  FROM bpe_merges GROUP BY 1),
+       |bpe_word_syms AS (
+       |  SELECT word, t.i AS pos,
+       |         list_filter(string_split(st, chr(31)), s -> s <> '')[t.i] AS sym
+       |  FROM bpe_final, LATERAL (SELECT unnest(generate_series(1, n_toks)) AS i) t),
+       |bpe_word_ids AS (
+       |  SELECT s.word,
+       |         list(CASE WHEN length(s.sym) = 1 THEN unicode(s.sym) ELSE v.id END
+       |              ORDER BY s.pos) AS ids
+       |  FROM bpe_word_syms s LEFT JOIN bpe_vocab v ON v.sym = s.sym
+       |  GROUP BY s.word),
+       |bpe_doc_seq AS (
+       |  SELECT doc_id, t.i AS pos, ws[t.i] AS word
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$PretokenPattern') AS ws
+       |        FROM documents) d,
+       |       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+       |bpe_doc_ids AS (
+       |  SELECT s.doc_id, flatten(list(w.ids ORDER BY s.pos)) AS ids
+       |  FROM bpe_doc_seq s JOIN bpe_word_ids w ON w.word = s.word
+       |  GROUP BY s.doc_id)""".stripMargin
+
   /** The compiled greedy encoder over one parsed merges table. One
     * instance per expression (shipped via `addReferenceObj`), shared by
     * interpreted and generated code.
@@ -201,12 +263,14 @@ object Bpe {
         (seg.substring(0, ix), seg.substring(ix + 1))
       }
 
-    // "l r" -> rank; NUL never appears in a symbol
+    // "l<NUL>r" -> rank; NUL never appears in a symbol
     @transient private lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](pairs.length * 2)
       var i = 0
       while (i < pairs.length) {
-        m.put(pairs(i)._1 + " " + pairs(i)._2, i)
+        // putIfAbsent: lowest rank wins if a duplicate ever slips past
+        // the analysis-time uniqueness check (defense in depth).
+        m.putIfAbsent(pairs(i)._1 + "\u0000" + pairs(i)._2, i)
         i += 1
       }
       m
@@ -239,10 +303,12 @@ object Bpe {
       total
     }
 
-    /** Greedy merge loop for one pre-token (spec step 2). */
-    private def countWord(w: String): Int = {
+    /** Greedy merge loop for one pre-token (spec step 2); returns the
+      * surviving symbol array trimmed to its final length. The copy is
+      * per DISTINCT word only (both memos cache the derived result).
+      */
+    private def mergeWord(w: String): Array[String] = {
       val n = w.codePointCount(0, w.length)
-      if (n <= 1) return n
       val syms = new Array[String](n)
       var i = 0
       var j = 0
@@ -252,16 +318,18 @@ object Bpe {
         j += 1
         i += Character.charCount(cp)
       }
+      if (n <= 1) return syms
       var len = n
       while (true) {
         var bestRank = Int.MaxValue
         i = 0
         while (i < len - 1) {
-          val r = rank.get(syms(i) + " " + syms(i + 1))
+          val r = rank.get(syms(i) + "\u0000" + syms(i + 1))
           if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
           i += 1
         }
-        if (bestRank == Int.MaxValue) return len
+        if (bestRank == Int.MaxValue)
+          return if (len == n) syms else java.util.Arrays.copyOf(syms, len)
         val bl = pairs(bestRank)._1
         val br = pairs(bestRank)._2
         var out = 0
@@ -278,22 +346,94 @@ object Bpe {
         }
         len = out
       }
-      len // unreachable
+      syms // unreachable
+    }
+
+    private def countWord(w: String): Int = mergeWord(w).length
+
+    // merged-symbol (l+r concatenation) -> id. putIfAbsent: when two
+    // merges produce the same concatenation (e.g. (a,bc) and (ab,c)),
+    // the LOWEST rank names the symbol — the deterministic rule the
+    // DuckDB replay mirrors with min(rank).
+    @transient private lazy val mergedId: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pairs.length * 2)
+      var i = 0
+      while (i < pairs.length) {
+        m.putIfAbsent(pairs(i)._1 + pairs(i)._2, MergedIdOffset + i)
+        i += 1
+      }
+      m
+    }
+
+    /** Id of one surviving symbol: single codepoint -> the codepoint
+      * itself; merged symbol -> [[Bpe.MergedIdOffset]] + the lowest
+      * rank whose l+r equals it. Total and collision-free: codepoints
+      * are < MergedIdOffset, merged symbols have >= 2 codepoints, and
+      * every encoder-produced multi-codepoint symbol is some table
+      * merge's l+r by construction.
+      */
+    private def symbolId(s: String): Int =
+      if (s.codePointCount(0, s.length) == 1) s.codePointAt(0)
+      else {
+        val id = mergedId.get(s)
+        if (id == null) // unreachable for encoder-produced symbols
+          throw new IllegalStateException(s"graft_bpe: no merge produces symbol '$s'")
+        id.intValue()
+      }
+
+    private def idsWord(w: String): Array[Int] = {
+      val syms = mergeWord(w)
+      val out = new Array[Int](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        out(i) = symbolId(syms(i))
+        i += 1
+      }
+      out
+    }
+
+    // word -> id array memo, same per-thread bounded discipline as the
+    // count memo (the arrays are shared read-only once cached).
+    @transient private lazy val memoIds: ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+      ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]](1 << 10))
+
+    /** Token-id sequence of `text` — the same pre-tokenize + greedy
+      * merge as [[countTokens]], emitting ids instead of a count;
+      * `encodeTokens(t).numElements == countTokens(t)` for every input
+      * (pinned by BpeSpec). Returns packed primitive ints (no boxing).
+      */
+    def encodeTokens(text: UTF8String): ArrayData = {
+      val m = pretok.matcher(text.toString)
+      val cache = memoIds.get()
+      var buf = new Array[Int](64)
+      var n = 0
+      while (m.find()) {
+        val w = m.group()
+        var ids = cache.get(w)
+        if (ids == null) {
+          ids = idsWord(w)
+          if (cache.size() >= MemoCap) cache.clear()
+          cache.put(w, ids)
+        }
+        if (n + ids.length > buf.length) {
+          var cap = buf.length << 1
+          while (cap < n + ids.length) cap <<= 1
+          buf = java.util.Arrays.copyOf(buf, cap)
+        }
+        System.arraycopy(ids, 0, buf, n, ids.length)
+        n += ids.length
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n))
     }
   }
 }
 
-/** graft_bpe_count(text, 'l r,l r,...') — BPE token count of `text`
-  * under the foldable merges spec (rank order, "l r" pairs
-  * comma-joined — [[Bpe.mergesSpec]] for the committed table). The spec
-  * is validated at ANALYSIS time and parsed ONCE per expression; the
-  * per-row work is the compiled greedy loop, called from generated
-  * code. NULL text → NULL.
+/** Shared (text, foldable merges-spec) contract of the BPE expressions:
+  * analysis-time spec validation (shape + pair uniqueness) and the
+  * once-per-expression [[Bpe.Coder]]. NULL text → NULL for both.
   */
-case class BpeCount(left: Expression, right: Expression) extends BinaryExpression {
-  override def prettyName: String = "graft_bpe_count"
-  override def dataType: DataType = IntegerType
-
+trait BpeExpressionBase extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (StringType, StringType) if right.foldable =>
       right.eval() match {
@@ -304,10 +444,15 @@ case class BpeCount(left: Expression, right: Expression) extends BinaryExpressio
             val ix = seg.indexOf(' ')
             ix <= 0 || ix != seg.lastIndexOf(' ') || ix == seg.length - 1
           }
+          lazy val dup = segs.diff(segs.distinct).headOption
           if (segs.isEmpty || bad.isDefined)
             TypeCheckResult.TypeCheckFailure(
               s"$prettyName: each merge must be 'left right' (one space, both non-empty); " +
                 s"bad segment: '${bad.getOrElse("")}'")
+          else if (dup.isDefined)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: duplicate merge pair '${dup.get}' — ranks must be unique " +
+                "(lowest rank wins would be ambiguous)")
           else TypeCheckResult.TypeCheckSuccess
         case s => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected merges spec $s")
       }
@@ -316,16 +461,59 @@ case class BpeCount(left: Expression, right: Expression) extends BinaryExpressio
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
-  @transient private lazy val coder: Bpe.Coder =
+  @transient protected lazy val coder: Bpe.Coder =
     new Bpe.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  protected def coderRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("graftBpeCoder", coder, classOf[Bpe.Coder].getName)
+}
+
+/** graft_bpe_count(text, 'l r,l r,...') — BPE token count of `text`
+  * under the foldable merges spec (rank order, "l r" pairs
+  * comma-joined — [[Bpe.mergesSpec]] for the committed table). The spec
+  * is validated at ANALYSIS time and parsed ONCE per expression; the
+  * per-row work is the compiled greedy loop, called from generated
+  * code. NULL text → NULL.
+  */
+case class BpeCount(left: Expression, right: Expression) extends BpeExpressionBase {
+  override def prettyName: String = "graft_bpe_count"
+  override def dataType: DataType = IntegerType
 
   override def nullSafeEval(t: Any, s: Any): Any =
     coder.countTokens(t.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val coderRef = ctx.addReferenceObj("graftBpeCoder", coder, classOf[Bpe.Coder].getName)
+    val ref = coderRef(ctx)
     nullSafeCodeGen(ctx, ev, (t, _) =>
-      s"${ev.value} = $coderRef.countTokens($t);")
+      s"${ev.value} = $ref.countTokens($t);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_bpe_encode(text, 'l r,l r,...') — the token-ID sequence
+  * (`array<int>`) of `text` under the same committed merges table as
+  * [[BpeCount]]; `size(graft_bpe_encode(t, m)) ==
+  * graft_bpe_count(t, m)` by construction (same merge loop, shared
+  * per-thread memos). Id scheme: surviving single-codepoint symbols are
+  * their codepoint; merged symbols are [[Bpe.MergedIdOffset]] + the
+  * lowest producing rank — a pure function of the symbol string, so the
+  * DuckDB oracle ([[Bpe.duckDocIds]]) replays ids exactly. This is the
+  * column a training-data loader actually ships: packing manifests
+  * carry the real id slices, not just counts.
+  */
+case class BpeEncode(left: Expression, right: Expression) extends BpeExpressionBase {
+  override def prettyName: String = "graft_bpe_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    coder.encodeTokens(t.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = coderRef(ctx)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $ref.encodeTokens($t);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -363,6 +363,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeCount].getName, "graft_bpe_count"),
       two("graft_bpe_count", BpeCount)),
+    (FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      two("graft_bpe_encode", BpeEncode)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

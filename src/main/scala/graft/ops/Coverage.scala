@@ -435,7 +435,8 @@ object Coverage {
   def packSequences(
       documents: org.apache.spark.sql.DataFrame,
       seqTokens: Long = 2048L,
-      tokenCount: Option[org.apache.spark.sql.Column] = None): org.apache.spark.sql.DataFrame = {
+      tokenCount: Option[org.apache.spark.sql.Column] = None,
+      carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be >= 1 (got $seqTokens)")
     // Pluggable token denomination: whitespace tokens by default, or a
     // caller-supplied counter (e.g. the native BPE expression for real
@@ -445,10 +446,14 @@ object Coverage {
     // tok_start lands exactly on a boundary (Spark's sequence(x, x-1)
     // emits a descending 2-row array, not an empty one).
     val nTokens = tokenCount.getOrElse(size(split(col("text"), "\\s+")).cast("long"))
+    // `carry` columns ride the ONE metadata shuffle (e.g. the token-id
+    // arrays of mix_pack_manifest_bpe) — strictly cheaper than a second
+    // encode scan or a corpus-sized join-back afterwards.
+    val carryCols = carry.map(col)
     val toks = documents.select(
-      col("doc_id"),
-      nTokens.cast("long").as("n_tokens"),
-      md5(col("doc_id").cast("string")).as("ord"))
+      Seq(col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("ord")) ++ carryCols: _*)
       .filter(col("n_tokens") >= 1)
       .withColumn("grp", conv(substring(col("ord"), 1, 2), 16, 10).cast("int"))
     val w = Window.partitionBy(col("grp")).orderBy(col("ord"))
@@ -466,17 +471,17 @@ object Coverage {
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
     val b = lit(seqTokens)
     placed
-      .select(col("doc_id"), col("tok_start"), col("tok_end"),
+      .select(Seq(col("doc_id"), col("tok_start"), col("tok_end"),
         explode(sequence(
           floor(col("tok_start") / b),
-          floor((col("tok_end") - 1) / b))).as("seq_id"))
-      .select(
+          floor((col("tok_end") - 1) / b))).as("seq_id")) ++ carryCols: _*)
+      .select(Seq(
         col("doc_id"),
         col("seq_id"),
         (greatest(col("tok_start"), col("seq_id") * b) - col("tok_start")).as("doc_off"),
         (greatest(col("tok_start"), col("seq_id") * b) - col("seq_id") * b).as("seq_off"),
         (least(col("tok_end"), (col("seq_id") + 1) * b)
-          - greatest(col("tok_start"), col("seq_id") * b)).as("n_toks"))
+          - greatest(col("tok_start"), col("seq_id") * b)).as("n_toks")) ++ carryCols: _*)
   }
 
   // ---------------------------------------------------- corpus profiling
@@ -728,6 +733,65 @@ object Coverage {
       tokenCount = Some(call_function("graft_bpe_count",
         col("text"), lit(graft.functions.Bpe.mergesSpec))))
       .orderBy("seq_id", "seq_off", "doc_id"))
+
+  /** Packing MANIFEST with the actual token-id payloads: the same
+    * BPE-denominated concat-then-chunk as [[packSequencesBpeQuery]],
+    * plus `token_ids` — the id slice of the document that lands in each
+    * sequence (`slice(ids, doc_off+1, n_toks)`), i.e. what the training
+    * loader materializes per 512-token sequence. The encoder
+    * (graft_bpe_encode) runs ONCE at scan time; n_tokens is derived as
+    * size(ids) so count and payload can never disagree, and the id
+    * arrays ride the pack's one metadata shuffle via `carry` rather
+    * than a second encode scan or a corpus-sized join-back. The oracle
+    * replays the id scheme exactly ([[graft.functions.Bpe.duckDocIds]]:
+    * codepoint ids + MergedIdOffset + min rank) and slices with
+    * list_slice over identical offsets.
+    *
+    * Scale shape: one scan, one shuffle (now payload-sized — the
+    * necessary cost of emitting payloads at all), output proportional
+    * to total token volume. At 100 TB this is the terminal
+    * materialization pass of the pipeline and is irreducibly
+    * corpus-sized; everything upstream of it stays metadata-sized.
+    */
+  val packManifestBpeQuery = QueryDef(
+    "mix_pack_manifest_bpe",
+    s"""WITH RECURSIVE ${graft.functions.Bpe.duckDocIds},
+       |toks AS (
+       |  SELECT doc_id, ids, len(ids) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM bpe_doc_ids WHERE len(ids) >= 1),
+       |placed AS (
+       |  SELECT doc_id, ids, n_tokens,
+       |         CAST(sum(n_tokens) OVER (ORDER BY ord) AS BIGINT) AS tok_end
+       |  FROM toks),
+       |spans AS (
+       |  SELECT doc_id, ids, tok_end - n_tokens AS tok_start, tok_end, s.seq_id
+       |  FROM placed,
+       |       LATERAL (SELECT unnest(generate_series(
+       |                  (tok_end - n_tokens) // 512,
+       |                  (tok_end - 1) // 512)) AS seq_id) s)
+       |SELECT doc_id, seq_id,
+       |       greatest(tok_start, seq_id * 512) - tok_start AS doc_off,
+       |       greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_off,
+       |       least(tok_end, (seq_id + 1) * 512)
+       |         - greatest(tok_start, seq_id * 512) AS n_toks,
+       |       list_slice(ids,
+       |         greatest(tok_start, seq_id * 512) - tok_start + 1,
+       |         least(tok_end, (seq_id + 1) * 512) - tok_start) AS token_ids
+       |FROM spans ORDER BY seq_id, seq_off, doc_id""".stripMargin)(
+    (s, d) => {
+      val enc = Tables.documents(s, d).select(
+        col("doc_id"),
+        call_function("graft_bpe_encode",
+          col("text"), lit(graft.functions.Bpe.mergesSpec)).as("ids"))
+      packSequences(enc, seqTokens = 512L,
+        tokenCount = Some(size(col("ids")).cast("long")), carry = Seq("ids"))
+        .select(col("doc_id"), col("seq_id"), col("doc_off"), col("seq_off"),
+          col("n_toks"),
+          slice(col("ids"), (col("doc_off") + 1).cast("int"),
+            col("n_toks").cast("int")).as("token_ids"))
+        .orderBy("seq_id", "seq_off", "doc_id")
+    })
 
   // ------------------------------------------------------- corpus diff
 
@@ -1008,6 +1072,7 @@ object Coverage {
     t8WideProjection, p123PhysicalOps, s9LocalCollection,
     pivotQuery, setOpsQuery, mixQuery, temperatureMixQuery, tokenBudgetQuery,
     hashStratifiedQuery, temperatureTakeQuery, packSequencesQuery, packSequencesBpeQuery,
+    packManifestBpeQuery,
     splitAssignQuery,
     splitGroupedQuery,
     corpusProfileQuery, corpusDiffQuery, qualityGateQuery, lengthBatchesQuery,

@@ -327,11 +327,44 @@ object Similarity {
     * broadcast of the nlist-row centroid table, every dot through the
     * native codegen'd graft_dot — no per-row MLlib model, no UDF.
     */
+  /** Read + validate the persisted centroid table (`dir/centroids`) —
+    * the same two-aggregate guard discipline as the benchmark embedding
+    * store (streaming/Jobs.buildBenchmarkEmbeddingStore): non-empty, no
+    * NULL centroids (size(NULL) is NULL, so they would dodge the
+    * min/max dim check and then NPE or mis-assign downstream),
+    * homogeneous dims (a mixed table would silently skew every |e-c|²
+    * since graft_dot folds the shared prefix), and unique list_ids (a
+    * duplicate id would double-assign its cell's vectors on ingest and
+    * double-read its partition on probe). One bounded aggregate over an
+    * nlist-row table — driver-trivial by construction.
+    */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val d = cents.agg(
+      min(size(col("centroid"))).as("lo"), max(size(col("centroid"))).as("hi"),
+      count(lit(1)).as("n"), count(col("centroid")).as("nonNull"),
+      countDistinct(col("list_id")).as("nIds")).head()
+    require(d.getLong(2) > 0,
+      s"IVF centroid store $dir/centroids is empty — build it with buildIvfIndex")
+    require(d.getLong(3) == d.getLong(2),
+      s"IVF centroid store $dir/centroids has ${d.getLong(2) - d.getLong(3)} NULL " +
+        "centroid(s) — rebuild it; NULL cells cannot place or probe anything")
+    require(d.getInt(0) == d.getInt(1),
+      s"IVF centroid store $dir/centroids is heterogeneous: ${d.getInt(0)}..${d.getInt(1)} " +
+        "dims — a mixed quantizer would silently skew every distance; rebuild it")
+    require(d.getLong(4) == d.getLong(2),
+      s"IVF centroid store $dir/centroids has duplicate list_id(s) " +
+        s"(${d.getLong(2)} rows, ${d.getLong(4)} distinct ids) — a duplicate cell " +
+        "double-assigns on ingest and double-reads on probe; rebuild it")
+    cents
+  }
+
   def assignToIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       embeddings: DataFrame): Unit = {
-    val cents = spark.read.parquet(s"$dir/centroids")
+    val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
     embeddings
@@ -360,7 +393,7 @@ object Similarity {
       excludeVecId: Long = -1L): DataFrame = {
     import org.apache.spark.ml.linalg.Vectors
     val q = Vectors.dense(queryVec)
-    val probes = spark.read.parquet(s"$dir/centroids")
+    val probes = loadCentroids(spark, dir)
       .collect()
       .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
       .sortBy(_._2).take(nprobe).map(_._1)

@@ -1089,6 +1089,13 @@ object Jobs {
     * ledger + admitted stores (total in = ledger rows + admitted rows,
     * telescoping per stage). Run it any time against a live stream's
     * `storeRoot`; it reads only the two parquet outputs.
+    *
+    * Fails loudly when the ledger carries a `stage_idx` the supplied
+    * `stageTable` does not list (e.g. reading a store written by a
+    * stream running the LM/semantic gates with the 7-stage default):
+    * silently dropping those ledger rows would desynchronize the
+    * funnel's final `n_out` from the admitted count while `n_total`
+    * still includes them. Pass [[streamAuditStages]] for such stores.
     */
   def auditFunnelFromStores(
       spark: SparkSession,
@@ -1103,6 +1110,17 @@ object Jobs {
       else spark.range(0).select(
         col("id").as("doc_id"), col("id").as("stage_idx"),
         col("id").cast("string").as("stage"), col("id").cast("string").as("reason"))
+    // Bounded driver read: distinct (stage_idx, stage) is at most the
+    // stage count (9), never corpus-sized.
+    val known = stageTable.toMap
+    val unknown = ledger.select("stage_idx", "stage").distinct().collect()
+      .filter(r => !known.contains(r.getLong(0)))
+    require(unknown.isEmpty,
+      s"auditFunnelFromStores: ledger at $storeRoot/ledger carries stage(s) " +
+        unknown.map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.mkString(", ") +
+        s" absent from the supplied stageTable ${known.keys.toSeq.sorted.mkString("[", ",", "]")}" +
+        " — pass the stage table the stream actually ran (streamAuditStages for" +
+        " LM/semantic-gated streams), or the funnel would silently drop those rows")
     val nAdmitted =
       if (partitionedStoreNonEmpty(spark, s"$storeRoot/admitted"))
         spark.read.parquet(s"$storeRoot/admitted").count()

@@ -110,6 +110,127 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  // --- graft_bpe_encode (token ids) ---
+
+  private def encode(text: String, spec: String): Seq[Int] = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(call_function("graft_bpe_encode", col("t"), lit(spec)))
+      .collect()(0).getSeq[Int](0)
+  }
+
+  test("encode: ids are codepoints for singles, MergedIdOffset+rank for merges") {
+    // committed table: ("o","w") is rank 2, ("custo","mer") is rank 29
+    assert(Bpe.merges(2) === ("o", "w"))
+    assert(Bpe.merges(29) === ("custo", "mer"))
+    assert(encode("a ow customer", Bpe.mergesSpec) ===
+      Seq('a'.toInt, Bpe.MergedIdOffset + 2, Bpe.MergedIdOffset + 29))
+    // unmerged word: plain codepoint sequence
+    assert(encode("xyz", "q q") === Seq('x'.toInt, 'y'.toInt, 'z'.toInt))
+    assert(encode("", Bpe.mergesSpec) === Seq.empty)
+  }
+
+  test("encode size == count for every fixture document (ids<->count consistency)") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        call_function("graft_bpe_count", col("text"), lit(Bpe.mergesSpec)).as("n"),
+        call_function("graft_bpe_encode", col("text"), lit(Bpe.mergesSpec)).as("ids"))
+      .select(col("n"), size(col("ids")).as("sz"),
+        // every id is a valid codepoint or a valid merge rank slot
+        forall(col("ids"), id =>
+          (id >= 0 && id < lit(0x110000)) ||
+            (id >= lit(Bpe.MergedIdOffset) &&
+              id < lit(Bpe.MergedIdOffset + Bpe.merges.length))).as("ok"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getBoolean(2))
+    }
+  }
+
+  test("encode: NULL text -> NULL") {
+    import spark.implicits._
+    val r = Seq[Option[String]](None).toDF("t")
+      .select(call_function("graft_bpe_encode", col("t"), lit("x y")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("duplicate merge pair in the spec fails at analysis time") {
+    import spark.implicits._
+    val df = Seq("a").toDF("t")
+    for (fn <- Seq("graft_bpe_count", "graft_bpe_encode")) {
+      val e = intercept[Exception] {
+        df.select(call_function(fn, col("t"), lit("a b,c d,a b"))).collect()
+      }
+      assert(e.getMessage.contains("duplicate merge pair"), e.getMessage)
+    }
+  }
+
+  // --- oracle replay semantics (the DuckDB replace-step caveat) ---
+
+  /** Faithful Scala replay of the oracle's per-step semantics
+    * (Bpe.duckWordTokens): state = US-joined symbols, one step = pick
+    * the lowest-rank pair PRESENT, then `replace` ALL its
+    * non-overlapping occurrences (Java String.replace == DuckDB
+    * replace: left-to-right, scanning resumes past each replacement, so
+    * ADJACENT occurrences sharing a separator merge across SEVERAL
+    * steps — the staggering the scaladoc documents).
+    */
+  private def duckReplayCount(word: String, merges: Vector[(String, String)]): Int = {
+    val US = "\u001f"
+    var st = US + word.map(c => s"$c$US").mkString
+    var done = false
+    while (!done) {
+      merges.find { case (l, r) => st.contains(s"$US$l$US$r$US") } match {
+        case None => done = true
+        case Some((l, r)) => st = st.replace(s"$US$l$US$r$US", s"$US$l$r$US")
+      }
+    }
+    st.split(US).count(_.nonEmpty)
+  }
+
+  test("pinned adjacent-occurrence words: oracle replay converges to the expression") {
+    // Words whose merge occurrences ABUT (share a separator) — the
+    // replace-step staggering cases; final counts must still agree
+    // under the committed table and under the minimal table that
+    // triggers the pathology directly.
+    val adjacent = Seq("erer", "ererer", "erererer", "arar", "ararar",
+      "stst", "owow", "inin", "aaaa", "aaaaaa")
+    val coder = new Bpe.Coder(Bpe.mergesSpec)
+    for (w <- adjacent) {
+      val expr = coder.countTokens(UTF8String.fromString(w))
+      val duck = duckReplayCount(w, Bpe.merges)
+      assert(expr === duck, s"word '$w': expression $expr vs oracle-replay $duck")
+    }
+    // the minimal (a,a) table from the spec-semantics tests above:
+    // runs of 2,3,4,5,7 converge (any stranded single left ADJACENT to
+    // another single re-pairs on a later step)
+    val aa = new Bpe.Coder("a a")
+    for (w <- Seq("aa", "aaa", "aaaa", "aaaaa", "aaaaaaa"))
+      assert(aa.countTokens(UTF8String.fromString(w)) ===
+        duckReplayCount(w, Vector(("a", "a"))), s"word '$w' under (a,a)")
+    // KNOWN DIVERGENCE, pinned: runs of 6 and 8 under a SELF-pair.
+    // replace merges occurrences 1-2, 4-5(, 7-8), stranding singles at
+    // positions 3 and 6 APART from each other so (a,a) never re-forms
+    // -> one extra token; the expression pairs greedily left-to-right.
+    // The committed table contains no self-pair (asserted below), so no
+    // registered row can hit this; the expression is normative, the
+    // oracle CTE is the replay.
+    assert(aa.countTokens(UTF8String.fromString("aaaaaa")) === 3)
+    assert(duckReplayCount("aaaaaa", Vector(("a", "a"))) === 4)
+    assert(aa.countTokens(UTF8String.fromString("aaaaaaaa")) === 4)
+    assert(duckReplayCount("aaaaaaaa", Vector(("a", "a"))) === 5)
+    // the structural guard that keeps the divergence unreachable for
+    // every oracle-checked row: no committed merge can chain with
+    // itself (r never begins with the merged symbol's prefix l+r ...
+    // concretely: no l == r, and no pair whose merged symbol overlaps
+    // a neighboring occurrence of the same pair)
+    assert(Bpe.merges.forall { case (l, r) => l != r })
+  }
+
   test("coder matches expression result (interpreted vs codegen path)") {
     import spark.implicits._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)

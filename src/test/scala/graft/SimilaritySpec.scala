@@ -126,6 +126,47 @@ class SimilaritySpec extends SparkSpec {
     persisted.collect().foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2)))
   }
 
+  test("corrupted centroid store fails loudly on load (NULL / mixed dims / dup list_id / empty)") {
+    def writeCentroids(dir: String, rows: Seq[(Int, Seq[Double])]): Unit =
+      rows.toDF("list_id", "centroid")
+        .withColumn("centroid",
+          when(size(col("centroid")) === 0, lit(null)).otherwise(col("centroid")))
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+    val probe = Array(1.0, 0.0)
+
+    val nullDir = tmpDir("ivf-bad-null")
+    writeCentroids(nullDir, Seq(0 -> Seq(1.0, 0.0), 1 -> Seq.empty)) // empty -> NULL
+    val eNull = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, nullDir, probe, k = 1, nprobe = 1)
+    }
+    assert(eNull.getMessage.contains("NULL centroid"), eNull.getMessage)
+
+    val mixDir = tmpDir("ivf-bad-mix")
+    writeCentroids(mixDir, Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0, 0.0)))
+    val eMix = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, mixDir, probe, k = 1, nprobe = 1)
+    }
+    assert(eMix.getMessage.contains("heterogeneous"), eMix.getMessage)
+
+    val dupDir = tmpDir("ivf-bad-dup")
+    writeCentroids(dupDir, Seq(0 -> Seq(1.0, 0.0), 0 -> Seq(0.0, 1.0)))
+    val eDup = intercept[IllegalArgumentException] {
+      Similarity.assignToIndex(spark, dupDir,
+        Seq((7L, "x", Seq(1.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+    }
+    assert(eDup.getMessage.contains("duplicate list_id"), eDup.getMessage)
+
+    val emptyDir = tmpDir("ivf-bad-empty")
+    writeCentroids(emptyDir, Seq(0 -> Seq(1.0, 0.0)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      spark.read.parquet(s"$emptyDir/centroids").schema)
+      .write.mode("overwrite").parquet(s"$emptyDir/centroids")
+    val eEmpty = intercept[IllegalArgumentException] {
+      Similarity.queryIvfIndex(spark, emptyDir, probe, k = 1, nprobe = 1)
+    }
+    assert(eEmpty.getMessage.contains("empty"), eEmpty.getMessage)
+  }
+
   test("incremental index ingest: appended vectors land in their nearest cell and are queryable") {
     val dir = tmpDir("ivf-incr")
     val seed = emb.filter(col("vec_id") < 400)

@@ -180,6 +180,15 @@ class AuditStreamSpec extends SparkSpec {
     assert(funnel.map(r => r.getAs[String]("stage")).toSeq ==
       Jobs.streamAuditStages.map(_._2))
 
+    // reading a 9-stage store with the 7-stage DEFAULT table must fail
+    // loudly (the silently-dropped-ledger-rows hazard), naming the
+    // missing stages
+    val e = intercept[IllegalArgumentException] {
+      Jobs.auditFunnelFromStores(spark, root).collect()
+    }
+    assert(e.getMessage.contains("8:lm_gate"), e.getMessage)
+    assert(e.getMessage.contains("9:semantic"), e.getMessage)
+
     // replay idempotence with ALL gates live: re-running the last batch
     // body (at-least-once) changes neither ledger nor stores
     val benchFrame = spark.read.parquet(benchStore).select("bench_doc", "shh")
