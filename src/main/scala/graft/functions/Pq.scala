@@ -1,0 +1,414 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Product quantization (PQ) — sub-vector codebooks for ANN memory
+  * compression (Jégou, Douze, Schmid 2011: the public algorithm behind
+  * IVF-PQ in every production vector index). The D-dim space splits
+  * into M contiguous subspaces of D/M dims; each subspace carries a
+  * K-centroid codebook; a vector's CODE is its per-subspace
+  * nearest-centroid index. Storage per vector drops from D floats to
+  * M small ints (here 64×4 B → 8 ints, and 4-bit-packable: 32×), and
+  * query-time distance becomes per-subspace table lookups (ADC) — the
+  * memory shape that makes 100 TB ANN affordable.
+  *
+  * The codebook is DATA, not code (the committed-BPE-table
+  * discipline): learned from the embeddings fixture by the
+  * deterministic `graft.tools.PqTrain` (no RNG, ordered accumulation,
+  * tie-breaks pinned, values rounded to 6 decimals), committed below,
+  * and shipped to the expressions as a foldable spec string. The
+  * DuckDB oracle carries the SAME values as a VALUES list
+  * ([[duckCodebookValues]]) generated from the same constant via the
+  * same Double.toString rendering, so both engines parse identical
+  * doubles and the whole encode → reconstruct → score pipeline is
+  * hash-verifiable (`sim_ann_ivfpq_fullprobe`,
+  * `sim_pq_reconstruction_mse`).
+  *
+  * Arithmetic-order contract (what makes the hashes match): all
+  * distance math is LEFT-TO-RIGHT over dims within a subspace, then
+  * left-to-right over subspaces — the expressions' compiled loops, the
+  * driver-side LUT math in Similarity.queryIvfPq, and the oracle's
+  * `list_sum(list_transform(...))` chains all use exactly this
+  * grouping, so the doubles agree bit-for-bit before any rounding.
+  *
+  * K=16 per subspace (4-bit codes) is the fixture-scale table; a
+  * production deployment swaps in a K=256 (8-bit) table the way it
+  * would swap a BPE vocabulary — same expressions, different committed
+  * data.
+  */
+object Pq {
+
+  val codebook: Vector[Vector[Vector[Double]]] = Vector(
+    Vector(
+      Vector(0.061516, 0.109726, -0.044713, -0.172634, 0.059638, -0.061879, -0.055395, -0.051754),
+      Vector(-0.105693, -0.021199, 0.001419, 0.053286, -0.056987, -0.133619, 0.003585, -0.138371),
+      Vector(-0.007497, -0.019732, 0.078701, 0.040854, -0.018261, -0.096155, 0.179801, 0.040028),
+      Vector(-0.125866, -0.055318, -0.103545, -0.101047, 0.101962, 0.077617, 0.091549, -0.045509),
+      Vector(-0.111434, -0.082501, 0.024008, 0.049495, -0.041522, 0.117208, -0.013586, 0.090007),
+      Vector(0.098171, -0.088437, 0.014336, 0.095492, 0.041916, 0.130976, -0.165439, -0.005969),
+      Vector(-0.008854, 0.03416, -0.048336, -0.021173, -0.212216, 0.020242, -0.080276, -0.022103),
+      Vector(0.09612, 0.025492, -0.212642, 0.100734, -0.002775, 0.071602, 0.044071, -0.030461),
+      Vector(0.046136, -0.130146, 0.04768, -0.084004, 0.006299, 0.004317, -0.069308, -0.119378),
+      Vector(0.074266, 0.082287, 0.153949, -0.035398, -0.055543, -0.019112, 0.007079, -0.037762),
+      Vector(-0.051332, 0.155334, -0.041001, -0.081782, 0.001792, 0.071669, -0.080748, 0.131433),
+      Vector(-0.089388, -0.035521, 0.123613, -0.039094, 0.153922, -0.079792, -0.108048, 0.076352),
+      Vector(-0.033099, 0.086661, 0.00468, 0.151624, 0.120872, 0.017401, -0.083408, -0.052005),
+      Vector(0.177978, -0.019978, 6.61E-4, -0.03747, 0.007214, 0.005405, 0.020343, 0.143559),
+      Vector(0.002207, 0.116426, 0.032628, -0.10161, 0.006202, 0.193353, 0.106392, -0.0404),
+      Vector(0.044658, -0.052267, -0.071114, 0.004076, 0.087298, -0.159928, -0.075376, 0.107797)),
+    Vector(
+      Vector(0.145351, 0.06093, 0.051505, 0.04286, -0.142725, -0.038377, 0.054742, -0.074672),
+      Vector(-0.01089, -0.113356, -0.0392, 0.147698, 0.094979, 0.039504, 0.139428, -0.038852),
+      Vector(0.007319, -0.054136, -0.064097, -0.025805, 0.050605, 0.034064, -0.115602, 0.197818),
+      Vector(-0.017514, -0.204595, 0.036502, 0.02207, 0.02565, 0.02948, -0.075684, 0.02248),
+      Vector(-0.056489, 0.158442, 0.061413, -0.026981, -0.095855, 0.107703, 0.072486, 0.0046),
+      Vector(-0.025411, 0.13514, -0.051494, 0.004606, 0.081118, -0.159979, 0.124461, -0.037645),
+      Vector(-0.120986, -0.023315, 0.072974, -0.056866, -0.05569, -0.065562, -0.106402, -0.10267),
+      Vector(-0.041226, 0.078186, 0.062029, 0.227685, -0.08947, -0.018172, -0.100906, 0.027224),
+      Vector(0.066912, 0.036369, 0.038719, -0.209516, 0.003177, -0.019119, -0.099112, 0.051918),
+      Vector(0.155643, 0.038142, -0.0299, 0.051273, 0.041229, 0.114514, 0.140406, 0.103358),
+      Vector(0.033361, 0.012943, -0.115392, 0.104289, -0.035728, -0.048628, -0.084831, 0.045824),
+      Vector(-0.053846, -0.102931, -0.140426, -0.0604, -0.037237, 0.159146, 0.047565, 0.011247),
+      Vector(0.036746, -0.117171, -0.024464, -0.067133, -0.029136, -0.075812, 0.034875, -0.152646),
+      Vector(0.042904, -0.055587, 0.150394, -0.026238, 0.06486, -0.054262, 0.0726, 0.11663),
+      Vector(-0.17866, -0.031174, 0.104395, 0.030196, -0.002671, 0.134779, 0.030819, 0.041256),
+      Vector(-0.041023, 0.128972, -0.053288, 0.038692, 0.142661, 0.083537, -0.022427, -0.023555)),
+    Vector(
+      Vector(-0.052658, 0.139973, 0.024619, -0.013827, -0.006146, -0.168445, 0.106319, -0.066324),
+      Vector(-0.121121, -0.112953, -0.056231, -0.013827, 0.052907, 0.047064, 0.051405, -0.136219),
+      Vector(-0.058881, -0.100048, -0.130743, -0.056819, -0.042284, 0.100351, -0.101577, 0.012678),
+      Vector(0.075974, 0.051004, -0.084034, 0.042226, -0.098879, -0.057021, -0.097138, -0.060542),
+      Vector(-0.025511, -0.073798, 0.086601, -0.01928, 0.095877, -0.041458, -0.127968, 0.050256),
+      Vector(0.152808, 0.050426, -0.055364, -0.123139, 0.051846, -0.032671, 0.041654, 0.092164),
+      Vector(0.047898, 0.01336, -0.03593, 0.139004, 0.075709, 0.112906, 0.031783, 0.0926),
+      Vector(0.051196, 0.102955, 0.055007, -0.114386, 0.099258, 0.042927, -0.005194, -0.167777),
+      Vector(0.020214, 0.031553, 0.178698, 0.132998, -0.015546, -0.028246, -0.02159, -0.026477),
+      Vector(-0.097842, 0.172485, 0.029353, -0.002253, -0.051781, 0.089955, 0.007401, -0.053026),
+      Vector(0.13103, -0.081137, 0.044404, -0.060275, -0.075738, 0.018784, 0.069715, -0.12842),
+      Vector(-0.062443, -0.104143, -0.026537, 0.104337, -0.003812, -0.120851, 0.026948, 0.06824),
+      Vector(-0.023423, 0.006705, 0.083367, -0.098658, -0.053217, 0.116089, 0.071188, 0.179231),
+      Vector(0.114457, -0.001816, 0.100323, 0.002466, -0.21304, -0.044407, -0.010301, 0.128146),
+      Vector(0.023287, -0.024224, -0.187682, 0.02151, 0.099171, -0.053194, 0.031751, -0.024599),
+      Vector(-0.022712, -0.032379, -0.174511, 0.07205, -0.13467, 0.046958, 0.143964, 0.036597)),
+    Vector(
+      Vector(-0.161307, 0.030611, 0.10398, 0.096751, -0.077756, 0.179684, -0.00822, 0.034922),
+      Vector(-0.074666, 0.15881, -0.082918, 0.043046, -0.026046, -0.12948, 0.092327, -0.111048),
+      Vector(-0.046092, 0.075231, -0.083424, -0.015063, 0.062663, -0.14481, 0.046028, 0.161771),
+      Vector(0.002624, -0.04951, 0.118567, 0.037219, -0.047987, -0.145353, -0.072278, 0.13756),
+      Vector(-0.015079, -0.023765, -0.052882, 0.184389, -0.154483, -0.060171, -5.5E-5, -0.105556),
+      Vector(-0.032987, -0.104012, -0.159359, 0.058584, -0.020445, 0.089134, 0.065028, 0.00715),
+      Vector(0.124036, 0.080589, -0.008767, -0.030125, 0.035454, 0.06333, 0.092943, -0.143886),
+      Vector(-0.042143, -0.127205, 0.069313, 0.021963, 0.071081, -0.028743, 0.121657, 0.001323),
+      Vector(-0.132346, -0.044414, -0.065416, -0.14073, 0.070118, -0.020812, -0.011551, -0.073723),
+      Vector(-0.052726, 0.162649, -0.109834, -0.049752, 0.059479, 0.146783, -0.016754, 0.060775),
+      Vector(0.026013, 0.044678, -0.059889, -0.003578, -0.110632, 0.0026, -0.178329, -0.003699),
+      Vector(0.086089, 0.194459, 0.124598, -0.013526, -0.014308, -0.040945, 0.007889, 0.072409),
+      Vector(-0.055635, 0.002402, 0.164602, -0.035812, 0.071187, 0.072018, -0.090578, -0.110182),
+      Vector(-0.037195, -0.113769, -0.016815, -0.043866, -0.158258, -0.083922, 0.083793, -0.08496),
+      Vector(0.048808, 0.009241, -0.032019, 0.144265, 0.108818, -0.028362, -0.043898, -0.006345),
+      Vector(0.154015, -0.031149, -7.71E-4, -0.016765, -0.008181, 0.113725, 0.017693, 0.090422)),
+    Vector(
+      Vector(-0.193322, -0.071024, 0.10321, 0.00191, 0.042136, 0.006763, 0.063764, 0.05205),
+      Vector(0.042281, 0.073573, 0.00887, 0.025225, 0.055293, -0.003741, -0.22666, -0.017098),
+      Vector(0.011299, -0.054458, -0.045772, -0.066116, -0.026354, -0.059282, 0.199695, -0.0804),
+      Vector(0.090339, -0.040262, 0.011713, 0.083114, 0.11562, 0.016507, 0.072404, 0.09531),
+      Vector(0.012795, -0.101096, 0.033971, 0.086094, -0.148111, 0.03355, 0.001539, -0.155631),
+      Vector(-0.004724, 0.1241, -0.082944, -0.014078, -0.14041, 0.020158, 0.047866, 0.012175),
+      Vector(-0.036643, -0.06588, 0.041522, 0.035278, -0.186728, 0.049733, 0.015557, 0.12561),
+      Vector(0.154287, 0.065312, 0.020032, 0.023498, 0.006996, -0.111386, -0.020826, -0.127208),
+      Vector(0.124253, -0.032263, 0.099661, -0.124154, 0.013163, 0.112102, 0.034987, -0.041586),
+      Vector(0.027705, -0.143034, -0.142231, 0.007383, 0.033265, 0.047721, -0.069642, 0.049485),
+      Vector(-0.066063, -0.001772, -0.02861, 0.045751, 0.121383, 0.124976, 0.063701, -0.123252),
+      Vector(0.078858, 0.243195, -0.028902, 0.005093, 0.047236, 0.009833, 0.100437, 0.070813),
+      Vector(-0.14541, -4.57E-4, -0.02135, -0.10558, -0.056136, 0.054016, -0.090112, -0.089297),
+      Vector(-0.045704, -0.004752, -0.01748, 0.178046, -0.010373, -0.149978, -0.019525, 0.016378),
+      Vector(0.018216, -0.072177, 0.022187, -0.159312, 0.003888, -0.134825, -0.050672, 0.086506),
+      Vector(0.040049, 0.100288, 0.186269, 0.0678, -0.039046, 0.094501, -0.017588, 0.026247)),
+    Vector(
+      Vector(0.008793, -0.001759, -0.088713, 0.050145, -0.098142, 0.107168, 0.100142, -0.068057),
+      Vector(-0.105106, -0.071623, -0.095108, -0.104852, 0.122177, 0.074968, 0.008128, -0.03383),
+      Vector(-0.036769, 0.210165, 0.008717, 0.024852, 0.116715, 0.06928, 0.102983, 0.046222),
+      Vector(0.107824, -0.06587, 0.008954, 0.166113, -0.107237, 0.096693, -0.028738, 0.057741),
+      Vector(0.039594, 0.009389, 0.126679, 0.033525, -0.070853, -0.005496, -0.162255, -0.099901),
+      Vector(-0.01037, -0.173776, 0.145466, -0.062298, -0.017389, 0.065425, 0.025705, 0.028009),
+      Vector(0.098303, 0.089834, 0.222384, -0.037794, -0.01643, -0.001113, 0.10028, -0.073376),
+      Vector(0.015496, 0.08711, -0.155772, 0.002038, 0.078762, 0.011358, -0.118198, 0.063422),
+      Vector(-0.011029, -0.020947, -0.020793, -0.113211, -0.066448, 0.028628, -0.113622, 0.175307),
+      Vector(0.181967, -0.053214, -0.021384, -0.141142, 1.37E-4, 0.007386, 0.035628, 0.046769),
+      Vector(-0.078019, 0.053886, -0.059821, -0.042274, -0.116963, -0.099838, -0.010861, -0.101589),
+      Vector(0.034158, -0.133389, -0.036427, 0.042762, 0.0684, -0.085662, 0.095513, -0.121536),
+      Vector(-0.100845, 0.005552, -0.02038, 0.065326, -0.04342, -0.110628, 0.043906, 0.129444),
+      Vector(0.010624, 0.089087, -0.030809, -0.112612, 0.054267, -0.189063, -0.006531, 0.006285),
+      Vector(-0.018181, -0.094366, -0.004122, 0.100522, 0.092782, 0.071382, -0.056442, 0.050801),
+      Vector(-0.192719, -0.024701, 0.102352, 0.042529, -0.077993, 0.058304, -0.03097, 0.015033)),
+    Vector(
+      Vector(-3.29E-4, -0.027361, -0.075494, 0.200418, -0.006083, -0.064211, 0.01279, 0.049927),
+      Vector(-0.162241, -0.125981, 0.075422, 0.020515, -0.067366, -0.015627, -0.014825, 0.10203),
+      Vector(-0.099347, -0.023744, 0.012528, 0.074104, -0.006792, 0.16702, 0.092445, 1.48E-4),
+      Vector(-0.098646, 0.009397, 0.00688, 0.052222, -0.029944, 0.08965, -0.115641, -0.189278),
+      Vector(-0.006561, 0.031047, 0.026914, -0.005992, -0.21138, -0.011419, -0.031894, -0.129497),
+      Vector(0.164679, -0.168346, 0.04073, -0.008208, -0.029997, 0.046641, -0.054612, 0.043852),
+      Vector(0.006535, 0.100976, 0.112971, -0.022361, 0.05815, 2.13E-4, -0.011168, 0.154106),
+      Vector(-0.050146, -0.12629, 0.051274, -0.055878, 0.153184, 0.015426, -0.088842, -0.012001),
+      Vector(0.012055, 0.025362, -0.012058, -0.225973, -0.013084, -0.005973, 0.075102, -0.121641),
+      Vector(-0.122152, 0.050217, -0.03737, 0.02687, 0.132482, -0.069091, 0.063142, -0.004274),
+      Vector(0.024389, -0.058968, -0.067565, 0.001927, -0.05448, -0.196049, -0.035475, -0.058919),
+      Vector(0.109361, 0.036541, -0.134346, -0.06123, 0.056867, 0.048812, 0.088522, 0.038877),
+      Vector(0.07773, 0.109666, 0.086701, -0.041461, 0.053954, -0.071882, -0.091886, -0.063796),
+      Vector(-0.043378, -0.097729, -0.145471, -0.09093, 0.015266, 0.022097, -0.078987, -4.46E-4),
+      Vector(0.044077, 0.054539, 0.022233, -0.01393, -0.111841, 0.080094, 0.145788, 0.040342),
+      Vector(0.048017, -0.071546, 0.173377, 0.059452, 0.089721, -0.028491, 0.113187, 0.01038)),
+    Vector(
+      Vector(0.044139, 0.008933, -0.053073, -0.166327, -0.091744, 0.022357, 0.028977, -0.112107),
+      Vector(0.068212, -0.020926, 0.044766, 0.081634, -0.141693, -0.071534, -0.059481, -0.015792),
+      Vector(-0.122102, 0.076697, 0.100172, -0.016562, -0.068997, -0.025396, 0.085333, 0.135191),
+      Vector(-0.046961, 0.153243, -0.16393, 0.007664, -0.098649, 0.032661, -0.04448, 0.068204),
+      Vector(0.010023, 0.040015, 0.028043, 0.039793, -0.05622, 0.098408, -0.129341, -0.128662),
+      Vector(0.016088, 0.082283, -0.053129, 0.13755, 0.023103, -0.06176, 0.156799, -0.019892),
+      Vector(0.10025, -0.015218, -0.003884, -0.099206, 0.017658, 0.065368, 0.090243, 0.138589),
+      Vector(0.063437, 0.086356, 0.154429, 0.052599, 0.130421, 0.060334, -0.093694, -0.023774),
+      Vector(-0.035095, -0.016623, 0.130552, -0.016839, -0.061256, -0.105714, 0.108418, -0.119658),
+      Vector(-0.102107, -0.01873, 0.069227, -0.135002, 0.063393, 0.123603, -0.027008, -0.028116),
+      Vector(0.06333, -0.078913, -0.033741, 0.08877, -0.010577, 0.18185, 0.052803, -0.012107),
+      Vector(0.016436, -0.198406, 0.017655, -0.067462, 0.06765, -0.011738, -0.018331, -0.003196),
+      Vector(0.121053, 0.032058, -0.032973, 0.079741, 0.087302, -0.092087, -0.07095, 0.146954),
+      Vector(-0.124309, 0.021189, -0.044284, -0.074877, -0.025129, -0.115993, -0.12385, 0.011777),
+      Vector(0.070146, -0.00475, -0.148093, -0.065143, 0.115895, -0.140058, -0.005164, -0.077757),
+      Vector(-0.107715, -0.064365, -0.129992, 0.041008, 0.050001, 0.008727, 0.067421, -0.031942))
+  )
+  val M: Int = codebook.length
+  val K: Int = codebook.head.length
+  val Dsub: Int = codebook.head.head.length
+  val D: Int = M * Dsub
+
+  /** The codebook serialized for the expressions' foldable second
+    * argument: "M K Dsub v v v ..." with values flattened in (m, c, d)
+    * order, space-joined, rendered by Double.toString — the identical
+    * text [[duckCodebookValues]] embeds, so both engines parse the
+    * identical doubles.
+    */
+  val codebookSpec: String =
+    s"$M $K $Dsub " +
+      codebook.flatMap(_.flatMap(_.map(_.toString))).mkString(" ")
+
+  /** The codebook as a DuckDB `(m, c, cent)` VALUES list (cent a
+    * DOUBLE[] literal), for the oracle's replay of encode/reconstruct.
+    */
+  def duckCodebookValues: String =
+    codebook.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        s"($m, $c, [${cent.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
+
+  /** The compiled PQ kernels over one parsed codebook. One instance per
+    * expression (shipped via `addReferenceObj`), shared by interpreted
+    * and generated code.
+    */
+  final class Coder(spec: String) extends Serializable {
+    private val parts = spec.split(" ", -1)
+    val m: Int = parts(0).toInt
+    val k: Int = parts(1).toInt
+    val dsub: Int = parts(2).toInt
+    val d: Int = m * dsub
+    // flat (m, c, d) order, matching codebookSpec
+    private val cb: Array[Double] = {
+      val vals = new Array[Double](m * k * dsub)
+      var i = 0
+      while (i < vals.length) { vals(i) = parts(3 + i).toDouble; i += 1 }
+      vals
+    }
+
+    private def elem(v: ArrayData, i: Int, isFloat: Boolean): Double = {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pq: NULL element at position $i — PQ requires dense vectors")
+      if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    }
+
+    private def checkDim(v: ArrayData): Unit =
+      if (v.numElements() != d)
+        throw new IllegalArgumentException(
+          s"graft_pq: expected $d-dim vector (M=$m × Dsub=$dsub), got ${v.numElements()}")
+
+    /** Nearest-centroid index per subspace. Distance accumulates
+      * left-to-right over the subspace dims; ties keep the LOWEST
+      * centroid id (strict <) — the oracle's ORDER BY d2, c.
+      */
+    def encode(v: ArrayData, isFloat: Boolean): ArrayData = {
+      checkDim(v)
+      val out = new Array[Int](m)
+      var mm = 0
+      while (mm < m) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val base = (mm * k + c) * dsub
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val t = elem(v, mm * dsub + i, isFloat) - cb(base + i)
+            acc += t * t
+            i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        out(mm) = best
+        mm += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    /** Reconstruction mean-squared-error of one vector: the
+      * per-subspace minimum squared distances summed left-to-right
+      * over subspaces, divided by D — the quantization-quality number
+      * an IVF-PQ deployment audits before trusting PQ scores.
+      */
+    def reconMse(v: ArrayData, isFloat: Boolean): Double = {
+      checkDim(v)
+      var total = 0.0
+      var mm = 0
+      while (mm < m) {
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < k) {
+          val base = (mm * k + c) * dsub
+          var acc = 0.0
+          var i = 0
+          while (i < dsub) {
+            val t = elem(v, mm * dsub + i, isFloat) - cb(base + i)
+            acc += t * t
+            i += 1
+          }
+          if (acc < bestD) bestD = acc
+          c += 1
+        }
+        total += bestD
+        mm += 1
+      }
+      total / d
+    }
+
+    /** Asymmetric-distance (ADC) lookup tables for one raw query
+      * vector: `dotLut(m*K + c)` = left-to-right dot of the query's
+      * m-th subvector with centroid (m, c); `nrmLut` the centroid's
+      * self-dot. Driver-side (M×K doubles), computed once per query.
+      */
+    def luts(q: Array[Double]): (Array[Double], Array[Double]) = {
+      require(q.length == d, s"graft_pq: query dim ${q.length} != $d")
+      val dotLut = new Array[Double](m * k)
+      val nrmLut = new Array[Double](m * k)
+      var mm = 0
+      while (mm < m) {
+        var c = 0
+        while (c < k) {
+          val base = (mm * k + c) * dsub
+          var dp = 0.0
+          var nn = 0.0
+          var i = 0
+          while (i < dsub) {
+            dp += q(mm * dsub + i) * cb(base + i)
+            nn += cb(base + i) * cb(base + i)
+            i += 1
+          }
+          dotLut(mm * k + c) = dp
+          nrmLut(mm * k + c) = nn
+          c += 1
+        }
+        mm += 1
+      }
+      (dotLut, nrmLut)
+    }
+  }
+}
+
+/** Shared (vector, foldable codebook-spec) contract of the PQ
+  * expressions: analysis-time spec validation and the
+  * once-per-expression [[Pq.Coder]]. NULL vector → NULL; a
+  * wrong-dimension or NULL-element vector fails LOUDLY at runtime (a
+  * silent skip would corrupt the index).
+  */
+trait PqExpressionBase extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), StringType) if right.foldable =>
+      right.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: codebook spec must not be null")
+        case s: UTF8String =>
+          val parts = s.toString.split(" ", -1)
+          val shapeOk = parts.length > 3 &&
+            Seq(0, 1, 2).forall(i => parts(i).toIntOption.exists(_ > 0)) &&
+            parts.length == 3 + parts(0).toInt * parts(1).toInt * parts(2).toInt &&
+            parts.drop(3).forall(_.toDoubleOption.isDefined)
+          if (shapeOk) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: codebook spec must be 'M K Dsub v...' with M*K*Dsub values")
+        case s => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected codebook spec $s")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient protected lazy val coder: Pq.Coder =
+    new Pq.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  protected def isFloatInput: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected def coderRef(ctx: CodegenContext): String =
+    ctx.addReferenceObj("graftPqCoder", coder, classOf[Pq.Coder].getName)
+}
+
+/** graft_pq_encode(vec, 'M K Dsub v...') — the PQ code of `vec` under
+  * the committed codebook ([[Pq.codebookSpec]]): `array<int>` of M
+  * per-subspace nearest-centroid indices (each in [0, K)). This is the
+  * column an IVF-PQ store persists INSTEAD of the raw embedding.
+  */
+case class PqEncode(left: Expression, right: Expression) extends PqExpressionBase {
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    coder.encode(v.asInstanceOf[ArrayData], isFloatInput)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = coderRef(ctx)
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = $ref.encode($v, $isFloatInput);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_pq_recon_mse(vec, 'M K Dsub v...') — mean squared error
+  * between `vec` and its PQ reconstruction (the concatenated chosen
+  * centroids): the per-vector quantization-quality audit
+  * (`sim_pq_reconstruction_mse`). Same compiled loops and arithmetic
+  * order as [[PqEncode]], so code and error can never disagree.
+  */
+case class PqReconMse(left: Expression, right: Expression) extends PqExpressionBase {
+  override def prettyName: String = "graft_pq_recon_mse"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    coder.reconMse(v.asInstanceOf[ArrayData], isFloatInput)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = coderRef(ctx)
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = $ref.reconMse($v, $isFloatInput);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

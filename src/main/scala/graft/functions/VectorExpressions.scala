@@ -366,6 +366,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       two("graft_bpe_encode", BpeEncode)),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      two("graft_pq_encode", PqEncode)),
+    (FunctionIdentifier("graft_pq_recon_mse"),
+      new ExpressionInfo(classOf[PqReconMse].getName, "graft_pq_recon_mse"),
+      two("graft_pq_recon_mse", PqReconMse)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

@@ -471,6 +471,228 @@ object Similarity {
       queryIvfIndex(s, dir, q, nprobe = 16, excludeVecId = 0L)
     })
 
+  // ------------------------------------------------------------- ivf-pq
+
+  /** Build a persisted IVF-PQ index: the [[buildIvfIndex]] layout with
+    * the assignment table holding PQ CODES instead of raw embeddings —
+    * `dir/centroids` the coarse quantizer (validated on load like any
+    * centroid store), `dir/assigned_pq` the corpus as (vec_id, label,
+    * codes) PARTITIONED BY list_id. Codes come from the committed
+    * codebook ([[graft.functions.Pq]]) via the codegen'd
+    * graft_pq_encode — scan-side compiled compute, no shuffle beyond
+    * the partitioned write.
+    *
+    * This is the 100 TB ANN memory shape: 64 floats (256 B) become 8
+    * small ints (4-bit-packable: 4 B) per vector, so a corpus whose raw
+    * embeddings need 256 TB of RAM-adjacent storage probes from ~4 TB
+    * of codes plus a codebook measured in kilobytes. Query-time cost is
+    * table lookups (ADC, [[queryIvfPq]]) over the probed cells only.
+    */
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      dir: String,
+      nlist: Int = 16,
+      fitFraction: Double = 0.25): Unit = {
+    val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    model.transform(withVec).drop("features")
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_encode",
+          col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+        col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned_pq")
+  }
+
+  /** Query a persisted IVF-PQ index by asymmetric distance (ADC): probe
+    * the `nprobe` nearest cells (same validated-centroid driver math as
+    * [[queryIvfIndex]]), then score ONLY codes — per query, two M×K
+    * lookup tables are built on the driver from the committed codebook
+    * (query·centroid partial dots and centroid self-dots,
+    * [[graft.functions.Pq.Coder.luts]]), broadcast as literals, and the
+    * PQ-reconstructed cosine is
+    * `Σₘ dotLut[m][codeₘ] / (|q| · sqrt(Σₘ nrmLut[m][codeₘ]))` —
+    * computed with builtin transform/aggregate HOFs (whole-stage
+    * codegen, left-to-right folds, no UDF). The raw corpus embeddings
+    * are never read: that is the entire point of PQ.
+    *
+    * Arithmetic-order contract: the per-subspace LUT entries use the
+    * same left-to-right dim fold as the oracle's list_sum chains, and
+    * the fold over subspaces runs in code order (aggregate over the
+    * M-element codes array) — so the fullprobe twin hash-matches the
+    * DuckDB replay exactly.
+    */
+  def queryIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queryVec: Array[Double],
+      k: Int = 20,
+      nprobe: Int = 4,
+      excludeVecId: Long = -1L): DataFrame = {
+    import org.apache.spark.ml.linalg.Vectors
+    val coder = new graft.functions.Pq.Coder(graft.functions.Pq.codebookSpec)
+    val (dotLut, nrmLut) = coder.luts(queryVec)
+    // |q|: the same left-to-right full-length fold as graft_dot/list_sum
+    var q2 = 0.0
+    var i = 0
+    while (i < queryVec.length) { q2 += queryVec(i) * queryVec(i); i += 1 }
+    val qNorm = math.sqrt(q2)
+    val q = Vectors.dense(queryVec)
+    val probes = loadCentroids(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val kk = lit(coder.k)
+    def lutSum(lut: Array[Double]) = aggregate(
+      transform(col("codes"), (c, m) => element_at(typedLit(lut.toSeq), m * kk + c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    spark.read.parquet(s"$dir/assigned_pq")
+      .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
+      .select(col("vec_id"), col("label"),
+        round(lutSum(dotLut) / (lit(qNorm) * sqrt(lutSum(nrmLut))), 6).as("cos_pq"))
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Process-scoped scratch for the persisted IVF-PQ store — same
+    * lifecycle contract as [[ivfScratchDir]] (one fixed path per
+    * process, overwrite semantics, shutdown-hook cleanup), separate
+    * path so the PQ rows and the raw-IVF rows never overwrite each
+    * other's store mid-suite.
+    */
+  private lazy val ivfPqScratchDir: String = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-ivfpq-${sys.props.getOrElse("user.name", "anon")}-" +
+        ProcessHandle.current.pid)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }))
+    dir.toString
+  }
+
+  private def duckPqPrelude: String =
+    s"""pq_cb(m, c, cent) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.Pq.duckCodebookValues}) t),
+       |pq_sub AS (
+       |  SELECT e.vec_id, e.label, cb.m, cb.c,
+       |         list_sum(list_transform(list_zip(
+       |           list_transform(list_slice(e.embedding,
+       |             cb.m * ${graft.functions.Pq.Dsub} + 1,
+       |             cb.m * ${graft.functions.Pq.Dsub} + ${graft.functions.Pq.Dsub}),
+       |             x -> CAST(x AS DOUBLE)),
+       |           cb.cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM embeddings e CROSS JOIN pq_cb cb)""".stripMargin
+
+  /** Exhaustive-probe ADC query against the persisted IVF-PQ store
+    * (nprobe = nlist): because every cell is probed, the result is a
+    * pure function of the CODES and the committed codebook — the
+    * (seed/partitioning-dependent) coarse cells cannot affect it — so
+    * the DuckDB oracle replays the whole pipeline value-for-value:
+    * encode every vector against the committed VALUES codebook (argmin
+    * with the same left-to-right dim fold and lowest-c tie-break),
+    * reconstruct, and score the PQ cosine with the identical
+    * per-subspace-then-across-subspace summation grouping. Any bug in
+    * the code write/read roundtrip, the LUT math, or the probe union
+    * breaks the hash. (The nprobe < nlist speedup path is the
+    * [[annIvfPqQuery]] twin, recall-pinned in SimilaritySpec.)
+    */
+  val annIvfPqFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_fullprobe",
+    s"""WITH $duckPqPrelude,
+       |pq_code AS (
+       |  SELECT vec_id, label, m, c,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |  FROM pq_sub),
+       |ms AS (SELECT unnest(generate_series(0, ${graft.functions.Pq.M - 1})) AS m),
+       |qraw AS (SELECT embedding AS q_raw FROM embeddings WHERE vec_id = 0),
+       |qsub AS (
+       |  SELECT ms.m,
+       |         list_transform(list_slice(q.q_raw,
+       |           ms.m * ${graft.functions.Pq.Dsub} + 1,
+       |           ms.m * ${graft.functions.Pq.Dsub} + ${graft.functions.Pq.Dsub}),
+       |           x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM qraw q, ms),
+       |qn AS (
+       |  SELECT sqrt(list_sum(list_transform(q_raw,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+       |  FROM qraw),
+       |parts AS (
+       |  SELECT ch.vec_id, ch.label, ch.m,
+       |         list_sum(list_transform(list_zip(qs.sub, cb.cent),
+       |           p -> p[1] * p[2])) AS dp,
+       |         list_sum(list_transform(cb.cent, x -> x * x)) AS nn
+       |  FROM (SELECT vec_id, label, m, c FROM pq_code WHERE rn = 1) ch
+       |  JOIN pq_cb cb ON cb.m = ch.m AND cb.c = ch.c
+       |  JOIN qsub qs ON qs.m = ch.m),
+       |scored AS (
+       |  SELECT vec_id, label,
+       |         list_sum(list(dp ORDER BY m)) AS dpsum,
+       |         list_sum(list(nn ORDER BY m)) AS nnsum
+       |  FROM parts GROUP BY vec_id, label)
+       |SELECT s.vec_id, s.label,
+       |       round(s.dpsum / (q.qnorm * sqrt(s.nnsum)), 6) AS cos_pq
+       |FROM scored s CROSS JOIN qn q
+       |WHERE s.vec_id != 0
+       |ORDER BY cos_pq DESC, s.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val dir = ivfPqScratchDir
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, nprobe = 16, excludeVecId = 0L)
+    })
+
+  /** Production IVF-PQ probe (nprobe = 4): partition-pruned ADC over
+    * the persisted store. Coarse cells are KMeans-seeded → no DuckDB
+    * oracle (the sim_ann_ivf_topk story); the scoring machinery is the
+    * hash-verified [[annIvfPqFullProbeQuery]] (identical code path,
+    * every cell probed) and SimilaritySpec pins recall floors vs the
+    * exact top-k.
+    */
+  val annIvfPqQuery = QueryDef.unverified("sim_ann_ivfpq_topk")(
+    (s, d) => {
+      val dir = ivfPqScratchDir
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, excludeVecId = 0L)
+    })
+
+  /** Per-vector PQ reconstruction MSE under the committed codebook —
+    * the quantization-quality audit an IVF-PQ deployment watches before
+    * trusting PQ scores (rising MSE = the codebook has drifted from the
+    * corpus distribution and needs refitting). Native codegen'd kernel
+    * (graft_pq_recon_mse), one scan, no shuffle; the oracle recomputes
+    * every per-subspace minimum from the same VALUES codebook and sums
+    * with the identical subspace grouping, so the error surface is
+    * hash-verified value-by-value.
+    */
+  val pqReconMseQuery = QueryDef(
+    "sim_pq_reconstruction_mse",
+    s"""WITH $duckPqPrelude,
+       |best AS (
+       |  SELECT vec_id, m, min(d2) AS d2 FROM pq_sub GROUP BY vec_id, m)
+       |SELECT vec_id,
+       |       round(list_sum(list(d2 ORDER BY m)) / ${graft.functions.Pq.D}, 6) AS recon_mse
+       |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin)(
+    (s, d) => Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        round(call_function("graft_pq_recon_mse",
+          col("embedding"), lit(graft.functions.Pq.codebookSpec)), 6).as("recon_mse"))
+      .orderBy("vec_id"))
+
   // ------------------------------------------------------- recall audit
 
   /** Recall@k of ANN result frames against the exact top-k, as data:
@@ -969,6 +1191,7 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
+      annIvfPqFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery)

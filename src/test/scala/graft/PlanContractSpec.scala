@@ -99,6 +99,20 @@ class PlanContractSpec extends SparkSpec {
       s"bucketed join input shuffles:\n$plan")
   }
 
+  test("ivf-pq probe prunes unprobed cells and scans codes, never raw embeddings") {
+    // The production ADC probe (nprobe=4 of 16 cells) must read only
+    // its probed list_id partitions — the file-level pruning that makes
+    // a 100 TB probe touch nprobe/nlist of the store — and the scanned
+    // store must be codes-only: reading raw embeddings anywhere in the
+    // probe plan would void PQ's entire memory claim.
+    val pq = SparkEntry.queries("sim_ann_ivfpq_topk")(spark, sf)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in ivf-pq probe plan:\n$plan")
+    assert(plan.contains("codes") && !plan.contains("embedding"),
+      s"ivf-pq probe plan touches raw embeddings:\n$plan")
+  }
+
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
     // mm_frame_sample fans out on metadata only — its scan must not
     // read the documents text column (ReadSchema pruned to doc_id).
