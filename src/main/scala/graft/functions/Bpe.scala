@@ -426,6 +426,42 @@ object Bpe {
       UnsafeArrayData.fromPrimitiveArray(
         if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n))
     }
+
+    /** Inverse of [[encodeTokens]] on the id side: ids back to text.
+      * Merged ids concatenate their merge's l+r (symbols in the table
+      * are stored FLAT, so one append fully expands); codepoint ids
+      * append the codepoint. What comes back is the pretoken
+      * concatenation — whitespace never reaches the encoder, so
+      * `decode(encode(t))` equals t's pretokens joined by '' (the
+      * text_bpe_roundtrip oracle states exactly that invariant).
+      * Unknown or NULL ids fail LOUDLY: a loader decoding a corrupted
+      * id stream must stop, not emit silently wrong text.
+      */
+    def decodeTokens(ids: ArrayData): UTF8String = {
+      val sb = new java.lang.StringBuilder(ids.numElements() * 2)
+      var i = 0
+      while (i < ids.numElements()) {
+        if (ids.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_bpe_decode: NULL id at position $i")
+        val id = ids.getInt(i)
+        if (id >= MergedIdOffset) {
+          val r = id - MergedIdOffset
+          if (r >= pairs.length)
+            throw new IllegalArgumentException(
+              s"graft_bpe_decode: merged id $id exceeds the table " +
+                s"(${pairs.length} merges)")
+          sb.append(pairs(r)._1).append(pairs(r)._2)
+        } else if (id >= 0 && Character.isValidCodePoint(id)) {
+          sb.appendCodePoint(id)
+        } else {
+          throw new IllegalArgumentException(
+            s"graft_bpe_decode: invalid id $id at position $i")
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
   }
 }
 
@@ -503,6 +539,51 @@ case class BpeCount(left: Expression, right: Expression) extends BpeExpressionBa
   * column a training-data loader actually ships: packing manifests
   * carry the real id slices, not just counts.
   */
+/** graft_bpe_decode(ids, 'l r,l r,...') — token ids back to text under
+  * the same committed merges table: the loader-side detokenizer (and
+  * the debugging lens for packed manifests). Inverse of
+  * [[BpeEncode]] up to whitespace: `graft_bpe_decode(graft_bpe_encode(
+  * t, m), m)` equals t's pretokens concatenated (whitespace is never
+  * encoded), which is exactly what the text_bpe_roundtrip oracle
+  * asserts independently via regexp_extract_all. NULL ids array →
+  * NULL; an unknown id inside the array fails loudly.
+  */
+case class BpeDecode(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_bpe_decode"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), StringType) if right.foldable =>
+      // same spec validation as the encoder side, via a throwaway probe
+      BpeCount(org.apache.spark.sql.catalyst.expressions.Literal("x"), right)
+        .checkInputDataTypes() match {
+        case TypeCheckResult.TypeCheckSuccess => TypeCheckResult.TypeCheckSuccess
+        case f: TypeCheckResult.TypeCheckFailure =>
+          TypeCheckResult.TypeCheckFailure(
+            f.message.replace("graft_bpe_count", prettyName))
+        case other => other
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val coder: Bpe.Coder =
+    new Bpe.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(ids: Any, s: Any): Any =
+    coder.decodeTokens(ids.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpeCoder", coder, classOf[Bpe.Coder].getName)
+    nullSafeCodeGen(ctx, ev, (ids, _) =>
+      s"${ev.value} = $ref.decodeTokens($ids);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class BpeEncode(left: Expression, right: Expression) extends BpeExpressionBase {
   override def prettyName: String = "graft_bpe_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -206,6 +206,17 @@ object Pq {
       }
     }.mkString(",\n    ")
 
+  /** Shared analysis-time shape check of the codebook spec string
+    * ("M K Dsub v..." with exactly M*K*Dsub parseable values).
+    */
+  def specShapeOk(spec: String): Boolean = {
+    val parts = spec.split(" ", -1)
+    parts.length > 3 &&
+      Seq(0, 1, 2).forall(i => parts(i).toIntOption.exists(_ > 0)) &&
+      parts.length == 3 + parts(0).toInt * parts(1).toInt * parts(2).toInt &&
+      parts.drop(3).forall(_.toDoubleOption.isDefined)
+  }
+
   /** The compiled PQ kernels over one parsed codebook. One instance per
     * expression (shipped via `addReferenceObj`), shared by interpreted
     * and generated code.
@@ -296,6 +307,66 @@ object Pq {
       total / d
     }
 
+    /** Bits per code and packed byte width: the 4-bit-packable claim
+      * made real — K=16 packs M=8 codes into 4 bytes (64 x 4 B floats
+      * -> 4 B: 64x), K=256 into 8 bytes. MSB-first fixed-width bit
+      * layout, zero-padded tail.
+      */
+    val codeBits: Int = 32 - Integer.numberOfLeadingZeros(math.max(k - 1, 1))
+    val packedBytes: Int = (m * codeBits + 7) / 8
+
+    /** Pack an M-code array into the fixed-width binary layout. Wrong
+      * arity, NULL, or out-of-range codes fail loudly — a silently
+      * corrupted packed store is unrecoverable.
+      */
+    def pack(codes: ArrayData): Array[Byte] = {
+      if (codes.numElements() != m)
+        throw new IllegalArgumentException(
+          s"graft_pq_pack: expected $m codes, got ${codes.numElements()}")
+      val out = new Array[Byte](packedBytes)
+      var bit = 0
+      var i = 0
+      while (i < m) {
+        if (codes.isNullAt(i))
+          throw new IllegalArgumentException(s"graft_pq_pack: NULL code at position $i")
+        val c = codes.getInt(i)
+        if (c < 0 || c >= k)
+          throw new IllegalArgumentException(
+            s"graft_pq_pack: code $c at position $i out of range [0, $k)")
+        var b = codeBits - 1
+        while (b >= 0) {
+          if (((c >> b) & 1) == 1)
+            out(bit >> 3) = (out(bit >> 3) | (0x80 >> (bit & 7))).toByte
+          bit += 1
+          b -= 1
+        }
+        i += 1
+      }
+      out
+    }
+
+    /** Inverse of [[pack]]; validates the byte width. */
+    def unpack(bytes: Array[Byte]): ArrayData = {
+      if (bytes.length != packedBytes)
+        throw new IllegalArgumentException(
+          s"graft_pq_unpack: expected $packedBytes bytes, got ${bytes.length}")
+      val out = new Array[Int](m)
+      var bit = 0
+      var i = 0
+      while (i < m) {
+        var c = 0
+        var b = 0
+        while (b < codeBits) {
+          c = (c << 1) | ((bytes(bit >> 3) >> (7 - (bit & 7))) & 1)
+          bit += 1
+          b += 1
+        }
+        out(i) = c
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
     /** Asymmetric-distance (ADC) lookup tables for one raw query
       * vector: `dotLut(m*K + c)` = left-to-right dot of the query's
       * m-th subvector with centroid (m, c); `nrmLut` the centroid's
@@ -341,12 +412,7 @@ trait PqExpressionBase extends BinaryExpression {
       right.eval() match {
         case null => TypeCheckResult.TypeCheckFailure(s"$prettyName: codebook spec must not be null")
         case s: UTF8String =>
-          val parts = s.toString.split(" ", -1)
-          val shapeOk = parts.length > 3 &&
-            Seq(0, 1, 2).forall(i => parts(i).toIntOption.exists(_ > 0)) &&
-            parts.length == 3 + parts(0).toInt * parts(1).toInt * parts(2).toInt &&
-            parts.drop(3).forall(_.toDoubleOption.isDefined)
-          if (shapeOk) TypeCheckResult.TypeCheckSuccess
+          if (Pq.specShapeOk(s.toString)) TypeCheckResult.TypeCheckSuccess
           else TypeCheckResult.TypeCheckFailure(
             s"$prettyName: codebook spec must be 'M K Dsub v...' with M*K*Dsub values")
         case s => TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected codebook spec $s")
@@ -407,6 +473,80 @@ case class PqReconMse(left: Expression, right: Expression) extends PqExpressionB
     val ref = coderRef(ctx)
     nullSafeCodeGen(ctx, ev, (v, _) =>
       s"${ev.value} = $ref.reconMse($v, $isFloatInput);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_pq_pack(codes, 'M K Dsub v...') — an M-code array packed into
+  * ceil(M*ceil(log2 K)/8) bytes (MSB-first fixed width): the at-rest
+  * form of a PQ store once the 4-bit-packable claim is cashed in
+  * (K=16: 8 codes -> 4 bytes -> 64x vs raw 64-float embeddings).
+  * Value-level correctness is anchored by sim_ann_ivfpq_packed_fullprobe
+  * (same DuckDB oracle as the unpacked fullprobe — the packed store
+  * must produce the identical score surface).
+  */
+case class PqPack(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_pq_pack"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), StringType) if right.foldable =>
+      right.eval() match {
+        case s: UTF8String if Pq.specShapeOk(s.toString) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook spec must be 'M K Dsub v...' with M*K*Dsub values")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val coder: Pq.Coder =
+    new Pq.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(codes: Any, s: Any): Any =
+    coder.pack(codes.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCoder", coder, classOf[Pq.Coder].getName)
+    nullSafeCodeGen(ctx, ev, (c, _) => s"${ev.value} = $ref.pack($c);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** graft_pq_unpack(bin, 'M K Dsub v...') — inverse of [[PqPack]];
+  * `graft_pq_unpack(graft_pq_pack(c, m), m) == c` for every valid code
+  * array (SimilaritySpec property + the packed fullprobe hash).
+  */
+case class PqUnpack(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_pq_unpack"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, StringType) if right.foldable =>
+      right.eval() match {
+        case s: UTF8String if Pq.specShapeOk(s.toString) => TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: codebook spec must be 'M K Dsub v...' with M*K*Dsub values")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val coder: Pq.Coder =
+    new Pq.Coder(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(bin: Any, s: Any): Any =
+    coder.unpack(bin.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCoder", coder, classOf[Pq.Coder].getName)
+    nullSafeCodeGen(ctx, ev, (b, _) => s"${ev.value} = $ref.unpack($b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -366,12 +366,21 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       two("graft_bpe_encode", BpeEncode)),
+    (FunctionIdentifier("graft_bpe_decode"),
+      new ExpressionInfo(classOf[BpeDecode].getName, "graft_bpe_decode"),
+      two("graft_bpe_decode", BpeDecode)),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       two("graft_pq_encode", PqEncode)),
     (FunctionIdentifier("graft_pq_recon_mse"),
       new ExpressionInfo(classOf[PqReconMse].getName, "graft_pq_recon_mse"),
       two("graft_pq_recon_mse", PqReconMse)),
+    (FunctionIdentifier("graft_pq_pack"),
+      new ExpressionInfo(classOf[PqPack].getName, "graft_pq_pack"),
+      two("graft_pq_pack", PqPack)),
+    (FunctionIdentifier("graft_pq_unpack"),
+      new ExpressionInfo(classOf[PqUnpack].getName, "graft_pq_unpack"),
+      two("graft_pq_unpack", PqUnpack)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

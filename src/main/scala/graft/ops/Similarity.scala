@@ -508,6 +508,17 @@ object Similarity {
         col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$dir/assigned_pq")
+    // the AT-REST form: codes bit-packed to ceil(M*log2(K)/8) bytes per
+    // vector (4 B at the committed K=16 — 64x vs the raw floats). Same
+    // partitioning; derived from the JUST-WRITTEN codes table so the
+    // two stores cannot drift (one encode pass total).
+    spark.read.parquet(s"$dir/assigned_pq")
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_pack",
+          col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
+        col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$dir/assigned_pq_packed")
   }
 
   /** Query a persisted IVF-PQ index by asymmetric distance (ADC): probe
@@ -534,7 +545,8 @@ object Similarity {
       queryVec: Array[Double],
       k: Int = 20,
       nprobe: Int = 4,
-      excludeVecId: Long = -1L): DataFrame = {
+      excludeVecId: Long = -1L,
+      packed: Boolean = false): DataFrame = {
     import org.apache.spark.ml.linalg.Vectors
     val coder = new graft.functions.Pq.Coder(graft.functions.Pq.codebookSpec)
     val (dotLut, nrmLut) = coder.luts(queryVec)
@@ -552,7 +564,12 @@ object Similarity {
     def lutSum(lut: Array[Double]) = aggregate(
       transform(col("codes"), (c, m) => element_at(typedLit(lut.toSeq), m * kk + c + 1)),
       lit(0.0), (acc, x) => acc + x)
-    spark.read.parquet(s"$dir/assigned_pq")
+    val store =
+      if (!packed) spark.read.parquet(s"$dir/assigned_pq")
+      else spark.read.parquet(s"$dir/assigned_pq_packed")
+        .withColumn("codes", call_function("graft_pq_unpack",
+          col("codes_packed"), lit(graft.functions.Pq.codebookSpec)))
+    store
       .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("label"),
         round(lutSum(dotLut) / (lit(qNorm) * sqrt(lutSum(nrmLut))), 6).as("cos_pq"))
@@ -682,6 +699,26 @@ object Similarity {
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       queryIvfPq(s, dir, q, nprobe = 16, excludeVecId = 0L)
+    })
+
+  /** The PACKED store driven through the identical fullprobe oracle:
+    * reading `assigned_pq_packed` (4 bytes/vector), unpacking with the
+    * codegen'd graft_pq_unpack, and ADC-scoring every cell must produce
+    * the EXACT score surface DuckDB derives from raw embeddings + the
+    * committed codebook — which hash-verifies the pack/unpack bit
+    * layout end-to-end at the value level (any bit slip reorders the
+    * top-k or shifts a score).
+    */
+  val annIvfPqPackedFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_packed_fullprobe",
+    annIvfPqFullProbeQuery.oracle.get)(
+    (s, d) => {
+      val dir = ivfPqScratchDir
+      val emb = Tables.embeddings(s, d)
+      buildIvfPqIndex(emb, dir)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, nprobe = 16, excludeVecId = 0L, packed = true)
     })
 
   /** Production IVF-PQ probe (nprobe = 4): partition-pruned ADC over
@@ -1222,7 +1259,7 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
-      annIvfPqFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
+      annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery)

@@ -814,7 +814,31 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  /** decode(encode(text)) through the REAL id pipeline — the loader's
+    * detokenizer verified end-to-end. Whitespace never reaches the
+    * encoder, so the invariant is equality with the pretokens joined by
+    * '' — which the oracle states INDEPENDENTLY via regexp_extract_all,
+    * with no knowledge of merges or ids at all: any bug in the id
+    * assignment, the decode expansion, or the order preservation breaks
+    * the hash. Scan-side compiled compute, zero shuffle (modulo the
+    * output ordering).
+    */
+  val bpeRoundtrip = QueryDef(
+    "text_bpe_roundtrip",
+    s"""SELECT doc_id,
+       |       array_to_string(regexp_extract_all(text, '${graft.functions.Bpe.PretokenPattern}'), '') AS detok
+       |FROM documents ORDER BY doc_id""".stripMargin)(
+    (s, d) => {
+      val spec = lit(graft.functions.Bpe.mergesSpec)
+      Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          call_function("graft_bpe_decode",
+            call_function("graft_bpe_encode", col("text"), spec), spec).as("detok"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
-      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery, bpeTokens)
+      tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery, bpeTokens,
+      bpeRoundtrip)
 }

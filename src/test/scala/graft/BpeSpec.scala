@@ -150,6 +150,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decode inverts encode up to whitespace; unknown ids fail loudly") {
+    import spark.implicits._
+    def decode(ids: Seq[Int], spec: String) =
+      Seq(ids).toDF("ids")
+        .select(call_function("graft_bpe_decode", col("ids"), lit(spec)))
+        .collect()(0).getString(0)
+    // merged ids expand to their flat l+r; codepoint ids to codepoints
+    assert(decode(Seq('a'.toInt, Bpe.MergedIdOffset + 2, Bpe.MergedIdOffset + 29),
+      Bpe.mergesSpec) === "aowcustomer")
+    assert(decode(Seq.empty, Bpe.mergesSpec) === "")
+    // roundtrip on fixture docs: decode(encode(t)) == pretokens joined
+    val spec = lit(Bpe.mergesSpec)
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("text"),
+        call_function("graft_bpe_decode",
+          call_function("graft_bpe_encode", col("text"), spec), spec).as("rt"))
+      .collect()
+    val pretok = java.util.regex.Pattern.compile(Bpe.PretokenPattern)
+    rows.foreach { r =>
+      val m = pretok.matcher(r.getString(0))
+      val sb = new StringBuilder
+      while (m.find()) sb.append(m.group())
+      assert(r.getString(1) === sb.toString)
+    }
+    // unknown merged id and invalid codepoint both fail loudly
+    for (bad <- Seq(Bpe.MergedIdOffset + Bpe.merges.length, -1))
+      assert(intercept[Exception] {
+        decode(Seq(bad), Bpe.mergesSpec)
+      }.getMessage != null)
+  }
+
   test("encode: NULL text -> NULL") {
     import spark.implicits._
     val r = Seq[Option[String]](None).toDF("t")

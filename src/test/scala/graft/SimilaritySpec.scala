@@ -205,6 +205,36 @@ class SimilaritySpec extends SparkSpec {
     assert(meanMse > 0 && meanMse <= 0.02, s"mean recon mse $meanMse")
   }
 
+  test("pq pack/unpack: bit-exact roundtrip, pinned layout, loud errors") {
+    import graft.functions.Pq
+    import spark.implicits._
+    val spec = lit(Pq.codebookSpec)
+    // roundtrip over every fixture vector's real codes
+    val rows = emb.select(
+        call_function("graft_pq_encode", col("embedding"), spec).as("codes"))
+      .select(col("codes"),
+        call_function("graft_pq_unpack",
+          call_function("graft_pq_pack", col("codes"), spec), spec).as("rt"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach(r => assert(r.getSeq[Int](0) === r.getSeq[Int](1)))
+    // pinned layout: K=16 -> 4 bits/code, MSB-first. codes [1,2,3,4,5,6,7,8]
+    // pack to 0x12 0x34 0x56 0x78
+    val packed = Seq(Seq(1, 2, 3, 4, 5, 6, 7, 8)).toDF("c")
+      .select(call_function("graft_pq_pack", col("c"), spec))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(packed.toSeq === Seq(0x12, 0x34, 0x56, 0x78).map(_.toByte))
+    // loud errors: wrong arity, out-of-range code, wrong byte width
+    def packOf(cs: Seq[Int]) = Seq(cs).toDF("c")
+      .select(call_function("graft_pq_pack", col("c"), spec)).collect()
+    assert(intercept[Exception](packOf(Seq(1, 2, 3))).getMessage != null)
+    assert(intercept[Exception](packOf(Seq(0, 0, 0, 0, 0, 0, 0, 16))).getMessage != null)
+    val badBytes = Seq(Array[Byte](1, 2, 3)).toDF("b")
+    assert(intercept[Exception] {
+      badBytes.select(call_function("graft_pq_unpack", col("b"), spec)).collect()
+    }.getMessage != null)
+  }
+
   test("graft_pq_encode fails loudly on wrong dims and NULL elements") {
     import graft.functions.Pq
     import spark.implicits._
