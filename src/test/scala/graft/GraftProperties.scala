@@ -260,6 +260,37 @@ object GraftProperties extends Properties("graft") {
         out.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1)
     }
 
+  property("pq encode is argmin-optimal: recon MSE <= any fixed code assignment") = {
+    import graft.functions.Pq
+    val coder = new Pq.Coder(Pq.codebookSpec)
+    val vecGen = Gen.listOfN(Pq.D, Gen.chooseNum(-0.3, 0.3)).map(_.toArray)
+    val codeGen = Gen.listOfN(Pq.M, Gen.chooseNum(0, Pq.K - 1)).map(_.toArray)
+    forAll(vecGen, codeGen) { (v, fixed) =>
+      val arr = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(v)
+      val mse = coder.reconMse(arr, isFloat = false)
+      // model: MSE of the ARBITRARY fixed assignment, straight from the
+      // committed codebook
+      val fixedMse = (0 until Pq.M).map { m =>
+        val cent = Pq.codebook(m)(fixed(m))
+        (0 until Pq.Dsub).map { d =>
+          val t = v(m * Pq.Dsub + d) - cent(d); t * t
+        }.sum
+      }.sum / Pq.D
+      // argmin per subspace can never lose to any fixed choice; and the
+      // encoder's own codes reproduce its mse exactly
+      val codes = coder.encode(arr, isFloat = false)
+      val ownMse = (0 until Pq.M).map { m =>
+        val cent = Pq.codebook(m)(codes.getInt(m))
+        (0 until Pq.Dsub).map { d =>
+          val t = v(m * Pq.Dsub + d) - cent(d); t * t
+        }.sum
+      }.sum / Pq.D
+      Prop(mse <= fixedMse + 1e-12) :| s"mse $mse > fixed $fixedMse" &&
+        Prop(math.abs(mse - ownMse) <= 1e-9) :| s"mse $mse != own-codes $ownMse"
+    }
+  }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._

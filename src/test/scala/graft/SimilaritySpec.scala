@@ -235,6 +235,29 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage != null)
   }
 
+  test("pq pack/unpack roundtrips at non-committed widths (K=4/32/256)") {
+    import graft.functions.Pq
+    // a production table swap (different K -> different code width) must
+    // keep the bit layout invertible; exercise 2-, 5- and 8-bit codes
+    // with deterministic pseudo-random code arrays
+    for (k <- Seq(4, 32, 256)) {
+      val m = 8
+      val dsub = 2
+      val spec = s"$m $k $dsub " +
+        (0 until m * k * dsub).map(i => ((i * 31 + 7) % 97) / 100.0).mkString(" ")
+      val coder = new Pq.Coder(spec)
+      val rnd = new scala.util.Random(42)
+      for (_ <- 0 until 50) {
+        val codes = Array.fill(m)(rnd.nextInt(k))
+        val rt = coder.unpack(coder.pack(
+          org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)))
+        assert((0 until m).forall(i => rt.getInt(i) == codes(i)),
+          s"K=$k roundtrip mismatch for ${codes.toSeq}")
+      }
+      assert(coder.packedBytes == (m * coder.codeBits + 7) / 8)
+    }
+  }
+
   test("graft_pq_encode fails loudly on wrong dims and NULL elements") {
     import graft.functions.Pq
     import spark.implicits._
