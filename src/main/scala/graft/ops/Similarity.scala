@@ -1029,17 +1029,28 @@ object Similarity {
   private[graft] def semanticSurvivorsAgainst(
       train: DataFrame,
       bench: DataFrame,
-      threshold: Double): DataFrame = {
-    val maxCos = train.crossJoin(broadcast(bench))
+      threshold: Double): DataFrame =
+    train.select(col("vec_id"), col("label"))
+      .join(semanticMaxCosAgainst(train, bench), Seq("vec_id"), "left")
+      .filter(coalesce(col("max_bench_cos"), lit(-1.0)) < threshold)
+      .select(col("vec_id"), col("label"), col("max_bench_cos"))
+
+  /** The scoring kernel itself — (vec_id, embedding, nrm) against a
+    * broadcast (be, bn) benchmark → per-vector max rounded cosine. The
+    * ONE definition of the semantic verdict arithmetic, consumed by the
+    * batch operator, the streaming gate (via
+    * [[semanticSurvivorsAgainst]]), and the streaming audit's stage 9
+    * (drop side) — so the three surfaces cannot drift in rounding,
+    * zero-norm NULL contract, or max semantics.
+    */
+  private[graft] def semanticMaxCosAgainst(
+      train: DataFrame,
+      bench: DataFrame): DataFrame =
+    train.crossJoin(broadcast(bench))
       .select(col("vec_id"),
         when(col("nrm") > 0 && col("bn") > 0,
           round(dot("embedding", "be") / (col("nrm") * col("bn")), 6)).as("cs"))
       .groupBy("vec_id").agg(max(col("cs")).as("max_bench_cos"))
-    train.select(col("vec_id"), col("label"))
-      .join(maxCos, Seq("vec_id"), "left")
-      .filter(coalesce(col("max_bench_cos"), lit(-1.0)) < threshold)
-      .select(col("vec_id"), col("label"), col("max_bench_cos"))
-  }
 
   /** Norm-annotated (vec_id, label, embedding, nrm) projection — the
     * shape both sides of the semantic gate store/stream in.

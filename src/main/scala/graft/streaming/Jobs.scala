@@ -1043,18 +1043,18 @@ object Jobs {
       // embedding rides the batch row, joined back by doc_id
       val semDropped: DataFrame = semanticGate match {
         case Some(cfg) =>
+          // the shared scoring kernel (Similarity.semanticMaxCosAgainst
+          // — same rounding/zero-norm/max arithmetic as the batch
+          // operator and the standalone gate stream); only the verdict
+          // side differs: the audit keeps the DROPS
           val withN = afterLm.select(col("doc_id"))
             .join(batch.select(col("doc_id"), col("embedding")), Seq("doc_id"))
             .withColumn("nrm",
               sqrt(graft.ops.Similarity.dot("embedding", "embedding")))
-          withN.crossJoin(broadcast(cfg.bench))
-            .select(col("doc_id"),
-              when(col("nrm") > 0 && col("bn") > 0,
-                round(graft.ops.Similarity.dot("embedding", "be")
-                  / (col("nrm") * col("bn")), 6)).as("cs"))
-            .groupBy("doc_id").agg(max(col("cs")).as("max_bench_cos"))
+          graft.ops.Similarity.semanticMaxCosAgainst(
+            withN.withColumnRenamed("doc_id", "vec_id"), cfg.bench)
             .filter(coalesce(col("max_bench_cos"), lit(-1.0)) >= cfg.threshold)
-            .select(col("doc_id"), concat(lit("bench_cos_bp="),
+            .select(col("vec_id").as("doc_id"), concat(lit("bench_cos_bp="),
               floor(col("max_bench_cos") * 10000 + 0.5).cast("long")).as("reason"))
         case None => noDrops
       }
