@@ -1,0 +1,123 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** ANN index family at k× vector scale (dev-only): the sf0.1 embeddings
+  * fixture unioned k× with shifted vec_ids, pushed through the
+  * persisted IVF and IVF-PQ paths. Prints the markdown table committed
+  * in SCALING.md's ANN section.
+  *
+  * What k× exercises that the registered rows cannot: the three cost
+  * classes of a production vector index, separately —
+  *  - BUILD (ingest-time): quantizer fit on the seeded sample + one
+  *    full assignment/encode pass + partitioned store write. Must be
+  *    linear in vectors; the PQ build additionally runs the codegen'd
+  *    encoder per row (M×K×Dsub distance loop) and writes ~64× fewer
+  *    store bytes.
+  *  - FULL PROBE (the oracle shape): scan every cell. Linear, the
+  *    ceiling a pruned probe is measured against.
+  *  - PRUNED PROBE (the production shape): nprobe/nlist of the store
+  *    via partition pruning. Must track the pruning fraction, not the
+  *    corpus.
+  */
+object StressAnn {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "30").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shW = new LongAdder; val cpuNs = new LongAdder; val nTasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        shW.add(m.shuffleWriteMetrics.bytesWritten)
+        cpuNs.add(m.executorCpuTime)
+        nTasks.addAndGet(sc.stageInfo.numTasks): Unit
+      }
+    })
+    case class Row(name: String, rowsOut: Long, wall: Double, shWMB: Double,
+        cpuS: Double, tasks: Long)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def stage(name: String)(body: => Long): Unit = {
+      shW.reset(); cpuNs.reset(); nTasks.set(0)
+      val t0 = System.nanoTime()
+      val n = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+      rows += Row(name, n, wall, shW.sum / 1048576.0, cpuNs.sum / 1e9, nTasks.get)
+      System.gc()
+    }
+
+    val base = Tables.embeddings(spark, sfDir)
+    val shift = base.agg(max("vec_id")).head().getLong(0) + 1
+    val corpus = (0 until copies).map(k =>
+      base.select((col("vec_id") + lit(k * shift)).as("vec_id"), col("label"),
+        col("embedding")))
+      .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nVec = corpus.count()
+    val q = base.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stress-ann").toString
+    stage("ivf_build")({
+      Similarity.buildIvfIndex(corpus, s"$tmp/ivf")
+      spark.read.parquet(s"$tmp/ivf/assigned").count()
+    })
+    stage("ivfpq_build")({
+      Similarity.buildIvfPqIndex(corpus, s"$tmp/ivfpq")
+      spark.read.parquet(s"$tmp/ivfpq/assigned_pq").count()
+    })
+    def sized(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(dir))
+    }
+    val rawBytes = sized(s"$tmp/ivf/assigned")
+    val codeBytes = sized(s"$tmp/ivfpq/assigned_pq")
+    val packedBytes = sized(s"$tmp/ivfpq/assigned_pq_packed")
+
+    def count(df: DataFrame): Long = df.count()
+    stage("ivf_fullprobe")(count(
+      Similarity.queryIvfIndex(spark, s"$tmp/ivf", q, k = 20, nprobe = 16)))
+    stage("ivf_probe4")(count(
+      Similarity.queryIvfIndex(spark, s"$tmp/ivf", q, k = 20, nprobe = 4)))
+    stage("ivfpq_fullprobe")(count(
+      Similarity.queryIvfPq(spark, s"$tmp/ivfpq", q, k = 20, nprobe = 16)))
+    stage("ivfpq_probe4")(count(
+      Similarity.queryIvfPq(spark, s"$tmp/ivfpq", q, k = 20, nprobe = 4)))
+    stage("ivfpq_probe4_packed")(count(
+      Similarity.queryIvfPq(spark, s"$tmp/ivfpq", q, k = 20, nprobe = 4, packed = true)))
+
+    println()
+    println("BEGIN-ANN-SECTION")
+    println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +
+      f"Store bytes: raw-IVF ${rawBytes / 1048576.0}%.1f MB, PQ codes " +
+      f"${codeBytes / 1048576.0}%.1f MB, PQ packed ${packedBytes / 1048576.0}%.1f MB " +
+      f"(raw/packed = ${rawBytes.toDouble / packedBytes}%.0fx). sf dir: $sfDir, local[32].")
+    println()
+    println("| stage | rows out | wall s | shuffle write MB | executor-cpu s | tasks |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { r =>
+      println(f"| ${r.name} | ${r.rowsOut}%,d | ${r.wall}%.2f | ${r.shWMB}%.1f " +
+        f"| ${r.cpuS}%.1f | ${r.tasks} |")
+    }
+    println("END-ANN-SECTION")
+    spark.stop()
+  }
+}
