@@ -260,6 +260,33 @@ object GraftProperties extends Properties("graft") {
         out.values.groupBy(_._1).forall(_._2.map(_._2).toSet.size == 1)
     }
 
+  property("bpe: encode/count/decode agree for random tables and texts") = {
+    import graft.functions.Bpe
+    import org.apache.spark.unsafe.types.UTF8String
+    // random valid merge tables over a small alphabet (unique pairs),
+    // random texts over letters/digits/punct/space
+    val pairGen = for {
+      l <- Gen.oneOf("a", "b", "c", "ab", "ba", "cc")
+      r <- Gen.oneOf("a", "b", "c", "ab", "ca")
+    } yield (l, r)
+    val tableGen = Gen.listOfN(8, pairGen).map(_.distinct).suchThat(_.nonEmpty)
+    val textGen = Gen.listOfN(24,
+      Gen.oneOf('a', 'b', 'c', '1', ' ', '.', ',', 'x')).map(_.mkString)
+    forAll(tableGen, textGen) { (table, text) =>
+      val spec = table.map { case (l, r) => s"$l $r" }.mkString(",")
+      val coder = new Bpe.Coder(spec)
+      val t = UTF8String.fromString(text)
+      val ids = coder.encodeTokens(t)
+      val count = coder.countTokens(t)
+      val decoded = coder.decodeTokens(ids).toString
+      val pretok = java.util.regex.Pattern.compile(Bpe.PretokenPattern).matcher(text)
+      val sb = new StringBuilder
+      while (pretok.find()) sb.append(pretok.group())
+      (Prop(ids.numElements == count) :| s"ids ${ids.numElements} != count $count") &&
+        (Prop(decoded == sb.toString) :| s"decode '$decoded' != pretokens '$sb'")
+    }
+  }
+
   property("pq encode is argmin-optimal: recon MSE <= any fixed code assignment") = {
     import graft.functions.Pq
     val coder = new Pq.Coder(Pq.codebookSpec)
