@@ -552,3 +552,105 @@ case class PqUnpack(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** graft_pq_adc(codes, 'K qnorm d... n...') — the ADC scoring kernel as
+  * a native codegen'd expression: PQ-reconstructed cosine
+  * `Σₘ dotLut[m][codeₘ] / (qnorm · sqrt(Σₘ nrmLut[m][codeₘ]))` over a
+  * foldable per-query spec carrying K, |q|, and the two M×K lookup
+  * tables (built on the driver by [[Pq.Coder.luts]], rendered via
+  * Double.toString — shortest-uniquely-parsing, so the spec round-trip
+  * is bit-exact). Spark's transform/aggregate higher-order functions
+  * are INTERPRETED (CodegenFallback — the VectorExpressions lesson), so
+  * the probe hot path graduates to a compiled loop here; the arithmetic
+  * is the identical per-accumulator left-to-right fold over m, keeping
+  * the fullprobe oracles hash-green. Out-of-range codes or a
+  * zero/negative denominator fail LOUDLY (a corrupt store or LUT must
+  * stop the query, not emit silently wrong scores).
+  */
+case class PqAdcScore(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), StringType) if right.foldable =>
+      right.eval() match {
+        case s: UTF8String =>
+          val parts = s.toString.split(" ", -1)
+          val ok = parts.length > 2 &&
+            parts(0).toIntOption.exists(_ > 0) &&
+            parts.drop(1).forall(_.toDoubleOption.isDefined) &&
+            (parts.length - 2) % (2 * parts(0).toInt) == 0 &&
+            parts.length > 2 + parts(0).toInt // at least M=1 subspace per table
+          if (ok) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: spec must be 'K qnorm <M*K dot values> <M*K nrm values>'")
+        case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName: spec must not be null")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, foldable string) inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  @transient private lazy val table: PqAdcScore.Table =
+    new PqAdcScore.Table(right.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(codes: Any, s: Any): Any =
+    table.score(codes.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqAdc", table, classOf[PqAdcScore.Table].getName)
+    nullSafeCodeGen(ctx, ev, (c, _) => s"${ev.value} = $ref.score($c);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object PqAdcScore {
+  /** Parsed per-query lookup tables; one instance per expression,
+    * shipped via addReferenceObj to generated code. */
+  final class Table(spec: String) extends Serializable {
+    private val parts = spec.split(" ", -1)
+    val k: Int = parts(0).toInt
+    val qnorm: Double = parts(1).toDouble
+    private val m: Int = (parts.length - 2) / (2 * k)
+    private val dotLut: Array[Double] = {
+      val a = new Array[Double](m * k)
+      var i = 0
+      while (i < a.length) { a(i) = parts(2 + i).toDouble; i += 1 }
+      a
+    }
+    private val nrmLut: Array[Double] = {
+      val a = new Array[Double](m * k)
+      var i = 0
+      while (i < a.length) { a(i) = parts(2 + m * k + i).toDouble; i += 1 }
+      a
+    }
+
+    def score(codes: ArrayData): Double = {
+      if (codes.numElements() != m)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: expected $m codes for the supplied LUTs, got ${codes.numElements()}")
+      var dp = 0.0
+      var nn = 0.0
+      var i = 0
+      while (i < m) {
+        if (codes.isNullAt(i))
+          throw new IllegalArgumentException(s"graft_pq_adc: NULL code at position $i")
+        val c = codes.getInt(i)
+        if (c < 0 || c >= k)
+          throw new IllegalArgumentException(
+            s"graft_pq_adc: code $c at position $i out of range [0, $k)")
+        dp += dotLut(i * k + c)
+        nn += nrmLut(i * k + c)
+        i += 1
+      }
+      val denom = qnorm * math.sqrt(nn)
+      if (!(denom > 0))
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: non-positive denominator (qnorm=$qnorm, nrm-sum=$nn) — " +
+            "corrupt LUTs or a zero query vector")
+      dp / denom
+    }
+  }
+}

@@ -381,6 +381,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_unpack"),
       new ExpressionInfo(classOf[PqUnpack].getName, "graft_pq_unpack"),
       two("graft_pq_unpack", PqUnpack)),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
+      two("graft_pq_adc", PqAdcScore)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

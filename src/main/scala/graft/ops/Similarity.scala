@@ -558,9 +558,10 @@ object Similarity {
     * [[graft.functions.Pq.Coder.luts]]), broadcast as literals, and the
     * PQ-reconstructed cosine is
     * `Σₘ dotLut[m][codeₘ] / (|q| · sqrt(Σₘ nrmLut[m][codeₘ]))` —
-    * computed with builtin transform/aggregate HOFs (whole-stage
-    * codegen, left-to-right folds, no UDF). The raw corpus embeddings
-    * are never read: that is the entire point of PQ.
+    * computed by the native codegen'd graft_pq_adc expression (a
+    * compiled lookup loop; Spark's transform/aggregate HOFs are
+    * interpreted, the VectorExpressions lesson). The raw corpus
+    * embeddings are never read: that is the entire point of PQ.
     *
     * Arithmetic-order contract: the per-subspace LUT entries use the
     * same left-to-right dim fold as the oracle's list_sum chains, and
@@ -589,10 +590,14 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
       .sortBy(_._2).take(nprobe).map(_._1)
-    val kk = lit(coder.k)
-    def lutSum(lut: Array[Double]) = aggregate(
-      transform(col("codes"), (c, m) => element_at(typedLit(lut.toSeq), m * kk + c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // the ADC kernel as a NATIVE expression, not transform/aggregate
+    // HOFs: Spark's higher-order functions are interpreted
+    // (CodegenFallback — the VectorExpressions lesson), so the per-row
+    // lookup loop compiles instead. Same per-accumulator left-to-right
+    // fold over m; LUT doubles round-trip bit-exact through
+    // Double.toString in the foldable spec.
+    val adcSpec = coder.k + " " + qNorm + " " +
+      dotLut.mkString(" ") + " " + nrmLut.mkString(" ")
     val store =
       if (!packed) spark.read.parquet(s"$dir/assigned_pq")
       else spark.read.parquet(s"$dir/assigned_pq_packed")
@@ -601,7 +606,7 @@ object Similarity {
     store
       .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("label"),
-        round(lutSum(dotLut) / (lit(qNorm) * sqrt(lutSum(nrmLut))), 6).as("cos_pq"))
+        round(call_function("graft_pq_adc", col("codes"), lit(adcSpec)), 6).as("cos_pq"))
       .orderBy(col("cos_pq").desc, col("vec_id"))
       .limit(k)
   }
