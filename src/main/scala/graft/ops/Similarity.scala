@@ -882,9 +882,19 @@ object Similarity {
   val annRecallQuery = QueryDef.unverified("sim_ann_recall")(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
+      // ivfpq joins the production panel (r15): the genuinely lossy
+      // score path — 4-bit codes — next to the exact-score probes, so
+      // quantization-induced recall loss is a queryable metric, not
+      // just the SimilaritySpec floor. Probed through the shared
+      // per-process store; cos_pq is this panel's cos_sim.
+      val pqDir = ensureIvfPqIndex(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       annRecallAudit(
         bruteForceTopK(emb),
-        Seq("ivf" -> annIvfTopK(emb), "lsh" -> annTopK(emb)),
+        Seq("ivf" -> annIvfTopK(emb), "lsh" -> annTopK(emb),
+          "ivfpq" -> queryIvfPq(s, pqDir, q, k = 20, nprobe = 4, excludeVecId = 0L)
+            .withColumnRenamed("cos_pq", "cos_sim")),
         Seq(1, 5, 10, 20))
     })
 
