@@ -516,6 +516,19 @@ object Similarity {
     * embeddings need 256 TB of RAM-adjacent storage probes from ~4 TB
     * of codes plus a codebook measured in kilobytes. Query-time cost is
     * table lookups (ADC, [[queryIvfPq]]) over the probed cells only.
+    *
+    * Design choice, stated: codes quantize the RAW vectors, not the
+    * per-cell residuals (x − centroid) of classical IVFADC (Jégou et
+    * al. 2011 §IV). Deliberate: residual codes are a function of the
+    * seed-fit coarse centroids, which would (a) make the codes
+    * non-replayable by the committed-codebook oracle — the fullprobe
+    * hash anchor only exists because codes are a pure function of
+    * (vector, committed table) — and (b) invalidate every stored code
+    * whenever the coarse quantizer refits, coupling the 100 TB store's
+    * lifetime to re-clustering cadence. Raw-vector PQ trades a modest
+    * recall delta for portable codes and an auditable pipeline; a
+    * residual variant is the same expressions over residual inputs if
+    * a deployment wants it.
     */
   def buildIvfPqIndex(
       embeddings: DataFrame,
