@@ -277,6 +277,23 @@ class SimilaritySpec extends SparkSpec {
       emb.select(call_function("graft_pq_encode", col("embedding"), lit("2 2 2 1.0"))).collect()
     }
     assert(e3.getMessage.contains("graft_pq_encode"), e3.getMessage)
+    // adc: malformed spec at analysis; code/LUT arity mismatch at runtime
+    val e4 = intercept[Exception] {
+      Seq(Seq(0, 1)).toDF("c")
+        .select(call_function("graft_pq_adc", col("c"), lit("4 1.0 0.1 0.2"))).collect()
+    }
+    assert(e4.getMessage.contains("graft_pq_adc"), e4.getMessage)
+    val okSpec = "2 1.0 " + (1 to 8).map(_ / 10.0).mkString(" ") // K=2, M=2
+    val e5 = intercept[Exception] {
+      Seq(Seq(0, 1, 0)).toDF("c")
+        .select(call_function("graft_pq_adc", col("c"), lit(okSpec))).collect()
+    }
+    assert(e5.getMessage != null)
+    val e6 = intercept[Exception] {
+      Seq(Seq(0, 2)).toDF("c") // code 2 out of range for K=2
+        .select(call_function("graft_pq_adc", col("c"), lit(okSpec))).collect()
+    }
+    assert(e6.getMessage != null)
   }
 
   test("corrupted centroid store fails loudly on load (NULL / mixed dims / dup list_id / empty)") {
