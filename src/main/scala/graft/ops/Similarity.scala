@@ -315,7 +315,8 @@ object Similarity {
       .coalesce(1) // nlist rows — one tiny file
       .write.mode("overwrite").parquet(s"$dir/centroids")
     model.transform(withVec).drop("features")
-      .write.mode("overwrite").partitionBy("list_id")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .parquet(s"$dir/assigned")
   }
 
@@ -363,7 +364,9 @@ object Similarity {
   def assignToIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      embeddings: DataFrame): Unit = {
+      embeddings: DataFrame,
+      ingestBatch: Long = 1L): Unit = {
+    require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
@@ -374,7 +377,15 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
-      .write.mode("append").partitionBy("list_id")
+      // replay-idempotent append (r15, the incrementalDedupBatch
+      // discipline): every ingest owns an ingest_batch partition under
+      // each cell and dynamic-overwrites ONLY its own — re-running a
+      // failed/replayed ingest replaces its partitions instead of
+      // double-appending, which a bare mode(append) cannot promise
+      // under at-least-once delivery
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/assigned")
   }
 
@@ -548,7 +559,8 @@ object Similarity {
         call_function("graft_pq_encode",
           col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
         col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .parquet(s"$dir/assigned_pq")
     // the AT-REST form: codes bit-packed to ceil(M*log2(K)/8) bytes per
     // vector (4 B at the committed K=16 — 64x vs the raw floats). Same
@@ -558,8 +570,8 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         call_function("graft_pq_pack",
           col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
-        col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
+        col("list_id"), col("ingest_batch"))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .parquet(s"$dir/assigned_pq_packed")
   }
 
@@ -637,7 +649,9 @@ object Similarity {
   def assignToPqIndex(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      embeddings: DataFrame): Unit = {
+      embeddings: DataFrame,
+      ingestBatch: Long = 1L): Unit = {
+    require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
@@ -651,8 +665,23 @@ object Similarity {
         call_function("graft_pq_encode",
           col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
         col("list_id"))
-      .write.mode("append").partitionBy("list_id")
+      // same replay-idempotent own-partition overwrite as
+      // [[assignToIndex]]; both PQ stores advance in step, the packed
+      // increment derived from the just-written codes partition (one
+      // encode pass, stores cannot drift — the build's discipline)
+      .withColumn("ingest_batch", lit(ingestBatch))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$dir/assigned_pq")
+    spark.read.parquet(s"$dir/assigned_pq")
+      .filter(col("ingest_batch") === ingestBatch)
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_pack",
+          col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
+        col("list_id"), col("ingest_batch"))
+      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$dir/assigned_pq_packed")
   }
 
   /** Process-scoped scratch for the persisted IVF-PQ store — same

@@ -1131,6 +1131,37 @@ object Jobs {
       stageTable)
   }
 
+  /** Streaming ANN ingest — [[graft.ops.Similarity.assignToPqIndex]]
+    * behind a streaming query: each micro-batch's vectors (vec_id,
+    * label, embedding) are encoded against the committed PQ codebook
+    * and assigned to their nearest existing coarse cell in the
+    * persisted IVF-PQ store at `indexDir` (built once by
+    * `buildIvfPqIndex` — the quantizer is never refit by the stream).
+    * Ingest batch N writes partition ingest_batch = N + 1 (0 is the
+    * initial build's), and the batch body dynamic-overwrites ONLY its
+    * own partitions — so foreachBatch's at-least-once replay replaces
+    * rather than double-appends (the incrementalDedupBatch discipline;
+    * pinned by the replay test in SimilaritySpec). Both the codes and
+    * packed stores advance in step.
+    */
+  def startPqIngestStream(
+      vectors: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .queryName("pq_ingest")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // F7-style empty-batch guard; +1 keeps batch 0 clear of the
+        // initial build's partition
+        if (!batch.isEmpty)
+          graft.ops.Similarity.assignToPqIndex(
+            batch.sparkSession, indexDir, batch, batchId + 1)
+      }
+      .start()
+
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text` (plus `embedding` when `embStoreDir` is set).
     * Every configured static store — benchmark shingles

@@ -397,6 +397,52 @@ class SimilaritySpec extends SparkSpec {
     assert(got.contains(probe.getLong(0)))
   }
 
+  test("streaming pq ingest: batches land under their own partitions; replay replaces") {
+    import graft.functions.Pq
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = tmpDir("ivfpq-stream")
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 400), dir, nlist = 8)
+    val late = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Seq[Float])].collect()
+    val (b1, b2) = late.splitAt(50)
+    val ms = MemoryStream[(Long, Int, Seq[Float])](spark)(
+      org.apache.spark.sql.Encoders.product[(Long, Int, Seq[Float])])
+    val q = graft.streaming.Jobs.startPqIngestStream(
+      ms.toDF().toDF("vec_id", "label", "embedding"),
+      dir, tmpDir("ivfpq-stream-ckpt"), queryTrigger = Trigger.ProcessingTime(0))
+    try {
+      ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+      ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val assigned = spark.read.parquet(s"$dir/assigned_pq")
+    assert(assigned.count() == 500)
+    // build under ingest_batch 0, the two stream batches under 1 and 2
+    assert(assigned.select("ingest_batch").distinct().as[Long].collect().toSet
+      == Set(0L, 1L, 2L))
+    // the packed store advanced in step
+    assert(spark.read.parquet(s"$dir/assigned_pq_packed").count() == 500)
+    // REPLAY: re-run the LAST batch's body with the same ingest id (the
+    // at-least-once case) — the store must be unchanged, not doubled
+    val before = assigned.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    Similarity.assignToPqIndex(spark, dir,
+      b2.toSeq.toDF("vec_id", "label", "embedding"), ingestBatch = 2L)
+    val after = spark.read.parquet(s"$dir/assigned_pq")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(after === before)
+    assert(spark.read.parquet(s"$dir/assigned_pq_packed").count() == 500)
+    // streamed vectors are queryable through the pruned ADC probe
+    val probe = b1.head
+    val got = Similarity.queryIvfPq(spark, dir,
+      probe._3.map(_.toDouble).toArray, k = 499, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(probe._1))
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
