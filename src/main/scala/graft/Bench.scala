@@ -269,8 +269,12 @@ object Bench {
     val storeConsumers = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     locally {
       import graft.ops._
-      def matching(prefixes: Seq[String]): Seq[String] =
-        selected.keys.filter(n => prefixes.exists(n.startsWith)).toSeq.sorted
+      // patterns are name PREFIXES; a trailing '!' marks an EXACT name
+      // (so e.g. "sim_ann_recall!" matches the production recall row
+      // without also claiming sim_ann_recall_audit as a store consumer)
+      def matching(patterns: Seq[String]): Seq[String] =
+        selected.keys.filter(n => patterns.exists(p =>
+          if (p.endsWith("!")) n == p.dropRight(1) else n.startsWith(p))).toSeq.sorted
       lazy val docs64 = Tables.documents(spark, sfDir).limit(64).cache()
       lazy val docs512 = Tables.documents(spark, sfDir).limit(512).cache()
       val warmups: Seq[(String, Seq[String], () => DataFrame)] = Seq(
@@ -364,7 +368,7 @@ object Bench {
         ("ivf_store", Seq("sim_ann_ivf_persisted"),
           () => { val dir = Similarity.ensureIvfIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
-        ("ivfpq_store", Seq("sim_ann_ivfpq"),
+        ("ivfpq_store", Seq("sim_ann_ivfpq", "sim_ann_recall!"),
           () => { val dir = Similarity.ensureIvfPqIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
         // format round-trip stores are write-once per process: build them

@@ -452,7 +452,12 @@ object Bpe {
               s"graft_bpe_decode: merged id $id exceeds the table " +
                 s"(${pairs.length} merges)")
           sb.append(pairs(r)._1).append(pairs(r)._2)
-        } else if (id >= 0 && Character.isValidCodePoint(id)) {
+        } else if (id >= 0 && Character.isValidCodePoint(id) &&
+            !(id >= Character.MIN_SURROGATE.toInt && id <= Character.MAX_SURROGATE.toInt)) {
+          // surrogate range is rejected: the encoder can never emit it
+          // (codepoints come from well-formed strings), so such an id is
+          // exactly the corrupted-stream case — appendCodePoint would
+          // silently produce mangled bytes instead of stopping
           sb.appendCodePoint(id)
         } else {
           throw new IllegalArgumentException(

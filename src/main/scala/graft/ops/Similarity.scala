@@ -298,8 +298,9 @@ object Similarity {
     * plus one full assignment pass is paid once at ingest; each query
     * after that is O(nlist) driver math over the centroid table plus a
     * partition-pruned scan of nprobe/nlist of the corpus. Re-ingest
-    * appends new vectors with [[assignToIndex]] against the SAME
-    * centroids — the quantizer is never refit per batch.
+    * adds new vectors with [[assignToIndex]] (each ingest under its own
+    * `ingest_batch` partition) against the SAME centroids — the
+    * quantizer is never refit per batch.
     */
   def buildIvfIndex(
       embeddings: DataFrame,
@@ -321,9 +322,14 @@ object Similarity {
   }
 
   /** Incremental ingest into a persisted index: assign NEW vectors to
-    * their nearest existing cell and APPEND them into the partitioned
-    * assignment table — the quantizer is never refit per batch (rebuild
-    * cadence when the corpus distribution drifts is an offline call).
+    * their nearest existing cell and add them under THEIR OWN
+    * `ingest_batch` partition of the assignment table — the quantizer
+    * is never refit per batch (rebuild cadence when the corpus
+    * distribution drifts is an offline call). `ingestBatch` is
+    * REQUIRED and each distinct ingest must use a distinct id (> 0; 0
+    * is the initial build): re-running the SAME id replaces that
+    * ingest's partitions (replay idempotence), while reusing an id
+    * across DIFFERENT batches would silently replace the earlier one.
     * The assignment is relational: |e−c|² = e·e − 2·e·c + c·c over a
     * broadcast of the nlist-row centroid table, every dot through the
     * native codegen'd graft_dot — no per-row MLlib model, no UDF.
@@ -365,7 +371,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       embeddings: DataFrame,
-      ingestBatch: Long = 1L): Unit = {
+      ingestBatch: Long): Unit = {
     require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
@@ -428,10 +434,10 @@ object Similarity {
     * the path non-pre-creatable by other users on a shared host; the
     * hook reclaims the copy the process would otherwise leave behind.
     */
-  private lazy val ivfScratchDir: String = {
+  private def processScratchDir(prefix: String): String = {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft-ivf-persisted-${sys.props.getOrElse("user.name", "anon")}-" +
+      s"$prefix-${sys.props.getOrElse("user.name", "anon")}-" +
         ProcessHandle.current.pid)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -441,6 +447,8 @@ object Similarity {
     }))
     dir.toString
   }
+
+  private lazy val ivfScratchDir: String = processScratchDir("graft-ivf-persisted")
 
   // Build-once-per-(process, sfDir) memo for the registered
   // persisted-index rows: the index build is INGEST-time cost (paid
@@ -456,20 +464,32 @@ object Similarity {
   private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val builtIvfPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // each sfDir builds into its OWN subdirectory of the process scratch
+  // root — memoizing per sfDir onto one shared dir would serve a STALE
+  // index after a fixture switch (A builds, B overwrites, A's memo hit
+  // returns B's index), and concurrent different-sfDir builds would
+  // race one path. computeIfAbsent + per-key dirs make both impossible.
+  private def sfDigest(sfDir: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Ensure the raw-IVF persisted index for `sfDir` exists in this
-    * process' scratch dir; returns the dir. */
+    * process' scratch area; returns the index dir (per sfDir). */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     builtIvf.computeIfAbsent(sfDir, { _ =>
-      buildIvfIndex(Tables.embeddings(spark, sfDir), ivfScratchDir)
-      ivfScratchDir
+      val dir = s"$ivfScratchDir/${sfDigest(sfDir)}"
+      buildIvfIndex(Tables.embeddings(spark, sfDir), dir)
+      dir
     })
 
   /** Ensure the IVF-PQ persisted index (codes + packed stores) for
-    * `sfDir` exists in this process' scratch dir; returns the dir. */
+    * `sfDir` exists in this process' scratch area; returns the index
+    * dir (per sfDir). */
   def ensureIvfPqIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
     builtIvfPq.computeIfAbsent(sfDir, { _ =>
-      buildIvfPqIndex(Tables.embeddings(spark, sfDir), ivfPqScratchDir)
-      ivfPqScratchDir
+      val dir = s"$ivfPqScratchDir/${sfDigest(sfDir)}"
+      buildIvfPqIndex(Tables.embeddings(spark, sfDir), dir)
+      dir
     })
 
   /** End-to-end persisted-index exercise as a registered query: build
@@ -650,7 +670,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       embeddings: DataFrame,
-      ingestBatch: Long = 1L): Unit = {
+      ingestBatch: Long): Unit = {
     require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
@@ -690,19 +710,7 @@ object Similarity {
     * path so the PQ rows and the raw-IVF rows never overwrite each
     * other's store mid-suite.
     */
-  private lazy val ivfPqScratchDir: String = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-ivfpq-${sys.props.getOrElse("user.name", "anon")}-" +
-        ProcessHandle.current.pid)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(dir)
-    }))
-    dir.toString
-  }
+  private lazy val ivfPqScratchDir: String = processScratchDir("graft-ivfpq")
 
   private def duckPqPrelude: String =
     s"""pq_cb(m, c, cent) AS (

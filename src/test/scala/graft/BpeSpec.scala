@@ -174,11 +174,13 @@ class BpeSpec extends SparkSpec {
       while (m.find()) sb.append(m.group())
       assert(r.getString(1) === sb.toString)
     }
-    // unknown merged id and invalid codepoint both fail loudly
-    for (bad <- Seq(Bpe.MergedIdOffset + Bpe.merges.length, -1))
+    // unknown merged id, negative id, and SURROGATE-range codepoints
+    // (0xD800-0xDFFF — unreachable from any well-formed encode, so
+    // exactly the corrupted-stream case) all fail loudly
+    for (bad <- Seq(Bpe.MergedIdOffset + Bpe.merges.length, -1, 0xD800, 0xDFFF))
       assert(intercept[Exception] {
         decode(Seq(bad), Bpe.mergesSpec)
-      }.getMessage != null)
+      }.getMessage != null, s"id $bad should fail")
   }
 
   test("encode: NULL text -> NULL") {

@@ -322,7 +322,8 @@ class SimilaritySpec extends SparkSpec {
     writeCentroids(dupDir, Seq(0 -> Seq(1.0, 0.0), 0 -> Seq(0.0, 1.0)))
     val eDup = intercept[IllegalArgumentException] {
       Similarity.assignToIndex(spark, dupDir,
-        Seq((7L, "x", Seq(1.0f, 0.0f))).toDF("vec_id", "label", "embedding"))
+        Seq((7L, "x", Seq(1.0f, 0.0f))).toDF("vec_id", "label", "embedding"),
+        ingestBatch = 1L)
     }
     assert(eDup.getMessage.contains("duplicate list_id"), eDup.getMessage)
 
@@ -342,7 +343,7 @@ class SimilaritySpec extends SparkSpec {
     val seed = emb.filter(col("vec_id") < 400)
     val late = emb.filter(col("vec_id") >= 400)
     Similarity.buildIvfIndex(seed, dir, nlist = 8)
-    Similarity.assignToIndex(spark, dir, late)
+    Similarity.assignToIndex(spark, dir, late, ingestBatch = 1L)
     val assigned = spark.read.parquet(s"$dir/assigned")
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
@@ -373,7 +374,7 @@ class SimilaritySpec extends SparkSpec {
     val seed = emb.filter(col("vec_id") < 400)
     val late = emb.filter(col("vec_id") >= 400)
     Similarity.buildIvfPqIndex(seed, dir, nlist = 8)
-    Similarity.assignToPqIndex(spark, dir, late)
+    Similarity.assignToPqIndex(spark, dir, late, ingestBatch = 1L)
     val assigned = spark.read.parquet(s"$dir/assigned_pq")
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
