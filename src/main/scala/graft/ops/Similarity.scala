@@ -318,6 +318,11 @@ object Similarity {
     model.transform(withVec).drop("features")
       .withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      // STATIC pinned per-write: a REBUILD must truncate the whole
+      // table including stale ingest_batch>0 partitions assigned under
+      // the old quantizer — a session-level dynamic default would
+      // silently leave them filed under wrong cells
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/assigned")
   }
 
@@ -367,12 +372,16 @@ object Similarity {
     cents
   }
 
-  def assignToIndex(
+  /** Nearest existing cell per NEW vector — the relational argmin the
+    * two ingest paths share: |e−c|² = e·e − 2·e·c + c·c over a
+    * broadcast of the validated nlist-row centroid table, lowest-d2
+    * (then lowest list_id) wins. One definition so the raw and PQ
+    * ingests can never drift in assignment semantics.
+    */
+  private def nearestCellAssignment(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      embeddings: DataFrame,
-      ingestBatch: Long): Unit = {
-    require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
+      embeddings: DataFrame): DataFrame = {
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
@@ -383,16 +392,29 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
-      // replay-idempotent append (r15, the incrementalDedupBatch
-      // discipline): every ingest owns an ingest_batch partition under
-      // each cell and dynamic-overwrites ONLY its own — re-running a
-      // failed/replayed ingest replaces its partitions instead of
-      // double-appending, which a bare mode(append) cannot promise
-      // under at-least-once delivery
-      .withColumn("ingest_batch", lit(ingestBatch))
+  }
+
+  /** The replay-idempotent ingest write (r15, the incrementalDedupBatch
+    * discipline): every ingest owns an ingest_batch partition under
+    * each cell and dynamic-overwrites ONLY its own — re-running a
+    * failed/replayed ingest replaces its partitions instead of
+    * double-appending, which a bare mode(append) cannot promise under
+    * at-least-once delivery.
+    */
+  private def writeIngestPartition(df: DataFrame, ingestBatch: Long, path: String): Unit =
+    df.withColumn("ingest_batch", lit(ingestBatch))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$dir/assigned")
+      .parquet(path)
+
+  def assignToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      embeddings: DataFrame,
+      ingestBatch: Long): Unit = {
+    require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
+    writeIngestPartition(
+      nearestCellAssignment(spark, dir, embeddings), ingestBatch, s"$dir/assigned")
   }
 
   /** Query a persisted IVF index: nearest `nprobe` cells by centroid
@@ -581,17 +603,18 @@ object Similarity {
         col("list_id"))
       .withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      // static pinned: rebuild truncates stale ingest partitions (see
+      // buildIvfIndex)
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/assigned_pq")
     // the AT-REST form: codes bit-packed to ceil(M*log2(K)/8) bytes per
     // vector (4 B at the committed K=16 — 64x vs the raw floats). Same
     // partitioning; derived from the JUST-WRITTEN codes table so the
     // two stores cannot drift (one encode pass total).
-    spark.read.parquet(s"$dir/assigned_pq")
-      .select(col("vec_id"), col("label"),
-        call_function("graft_pq_pack",
-          col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
-        col("list_id"), col("ingest_batch"))
+    packedFromCodes(spark.read.parquet(s"$dir/assigned_pq"))
+      .withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/assigned_pq_packed")
   }
 
@@ -672,37 +695,28 @@ object Similarity {
       embeddings: DataFrame,
       ingestBatch: Long): Unit = {
     require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
-    val cents = loadCentroids(spark, dir)
-      .withColumn("c2", dot("centroid", "centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
-    embeddings
-      .withColumn("e2", dot("embedding", "embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", col("e2") - lit(2.0) * dot("embedding", "centroid") + col("c2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"),
-        call_function("graft_pq_encode",
-          col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-        col("list_id"))
-      // same replay-idempotent own-partition overwrite as
-      // [[assignToIndex]]; both PQ stores advance in step, the packed
-      // increment derived from the just-written codes partition (one
-      // encode pass, stores cannot drift — the build's discipline)
-      .withColumn("ingest_batch", lit(ingestBatch))
-      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$dir/assigned_pq")
-    spark.read.parquet(s"$dir/assigned_pq")
-      .filter(col("ingest_batch") === ingestBatch)
-      .select(col("vec_id"), col("label"),
-        call_function("graft_pq_pack",
-          col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
-        col("list_id"), col("ingest_batch"))
-      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(s"$dir/assigned_pq_packed")
+    writeIngestPartition(
+      nearestCellAssignment(spark, dir, embeddings)
+        .select(col("vec_id"), col("label"),
+          call_function("graft_pq_encode",
+            col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+          col("list_id")),
+      ingestBatch, s"$dir/assigned_pq")
+    // both PQ stores advance in step: the packed increment derives from
+    // the just-written codes partition (one encode pass, stores cannot
+    // drift — the build's discipline)
+    writeIngestPartition(
+      packedFromCodes(spark.read.parquet(s"$dir/assigned_pq")
+        .filter(col("ingest_batch") === ingestBatch)),
+      ingestBatch, s"$dir/assigned_pq_packed")
   }
+
+  /** The ONE codes→packed projection (build and ingest share it). */
+  private def packedFromCodes(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"), col("label"),
+      call_function("graft_pq_pack",
+        col("codes"), lit(graft.functions.Pq.codebookSpec)).as("codes_packed"),
+      col("list_id"))
 
   /** Process-scoped scratch for the persisted IVF-PQ store — same
     * lifecycle contract as [[ivfScratchDir]] (one fixed path per

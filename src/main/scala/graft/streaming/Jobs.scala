@@ -1156,9 +1156,33 @@ object Jobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // F7-style empty-batch guard; +1 keeps batch 0 clear of the
         // initial build's partition
-        if (!batch.isEmpty)
-          graft.ops.Similarity.assignToPqIndex(
-            batch.sparkSession, indexDir, batch, batchId + 1)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val target = batchId + 1
+          // CHECKPOINT-RESET GUARD: ingest ids come from the
+          // checkpoint-local batchId, so a stream restarted with a
+          // FRESH checkpoint against an already-ingested index would
+          // reuse ids 1,2,... and the own-partition overwrite would
+          // silently REPLACE earlier vectors. Legitimate progress only
+          // ever replays the LAST batch (target == max existing) or
+          // advances past it; anything below max is the reset case and
+          // must stop loudly. Reading max(ingest_batch) is a
+          // partition-COLUMN aggregate — file-listing metadata, no data
+          // scan.
+          val codesDir = s"$indexDir/assigned_pq"
+          if (storeNonEmpty(spark, codesDir)) {
+            // cast: parquet partition-directory values type-infer as INT
+            val maxExisting = spark.read.parquet(codesDir)
+              .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
+            require(target >= maxExisting,
+              s"pq ingest stream would write ingest_batch=$target but the index at " +
+                s"$indexDir already holds batches up to $maxExisting — this is the " +
+                "fresh-checkpoint-against-an-ingested-index hazard (the overwrite " +
+                "would silently replace earlier vectors); resume with the original " +
+                "checkpoint, or rebuild the index")
+          }
+          graft.ops.Similarity.assignToPqIndex(spark, indexDir, batch, target)
+        }
       }
       .start()
 

@@ -426,16 +426,43 @@ class SimilaritySpec extends SparkSpec {
     // the packed store advanced in step
     assert(spark.read.parquet(s"$dir/assigned_pq_packed").count() == 500)
     // REPLAY: re-run the LAST batch's body with the same ingest id (the
-    // at-least-once case) — the store must be unchanged, not doubled
+    // at-least-once case) — BOTH stores must be unchanged by CONTENT,
+    // not just row count (a pack-path bug that scrambled bytes while
+    // preserving counts must fail here)
     val before = assigned.select("vec_id", "codes").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def packedSnapshot(): Map[Long, Seq[Byte]] =
+      spark.read.parquet(s"$dir/assigned_pq_packed")
+        .select("vec_id", "codes_packed").collect()
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val packedBefore = packedSnapshot()
     Similarity.assignToPqIndex(spark, dir,
       b2.toSeq.toDF("vec_id", "label", "embedding"), ingestBatch = 2L)
     val after = spark.read.parquet(s"$dir/assigned_pq")
       .select("vec_id", "codes").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(after === before)
-    assert(spark.read.parquet(s"$dir/assigned_pq_packed").count() == 500)
+    assert(packedSnapshot() === packedBefore)
+    // CHECKPOINT-RESET GUARD: a second stream with a FRESH checkpoint
+    // against the same ingested index would reuse ingest_batch=1 and
+    // silently replace the first stream's vectors — it must fail
+    // loudly instead
+    val ms2 = MemoryStream[(Long, Int, Seq[Float])](spark)(
+      org.apache.spark.sql.Encoders.product[(Long, Int, Seq[Float])])
+    val q2 = graft.streaming.Jobs.startPqIngestStream(
+      ms2.toDF().toDF("vec_id", "label", "embedding"),
+      dir, tmpDir("ivfpq-stream-ckpt2"), queryTrigger = Trigger.ProcessingTime(0))
+    try {
+      ms2.addData(b1.take(5).toIndexedSeq)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("fresh-checkpoint") ||
+        Option(e.getCause).exists(_.getMessage.contains("fresh-checkpoint")),
+        s"unexpected failure: ${e.getMessage}")
+    } finally q2.stop()
+    // the guarded index is intact
+    assert(spark.read.parquet(s"$dir/assigned_pq").count() == 500)
     // streamed vectors are queryable through the pruned ADC probe
     val probe = b1.head
     val got = Similarity.queryIvfPq(spark, dir,
