@@ -63,7 +63,7 @@ class AggregatesSpec extends SparkSpec {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val total = ev.count()
     val fanned = graft.ops.Aggregates.a6SlidingWindow.fn(spark, "/root/testdata/sf0.001")
-      .agg(sum("n")).head.getLong(0)
+      .agg(sum("n")).head().getLong(0)
     assert(fanned == 3 * total)
   }
 
@@ -86,8 +86,8 @@ class AggregatesSpec extends SparkSpec {
     // merge associativity: union of the daily sketches == sketching the
     // whole stream directly (the property that lets sketches persist)
     val fromDaily = graft.ops.Aggregates.dailyUserSketches(ev)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))).head.getLong(0)
-    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head.getLong(0)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))).head().getLong(0)
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
     assert(fromDaily == direct, s"union-of-daily $fromDaily != direct $direct")
   }
 }

@@ -230,7 +230,7 @@ class CoverageSpec extends SparkSpec {
     val packed = Coverage.packSequences(docs, seqTokens = b)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val totalTokens = docs
-      .agg(sum(size(split(col("text"), "\\s+")))).head.getLong(0)
+      .agg(sum(size(split(col("text"), "\\s+")))).head().getLong(0)
     // conservation: every token of every doc lands in exactly one slice
     assert(packed.map(_._5).sum == totalTokens)
     // per-doc slices are contiguous in doc_off and cover [0, n_tokens)

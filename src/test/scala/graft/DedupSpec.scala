@@ -57,7 +57,7 @@ class DedupSpec extends SparkSpec {
 
   test("lsh verified jaccard values are exact (match brute force on the pair)") {
     val j = Dedup.minhashLsh(docs).filter(col("doc_a") === 0 && col("doc_b") === 1)
-      .head.getDouble(2)
+      .head().getDouble(2)
     assert(j == 1.0)
   }
 
@@ -173,7 +173,7 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_.getDouble(2) >= 0.4))
     // Verified jaccard is exact: same value the symmetric sweep computes.
     val sweep = Dedup.minhashLsh(batch.unionByName(history), threshold = 0.4)
-      .filter(col("doc_a") === 0 && col("doc_b") === 10).head.getDouble(2)
+      .filter(col("doc_a") === 0 && col("doc_b") === 10).head().getDouble(2)
     val inc = out.filter(r => r.getLong(0) == 10L && r.getLong(1) == 0L).head.getDouble(2)
     assert(inc == sweep, s"incremental jaccard $inc != sweep jaccard $sweep")
   }
@@ -209,7 +209,7 @@ class DedupSpec extends SparkSpec {
     // 202421034056092208.
     val h = Seq("hello").toDF("tok")
       .select(conv(substring(sha2(col("tok"), 256), 1, 15), 16, 10).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(h == 202421034056092208L)
     // Bits 60-63 of every sha-keyed simhash are deterministically 0 (the
     // ±1 sums over zero input bits are all-negative), so both engines

@@ -282,7 +282,7 @@ object GraftProperties extends Properties("graft") {
       val pretok = java.util.regex.Pattern.compile(Bpe.PretokenPattern).matcher(text)
       val sb = new StringBuilder
       while (pretok.find()) sb.append(pretok.group())
-      (Prop(ids.numElements == count) :| s"ids ${ids.numElements} != count $count") &&
+      (Prop(ids.numElements() == count) :| s"ids ${ids.numElements()} != count $count") &&
         (Prop(decoded == sb.toString) :| s"decode '$decoded' != pretokens '$sb'")
     }
   }

@@ -52,7 +52,7 @@ class KpiSpec extends SparkSpec {
     // With the t11-style fallback applied first, both rows are counted.
     val coalesced = df.withColumn("ts",
       coalesce(col("ts"), lit("2024-01-01 09:03:00").cast("timestamp")))
-    assert(Kpi.quarterHour(coalesced).head.getLong(1) == 2L)
+    assert(Kpi.quarterHour(coalesced).head().getLong(1) == 2L)
   }
 
   test("empty input yields empty output (reference empty-batch path)") {

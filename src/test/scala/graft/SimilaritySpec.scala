@@ -109,7 +109,7 @@ class SimilaritySpec extends SparkSpec {
     Similarity.buildIvfIndex(emb, dir, nlist = 8)
     assert(spark.read.parquet(s"$dir/centroids").count() == 8)
     val q = emb.filter(col("vec_id") === 0L)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val persisted = Similarity.queryIvfIndex(spark, dir, q, k = 20, nprobe = 2, excludeVecId = 0L)
     // Partition pruning: the probed list_ids are partition filters on the scan.
     val plan = persisted.queryExecution.executedPlan.toString
@@ -153,7 +153,7 @@ class SimilaritySpec extends SparkSpec {
     val dir = tmpDir("ivfpq-adc")
     Similarity.buildIvfPqIndex(emb, dir, nlist = 8)
     val q = emb.filter(col("vec_id") === 0L)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val got = Similarity.queryIvfPq(spark, dir, q, k = 499, nprobe = 8, excludeVecId = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got.size == 499)
@@ -180,7 +180,7 @@ class SimilaritySpec extends SparkSpec {
     val dir = tmpDir("ivfpq-quality")
     Similarity.buildIvfPqIndex(emb, dir, nlist = 8)
     val q = emb.filter(col("vec_id") === 0L)
-      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toArray
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val pq = Similarity.queryIvfPq(spark, dir, q, k = 499, nprobe = 8, excludeVecId = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val exact = Similarity.bruteForceTopK(emb, k = 499)
@@ -362,9 +362,9 @@ class SimilaritySpec extends SparkSpec {
     }
     // A full-probe query for an appended vector's embedding finds it at
     // cosine 1.0.
-    val probe = late.select("vec_id", "embedding").head
+    val probe = late.select("vec_id", "embedding").head()
     val q = probe.getSeq[Float](1).map(_.toDouble).toArray
-    val top = Similarity.queryIvfIndex(spark, dir, q, k = 1, nprobe = 8).head
+    val top = Similarity.queryIvfIndex(spark, dir, q, k = 1, nprobe = 8).head()
     assert(top.getLong(0) == probe.getLong(0) && top.getDouble(2) == 1.0)
   }
 
@@ -391,7 +391,7 @@ class SimilaritySpec extends SparkSpec {
     // embedding as the query ranks it at ITS reconstruction's cosine —
     // top-1 among vectors sharing its codes (ties possible, so assert
     // membership of the code-equal score, not strict identity)
-    val probe = late.select("vec_id", "embedding").head
+    val probe = late.select("vec_id", "embedding").head()
     val q = probe.getSeq[Float](1).map(_.toDouble).toArray
     val got = Similarity.queryIvfPq(spark, dir, q, k = 499, nprobe = 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
@@ -474,7 +474,7 @@ class SimilaritySpec extends SparkSpec {
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
-    val range = b.agg(min("bucket"), max("bucket")).head
+    val range = b.agg(min("bucket"), max("bucket")).head()
     assert(range.getLong(0) >= 0L && range.getLong(1) < 32L)
   }
 
@@ -505,7 +505,7 @@ class SimilaritySpec extends SparkSpec {
     // one perturbed coordinate; both must be dropped at any reasonable
     // threshold while orthogonal-ish fixture vectors survive
     val bench0 = emb.filter(col("vec_id") === 0L).select("embedding")
-      .head.getSeq[Float](0).toArray
+      .head().getSeq[Float](0).toArray
     val near = bench0.clone(); near(0) = near(0) + 0.01f
     val planted = emb.select(col("vec_id"), col("label"), col("embedding"))
       .unionByName(Seq(

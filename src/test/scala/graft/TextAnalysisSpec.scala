@@ -48,7 +48,7 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("token stats: bpe pieces >= ws tokens; punctuation splits into pieces") {
     val out = run(TextAnalysis.tokenStats, docsOf(1L -> "hello, world! it's 42"))
-      .head
+      .head()
     val (ws, bpe) = (out.getLong(1), out.getLong(2))
     assert(ws == 4)
     // hello , world ! it ' s 42

@@ -82,7 +82,7 @@ class VectorExpressionsSpec extends SparkSpec {
     // force it by evaluating on a literal (constant folding runs eval).
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
-        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
+        "graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head()
     assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.0)
   }
 
@@ -169,7 +169,7 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2L)._2.isEmpty && out(2L)._1.nonEmpty)
     assert(out(3L) == ((Some(0L), None)))
     val hof = hofFingerprint(df.withColumnRenamed("text", "text").filter(col("doc_id") === 4))
-      .head
+      .head()
     assert(out(4L) == ((Some(hof.getLong(1)), Some(hof.getLong(2)))))
     assert(out(5L) == ((None, None)))
   }
@@ -213,7 +213,7 @@ class VectorExpressionsSpec extends SparkSpec {
       call_function("graft_regex_count", col("text"), lit(pat)).as("native"),
       size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("spelled"))
     // null text: native NULL must mirror size(null) under sizeOfNull=false
-    assert(cmp.filter(col("doc_id") === 90001L).head.isNullAt(1))
+    assert(cmp.filter(col("doc_id") === 90001L).head().isNullAt(1))
     assert(cmp.filter(
       !(col("native") <=> col("spelled")) && col("doc_id") =!= 90001L).isEmpty)
     // analysis-time pattern validation: a bad regex fails the QUERY, not a task
@@ -241,7 +241,7 @@ class VectorExpressionsSpec extends SparkSpec {
       call_function("graft_hits_in", col("arr"), lit(words.mkString(","))).as("native"),
       expr(s"size(filter(arr, w -> w IN $inList))").as("spelled"))
     // null text -> null array -> native NULL mirrors size(null)
-    assert(cmp.filter(col("doc_id") === 90001L).head.isNullAt(1))
+    assert(cmp.filter(col("doc_id") === 90001L).head().isNullAt(1))
     assert(cmp.filter(
       !(col("native") <=> col("spelled")) && col("doc_id") =!= 90001L).isEmpty)
     // analysis-time word-set validation: empty words fail the QUERY

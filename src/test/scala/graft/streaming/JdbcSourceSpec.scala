@@ -73,7 +73,7 @@ class JdbcSourceSpec extends SparkSpec {
       assert(perPart.length == 4, s"expected 4 working partitions, got ${perPart.length}")
       assert(perPart.map(_.getLong(1)).sum == 1000)
       // and the union of range scans is exactly the table
-      assert(df.agg(sum("event_id")).head.getLong(0) == (1L to 1000L).sum)
+      assert(df.agg(sum("event_id")).head().getLong(0) == (1L to 1000L).sum)
     }
   }
 }
