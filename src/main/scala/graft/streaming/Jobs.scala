@@ -181,6 +181,203 @@ object Jobs {
     }
   }
 
+  /** CHECKPOINT-RESET GUARD, shared by every batch body that writes
+    * `ingest_batch = batchId`-owned partitions: ingest ids come from
+    * the checkpoint-local batchId, so a stream restarted with a FRESH
+    * checkpoint against a store that already advanced past `target`
+    * would reuse low ids and the own-partition dynamic overwrite would
+    * silently REPLACE earlier partitions — data loss, not an error.
+    * Legitimate progress only ever replays the LAST batch (target ==
+    * max existing, foreachBatch's at-least-once case) or advances past
+    * it; anything below max is the reset case and must stop loudly.
+    * (A reset whose first write collides exactly with the last existing
+    * batch is indistinguishable from that batch's replay given only
+    * batchId — the guard hardens every deeper reset.) Cost per batch:
+    * max over a partition COLUMN — file-listing metadata and parquet
+    * footers only, no data pages.
+    */
+  private[streaming] def requireMonotoneIngest(
+      spark: SparkSession, dir: String, target: Long): Unit =
+    if (partitionedStoreNonEmpty(spark, dir)) {
+      // cast: parquet partition-directory values type-infer as INT
+      val maxExisting = spark.read.parquet(dir)
+        .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
+      require(target >= maxExisting,
+        s"batch would write ingest_batch=$target but the store at $dir already " +
+          s"holds batches up to $maxExisting — this is the fresh-checkpoint-" +
+          "against-an-advanced-store hazard (the own-partition overwrite would " +
+          "silently replace earlier data); resume with the original checkpoint, " +
+          "or point the job at a new store")
+    }
+
+  /** Outcome of [[compactIngestStore]] — one action per call. */
+  sealed trait CompactionOutcome
+  object CompactionOutcome {
+    /** Fewer than three partitions: one history + one live is already
+      * the compact shape; nothing to merge.
+      */
+    case object NothingToDo extends CompactionOutcome
+    final case class Compacted(compactedKey: Long, partitionsMerged: Int,
+        dataFilesBefore: Long, dataFilesAfter: Long) extends CompactionOutcome
+    /** A previous compaction had committed (tmp fully written + target
+      * recorded) but crashed before the final rename; this call finished
+      * it and did nothing else — call again for a fresh pass.
+      */
+    final case class RolledForward(compactedKey: Long) extends CompactionOutcome
+  }
+
+  /** Maintenance compaction for a FLAT `ingest_batch=N`-partitioned
+    * store: a long-running stream leaves one partition — and one file
+    * per write task — per micro-batch, so a year of 15 s batches is
+    * ~2 M partition dirs: the classic streaming small-files problem
+    * (file-listing dominates every scan, NameNode/object-store metadata
+    * pressure). This rewrites every partition EXCEPT the newest into
+    * ONE partition keyed at the largest historical id, preserving the
+    * three contracts the stores rely on:
+    *
+    *  - read semantics: batch b reads `ingest_batch < b`; all compacted
+    *    rows keep a key < max, so any future batch (b > max) and a
+    *    replay of batch `max` itself (b == max) see exactly the rows
+    *    they saw before;
+    *  - replay: partition `max` is untouched, because foreachBatch may
+    *    still replay it (at-least-once) and its own-partition overwrite
+    *    must replace exactly its own rows;
+    *  - the [[requireMonotoneIngest]] guard: max(ingest_batch) is
+    *    unchanged.
+    *
+    * What it deliberately gives up: per-batch attribution below the
+    * live batch (compacted rows all carry the compacted key). Jobs that
+    * need lineage must carry their own column. Rows are preserved
+    * byte-for-byte, but file merge changes row ORDER, so
+    * order-sensitive APPROXIMATE aggregations over the store (HLL union
+    * estimates) may move within their error bounds (≤1% observed at
+    * 128/512 batches — tools/StressCompact); exact queries are
+    * unchanged.
+    *
+    * Crash safety is roll-forward: (1) write the merged history to a
+    * dot-prefixed tmp dir (invisible to parquet readers), (2) record
+    * the target key as an underscore marker file inside it, (3) delete
+    * the old partitions, (4) rename tmp to `ingest_batch=<target>` —
+    * the rename is the commit point. A crash before (2) leaves the
+    * originals intact (next call discards tmp and redoes); a crash
+    * after (2) is finished by the next call ([[CompactionOutcome.RolledForward]]).
+    * Safe concurrently with the guarded WRITER (it only ever touches
+    * partition ids >= max); concurrent READERS can observe a transient
+    * gap between (3) and (4), so schedule it in the stream's
+    * maintenance window if other jobs read the store live.
+    *
+    * The nested IVF-PQ ANN stores (`list_id=L/ingest_batch=N`) need the
+    * per-cell variant [[compactPqIngestStore]] — their live boundary is
+    * the GLOBAL max id, not each cell's own.
+    *
+    * @param targetFiles optional coalesce width for the merged history;
+    *   default leaves it to the scan's file packing (already small).
+    */
+  def compactIngestStore(
+      spark: SparkSession,
+      dir: String,
+      targetFiles: Option[Int] = None): CompactionOutcome = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no store at $dir")
+    compactOneRoot(spark, fs, root, boundaryOverride = None, targetFiles)
+  }
+
+  /** [[compactIngestStore]] for the NESTED IVF-PQ ANN stores
+    * (`list_id=L/ingest_batch=N`, written by
+    * [[graft.ops.Similarity.assignToPqIndex]]): each coarse cell's
+    * directory is compacted independently with the flat protocol, but
+    * against the GLOBAL max ingest id — a replay of the live batch may
+    * dynamic-overwrite its `(list_id, max)` partition in ANY cell, so
+    * no cell may fold id `max` into its history even when that cell's
+    * local max is lower (it simply didn't receive vectors in the live
+    * batch). Both the codes and packed stores are compacted; probe
+    * reads never filter on ingest_batch, so query results are untouched
+    * by construction. Returns per-store outcomes, one per cell
+    * directory visited (cells already compact report `NothingToDo`).
+    */
+  def compactPqIngestStore(
+      spark: SparkSession,
+      indexDir: String,
+      targetFiles: Option[Int] = None): Map[String, Seq[CompactionOutcome]] =
+    Seq("assigned_pq", "assigned_pq_packed").map { store =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$store")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(root), s"no PQ store at $indexDir/$store")
+      val cells = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+        .map(_.getPath).sortBy(_.getName)
+      val globalMax = cells.flatMap(c => partitionIds(fs, c).keys).maxOption
+      store -> cells.map(c =>
+        compactOneRoot(spark, fs, c, boundaryOverride = globalMax, targetFiles)).toSeq
+    }.toMap
+
+  private def partitionIds(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[Long, org.apache.hadoop.fs.Path] =
+    fs.listStatus(root).collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith("ingest_batch=") =>
+        s.getPath.getName.stripPrefix("ingest_batch=").toLong -> s.getPath
+    }.toMap
+
+  /** One compaction action on one directory whose children are
+    * `ingest_batch=N` partition dirs. `boundaryOverride` is the live
+    * ingest id to protect (partitions >= it are never touched); when
+    * absent, the directory's own max id is the live one (the flat-store
+    * case). See [[compactIngestStore]] for the protocol.
+    */
+  private def compactOneRoot(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      boundaryOverride: Option[Long],
+      targetFiles: Option[Int]): CompactionOutcome = {
+    import org.apache.hadoop.fs.Path
+    def dataFileCount(): Long = {
+      val it = fs.listFiles(root, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    val tmp = new Path(root, ".compact_tmp")
+    if (fs.exists(tmp)) {
+      val committed = fs.exists(new Path(tmp, "_SUCCESS"))
+      val marker = fs.listStatus(tmp).map(_.getPath.getName)
+        .find(_.startsWith("_TARGET_"))
+      (committed, marker) match {
+        case (true, Some(m)) =>
+          // roll forward: deletes are idempotent, rename is the commit
+          val t = m.stripPrefix("_TARGET_").toLong
+          partitionIds(fs, root).filter(_._1 <= t).values
+            .foreach(p => require(fs.delete(p, true), s"could not delete $p"))
+          require(fs.rename(tmp, new Path(root, s"ingest_batch=$t")),
+            s"could not commit compaction rename to ingest_batch=$t under $root")
+          return CompactionOutcome.RolledForward(t)
+        case _ =>
+          // uncommitted: originals are intact (deletes only happen after
+          // the marker lands), so discard and fall through to a fresh pass
+          require(fs.delete(tmp, true), s"could not clear stale $tmp")
+      }
+    }
+    val parts = partitionIds(fs, root)
+    if (parts.isEmpty) return CompactionOutcome.NothingToDo
+    val boundary = boundaryOverride.getOrElse(parts.keys.max)
+    val mergeable = parts.keySet.filter(_ < boundary)
+    if (mergeable.size < 2) return CompactionOutcome.NothingToDo
+    val target = mergeable.max
+    val filesBefore = dataFileCount()
+    val history = spark.read.parquet(root.toString)
+      .filter(col("ingest_batch") < boundary).drop("ingest_batch")
+    targetFiles.fold(history)(n => history.coalesce(n))
+      .write.parquet(tmp.toString)
+    fs.create(new Path(tmp, s"_TARGET_$target")).close()
+    mergeable.foreach(id =>
+      require(fs.delete(parts(id), true), s"could not delete ${parts(id)}"))
+    require(fs.rename(tmp, new Path(root, s"ingest_batch=$target")),
+      s"could not commit compaction rename to ingest_batch=$target under $root")
+    CompactionOutcome.Compacted(target, mergeable.size, filesBefore, dataFileCount())
+  }
+
   /** Unbounded-history streaming exact dedup: each micro-batch of
     * documents is checked against a PERSISTED content-hash store
     * ([[graft.ops.Dedup.incrementalExact]]), survivors land in `outDir`
@@ -196,12 +393,17 @@ object Jobs {
     * its OWN partition. A replayed batch therefore sees exactly the
     * pre-crash store (its own half-written partition is excluded by the
     * read filter and then atomically replaced), emitting identical
-    * output — effectively-once without a transactional sink.
+    * output — effectively-once without a transactional sink. The dual
+    * hazard of that overwrite — a FRESH checkpoint reusing low batch
+    * ids against an advanced store — is closed by
+    * [[requireMonotoneIngest]], which every ingest_batch-writing body
+    * in this file calls first.
     */
   def incrementalDedupBatch(storeDir: String, outDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
+    requireMonotoneIngest(spark, outDir, batchId)
     val seen =
       if (storeNonEmpty(spark, storeDir))
         spark.read.parquet(storeDir)
@@ -261,6 +463,7 @@ object Jobs {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
+    requireMonotoneIngest(spark, outDir, batchId)
     val bsh = graft.ops.Dedup.shingleHashes(batch).cache()
     val hist =
       if (storeNonEmpty(spark, storeDir))
@@ -356,6 +559,7 @@ object Jobs {
       shingleSize: Int)( // no default: MUST match the store's shingle_n
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
+    requireMonotoneIngest(batch.sparkSession, outDir, batchId)
     val flagged = graft.ops.Dedup.shingleHashes(batch, shingleSize)
       .withColumnRenamed("doc_id", "train_doc")
       .join(bench, Seq("shh"))
@@ -459,6 +663,7 @@ object Jobs {
       shingleSize: Int)( // no default: MUST match the store's shingle_n
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
+    requireMonotoneIngest(batch.sparkSession, outDir, batchId)
     batch.join(
         graft.ops.Dedup.bloomFlaggedDocs(batch, bloom, shingleSize, minShared),
         Seq("doc_id"), "left_anti")
@@ -537,6 +742,7 @@ object Jobs {
       outDir: String, minAvgLogp: Double, k: Double)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
+    requireMonotoneIngest(batch.sparkSession, outDir, batchId)
     val keep = graft.ops.TextAnalysis
       .lmScoreAgainst(batch, bigramCounts, contextCounts, vocabSize, k)
       .filter(col("n_bigrams") > 0 && col("avg_logp") >= minAvgLogp)
@@ -601,6 +807,7 @@ object Jobs {
     */
   def sketchStoreBatch(storeDir: String)(batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
+    requireMonotoneIngest(batch.sparkSession, storeDir, batchId)
     graft.ops.Aggregates.dailyUserSketches(batch)
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").partitionBy("ingest_batch")
@@ -760,6 +967,7 @@ object Jobs {
       batch: DataFrame, batchId: Long): Unit = {
     require(threshold > 0, s"threshold must be positive (got $threshold)")
     if (batch.isEmpty) return // F7-style empty-batch guard
+    requireMonotoneIngest(batch.sparkSession, outDir, batchId)
     val dims = batch.agg(
       min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
       count(lit(1)).as("n"), count(col("embedding")).as("nonNull")).head()
@@ -919,6 +1127,9 @@ object Jobs {
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
+    // ledger/ is the batch's FIRST write, so its max ingest_batch is
+    // the most-advanced of the four audit stores — the strictest guard
+    requireMonotoneIngest(spark, s"$storeRoot/ledger", batchId)
     import org.apache.spark.sql.expressions.Window
     // the semantic contract is validated over the WHOLE batch up front,
     // not just stage-9 survivors: a NULL or wrong-dim embedding is a
@@ -1159,28 +1370,7 @@ object Jobs {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val target = batchId + 1
-          // CHECKPOINT-RESET GUARD: ingest ids come from the
-          // checkpoint-local batchId, so a stream restarted with a
-          // FRESH checkpoint against an already-ingested index would
-          // reuse ids 1,2,... and the own-partition overwrite would
-          // silently REPLACE earlier vectors. Legitimate progress only
-          // ever replays the LAST batch (target == max existing) or
-          // advances past it; anything below max is the reset case and
-          // must stop loudly. Reading max(ingest_batch) is a
-          // partition-COLUMN aggregate — file-listing metadata, no data
-          // scan.
-          val codesDir = s"$indexDir/assigned_pq"
-          if (storeNonEmpty(spark, codesDir)) {
-            // cast: parquet partition-directory values type-infer as INT
-            val maxExisting = spark.read.parquet(codesDir)
-              .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
-            require(target >= maxExisting,
-              s"pq ingest stream would write ingest_batch=$target but the index at " +
-                s"$indexDir already holds batches up to $maxExisting — this is the " +
-                "fresh-checkpoint-against-an-ingested-index hazard (the overwrite " +
-                "would silently replace earlier vectors); resume with the original " +
-                "checkpoint, or rebuild the index")
-          }
+          requireMonotoneIngest(spark, s"$indexDir/assigned_pq", target)
           graft.ops.Similarity.assignToPqIndex(spark, indexDir, batch, target)
         }
       }

@@ -465,10 +465,40 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/assigned_pq").count() == 500)
     // streamed vectors are queryable through the pruned ADC probe
     val probe = b1.head
-    val got = Similarity.queryIvfPq(spark, dir,
+    def probeIds() = Similarity.queryIvfPq(spark, dir,
       probe._3.map(_.toDouble).toArray, k = 499, nprobe = 8)
       .collect().map(_.getLong(0)).toSet
+    val got = probeIds()
     assert(got.contains(probe._1))
+
+    // COMPACTION: fold the build (0) and first stream batch (1) into one
+    // partition per cell, against the GLOBAL live id 2 — codes, packed
+    // bytes, probe results, and the live batch's replayability all
+    // survive untouched
+    import graft.streaming.Jobs.CompactionOutcome
+    val outcomes = graft.streaming.Jobs.compactPqIngestStore(spark, dir)
+    assert(outcomes.keySet == Set("assigned_pq", "assigned_pq_packed"))
+    outcomes.values.flatten.foreach(o =>
+      assert(!o.isInstanceOf[CompactionOutcome.RolledForward], s"got $o"))
+    // at least the cells holding both batch-0 and batch-1 vectors merged
+    assert(outcomes("assigned_pq").exists(_.isInstanceOf[CompactionOutcome.Compacted]))
+    val postCodes = spark.read.parquet(s"$dir/assigned_pq")
+    assert(postCodes.count() == 500)
+    assert(postCodes.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap === before)
+    assert(packedSnapshot() === packedBefore)
+    // no cell folded the live id: batch 2 (the 50 b2 vectors) is still
+    // its own partition(s)
+    assert(postCodes.filter(col("ingest_batch") === 2L).count() == b2.length)
+    assert(probeIds() == got)
+    // the live batch still replays idempotently after compaction
+    Similarity.assignToPqIndex(spark, dir,
+      b2.toSeq.toDF("vec_id", "label", "embedding"), ingestBatch = 2L)
+    assert(spark.read.parquet(s"$dir/assigned_pq").count() == 500)
+    assert(packedSnapshot() === packedBefore)
+    // a second pass finds nothing left to merge
+    assert(graft.streaming.Jobs.compactPqIngestStore(spark, dir)
+      .values.flatten.forall(_ == CompactionOutcome.NothingToDo))
   }
 
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {

@@ -110,7 +110,7 @@ class StreamingJobsSpec extends SparkSpec {
     q.awaitTermination(120000)
     // append mode emits exactly the windows whose end <= final watermark
     val maxTs =
-      fixtureEvents.agg(max(col("ts").cast("timestamp"))).head.getTimestamp(0).getTime
+      fixtureEvents.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0).getTime
     val watermarkMs = maxTs - 30 * 60000L
     val expected = graft.ops.Kpi.quarterHour(fixtureEvents)
       .collect()
@@ -136,8 +136,8 @@ class StreamingJobsSpec extends SparkSpec {
       .csv(s"$out/data")
     val expected = Kpi.quarterHour(spark.read.parquet(in))
     assert(written.count() == expected.count())
-    assert(written.agg(sum("n_events")).head.getLong(0) ==
-      expected.agg(sum("n_events")).head.getLong(0))
+    assert(written.agg(sum("n_events")).head().getLong(0) ==
+      expected.agg(sum("n_events")).head().getLong(0))
   }
 
   test("checkpoint recovery: restart processes only new files, no duplicates") {
@@ -206,8 +206,8 @@ class StreamingJobsSpec extends SparkSpec {
       .csv(s"$out/data")
     val expected = Kpi.quarterHour(fixtureEvents)
     assert(written.count() == expected.count())
-    assert(written.agg(sum("n_events")).head.getLong(0) ==
-      expected.agg(sum("n_events")).head.getLong(0))
+    assert(written.agg(sum("n_events")).head().getLong(0) ==
+      expected.agg(sum("n_events")).head().getLong(0))
   }
 
   test("stream-stream interval join emits the same pairs as the batch range join") {
@@ -405,6 +405,18 @@ class StreamingJobsSpec extends SparkSpec {
     // partition, so output and store end up byte-identical, not doubled.
     Jobs.incrementalDedupBatch(store, out)(replayRows.toDF(), 1L)
     assert(survivors() == expected, s"replay changed output: ${survivors()}")
+    assert(spark.read.parquet(store).count() == 3)
+
+    // CHECKPOINT-RESET GUARD: a stream restarted with a FRESH checkpoint
+    // would replay batch ids from 0 against this advanced store; the
+    // own-partition overwrite would then silently replace batch 0's
+    // output and seen-hashes — it must fail loudly instead, and leave
+    // both stores untouched
+    val reset = intercept[IllegalArgumentException](
+      Jobs.incrementalDedupBatch(store, out)(
+        Seq(Doc(20, "delta reset content")).toDF(), 0L))
+    assert(reset.getMessage.contains("fresh-checkpoint"), s"got: $reset")
+    assert(survivors() == expected)
     assert(spark.read.parquet(store).count() == 3)
   }
 
@@ -647,7 +659,7 @@ class StreamingJobsSpec extends SparkSpec {
     // in-distribution doc and an out-of-distribution salad
     val cb = spark.read.parquet(s"$store/bigrams")
     val cu = cb.groupBy("w1").agg(sum("cb").as("cu"))
-    val v = spark.read.parquet(s"$store/meta").head.getLong(0)
+    val v = spark.read.parquet(s"$store/meta").head().getLong(0)
     val probe = Seq((1L, common, "en", "s", 1L),
       (2L, "zebra quantum furnace ballet ocean drift", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -716,6 +728,88 @@ class StreamingJobsSpec extends SparkSpec {
     val est2 = Jobs.sketchStoreDailyEstimates(spark, store)
       .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     assert(est2 == est, s"replay changed estimates: $est2 vs $est")
+    // checkpoint-reset guard: id 0 against a store advanced to 1 would
+    // overwrite batch 0's sketches — refused, estimates unchanged
+    val reset = intercept[IllegalArgumentException](
+      Jobs.sketchStoreBatch(store)(replay.toDF(), 0L))
+    assert(reset.getMessage.contains("fresh-checkpoint"), s"got: $reset")
+    assert(Jobs.sketchStoreDailyEstimates(spark, store)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap == est)
+  }
+
+  test("ingest-store compaction: one history partition, reads/replay/guard intact, crash roll-forward") {
+    import spark.implicits._
+    import Jobs.CompactionOutcome
+    def ev(id: Long, day: Int, user: Long) =
+      Ev(id, Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), user, "view", 1.0, "{}")
+    def batchRows(b: Int) = (1L to 30L).map(u => ev(u, b + 1, u + 10 * b))
+    // the invariant compaction promises is the ROW multiset, byte for
+    // byte — HLL union ESTIMATES can wiggle within error bounds when
+    // file merge reorders the union, so they are the wrong assert here
+    def rows(store: String) = spark.read.parquet(store)
+      .select("day", "sketch").collect()
+      .map(r => (r.getDate(0).toString,
+        java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](1))))
+      .sorted.toSeq
+    def partitionIds(store: String) = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+      .map(_.getName.stripPrefix("ingest_batch=").toLong).toSet
+    def build(tag: String): String = {
+      val store = tmpDir(tag)
+      (0 to 2).foreach(b => Jobs.sketchStoreBatch(store)(batchRows(b).toDF(), b.toLong))
+      store
+    }
+
+    val store = build("compact-store")
+    val before = rows(store)
+    assert(partitionIds(store) == Set(0L, 1L, 2L))
+    val out = Jobs.compactIngestStore(spark, store)
+    out match {
+      case CompactionOutcome.Compacted(key, merged, fb, fa) =>
+        assert(key == 1L && merged == 2, s"got $out")
+        assert(fa <= fb, s"file count grew: $fb -> $fa")
+      case other => fail(s"expected Compacted, got $other")
+    }
+    // history collapsed to ONE partition keyed below the live batch;
+    // query results identical
+    assert(partitionIds(store) == Set(1L, 2L))
+    assert(rows(store) == before)
+    // the live batch still replays idempotently (compacted key 1 < 2)
+    Jobs.sketchStoreBatch(store)(batchRows(2).toDF(), 2L)
+    assert(rows(store) == before)
+    // the checkpoint-reset guard still sees max=2: id 1 refused
+    val reset = intercept[IllegalArgumentException](
+      Jobs.sketchStoreBatch(store)(batchRows(1).toDF(), 1L))
+    assert(reset.getMessage.contains("fresh-checkpoint"))
+    // two partitions left: nothing more to merge
+    assert(Jobs.compactIngestStore(spark, store) == CompactionOutcome.NothingToDo)
+
+    // CRASH ROLL-FORWARD: committed tmp (+_TARGET marker), partition 0
+    // already deleted, partition 1 not yet, rename never happened
+    val crashed = build("compact-crash")
+    val crashedBefore = rows(crashed)
+    val fs = new org.apache.hadoop.fs.Path(crashed)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(crashed, ".compact_tmp")
+    spark.read.parquet(crashed).filter(col("ingest_batch") < 2)
+      .drop("ingest_batch").write.parquet(tmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_TARGET_1")).close()
+    fs.delete(new org.apache.hadoop.fs.Path(crashed, "ingest_batch=0"), true)
+    assert(Jobs.compactIngestStore(spark, crashed) == CompactionOutcome.RolledForward(1L))
+    assert(partitionIds(crashed) == Set(1L, 2L))
+    assert(rows(crashed) == crashedBefore)
+
+    // UNCOMMITTED tmp (no _SUCCESS): originals intact, so it is
+    // discarded and a fresh compaction proceeds
+    val stale = build("compact-stale")
+    val staleBefore = rows(stale)
+    val staleTmp = new org.apache.hadoop.fs.Path(stale, ".compact_tmp")
+    fs.mkdirs(staleTmp)
+    fs.create(new org.apache.hadoop.fs.Path(staleTmp, "part-garbage.parquet")).close()
+    assert(Jobs.compactIngestStore(spark, stale)
+      .isInstanceOf[CompactionOutcome.Compacted])
+    assert(partitionIds(stale) == Set(1L, 2L))
+    assert(rows(stale) == staleBefore)
   }
 
   test("kafka source option map mirrors the reference consumer params") {
