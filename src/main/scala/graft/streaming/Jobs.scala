@@ -425,6 +425,88 @@ object Jobs {
       .parquet(storeDir)
   }
 
+  /** Bootstrap the incremental-dedup hash store from an EXISTING batch
+    * corpus, so a new stream starts with history instead of re-admitting
+    * everything the corpus already contains. The seed is keyed
+    * `ingest_batch = -1`: batch 0 reads `ingest_batch < 0` and therefore
+    * SEES it (a seed keyed 0 would be invisible to the very first batch
+    * — the whole point of seeding), the [[requireMonotoneIngest]] guard
+    * still holds (0 >= -1), and no batch ever writes -1, so the seed is
+    * never overwritten by the stream. Re-seeding is allowed only while
+    * the store holds nothing but a seed: once a batch has run, changing
+    * the seed would retroactively change what a REPLAYED batch sees and
+    * break the byte-identical-replay contract — refused loudly instead.
+    */
+  def seedDedupStore(corpus: DataFrame, storeDir: String): Unit = {
+    requireSeedable(corpus.sparkSession, storeDir)
+    graft.ops.Dedup.contentHashes(corpus)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storeDir)
+  }
+
+  /** [[seedDedupStore]] for the near-dup gate's shingle store: the
+    * corpus's (doc_id, shh) shingle hashes land under `ingest_batch=-1`
+    * so the gate's very first batch is LSH-matched against them.
+    */
+  def seedNearDupStore(corpus: DataFrame, storeDir: String): Unit = {
+    requireSeedable(corpus.sparkSession, storeDir)
+    graft.ops.Dedup.shingleHashes(corpus)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storeDir)
+  }
+
+  private def requireSeedable(spark: SparkSession, dir: String): Unit =
+    if (partitionedStoreNonEmpty(spark, dir)) {
+      val maxExisting = spark.read.parquet(dir)
+        .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
+      require(maxExisting <= -1L,
+        s"cannot seed $dir: a stream already wrote batches up to $maxExisting — " +
+          "re-seeding now would retroactively change the history a replayed " +
+          "batch sees; seed only before the first batch, or start a new store")
+    }
+
+  /** [[seedDedupStore]] for the streaming rejection audit: bootstraps
+    * ALL FOUR stores by running the full [[auditLedgerBatch]] body once
+    * at the seed id -1 — the corpus is curated exactly like a stream
+    * batch (same normalization, same stage semantics, nothing can
+    * drift), its drops land in the ledger, its survivors in admitted/,
+    * and the hash/word stores carry the survivors, so the stream's
+    * FIRST batch already dedups and near-dedups against corpus history.
+    * [[auditFunnelFromStores]] then reports corpus + stream together
+    * (n_total conservation includes the seed). Re-seeding is refused
+    * once any batch has run; before a pre-stream re-seed the four seed
+    * partitions are cleared first, so a re-seed whose output is empty
+    * for some store (e.g. no drops → no ledger rows) cannot leave the
+    * previous seed's rows behind.
+    */
+  def seedAuditStores(
+      corpus: DataFrame,
+      storeRoot: String,
+      gate: AuditGate = AuditGate.Off,
+      minTokens: Long = 10L,
+      minQuality: Double = 0.55,
+      jaccardThreshold: Double = graft.ops.Curation.defaultJaccardThreshold,
+      minShared: Long = 5L,
+      shingleSize: Int = 3,
+      maxBlock: Int = 64,
+      lmGate: Option[AuditLmGate] = None,
+      semanticGate: Option[AuditSemanticGate] = None): Unit = {
+    val spark = corpus.sparkSession
+    val stores = Seq("ledger", "admitted", "hashes", "words")
+    stores.foreach(s => requireSeedable(spark, s"$storeRoot/$s"))
+    stores.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$storeRoot/$s/ingest_batch=-1")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) require(fs.delete(p, true), s"could not clear seed $p")
+    }
+    auditLedgerBatch(storeRoot, gate, minTokens, minQuality, jaccardThreshold,
+      minShared, shingleSize, maxBlock, lmGate, semanticGate)(corpus, -1L)
+  }
+
   /** The [[incrementalDedupBatch]] body behind a streaming query.
     * `docs` must carry `doc_id` and `text` (any source from [[Sources]]
     * mapped to the document schema).

@@ -410,4 +410,43 @@ class AuditStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(1L, 3L))
   }
+
+  test("seeded audit stores: corpus history dedups the FIRST batch; funnel conserves across seed+stream") {
+    val corpus = Seq(
+      Doc(100, base),
+      Doc(101, fresh),
+      Doc(102, "too short")) // one seed drop so the seed ledger is non-empty
+    val root = tmpDir("audit-seed-store")
+    Jobs.seedAuditStores(corpus.toDF(), root)
+    // the seed ran the full body at id -1: drops ledgered, survivors admitted
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(100L, 101L))
+    assert(spark.read.parquet(s"$root/ledger")
+      .select("ingest_batch").distinct().as[Int].collect().toSet == Set(-1))
+    // batch 0 (read-below-0 sees the seed): an exact dup and a near-dup
+    // of seed doc 100 drop WITH the seed doc as the attributed keeper
+    Jobs.auditLedgerBatch(root)(Seq(
+      Doc(1, base),
+      Doc(2, base.replace("warm", "cold")),
+      Doc(3, "meanwhile a separate discussion covers the compaction protocol " +
+        "and the seeding of the audit stores in long running jobs")).toDF(), 0L)
+    val ledger0 = spark.read.parquet(s"$root/ledger")
+      .filter(col("ingest_batch") === 0)
+      .select("doc_id", "stage", "reason").as[(Long, String, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ledger0 == Map(
+      1L -> (("exact_dup", "duplicate_of=100")),
+      2L -> (("near_dup", "near_dup_of=100"))), s"got $ledger0")
+    assert(spark.read.parquet(s"$root/admitted")
+      .filter(col("ingest_batch") === 0)
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    // one funnel over corpus + stream: 6 in, 3 drops, 3 out
+    val funnel = Jobs.auditFunnelFromStores(spark, root).collect()
+    assert(funnel.head.getAs[Long]("n_in") == 6L)
+    assert(funnel.last.getAs[Long]("n_out") == 3L)
+    // once a batch has run, re-seeding is refused
+    val ex = intercept[IllegalArgumentException](
+      Jobs.seedAuditStores(corpus.toDF(), root))
+    assert(ex.getMessage.contains("cannot seed"))
+  }
 }

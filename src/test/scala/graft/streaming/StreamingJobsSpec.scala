@@ -420,6 +420,45 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("seeded stores: corpus history gates the very FIRST batch; re-seed refused once started") {
+    import spark.implicits._
+    // exact dedup: the seed lands at ingest_batch=-1, so batch 0's
+    // read-below-0 SEES it and a corpus duplicate drops immediately
+    val store = tmpDir("seed-dedup-store"); val out = tmpDir("seed-dedup-out")
+    val corpus = Seq(Doc(100, "alpha corpus text"), Doc(101, "beta corpus text")).toDF()
+    Jobs.seedDedupStore(corpus, store)
+    Jobs.seedDedupStore(corpus, store) // re-seed BEFORE any batch: replace, not refuse
+    assert(spark.read.parquet(store).count() == 2)
+    Jobs.incrementalDedupBatch(store, out)(
+      Seq(Doc(1, "alpha corpus text"), Doc(2, "gamma fresh text")).toDF(), 0L)
+    def keeps(batch: Long) = spark.read.parquet(out)
+      .filter(col("ingest_batch") === batch)
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(keeps(0L) == Set(2L), s"corpus dup admitted: ${keeps(0L)}")
+    // once a batch has run, changing the seed would change what a
+    // replayed batch sees — refused
+    val ex = intercept[IllegalArgumentException](Jobs.seedDedupStore(corpus, store))
+    assert(ex.getMessage.contains("cannot seed"))
+    // compaction folds the seed below the live batch without losing it
+    Jobs.incrementalDedupBatch(store, out)(Seq(Doc(3, "delta text")).toDF(), 1L)
+    assert(Jobs.compactIngestStore(spark, store)
+      .isInstanceOf[Jobs.CompactionOutcome.Compacted])
+    Jobs.incrementalDedupBatch(store, out)(
+      Seq(Doc(10, "beta corpus text"), Doc(11, "epsilon text")).toDF(), 2L)
+    assert(keeps(2L) == Set(11L), s"seed lost by compaction: ${keeps(2L)}")
+
+    // near-dup gate: batch 0 rejects a doc similar to the seeded corpus
+    val nstore = tmpDir("seed-ndup-store"); val nout = tmpDir("seed-ndup-out")
+    Jobs.seedNearDupStore(
+      Seq(Doc(200, "the quick brown fox jumps over the lazy dog every single day")).toDF(),
+      nstore)
+    Jobs.nearDupGateBatch(nstore, nout)(
+      Seq(Doc(5, "the quick brown fox jumps over the lazy dog every single morning"),
+        Doc(6, "completely unrelated content about parquet compaction and streams")).toDF(), 0L)
+    val admitted = spark.read.parquet(nout).select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(6L), s"got $admitted")
+  }
+
   test("near-dup gate stream: later batches reject texts similar to anything admitted") {
     import spark.implicits._
     // The end-of-test isEmpty assertion is about THIS gate's cache
