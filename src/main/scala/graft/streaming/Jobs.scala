@@ -320,6 +320,78 @@ object Jobs {
         s.getPath.getName.stripPrefix("ingest_batch=").toLong -> s.getPath
     }.toMap
 
+  /** Resolve a crashed compaction on `root`, without starting a new one:
+    * a committed tmp (fully written + target marker) is rolled forward —
+    * the crash happened between the marker and the final rename, so part
+    * of the history may already be DELETED from the partition dirs and
+    * lives only in tmp; until the rename lands, readers see a gap. An
+    * uncommitted tmp is discarded (originals intact: deletes only ever
+    * happen after the marker). Returns the roll-forward outcome, or None
+    * when there was nothing pending (one `exists` call in that case).
+    * Store-reading batch bodies call this FIRST when auto-compaction is
+    * on ([[withAutoCompaction]]), so a post-crash batch can never read
+    * the gapped view.
+    */
+  private def resolvePending(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[CompactionOutcome] = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(root, ".compact_tmp")
+    if (!fs.exists(tmp)) return None
+    val committed = fs.exists(new Path(tmp, "_SUCCESS"))
+    val marker = fs.listStatus(tmp).map(_.getPath.getName)
+      .find(_.startsWith("_TARGET_"))
+    (committed, marker) match {
+      case (true, Some(m)) =>
+        // roll forward: deletes are idempotent, rename is the commit
+        val t = m.stripPrefix("_TARGET_").toLong
+        partitionIds(fs, root).filter(_._1 <= t).values
+          .foreach(p => require(fs.delete(p, true), s"could not delete $p"))
+        require(fs.rename(tmp, new Path(root, s"ingest_batch=$t")),
+          s"could not commit compaction rename to ingest_batch=$t under $root")
+        Some(CompactionOutcome.RolledForward(t))
+      case _ =>
+        // uncommitted: originals are intact (deletes only happen after
+        // the marker lands), so discard and let a fresh pass proceed
+        require(fs.delete(tmp, true), s"could not clear stale $tmp")
+        None
+    }
+  }
+
+  /** Wrap a store-writing batch body with self-maintenance: before the
+    * body runs, any compaction a previous process crashed in the middle
+    * of is resolved on every listed dir (the body would otherwise read a
+    * store whose history is partly in an unrenamed tmp — invisible);
+    * after the body, every `every`-th batch compacts the listed dirs so
+    * partition count stays bounded without a separate maintenance job.
+    * Costs one FS `exists` per dir per batch when nothing is pending;
+    * the periodic compaction itself is one scan + write of the history.
+    * Compose it around any flat-store body:
+    * {{{
+    * .foreachBatch(Jobs.withAutoCompaction(Seq(store, out), every = 64)(
+    *   Jobs.incrementalDedupBatch(store, out)))
+    * }}}
+    */
+  def withAutoCompaction(dirs: Seq[String], every: Int)(
+      body: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
+    require(every > 0, s"compaction cadence must be positive (got $every)")
+    val spark = batch.sparkSession
+    dirs.foreach { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) resolvePending(fs, root)
+    }
+    body(batch, batchId)
+    if ((batchId + 1) % every == 0)
+      dirs.foreach { d =>
+        // a store the body never got to create (e.g. all batches empty
+        // so far) has nothing to compact
+        val root = new org.apache.hadoop.fs.Path(d)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) compactIngestStore(spark, d)
+      }
+  }
+
   /** One compaction action on one directory whose children are
     * `ingest_batch=N` partition dirs. `boundaryOverride` is the live
     * ingest id to protect (partitions >= it are never touched); when
@@ -339,25 +411,9 @@ object Jobs {
       while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
       n
     }
-    val tmp = new Path(root, ".compact_tmp")
-    if (fs.exists(tmp)) {
-      val committed = fs.exists(new Path(tmp, "_SUCCESS"))
-      val marker = fs.listStatus(tmp).map(_.getPath.getName)
-        .find(_.startsWith("_TARGET_"))
-      (committed, marker) match {
-        case (true, Some(m)) =>
-          // roll forward: deletes are idempotent, rename is the commit
-          val t = m.stripPrefix("_TARGET_").toLong
-          partitionIds(fs, root).filter(_._1 <= t).values
-            .foreach(p => require(fs.delete(p, true), s"could not delete $p"))
-          require(fs.rename(tmp, new Path(root, s"ingest_batch=$t")),
-            s"could not commit compaction rename to ingest_batch=$t under $root")
-          return CompactionOutcome.RolledForward(t)
-        case _ =>
-          // uncommitted: originals are intact (deletes only happen after
-          // the marker lands), so discard and fall through to a fresh pass
-          require(fs.delete(tmp, true), s"could not clear stale $tmp")
-      }
+    resolvePending(fs, root) match {
+      case Some(rolled) => return rolled
+      case None => ()
     }
     val parts = partitionIds(fs, root)
     if (parts.isEmpty) return CompactionOutcome.NothingToDo
@@ -365,6 +421,7 @@ object Jobs {
     val mergeable = parts.keySet.filter(_ < boundary)
     if (mergeable.size < 2) return CompactionOutcome.NothingToDo
     val target = mergeable.max
+    val tmp = new Path(root, ".compact_tmp")
     val filesBefore = dataFileCount()
     val history = spark.read.parquet(root.toString)
       .filter(col("ingest_batch") < boundary).drop("ingest_batch")
@@ -516,13 +573,22 @@ object Jobs {
       storeDir: String,
       outDir: String,
       checkpointDir: String,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .queryName("incremental_dedup")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(incrementalDedupBatch(storeDir, outDir) _)
+      .foreachBatch(maybeAutoCompact(Seq(storeDir, outDir), compactEvery)(
+        incrementalDedupBatch(storeDir, outDir)))
       .start()
+
+  /** [[withAutoCompaction]] when a cadence is given, the bare body
+    * otherwise — the starters' opt-in switch.
+    */
+  private def maybeAutoCompact(dirs: Seq[String], every: Option[Int])(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    every.fold(body)(n => withAutoCompaction(dirs, n)(body))
 
   /** Streaming NEAR-dup gate — the [[incrementalDedupBatch]] pattern at
     * near-duplicate granularity: each micro-batch's docs are LSH-matched
@@ -904,12 +970,14 @@ object Jobs {
       events: DataFrame,
       storeDir: String,
       checkpointDir: String,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
     events.writeStream
       .queryName("sketch_store")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(sketchStoreBatch(storeDir) _)
+      .foreachBatch(maybeAutoCompact(Seq(storeDir), compactEvery)(
+        sketchStoreBatch(storeDir)))
       .start()
 
   /** Query-side merge over the sketch store: per-day distinct-user
@@ -931,12 +999,14 @@ object Jobs {
       outDir: String,
       checkpointDir: String,
       threshold: Double = 0.4,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
     docs.writeStream
       .queryName("neardup_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(nearDupGateBatch(storeDir, outDir, threshold) _)
+      .foreachBatch(maybeAutoCompact(Seq(storeDir, outDir), compactEvery)(
+        nearDupGateBatch(storeDir, outDir, threshold)))
       .start()
 
   /** Stream-stream interval join: each event enriched with the same
@@ -1441,22 +1511,46 @@ object Jobs {
       vectors: DataFrame,
       indexDir: String,
       checkpointDir: String,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
     vectors.writeStream
       .queryName("pq_ingest")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // nested-store self-maintenance: resolve any crashed per-cell
+        // compaction BEFORE the assignment reads/writes the store, then
+        // compact on cadence (the withAutoCompaction shape, per cell)
+        compactEvery.foreach(_ => resolvePendingPq(spark, indexDir))
         // F7-style empty-batch guard; +1 keeps batch 0 clear of the
         // initial build's partition
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
           val target = batchId + 1
           requireMonotoneIngest(spark, s"$indexDir/assigned_pq", target)
           graft.ops.Similarity.assignToPqIndex(spark, indexDir, batch, target)
         }
+        compactEvery.foreach { n =>
+          // existence-gated like withAutoCompaction: an empty batch on
+          // the cadence before the index was ever built must be a no-op,
+          // not a crash on compactPqIngestStore's exists-require
+          if ((batchId + 1) % n == 0 &&
+            storeNonEmpty(spark, s"$indexDir/assigned_pq"))
+            compactPqIngestStore(spark, indexDir)
+        }
       }
       .start()
+
+  /** [[resolvePending]] over every cell of both nested PQ stores. */
+  private def resolvePendingPq(spark: SparkSession, indexDir: String): Unit =
+    Seq("assigned_pq", "assigned_pq_packed").foreach { store =>
+      val root = new org.apache.hadoop.fs.Path(s"$indexDir/$store")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+          .foreach(c => resolvePending(fs, c.getPath))
+    }
 
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text` (plus `embedding` when `embStoreDir` is set).
@@ -1479,7 +1573,8 @@ object Jobs {
       lmK: Double = 0.5,
       embStoreDir: Option[String] = None,
       semanticThreshold: Double = 0.9,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
     require(benchStoreDir.isEmpty || bloomStoreDir.isEmpty,
       "pass ONE decontamination store: the exact shingle store OR the bloom store")
     val spark = docs.sparkSession
@@ -1504,8 +1599,11 @@ object Jobs {
       .queryName("audit_stream")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize,
-        lmGate = lmGate, semanticGate = semanticGate) _)
+      .foreachBatch(maybeAutoCompact(
+        Seq("ledger", "admitted", "hashes", "words").map(s => s"$storeRoot/$s"),
+        compactEvery)(
+        auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize,
+          lmGate = lmGate, semanticGate = semanticGate)))
       .start()
   }
 

@@ -420,6 +420,72 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == 3)
   }
 
+  test("auto-compaction: stream stays bounded; a crashed compaction is resolved before the read") {
+    import spark.implicits._
+    val store = tmpDir("auto-store"); val out = tmpDir("auto-out")
+    val ckpt = tmpDir("auto-ckpt"); val in = tmpDir("auto-in")
+    // file source (not MemoryStream): the crash scenario below resumes
+    // the checkpoint from a SECOND query, which a memory stream cannot do
+    val t0 = System.currentTimeMillis()
+    def drop(docs: Seq[Doc], name: String, modTime: Long): Unit = {
+      val stage = tmpDir("auto-stage")
+      docs.toDF().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$in/$name")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(modTime)
+    }
+    def startQ() = Jobs.startIncrementalDedup(
+      Sources.parquetSpoolDir(spark, in,
+        schema = org.apache.spark.sql.Encoders.product[Doc].schema,
+        maxFilesPerTrigger = 1),
+      store, out, ckpt, Jobs.trigger(0), compactEvery = Some(2))
+    drop(Seq(Doc(1, "one unique text")), "00.parquet", t0 - 50000)
+    drop(Seq(Doc(2, "two unique text"), Doc(3, "one unique text")), "01.parquet", t0 - 40000)
+    drop(Seq(Doc(4, "three unique text")), "02.parquet", t0 - 30000)
+    drop(Seq(Doc(5, "four unique text")), "03.parquet", t0 - 20000)
+    val q = startQ()
+    q.awaitTermination(120000)
+    // compaction fired after batches 1 and 3: both stores stay bounded
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ingest_batch="))
+    assert(parts(store) <= 2 && parts(out) <= 2, s"store=${parts(store)} out=${parts(out)}")
+    // the whole history survived the folds: 4 distinct texts, dup dropped
+    assert(spark.read.parquet(store).count() == 4)
+    assert(spark.read.parquet(out).select("keep_doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 4L, 5L))
+
+    // CRASHED COMPACTION: committed tmp (data + _SUCCESS + target
+    // marker), history partition already deleted, rename never happened
+    // — without resolution the next batch would read a store missing
+    // that history (the tmp dir is invisible to parquet readers) and
+    // RE-ADMIT a duplicate
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxId = spark.read.parquet(store)
+      .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
+    val tmp = new org.apache.hadoop.fs.Path(store, ".compact_tmp")
+    spark.read.parquet(store).filter(col("ingest_batch") < maxId)
+      .drop("ingest_batch").write.parquet(tmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, s"_TARGET_${maxId - 1}")).close()
+    spark.read.parquet(store).select("ingest_batch").distinct()
+      .as[Int].collect().filter(_ < maxId).foreach(b =>
+        fs.delete(new org.apache.hadoop.fs.Path(store, s"ingest_batch=$b"), true))
+    // resume on the SAME checkpoint: the auto-compacting body rolls the
+    // crashed compaction forward first, so the dup still drops
+    drop(Seq(Doc(10, "one unique text"), Doc(11, "five unique text")),
+      "04.parquet", t0 - 10000)
+    val q2 = startQ()
+    q2.awaitTermination(120000)
+    val lastKeeps = spark.read.parquet(out)
+      .groupBy("keep_doc_id").count()
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(lastKeeps == Set(1L, 2L, 4L, 5L, 11L),
+      s"crashed compaction lost history: $lastKeeps")
+    assert(spark.read.parquet(store).count() == 5)
+  }
+
   test("seeded stores: corpus history gates the very FIRST batch; re-seed refused once started") {
     import spark.implicits._
     // exact dedup: the seed lands at ingest_batch=-1, so batch 0's
