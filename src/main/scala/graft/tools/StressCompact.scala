@@ -86,6 +86,37 @@ object StressCompact {
       println(f"| $b | $fB | $pB | $tB%.2f | $tC%.2f | $fA | $pA | $tA%.2f | $drift%.4f |")
       fs.delete(root, true)
     }
+
+    // Second section: the steady-state cost of stream self-maintenance —
+    // the same B-batch ingest, bare vs wrapped in withAutoCompaction
+    // (resolve probe every batch + one in-line compaction per cadence).
+    val b = batchCounts.head
+    val cadence = sys.env.getOrElse("SPARK_GRAFT_COMPACT_CADENCE", "16").toInt
+    println(s"\nself-maintenance overhead at $b batches, cadence $cadence:")
+    println("| mode | ingest wall (s) | final parts | final files |")
+    println("|---|---|---|---|")
+    Seq("bare" -> None, s"compactEvery=$cadence" -> Some(cadence)).foreach {
+      case (tag, every) =>
+        val store = s"/tmp/graft-stress-autocompact-$tag".replace("=", "")
+        val root = new org.apache.hadoop.fs.Path(store)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(root, true)
+        val body: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          every.fold(Jobs.sketchStoreBatch(store) _)(n =>
+            Jobs.withAutoCompaction(Seq(store), n)(Jobs.sketchStoreBatch(store)))
+        val (_, t) = timed((0 until b).foreach { i =>
+          body(events.filter(pmod(col("event_id"), lit(b)) === i), i.toLong)
+        })
+        def files(): Long = {
+          val it = fs.listFiles(root, true); var k = 0L
+          while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) k += 1
+          k
+        }
+        val parts = fs.listStatus(root)
+          .count(_.getPath.getName.startsWith("ingest_batch="))
+        println(f"| $tag | $t%.1f | $parts | ${files()} |")
+        fs.delete(root, true)
+    }
     spark.stop()
   }
 }
