@@ -745,15 +745,16 @@ object Jobs {
       checkpointDir: String,
       minShared: Long = 5L,
       shingleSize: Int = 3,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val bench = loadBenchStore(docs.sparkSession, benchStoreDir, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     docs.writeStream
       .queryName("decontamination_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(
-        decontaminationGateBatch(bench, outDir, minShared, shingleSize) _)
+      .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
+        decontaminationGateBatch(bench, outDir, minShared, shingleSize)))
       .start()
   }
 
@@ -842,14 +843,15 @@ object Jobs {
       checkpointDir: String,
       minShared: Long = 5L,
       shingleSize: Int = 3,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val bloom = loadBloomStore(docs.sparkSession, bloomStoreDir, shingleSize)
     docs.writeStream
       .queryName("decontamination_gate_bloom")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(
-        decontaminationGateBloomBatch(bloom, outDir, minShared, shingleSize) _)
+      .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
+        decontaminationGateBloomBatch(bloom, outDir, minShared, shingleSize)))
       .start()
   }
 
@@ -928,7 +930,8 @@ object Jobs {
       checkpointDir: String,
       minAvgLogp: Double,
       k: Double = 0.5,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val (cbRaw, cuRaw, v) = loadLmStore(docs.sparkSession, lmStoreDir)
     val cb = cbRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val cu = cuRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -936,7 +939,8 @@ object Jobs {
       .queryName("lm_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(lmGateBatch(cb, cu, v, outDir, minAvgLogp, k) _)
+      .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
+        lmGateBatch(cb, cu, v, outDir, minAvgLogp, k)))
       .start()
   }
 
@@ -1149,7 +1153,8 @@ object Jobs {
       outDir: String,
       checkpointDir: String,
       threshold: Double = 0.9,
-      queryTrigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
     require(threshold > 0, s"threshold must be positive (got $threshold)")
     val spark = docs.sparkSession
     // loadEmbeddingStore validates homogeneity (min==max over emb_dim);
@@ -1161,7 +1166,8 @@ object Jobs {
       .queryName("semantic_decontamination_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
-      .foreachBatch(semanticGateBatch(bench, benchDim, outDir, threshold) _)
+      .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
+        semanticGateBatch(bench, benchDim, outDir, threshold)))
       .start()
   }
 
