@@ -775,9 +775,10 @@ object Coverage {
        |       greatest(tok_start, seq_id * 512) - seq_id * 512 AS seq_off,
        |       least(tok_end, (seq_id + 1) * 512)
        |         - greatest(tok_start, seq_id * 512) AS n_toks,
-       |       list_slice(ids,
+       |       coalesce(array_to_string(list_slice(ids,
        |         greatest(tok_start, seq_id * 512) - tok_start + 1,
-       |         least(tok_end, (seq_id + 1) * 512) - tok_start) AS token_ids
+       |         least(tok_end, (seq_id + 1) * 512) - tok_start), ' '), '')
+       |         AS token_ids
        |FROM spans ORDER BY seq_id, seq_off, doc_id""".stripMargin)(
     (s, d) => {
       val enc = Tables.documents(s, d).select(
@@ -788,8 +789,14 @@ object Coverage {
         tokenCount = Some(size(col("ids")).cast("long")), carry = Seq("ids"))
         .select(col("doc_id"), col("seq_id"), col("doc_off"), col("seq_off"),
           col("n_toks"),
-          slice(col("ids"), (col("doc_off") + 1).cast("int"),
-            col("n_toks").cast("int")).as("token_ids"))
+          // The id payload travels as a canonical space-joined string:
+          // the oracle comparator hashes scalar cells, and integer
+          // rendering is identical in both engines. n_toks >= 1 by
+          // construction, but DuckDB's array_to_string(NULL-on-empty)
+          // is coalesced to '' to match array_join's empty-string.
+          array_join(slice(col("ids"), (col("doc_off") + 1).cast("int"),
+            col("n_toks").cast("int")).cast("array<string>"), " ")
+            .as("token_ids"))
         .orderBy("seq_id", "seq_off", "doc_id")
     })
 
