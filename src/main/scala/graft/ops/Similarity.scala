@@ -587,7 +587,8 @@ object Similarity {
       embeddings: DataFrame,
       dir: String,
       nlist: Int = 16,
-      fitFraction: Double = 0.25): Unit = {
+      fitFraction: Double = 0.25,
+      rawSidecar: Boolean = true): Unit = {
     val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -616,6 +617,22 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .option("partitionOverwriteMode", "static")
       .parquet(s"$dir/assigned_pq_packed")
+    // Optional RAW sidecar for exact re-rank ([[queryIvfPq]] rerank>0):
+    // the corpus' raw vectors under the SAME coarse cells as the codes,
+    // so a re-rank read prunes to the probed partitions and fetches
+    // candidates without ever scanning the unprobed corpus. This is the
+    // standard two-tier deployment (codes hot, raw cold: FAISS's
+    // IVFPQ+refine shape) — the codes-only stores stay the memory story
+    // (4 B/vec); the sidecar is disk-tier and touched only by re-rank,
+    // nprobe/nlist of it per query. Opt-out (rawSidecar=false) keeps
+    // the codes-only build for deployments that accept ADC recall.
+    if (rawSidecar)
+      model.transform(withVec).drop("features")
+        .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+        .withColumn("ingest_batch", lit(0L))
+        .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$dir/assigned_raw")
   }
 
   /** Query a persisted IVF-PQ index by asymmetric distance (ADC): probe
@@ -644,7 +661,8 @@ object Similarity {
       k: Int = 20,
       nprobe: Int = 4,
       excludeVecId: Long = -1L,
-      packed: Boolean = false): DataFrame = {
+      packed: Boolean = false,
+      rerank: Int = 0): DataFrame = {
     import org.apache.spark.ml.linalg.Vectors
     val coder = new graft.functions.Pq.Coder(graft.functions.Pq.codebookSpec)
     val (dotLut, nrmLut) = coder.luts(queryVec)
@@ -671,12 +689,38 @@ object Similarity {
       else spark.read.parquet(s"$dir/assigned_pq_packed")
         .withColumn("codes", call_function("graft_pq_unpack",
           col("codes_packed"), lit(graft.functions.Pq.codebookSpec)))
-    store
+    val adc = store
       .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("label"),
         round(call_function("graft_pq_adc", col("codes"), lit(adcSpec)), 6).as("cos_pq"))
-      .orderBy(col("cos_pq").desc, col("vec_id"))
-      .limit(k)
+    if (rerank <= 0)
+      adc.orderBy(col("cos_pq").desc, col("vec_id")).limit(k)
+    else {
+      // Two-stage exact re-rank (Jégou et al. 2011 §V, the refine
+      // stage every production IVF-PQ runs): ADC scores shortlist the
+      // probed cells down to `rerank` candidates — a TakeOrderedAndProject
+      // over the codes-only scan, same deterministic
+      // (rounded score desc, vec_id) order as every top-k here — then
+      // ONLY those candidates are scored exactly against the raw
+      // sidecar. The raw read carries the SAME list_id partition filter
+      // (candidates came from probed cells by construction), so the
+      // expensive store is pruned to nprobe/nlist at the FILE level and
+      // the candidate semi-join broadcasts `rerank` ids against it —
+      // per-query raw IO is cells-probed-sized, never corpus-sized.
+      // Exact scores use the one shared cosine kernel (graft_dot), so
+      // re-ranked results are directly comparable to every exact row.
+      val cands = adc.orderBy(col("cos_pq").desc, col("vec_id")).limit(rerank)
+        .select(col("vec_id"))
+      spark.read.parquet(s"$dir/assigned_raw")
+        .filter(col("list_id").isin(probes.toIndexedSeq: _*) &&
+          col("vec_id") =!= excludeVecId)
+        .join(broadcast(cands), "vec_id")
+        .withColumn("q_emb", typedLit(queryVec.toSeq))
+        .select(col("vec_id"), col("label"),
+          round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+    }
   }
 
   /** Incremental ingest into a persisted IVF-PQ index: encode NEW
@@ -695,13 +739,36 @@ object Similarity {
       embeddings: DataFrame,
       ingestBatch: Long): Unit = {
     require(ingestBatch > 0, "ingestBatch 0 is the initial build's partition")
-    writeIngestPartition(
-      nearestCellAssignment(spark, dir, embeddings)
-        .select(col("vec_id"), col("label"),
-          call_function("graft_pq_encode",
-            col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-          col("list_id")),
-      ingestBatch, s"$dir/assigned_pq")
+    // Sidecar presence is decided once at build time and detected here,
+    // so every store the index HAS advances in step — an index built
+    // with the raw sidecar must never see an ingest that leaves the
+    // sidecar behind (re-rank would silently lose the new vectors).
+    val rawPath = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
+    val hasRaw = rawPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rawPath)
+    val assigned = nearestCellAssignment(spark, dir, embeddings)
+    if (hasRaw) {
+      // no-drift chain, sidecar-first: raw ← assignment; codes ← the
+      // JUST-WRITTEN raw partition (one assignment pass total, and the
+      // codes quantize exactly the floats a re-rank will read back)
+      writeIngestPartition(assigned, ingestBatch, s"$dir/assigned_raw")
+      writeIngestPartition(
+        spark.read.parquet(s"$dir/assigned_raw")
+          .filter(col("ingest_batch") === ingestBatch)
+          .select(col("vec_id"), col("label"),
+            call_function("graft_pq_encode",
+              col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+            col("list_id")),
+        ingestBatch, s"$dir/assigned_pq")
+    } else {
+      writeIngestPartition(
+        assigned
+          .select(col("vec_id"), col("label"),
+            call_function("graft_pq_encode",
+              col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+            col("list_id")),
+        ingestBatch, s"$dir/assigned_pq")
+    }
     // both PQ stores advance in step: the packed increment derives from
     // the just-written codes partition (one encode pass, stores cannot
     // drift — the build's discipline)
@@ -752,9 +819,16 @@ object Similarity {
     * breaks the hash. (The nprobe < nlist speedup path is the
     * [[annIvfPqQuery]] twin, recall-pinned in SimilaritySpec.)
     */
-  val annIvfPqFullProbeQuery = QueryDef(
-    "sim_ann_ivfpq_fullprobe",
-    s"""WITH $duckPqPrelude,
+  /** The full ADC replay as a CTE chain (prelude → per-vector
+    * `scored(vec_id, label, dpsum, nnsum)` + `qn(qnorm)`): encode every
+    * vector against the committed VALUES codebook (argmin with the same
+    * left-to-right dim fold and lowest-c tie-break), then the
+    * per-subspace LUT partials with the identical summation grouping.
+    * Shared by the fullprobe row and the re-rank row's candidate stage
+    * so the two oracles can never drift in ADC semantics.
+    */
+  private def duckPqAdcCtes: String =
+    s"""$duckPqPrelude,
        |pq_code AS (
        |  SELECT vec_id, label, m, c,
        |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
@@ -784,7 +858,11 @@ object Similarity {
        |  SELECT vec_id, label,
        |         list_sum(list(dp ORDER BY m)) AS dpsum,
        |         list_sum(list(nn ORDER BY m)) AS nnsum
-       |  FROM parts GROUP BY vec_id, label)
+       |  FROM parts GROUP BY vec_id, label)""".stripMargin
+
+  val annIvfPqFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_fullprobe",
+    s"""WITH $duckPqAdcCtes
        |SELECT s.vec_id, s.label,
        |       round(s.dpsum / (q.qnorm * sqrt(s.nnsum)), 6) AS cos_pq
        |FROM scored s CROSS JOIN qn q
@@ -815,6 +893,45 @@ object Similarity {
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       queryIvfPq(s, dir, q, nprobe = 16, excludeVecId = 0L, packed = true)
+    })
+
+  /** Two-stage exact re-rank driven through every cell (nprobe =
+    * nlist, rerank = 80): ADC shortlists the corpus to the 80 best
+    * candidates by quantized score, then ONLY those are scored exactly
+    * from the raw sidecar. Because every cell is probed, both stages
+    * are pure functions of (codes, committed codebook, raw floats) —
+    * so the DuckDB oracle replays the WHOLE two-stage pipeline
+    * value-for-value: the shared [[duckPqAdcCtes]] ADC scoring, the
+    * identical (rounded cos_pq DESC, vec_id) top-80 cut, then the
+    * exact-cosine re-rank with the same left-to-right fold. Any bug in
+    * candidate selection, the sidecar write/read roundtrip, the
+    * semi-join, or the exact kernel breaks the hash. (The oracle
+    * deliberately replays the pipeline rather than asserting
+    * rerank≡brute-force: the candidate cut is part of the semantics
+    * under test, and equality-to-exact is the RECALL story, measured
+    * in [[annRecallQuery]] and pinned in SimilaritySpec.)
+    */
+  val annIvfPqRerankFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_rerank_fullprobe",
+    s"""WITH $duckPqAdcCtes,
+       |cand AS (
+       |  SELECT s.vec_id,
+       |         round(s.dpsum / (q.qnorm * sqrt(s.nnsum)), 6) AS cos_pq
+       |  FROM scored s CROSS JOIN qn q
+       |  WHERE s.vec_id != 0
+       |  ORDER BY cos_pq DESC, s.vec_id LIMIT 80)
+       |SELECT b.vec_id, b.label,
+       |       round(${duckCosine("b.embedding", "q.q_emb")}, 6) AS cos_sim
+       |FROM embeddings b
+       |JOIN cand c ON c.vec_id = b.vec_id
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY cos_sim DESC, b.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, nprobe = 16, excludeVecId = 0L, rerank = 80)
     })
 
   /** Production IVF-PQ probe (nprobe = 4): partition-pruned ADC over
@@ -958,7 +1075,14 @@ object Similarity {
         bruteForceTopK(emb),
         Seq("ivf" -> annIvfTopK(emb), "lsh" -> annTopK(emb),
           "ivfpq" -> queryIvfPq(s, pqDir, q, k = 20, nprobe = 4, excludeVecId = 0L)
-            .withColumnRenamed("cos_pq", "cos_sim")),
+            .withColumnRenamed("cos_pq", "cos_sim"),
+          // the re-rank twin at the SAME nprobe: the panel's answer to
+          // "what does the exact refine stage buy at equal probe cost"
+          // — quantization loss disappears from the ranking; only
+          // coarse-cell misses (vectors outside the probed cells)
+          // remain as recall loss
+          "ivfpq_rerank" -> queryIvfPq(s, pqDir, q, k = 20, nprobe = 4,
+            excludeVecId = 0L, rerank = 80)),
         Seq(1, 5, 10, 20))
     })
 
@@ -1375,7 +1499,8 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
-      annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
+      annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
+      annIvfPqRerankFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery)

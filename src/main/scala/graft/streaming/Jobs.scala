@@ -291,16 +291,17 @@ object Jobs {
     * dynamic-overwrite its `(list_id, max)` partition in ANY cell, so
     * no cell may fold id `max` into its history even when that cell's
     * local max is lower (it simply didn't receive vectors in the live
-    * batch). Both the codes and packed stores are compacted; probe
-    * reads never filter on ingest_batch, so query results are untouched
-    * by construction. Returns per-store outcomes, one per cell
-    * directory visited (cells already compact report `NothingToDo`).
+    * batch). The codes and packed stores are compacted, plus the raw
+    * re-rank sidecar when the index carries one; probe reads never
+    * filter on ingest_batch, so query results are untouched by
+    * construction. Returns per-store outcomes, one per cell directory
+    * visited (cells already compact report `NothingToDo`).
     */
   def compactPqIngestStore(
       spark: SparkSession,
       indexDir: String,
       targetFiles: Option[Int] = None): Map[String, Seq[CompactionOutcome]] =
-    Seq("assigned_pq", "assigned_pq_packed").map { store =>
+    pqStores(spark, indexDir).map { store =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$store")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       require(fs.exists(root), s"no PQ store at $indexDir/$store")
@@ -1547,9 +1548,23 @@ object Jobs {
       }
       .start()
 
-  /** [[resolvePending]] over every cell of both nested PQ stores. */
+  /** The PQ index's nested stores: the two codes stores always, plus
+    * the raw re-rank sidecar when the build wrote one (sidecar presence
+    * is a build-time choice — see Similarity.buildIvfPqIndex — so the
+    * maintenance paths detect it rather than demand it). Compaction's
+    * exists-require on the codes stores is unchanged: those are never
+    * optional, only the sidecar is.
+    */
+  private def pqStores(spark: SparkSession, indexDir: String): Seq[String] = {
+    val raw = new org.apache.hadoop.fs.Path(s"$indexDir/assigned_raw")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("assigned_pq", "assigned_pq_packed") ++
+      (if (fs.exists(raw)) Seq("assigned_raw") else Nil)
+  }
+
+  /** [[resolvePending]] over every cell of every nested PQ store. */
   private def resolvePendingPq(spark: SparkSession, indexDir: String): Unit =
-    Seq("assigned_pq", "assigned_pq_packed").foreach { store =>
+    pqStores(spark, indexDir).foreach { store =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$store")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root))

@@ -79,7 +79,11 @@ object StressAnn {
       spark.read.parquet(s"$tmp/ivf/assigned").count()
     })
     stage("ivfpq_build")({
-      Similarity.buildIvfPqIndex(corpus, s"$tmp/ivfpq")
+      // codes-only build: this stage's committed claim (SCALING.md) is
+      // the PQ write-volume advantage vs the raw store, so the optional
+      // re-rank sidecar (which is by definition raw-corpus-sized) is
+      // excluded — its cost is the already-measured ivf_build shape
+      Similarity.buildIvfPqIndex(corpus, s"$tmp/ivfpq", rawSidecar = false)
       spark.read.parquet(s"$tmp/ivfpq/assigned_pq").count()
     })
     def sized(dir: String): Long = {

@@ -205,6 +205,46 @@ class SimilaritySpec extends SparkSpec {
     assert(meanMse > 0 && meanMse <= 0.02, s"mean recon mse $meanMse")
   }
 
+  test("ivf-pq exact re-rank: two-stage replay, exact scores, recall lift") {
+    val dir = tmpDir("ivfpq-rerank")
+    Similarity.buildIvfPqIndex(emb, dir, nlist = 8)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val bf = Similarity.bruteForceTopK(emb, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // fullprobe two-stage == driver replay: ADC-rank everything, cut to
+    // the 80 best by (rounded score desc, vec_id), exact-rank the pool
+    val adcFull = Similarity
+      .queryIvfPq(spark, dir, q, k = 499, nprobe = 8, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val pool = adcFull.sortBy { case (v, c) => (-c, v) }.take(80).map(_._1).toSet
+    val expect = bf.filter { case (v, _) => pool(v) }.toSeq
+      .sortBy { case (v, c) => (-c, v) }.take(20)
+    val got = Similarity.queryIvfPq(spark, dir, q, k = 20, nprobe = 8,
+        excludeVecId = 0L, rerank = 80)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expect)
+    // re-ranked scores are EXACT cosines (the raw sidecar roundtripped
+    // bit-faithfully and the shared kernel scored it) — not estimates
+    got.foreach { case (v, c) => assert(c == bf(v), s"vec $v: $c vs ${bf(v)}") }
+    // recall lift at EQUAL nprobe: the refine stage can only help.
+    // Three theorems made executable: ADC-top-20 is a 20-subset of the
+    // ADC-top-80 pool, so exact-ranking the pool recovers at least as
+    // many true-top-20 members; and no pool can beat the coarse-cell
+    // ceiling (exact ranking of everything in the probed cells).
+    val top20 = bf.toSeq.sortBy { case (v, c) => (-c, v) }.take(20).map(_._1).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      (df.collect().map(_.getLong(0)).toSet & top20).size / 20.0
+    val rPlain = recallOf(Similarity.queryIvfPq(spark, dir, q,
+      k = 20, nprobe = 2, excludeVecId = 0L))
+    val rRerank = recallOf(Similarity.queryIvfPq(spark, dir, q,
+      k = 20, nprobe = 2, excludeVecId = 0L, rerank = 80))
+    val rCeil = recallOf(Similarity.queryIvfPq(spark, dir, q,
+      k = 20, nprobe = 2, excludeVecId = 0L, rerank = 499))
+    assert(rPlain <= rRerank && rRerank <= rCeil,
+      s"recall order violated: plain $rPlain, rerank $rRerank, ceiling $rCeil")
+  }
+
   test("pq pack/unpack: bit-exact roundtrip, pinned layout, loud errors") {
     import graft.functions.Pq
     import spark.implicits._
@@ -423,8 +463,9 @@ class SimilaritySpec extends SparkSpec {
     // build under ingest_batch 0, the two stream batches under 1 and 2
     assert(assigned.select("ingest_batch").distinct().as[Long].collect().toSet
       == Set(0L, 1L, 2L))
-    // the packed store advanced in step
+    // the packed store and the raw re-rank sidecar advanced in step
     assert(spark.read.parquet(s"$dir/assigned_pq_packed").count() == 500)
+    assert(spark.read.parquet(s"$dir/assigned_raw").count() == 500)
     // REPLAY: re-run the LAST batch's body with the same ingest id (the
     // at-least-once case) — BOTH stores must be unchanged by CONTENT,
     // not just row count (a pack-path bug that scrambled bytes while
@@ -477,7 +518,8 @@ class SimilaritySpec extends SparkSpec {
     // survive untouched
     import graft.streaming.Jobs.CompactionOutcome
     val outcomes = graft.streaming.Jobs.compactPqIngestStore(spark, dir)
-    assert(outcomes.keySet == Set("assigned_pq", "assigned_pq_packed"))
+    assert(outcomes.keySet ==
+      Set("assigned_pq", "assigned_pq_packed", "assigned_raw"))
     outcomes.values.flatten.foreach(o =>
       assert(!o.isInstanceOf[CompactionOutcome.RolledForward], s"got $o"))
     // at least the cells holding both batch-0 and batch-1 vectors merged
