@@ -193,21 +193,55 @@ object Jobs {
     * (A reset whose first write collides exactly with the last existing
     * batch is indistinguishable from that batch's replay given only
     * batchId — the guard hardens every deeper reset.) Cost per batch:
-    * max over a partition COLUMN — file-listing metadata and parquet
-    * footers only, no data pages.
+    * ONE directory listing — max(ingest_batch) is derived from the
+    * `ingest_batch=` partition-directory names, never a DataFrame read
+    * (which re-pays schema inference + partition discovery over the
+    * whole store on every micro-batch of a long-running stream — the
+    * very file-listing cost compaction exists to bound).
+    *
+    * The guard also resolves any compaction a previous process crashed
+    * in the middle of, UNCONDITIONALLY — not gated on the compaction
+    * cadence being re-enabled. A stream resumed WITHOUT compactEvery
+    * after a mid-compaction crash would otherwise read the gapped store
+    * (the folded history lives only in the invisible `.compact_tmp`)
+    * and silently re-admit duplicates; since every ingest_batch-writing
+    * body calls this guard first, recovery rides the guard's listing.
+    * Cost when nothing is pending: one fs.exists.
     */
   private[streaming] def requireMonotoneIngest(
-      spark: SparkSession, dir: String, target: Long): Unit =
-    if (partitionedStoreNonEmpty(spark, dir)) {
-      // cast: parquet partition-directory values type-infer as INT
-      val maxExisting = spark.read.parquet(dir)
-        .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
-      require(target >= maxExisting,
-        s"batch would write ingest_batch=$target but the store at $dir already " +
-          s"holds batches up to $maxExisting — this is the fresh-checkpoint-" +
-          "against-an-advanced-store hazard (the own-partition overwrite would " +
-          "silently replace earlier data); resume with the original checkpoint, " +
-          "or point the job at a new store")
+      spark: SparkSession, dir: String, target: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      // nested (IVF-PQ) stores key cells as list_id=L/ingest_batch=N;
+      // flat stores key ingest_batch=N directly — the guard serves both
+      val cells = fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+        .map(_.getPath)
+      val roots = if (cells.nonEmpty) cells.toSeq else Seq(root)
+      roots.foreach(r => resolvePending(fs, r))
+      roots.flatMap(r => partitionIds(fs, r).keys).maxOption.foreach { maxExisting =>
+        require(target >= maxExisting,
+          s"batch would write ingest_batch=$target but the store at $dir already " +
+            s"holds batches up to $maxExisting — this is the fresh-checkpoint-" +
+            "against-an-advanced-store hazard (the own-partition overwrite would " +
+            "silently replace earlier data); resume with the original checkpoint, " +
+            "or point the job at a new store")
+      }
+    }
+  }
+
+  /** Resolve crashed compactions on flat stores a batch body READS but
+    * does not guard with [[requireMonotoneIngest]] (which resolves its
+    * own dir) — unconditional, not gated on the compaction cadence
+    * being re-enabled on this run. One fs.exists per dir when nothing
+    * is pending.
+    */
+  private def resolvePendingAt(spark: SparkSession, dirs: String*): Unit =
+    dirs.foreach { d =>
+      val root = new org.apache.hadoop.fs.Path(d)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) resolvePending(fs, root)
     }
 
   /** Outcome of [[compactIngestStore]] — one action per call. */
@@ -339,11 +373,18 @@ object Jobs {
     import org.apache.hadoop.fs.Path
     val tmp = new Path(root, ".compact_tmp")
     if (!fs.exists(tmp)) return None
-    val committed = fs.exists(new Path(tmp, "_SUCCESS"))
+    // The _TARGET_ marker is the SOLE commit signal: compactOneRoot
+    // creates it strictly after the tmp parquet write returns, so its
+    // presence proves the merged history is fully written. Hadoop's
+    // _SUCCESS is deliberately NOT consulted — it is optional
+    // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false is common
+    // on object stores), and classifying a committed tmp as garbage
+    // because _SUCCESS is absent would DELETE the only surviving copy
+    // of the folded history after a mid-delete crash.
     val marker = fs.listStatus(tmp).map(_.getPath.getName)
       .find(_.startsWith("_TARGET_"))
-    (committed, marker) match {
-      case (true, Some(m)) =>
+    marker match {
+      case Some(m) =>
         // roll forward: deletes are idempotent, rename is the commit
         val t = m.stripPrefix("_TARGET_").toLong
         partitionIds(fs, root).filter(_._1 <= t).values
@@ -351,8 +392,8 @@ object Jobs {
         require(fs.rename(tmp, new Path(root, s"ingest_batch=$t")),
           s"could not commit compaction rename to ingest_batch=$t under $root")
         Some(CompactionOutcome.RolledForward(t))
-      case _ =>
-        // uncommitted: originals are intact (deletes only happen after
+      case None =>
+        // no marker: originals are intact (deletes only happen after
         // the marker lands), so discard and let a fresh pass proceed
         require(fs.delete(tmp, true), s"could not clear stale $tmp")
         None
@@ -462,6 +503,7 @@ object Jobs {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
     requireMonotoneIngest(spark, outDir, batchId)
+    resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
     val seen =
       if (storeNonEmpty(spark, storeDir))
         spark.read.parquet(storeDir)
@@ -496,7 +538,9 @@ object Jobs {
     * break the byte-identical-replay contract — refused loudly instead.
     */
   def seedDedupStore(corpus: DataFrame, storeDir: String): Unit = {
-    requireSeedable(corpus.sparkSession, storeDir)
+    val spark = corpus.sparkSession
+    requireSeedable(spark, storeDir)
+    clearSeedPartition(spark, storeDir)
     graft.ops.Dedup.contentHashes(corpus)
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch")
@@ -509,7 +553,9 @@ object Jobs {
     * so the gate's very first batch is LSH-matched against them.
     */
   def seedNearDupStore(corpus: DataFrame, storeDir: String): Unit = {
-    requireSeedable(corpus.sparkSession, storeDir)
+    val spark = corpus.sparkSession
+    requireSeedable(spark, storeDir)
+    clearSeedPartition(spark, storeDir)
     graft.ops.Dedup.shingleHashes(corpus)
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch")
@@ -517,15 +563,28 @@ object Jobs {
       .parquet(storeDir)
   }
 
-  private def requireSeedable(spark: SparkSession, dir: String): Unit =
-    if (partitionedStoreNonEmpty(spark, dir)) {
-      val maxExisting = spark.read.parquet(dir)
-        .agg(max(col("ingest_batch")).cast("long")).head().getLong(0)
-      require(maxExisting <= -1L,
-        s"cannot seed $dir: a stream already wrote batches up to $maxExisting — " +
-          "re-seeding now would retroactively change the history a replayed " +
-          "batch sees; seed only before the first batch, or start a new store")
-    }
+  private def requireSeedable(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      partitionIds(fs, root).keys.maxOption.foreach(maxExisting =>
+        require(maxExisting <= -1L,
+          s"cannot seed $dir: a stream already wrote batches up to $maxExisting — " +
+            "re-seeding now would retroactively change the history a replayed " +
+            "batch sees; seed only before the first batch, or start a new store"))
+  }
+
+  /** Pre-write clear of the seed's own partition (the seedAuditStores
+    * discipline): a RE-seed whose derived frame is EMPTY writes no
+    * partitions at all under dynamic overwrite, which would silently
+    * leave the PREVIOUS seed's rows behind — history the caller just
+    * asked to replace.
+    */
+  private def clearSeedPartition(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/ingest_batch=-1")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) require(fs.delete(p, true), s"could not clear seed $p")
+  }
 
   /** [[seedDedupStore]] for the streaming rejection audit: bootstraps
     * ALL FOUR stores by running the full [[auditLedgerBatch]] body once
@@ -552,17 +611,15 @@ object Jobs {
       shingleSize: Int = 3,
       maxBlock: Int = 64,
       lmGate: Option[AuditLmGate] = None,
-      semanticGate: Option[AuditSemanticGate] = None): Unit = {
+      semanticGate: Option[AuditSemanticGate] = None,
+      classifierGate: Option[AuditClassifierGate] = None): Unit = {
     val spark = corpus.sparkSession
     val stores = Seq("ledger", "admitted", "hashes", "words")
     stores.foreach(s => requireSeedable(spark, s"$storeRoot/$s"))
-    stores.foreach { s =>
-      val p = new org.apache.hadoop.fs.Path(s"$storeRoot/$s/ingest_batch=-1")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) require(fs.delete(p, true), s"could not clear seed $p")
-    }
+    stores.foreach(s => clearSeedPartition(spark, s"$storeRoot/$s"))
     auditLedgerBatch(storeRoot, gate, minTokens, minQuality, jaccardThreshold,
-      minShared, shingleSize, maxBlock, lmGate, semanticGate)(corpus, -1L)
+      minShared, shingleSize, maxBlock, lmGate, semanticGate, classifierGate)(
+      corpus, -1L)
   }
 
   /** The [[incrementalDedupBatch]] body behind a streaming query.
@@ -613,6 +670,7 @@ object Jobs {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     requireMonotoneIngest(spark, outDir, batchId)
+    resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
     val bsh = graft.ops.Dedup.shingleHashes(batch).cache()
     val hist =
       if (storeNonEmpty(spark, storeDir))
@@ -1224,6 +1282,19 @@ object Jobs {
       benchDim: Int,
       threshold: Double)
 
+  /** Stage-10 config for [[auditLedgerBatch]]: the LEARNED quality gate
+    * — the committed hashed-feature linear classifier
+    * ([[graft.functions.QualityClf]], oracle row
+    * `text_quality_classifier`) thresholded on its margin over the
+    * CLEANED text `t` (the audit's contract, like every stage past 1).
+    * Margin 0 is the model's own decision boundary (P = 0.5); raise
+    * `minMargin` for a stricter corpus. Scores with the same codegen'd
+    * kernel as the batch row, so gate and row can never drift. Reason
+    * carries the margin in basis points (`clf_margin_bp=`), keeping the
+    * ledger's no-raw-doubles rendering rule.
+    */
+  final case class AuditClassifierGate(minMargin: Double = 0.0)
+
   /** Stage table of the FULLY-composed streaming audit: the batch
     * pipeline's seven stages plus the stream-only LM and semantic
     * gates. Streams running without those gates still report against
@@ -1231,7 +1302,8 @@ object Jobs {
     * [[auditFunnelFromStores]]).
     */
   val streamAuditStages: Seq[(Long, String)] =
-    graft.ops.Curation.auditStages ++ Seq(8L -> "lm_gate", 9L -> "semantic")
+    graft.ops.Curation.auditStages ++
+      Seq(8L -> "lm_gate", 9L -> "semantic", 10L -> "classifier")
 
   /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s
     * drop ledger lifted onto micro-batches: every doc a batch rejects
@@ -1263,14 +1335,15 @@ object Jobs {
     * output partitioned by `ingest_batch`, batch N reads only store
     * partitions `< N` and dynamic-overwrites its own.
     *
-    * Stages 8 ([[AuditLmGate]], `lm_gate`) and 9 ([[AuditSemanticGate]],
-    * `semantic`) compose the LM-perplexity and semantic-decontamination
-    * gates into the SAME batch body: one foreachBatch drives all nine
-    * stages off one cached scored frame, each stage scoring only the
-    * previous stage's survivors — a production stream pays one scan of
-    * each batch instead of N separate gate streams re-reading it. Both
-    * are static-store pure functions of (batch, store), so they add
-    * nothing to the replay contract.
+    * Stages 8 ([[AuditLmGate]], `lm_gate`), 9 ([[AuditSemanticGate]],
+    * `semantic`), and 10 ([[AuditClassifierGate]], `classifier`)
+    * compose the LM-perplexity, semantic-decontamination, and learned-
+    * quality gates into the SAME batch body: one foreachBatch drives
+    * all ten stages off one cached scored frame, each stage scoring
+    * only the previous stage's survivors — a production stream pays one
+    * scan of each batch instead of N separate gate streams re-reading
+    * it. All three are pure functions of (batch, static store /
+    * committed model), so they add nothing to the replay contract.
     */
   def auditLedgerBatch(
       storeRoot: String,
@@ -1282,13 +1355,18 @@ object Jobs {
       shingleSize: Int = 3,
       maxBlock: Int = 64,
       lmGate: Option[AuditLmGate] = None,
-      semanticGate: Option[AuditSemanticGate] = None)(
+      semanticGate: Option[AuditSemanticGate] = None,
+      classifierGate: Option[AuditClassifierGate] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
     // ledger/ is the batch's FIRST write, so its max ingest_batch is
     // the most-advanced of the four audit stores — the strictest guard
     requireMonotoneIngest(spark, s"$storeRoot/ledger", batchId)
+    // the three sibling stores this body reads or extends, none of
+    // which the ledger guard's resolution covers
+    resolvePendingAt(spark, s"$storeRoot/admitted",
+      s"$storeRoot/hashes", s"$storeRoot/words")
     import org.apache.spark.sql.expressions.Window
     // the semantic contract is validated over the WHOLE batch up front,
     // not just stage-9 survivors: a NULL or wrong-dim embedding is a
@@ -1430,14 +1508,32 @@ object Jobs {
       }
       val semDrops = semDropped.select(col("doc_id"), lit(9L).as("stage_idx"),
         lit("semantic").as("stage"), col("reason"))
-      val admitted = afterLm
+      val afterSem = afterLm
         .join(semDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // stage 10: learned quality over semantic survivors — the
+      // committed hashed-linear classifier's margin via the SAME
+      // codegen'd kernel as the text_quality_classifier oracle row
+      val clfDropped: DataFrame = classifierGate match {
+        case Some(cfg) =>
+          afterSem.select(col("doc_id"),
+            call_function("graft_quality_margin",
+              split(lower(col("t")), "\\s+"),
+              lit(graft.functions.QualityClf.modelSpec)).as("m"))
+            .filter(col("m") < cfg.minMargin)
+            .select(col("doc_id"), concat(lit("clf_margin_bp="),
+              floor(col("m") * 10000 + 0.5).cast("long")).as("reason"))
+        case None => noDrops
+      }
+      val clfDrops = clfDropped.select(col("doc_id"), lit(10L).as("stage_idx"),
+        lit("classifier").as("stage"), col("reason"))
+      val admitted = afterSem
+        .join(clfDropped.select("doc_id"), Seq("doc_id"), "left_anti")
       // outputs first, stores derived from the WRITTEN output (the
       // incrementalDedupBatch discipline: one compute, and a store job
       // never reads and overwrites its own dir in one plan)
       writeOwn(
         gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops)
-          .unionAll(lmDrops).unionAll(semDrops),
+          .unionAll(lmDrops).unionAll(semDrops).unionAll(clfDrops),
         s"$storeRoot/ledger")
       writeOwn(admitted, s"$storeRoot/admitted")
       // an all-dropped FIRST batch leaves admitted/ with no parquet files
@@ -1527,9 +1623,11 @@ object Jobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // nested-store self-maintenance: resolve any crashed per-cell
-        // compaction BEFORE the assignment reads/writes the store, then
-        // compact on cadence (the withAutoCompaction shape, per cell)
-        compactEvery.foreach(_ => resolvePendingPq(spark, indexDir))
+        // compaction BEFORE the assignment reads/writes the store —
+        // unconditionally, NOT gated on the cadence being re-enabled
+        // this run (a resume without compactEvery after a mid-compaction
+        // crash must still see the folded history, not the gapped store)
+        resolvePendingPq(spark, indexDir)
         // F7-style empty-batch guard; +1 keeps batch 0 clear of the
         // initial build's partition
         if (!batch.isEmpty) {
@@ -1594,6 +1692,7 @@ object Jobs {
       lmK: Double = 0.5,
       embStoreDir: Option[String] = None,
       semanticThreshold: Double = 0.9,
+      classifierGate: Option[AuditClassifierGate] = None,
       queryTrigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Option[Int] = None): StreamingQuery = {
     require(benchStoreDir.isEmpty || bloomStoreDir.isEmpty,
@@ -1624,7 +1723,8 @@ object Jobs {
         Seq("ledger", "admitted", "hashes", "words").map(s => s"$storeRoot/$s"),
         compactEvery)(
         auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize,
-          lmGate = lmGate, semanticGate = semanticGate)))
+          lmGate = lmGate, semanticGate = semanticGate,
+          classifierGate = classifierGate)))
       .start()
   }
 

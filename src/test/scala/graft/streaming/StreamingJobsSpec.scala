@@ -493,6 +493,13 @@ class StreamingJobsSpec extends SparkSpec {
     val store = tmpDir("seed-dedup-store"); val out = tmpDir("seed-dedup-out")
     val corpus = Seq(Doc(100, "alpha corpus text"), Doc(101, "beta corpus text")).toDF()
     Jobs.seedDedupStore(corpus, store)
+    // an EMPTY re-seed must REPLACE the previous seed, not silently
+    // keep it (dynamic overwrite writes no partitions for an empty
+    // frame — the pre-write clear is what makes "replace" true)
+    Jobs.seedDedupStore(corpus.limit(0), store)
+    // (an empty store has no partitions to read — assert at the FS level)
+    assert(!new java.io.File(store, "ingest_batch=-1").exists(),
+      "empty re-seed left the previous seed's rows behind")
     Jobs.seedDedupStore(corpus, store) // re-seed BEFORE any batch: replace, not refuse
     assert(spark.read.parquet(store).count() == 2)
     Jobs.incrementalDedupBatch(store, out)(
@@ -904,7 +911,7 @@ class StreamingJobsSpec extends SparkSpec {
     assert(partitionIds(crashed) == Set(1L, 2L))
     assert(rows(crashed) == crashedBefore)
 
-    // UNCOMMITTED tmp (no _SUCCESS): originals intact, so it is
+    // UNCOMMITTED tmp (no _TARGET_ marker): originals intact, so it is
     // discarded and a fresh compaction proceeds
     val stale = build("compact-stale")
     val staleBefore = rows(stale)
@@ -915,6 +922,46 @@ class StreamingJobsSpec extends SparkSpec {
       .isInstanceOf[CompactionOutcome.Compacted])
     assert(partitionIds(stale) == Set(1L, 2L))
     assert(rows(stale) == staleBefore)
+
+    // OBJECT-STORE COMMIT SIGNAL: the _TARGET_ marker alone must commit.
+    // With mapreduce.fileoutputcommitter.marksuccessfuljobs=false (the
+    // common object-store config) the tmp write produces NO _SUCCESS;
+    // a crash between the history deletes and the rename then leaves
+    // (marker present, _SUCCESS absent) where the tmp holds the ONLY
+    // copy of the folded history — classifying it uncommitted would
+    // destroy that history, so it must roll forward instead
+    val noSuccess = build("compact-nosuccess")
+    val noSuccessBefore = rows(noSuccess)
+    val nsTmp = new org.apache.hadoop.fs.Path(noSuccess, ".compact_tmp")
+    spark.read.parquet(noSuccess).filter(col("ingest_batch") < 2)
+      .drop("ingest_batch").write.parquet(nsTmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(nsTmp, "_SUCCESS"), false)
+    fs.create(new org.apache.hadoop.fs.Path(nsTmp, "_TARGET_1")).close()
+    fs.delete(new org.apache.hadoop.fs.Path(noSuccess, "ingest_batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(noSuccess, "ingest_batch=1"), true)
+    assert(Jobs.compactIngestStore(spark, noSuccess)
+      == CompactionOutcome.RolledForward(1L))
+    assert(partitionIds(noSuccess) == Set(1L, 2L))
+    assert(rows(noSuccess) == noSuccessBefore)
+
+    // RESUME WITHOUT THE CADENCE: a body run with NO compaction opt-in
+    // must still resolve a crashed compaction before reading — the
+    // folded history lives only in the invisible tmp, and reading the
+    // gapped store would re-admit what it holds. The monotone guard
+    // carries the resolution, so the plain batch body suffices.
+    val gapped = build("compact-gapped")
+    val gappedBefore = rows(gapped)
+    val gTmp = new org.apache.hadoop.fs.Path(gapped, ".compact_tmp")
+    spark.read.parquet(gapped).filter(col("ingest_batch") < 2)
+      .drop("ingest_batch").write.parquet(gTmp.toString)
+    fs.create(new org.apache.hadoop.fs.Path(gTmp, "_TARGET_1")).close()
+    fs.delete(new org.apache.hadoop.fs.Path(gapped, "ingest_batch=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(gapped, "ingest_batch=1"), true)
+    Jobs.sketchStoreBatch(gapped)(batchRows(3).toDF(), 3L) // no compactEvery anywhere
+    assert(partitionIds(gapped) == Set(1L, 2L, 3L),
+      s"crashed compaction not resolved: ${partitionIds(gapped)}")
+    assert(rows(gapped).intersect(gappedBefore) == gappedBefore,
+      "folded history lost on a cadence-less resume")
   }
 
   test("kafka source option map mirrors the reference consumer params") {
