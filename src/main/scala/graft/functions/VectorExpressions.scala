@@ -369,6 +369,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_decode"),
       new ExpressionInfo(classOf[BpeDecode].getName, "graft_bpe_decode"),
       two("graft_bpe_decode", BpeDecode)),
+    (FunctionIdentifier("graft_quality_margin"),
+      new ExpressionInfo(classOf[QualityMargin].getName, "graft_quality_margin"),
+      two("graft_quality_margin", QualityMargin)),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
       two("graft_pq_encode", PqEncode)),

@@ -837,8 +837,59 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
 
+  // --------------------------------------------------- learned quality
+
+  /** Learned quality classifier — the hashed-feature linear model
+    * ([[graft.functions.QualityClf]], fastText shape) scored by the
+    * codegen'd graft_quality_margin kernel over the pinned cross-engine
+    * tokenization. Emits the MARGIN (monotone in the probability — no
+    * transcendentals near the hash compare) r6-rounded, plus the
+    * thresholded prediction on the raw margin. The DuckDB oracle
+    * replays every step value-for-value: the identical split, the
+    * md5-hex15 bucket, the committed weight list (1-indexed), the
+    * fixed-order mean, the same floor-rounding — so a drift anywhere in
+    * the kernel, the spec literal, or the bucket math breaks the hash.
+    *
+    * Scale shape: one scan, zero shuffle, model literals inside the
+    * plan — identical to the heuristic scorer it upgrades; at 100 TB
+    * this runs at parquet scan speed with full column pruning.
+    */
+  val qualityClassifierQuery = QueryDef(
+    "text_quality_classifier",
+    s"""WITH w AS (SELECT ${graft.functions.QualityClf.duckWeightsList} AS wts),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id,
+       |         list_concat(t, list_transform(generate_series(1, len(t) - 1),
+       |           i -> t[i] || '_' || t[i + 1])) AS f
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(f) = 0 THEN ${graft.functions.QualityClf.bias}
+       |              ELSE ${graft.functions.QualityClf.bias}
+       |                + list_sum(list_transform(f, x ->
+       |                    w.wts[(CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+       |                           % ${graft.functions.QualityClf.B}) + 1])) / len(f)
+       |         END AS z
+       |  FROM feat CROSS JOIN w)
+       |SELECT doc_id,
+       |       floor(z * 1000000 + 0.5) / 1000000 AS margin,
+       |       CASE WHEN z >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred
+       |FROM scored ORDER BY doc_id""".stripMargin)(
+    (s, d) => Rebalance.scanWide(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_quality_margin",
+          split(lower(col("text")), "\\s+"),
+          lit(graft.functions.QualityClf.modelSpec)).as("z"))
+      .select(col("doc_id"),
+        (floor(col("z") * 1000000 + 0.5) / 1000000).as("margin"),
+        when(col("z") >= 0, lit(1L)).otherwise(lit(0L)).as("pred"))
+      .orderBy("doc_id"))
+
   val all: Seq[QueryDef] =
     Seq(tokenStats, qualityScores, langId, fingerprint, cleanText, piiMask, repetitionQuery,
       tfidfQuery, lmScoreQuery, importanceQuery, chunkQuery, vocabOovQuery, bpeTokens,
-      bpeRoundtrip)
+      bpeRoundtrip, qualityClassifierQuery)
 }

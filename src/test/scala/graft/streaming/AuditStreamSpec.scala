@@ -169,9 +169,10 @@ class AuditStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(admitted == Set(1L, 9L)) // the two docs that clear all nine stages
 
-    // the nine-stage funnel telescopes over the whole history
+    // the full stream-stage funnel telescopes over the whole history
+    // (stage 10 is registered but unconfigured here — zero drops)
     val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
-    assert(funnel.length == 9)
+    assert(funnel.length == 10)
     assert(funnel.head.getAs[Long]("n_in") == train.length.toLong)
     assert(funnel.last.getAs[Long]("n_out") == 2L)
     funnel.foreach { r =>
@@ -202,6 +203,63 @@ class AuditStreamSpec extends SparkSpec {
     assert(got2 == got, s"replay changed the ledger")
     assert(spark.read.parquet(s"$root/admitted")
       .select("doc_id").as[Long].collect().toSet == Set(1L, 9L), "replay changed admitted")
+  }
+
+  test("classifier gate (stage 10): margin threshold drops, reason rendering, funnel conserves") {
+    import graft.functions.QualityClf
+    // two clean, unique, high-quality texts that pass stages 1-9 (no
+    // decon/LM/semantic stores configured) and differ in committed-model
+    // margin; the threshold is set BETWEEN them so exactly the
+    // lower-margin doc drops at stage 10. Margins come from the same
+    // kernel the gate compiles — this test pins the COMPOSITION (stage
+    // index, reason rendering, survivor exclusion, funnel row); the
+    // kernel's VALUE correctness is the text_quality_classifier oracle
+    // row's job.
+    val docs = Seq(1L -> base, 2L -> fresh)
+    val margins = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("graft_quality_margin",
+        split(lower(col("text")), "\\s+"), lit(QualityClf.modelSpec)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(margins(1L) != margins(2L), s"fixture margins collide: $margins")
+    val (lowDoc, highDoc) = if (margins(1L) < margins(2L)) (1L, 2L) else (2L, 1L)
+    val thr = (margins(lowDoc) + margins(highDoc)) / 2
+
+    val root = tmpDir("audit10-store")
+    val ms = MemoryStream[Doc](spark)(org.apache.spark.sql.Encoders.product[Doc])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit10-ckpt"),
+      classifierGate = Some(Jobs.AuditClassifierGate(minMargin = thr)),
+      queryTrigger = Trigger.ProcessingTime(0))
+    try docs.foreach { case (id, t) => ms.addData(Doc(id, t)); q.processAllAvailable() }
+    finally q.stop()
+
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(ledger == Set((lowDoc, 10L, "classifier",
+      s"clf_margin_bp=${math.floor(margins(lowDoc) * 10000 + 0.5).toLong}")),
+      s"ledger: $ledger")
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(highDoc))
+    // the survivor's words/hashes extended the stores; the dropped
+    // doc's did not (stage 10 sits ABOVE the store writes)
+    assert(spark.read.parquet(s"$root/hashes").count() == 1L)
+    val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
+    assert(funnel.length == 10)
+    val clfRow = funnel.find(_.getAs[String]("stage") == "classifier").get
+    assert(clfRow.getAs[Long]("n_dropped") == 1L && clfRow.getAs[Long]("n_out") == 1L)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+    }
+    // replay idempotence with the classifier live: re-run the LAST
+    // batch body with the same ingest id — ledger and admitted unchanged
+    Jobs.auditLedgerBatch(root,
+      classifierGate = Some(Jobs.AuditClassifierGate(minMargin = thr)))(
+      Seq(Doc(docs.last._1, docs.last._2)).toDF(), (docs.length - 1).toLong)
+    assert(spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet == ledger)
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == Set(highDoc))
   }
 
   test("bloom-gated audit equals the exact gate on a single-bench fixture (union == pair)") {
