@@ -287,6 +287,39 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("quality classifier margin == independent md5-hex replay for random models") = {
+    import graft.functions.QualityClf
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // random models (bucket count, bias, weights) and random token
+    // lists incl. empty/unicode; the replay parses the md5 HEX STRING
+    // with BigInteger — a genuinely different implementation than the
+    // kernel's byte-shift loop — and folds in the same feature order
+    val modelGen = for {
+      b <- Gen.chooseNum(1, 32)
+      bias <- Gen.chooseNum(-2.0, 2.0)
+      w <- Gen.listOfN(b, Gen.chooseNum(-3.0, 3.0))
+    } yield (b, bias, w)
+    val toksGen = Gen.listOf(
+      Gen.oneOf("the", "fox", "a1", ".", "", "Mixed", "zz", "ünïcøde"))
+    forAll(modelGen, toksGen) { case ((b, bias, w), toks) =>
+      val spec = s"$b $bias ${w.mkString(" ")}"
+      val scorer = new QualityClf.Scorer(spec)
+      val arr = ArrayData.toArrayData(toks.map(UTF8String.fromString).toArray)
+      val got = scorer.margin(arr)
+      def bucket(s: String): Int = {
+        val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+        (new java.math.BigInteger(hex, 16).longValue % b).toInt
+      }
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(p => p(0) + "_" + p(1))
+      val expect =
+        if (feats.isEmpty) bias
+        else bias + feats.map(f => w(bucket(f))).sum / feats.length
+      Prop(got == expect) :| s"kernel $got != replay $expect (b=$b, toks=$toks)"
+    }
+  }
+
   property("pq encode is argmin-optimal: recon MSE <= any fixed code assignment") = {
     import graft.functions.Pq
     val coder = new Pq.Coder(Pq.codebookSpec)
