@@ -108,12 +108,28 @@ object StressAnn {
     stage("ivfpq_probe4_packed")(count(
       Similarity.queryIvfPq(spark, s"$tmp/ivfpq", q, k = 20, nprobe = 4, packed = true)))
 
+    // r16: the re-rank deployment shape — a SECOND index built WITH the
+    // raw sidecar (its own stage, so the sidecar's build premium over
+    // the codes-only build is the visible delta), then the two-stage
+    // probes against it: ADC shortlist -> partition-pruned exact refine
+    stage("ivfpq_build_with_sidecar")({
+      Similarity.buildIvfPqIndex(corpus, s"$tmp/ivfpq_rr")
+      spark.read.parquet(s"$tmp/ivfpq_rr/assigned_raw").count()
+    })
+    val sidecarBytes = sized(s"$tmp/ivfpq_rr/assigned_raw")
+    stage("ivfpq_rerank_probe4")(count(
+      Similarity.queryIvfPq(spark, s"$tmp/ivfpq_rr", q, k = 20, nprobe = 4, rerank = 80)))
+    stage("ivfpq_rerank_fullprobe")(count(
+      Similarity.queryIvfPq(spark, s"$tmp/ivfpq_rr", q, k = 20, nprobe = 16, rerank = 80)))
+
     println()
     println("BEGIN-ANN-SECTION")
     println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +
       f"Store bytes: raw-IVF ${rawBytes / 1048576.0}%.1f MB, PQ codes " +
       f"${codeBytes / 1048576.0}%.1f MB, PQ packed ${packedBytes / 1048576.0}%.1f MB " +
-      f"(raw/packed = ${rawBytes.toDouble / packedBytes}%.0fx). sf dir: $sfDir, local[32].")
+      f"(raw/packed = ${rawBytes.toDouble / packedBytes}%.0fx), re-rank raw sidecar " +
+      f"${sidecarBytes / 1048576.0}%.1f MB (cold tier, touched nprobe/nlist per query). " +
+      f"sf dir: $sfDir, local[32].")
     println()
     println("| stage | rows out | wall s | shuffle write MB | executor-cpu s | tasks |")
     println("|---|---|---|---|---|---|")
