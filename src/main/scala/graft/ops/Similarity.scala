@@ -709,6 +709,12 @@ object Similarity {
       // per-query raw IO is cells-probed-sized, never corpus-sized.
       // Exact scores use the one shared cosine kernel (graft_dot), so
       // re-ranked results are directly comparable to every exact row.
+      val rawPath = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
+      require(rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(rawPath),
+        s"re-rank requested but the index at $dir was built codes-only " +
+          "(no assigned_raw sidecar) — rebuild with rawSidecar=true, or " +
+          "query with rerank=0 for pure ADC scores")
       val cands = adc.orderBy(col("cos_pq").desc, col("vec_id")).limit(rerank)
         .select(col("vec_id"))
       spark.read.parquet(s"$dir/assigned_raw")

@@ -243,6 +243,12 @@ class SimilaritySpec extends SparkSpec {
       k = 20, nprobe = 2, excludeVecId = 0L, rerank = 499))
     assert(rPlain <= rRerank && rRerank <= rCeil,
       s"recall order violated: plain $rPlain, rerank $rRerank, ceiling $rCeil")
+    // a codes-only index refuses re-rank LOUDLY (not a parquet path error)
+    val bare = tmpDir("ivfpq-rerank-bare")
+    Similarity.buildIvfPqIndex(emb, bare, nlist = 8, rawSidecar = false)
+    val e = intercept[IllegalArgumentException](
+      Similarity.queryIvfPq(spark, bare, q, k = 20, nprobe = 8, rerank = 80))
+    assert(e.getMessage.contains("codes-only"), e.getMessage)
   }
 
   test("pq pack/unpack: bit-exact roundtrip, pinned layout, loud errors") {
