@@ -79,20 +79,29 @@ object QualityClf {
     * Spec: "B bias w0 w1 ... w(B-1)" — whitespace-separated, doubles
     * round-tripped through Double.toString/parseDouble bit-exactly.
     */
-  final class Scorer(spec: String) extends Serializable {
-    private val parts = spec.trim.split("\\s+")
+  /** Parse "B bias w..." once; returned parts are the only retained
+    * state — the split String[] (b+2 strings, ~1M at a fastText-scale
+    * B=2^20) must NOT live on as a field of a Scorer that rides every
+    * codegen'd plan via addReferenceObj.
+    */
+  private def parseSpec(spec: String): (Int, Double, Array[Double]) = {
+    val parts = spec.trim.split("\\s+")
     require(parts.length >= 2, s"classifier spec too short (${parts.length} fields)")
-    val b: Int = parts(0).toInt
+    val b = parts(0).toInt
     require(b >= 1, s"classifier bucket count must be positive, got $b")
     require(parts.length == b + 2,
       s"classifier spec claims $b buckets but carries ${parts.length - 2} weights")
-    val bias: Double = parts(1).toDouble
-    val w: Array[Double] = {
-      val arr = new Array[Double](b)
-      var i = 0
-      while (i < b) { arr(i) = parts(i + 2).toDouble; i += 1 }
-      arr
-    }
+    val arr = new Array[Double](b)
+    var i = 0
+    while (i < b) { arr(i) = parts(i + 2).toDouble; i += 1 }
+    (b, parts(1).toDouble, arr)
+  }
+
+  final class Scorer(spec: String) extends Serializable {
+    private val parsed = QualityClf.parseSpec(spec)
+    val b: Int = parsed._1
+    val bias: Double = parsed._2
+    val w: Array[Double] = parsed._3
 
     /** Margin over a pre-split lowercase token array: unigrams in array
       * order, then adjacent bigrams; NULL elements are skipped (and not
@@ -211,6 +220,28 @@ object QualityClf {
     */
   lazy val duckWeightsList: String =
     weights.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** The committed model's margin spelled from catalyst BUILTINS only
+    * (transform + md5/conv bucket + element_at lookup + left-to-right
+    * aggregate fold over unigrams-then-bigrams): the interpreted twin
+    * of [[QualityMargin]]. ONE definition — TextAnalysisSpec pins it
+    * bit-equal to the kernel and tools/ProfileClf times it (23× at
+    * 150k docs), so the equality contract and the committed
+    * measurement can never drift apart.
+    */
+  def hofMargin(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val wLit = typedLit(weights.toSeq)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % B).cast("int")
+    def wOf(c: org.apache.spark.sql.Column) = element_at(wLit, bucketOf(c) + 1)
+    val uw = transform(toks, t => wOf(t))
+    val bw = transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => wOf(concat(t, lit("_"), element_at(toks, i + 2))))
+    val f = concat(uw, bw)
+    lit(bias) + aggregate(f, lit(0.0), (acc, x) => acc + x) / size(f)
+  }
 }
 
 /** graft_quality_margin(tokens, 'B bias w...') — the classifier margin

@@ -597,42 +597,42 @@ object Similarity {
       .toDF("list_id", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    model.transform(withVec).drop("features")
-      .select(col("vec_id"), col("label"),
+    def writeStatic(df: DataFrame, store: String): Unit =
+      df.withColumn("ingest_batch", lit(0L))
+        .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+        // static pinned: rebuild truncates stale ingest partitions (see
+        // buildIvfIndex)
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$dir/$store")
+    // ONE assignment pass feeds every store. With the raw sidecar on
+    // ([[queryIvfPq]] rerank>0 — raw vectors under the SAME coarse
+    // cells as the codes, so the refine read prunes to the probed
+    // partitions: the FAISS IVFPQ+refine two-tier shape, codes hot /
+    // raw cold), the sidecar is written FIRST and the codes derive
+    // from the just-written raw store — the ingest path's no-drift
+    // chain, and the codes quantize exactly the floats a re-rank
+    // reads back. Codes-only builds (rawSidecar=false, for
+    // deployments that accept ADC recall) encode from the in-memory
+    // assignment directly.
+    val assigned = model.transform(withVec).drop("features")
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+    val codesSource =
+      if (rawSidecar) {
+        writeStatic(assigned, "assigned_raw")
+        spark.read.parquet(s"$dir/assigned_raw")
+      } else assigned
+    writeStatic(
+      codesSource.select(col("vec_id"), col("label"),
         call_function("graft_pq_encode",
           col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-        col("list_id"))
-      .withColumn("ingest_batch", lit(0L))
-      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
-      // static pinned: rebuild truncates stale ingest partitions (see
-      // buildIvfIndex)
-      .option("partitionOverwriteMode", "static")
-      .parquet(s"$dir/assigned_pq")
+        col("list_id")),
+      "assigned_pq")
     // the AT-REST form: codes bit-packed to ceil(M*log2(K)/8) bytes per
     // vector (4 B at the committed K=16 — 64x vs the raw floats). Same
     // partitioning; derived from the JUST-WRITTEN codes table so the
     // two stores cannot drift (one encode pass total).
-    packedFromCodes(spark.read.parquet(s"$dir/assigned_pq"))
-      .withColumn("ingest_batch", lit(0L))
-      .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
-      .option("partitionOverwriteMode", "static")
-      .parquet(s"$dir/assigned_pq_packed")
-    // Optional RAW sidecar for exact re-rank ([[queryIvfPq]] rerank>0):
-    // the corpus' raw vectors under the SAME coarse cells as the codes,
-    // so a re-rank read prunes to the probed partitions and fetches
-    // candidates without ever scanning the unprobed corpus. This is the
-    // standard two-tier deployment (codes hot, raw cold: FAISS's
-    // IVFPQ+refine shape) — the codes-only stores stay the memory story
-    // (4 B/vec); the sidecar is disk-tier and touched only by re-rank,
-    // nprobe/nlist of it per query. Opt-out (rawSidecar=false) keeps
-    // the codes-only build for deployments that accept ADC recall.
-    if (rawSidecar)
-      model.transform(withVec).drop("features")
-        .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
-        .withColumn("ingest_batch", lit(0L))
-        .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
-        .option("partitionOverwriteMode", "static")
-        .parquet(s"$dir/assigned_raw")
+    writeStatic(packedFromCodes(spark.read.parquet(s"$dir/assigned_pq")),
+      "assigned_pq_packed")
   }
 
   /** Query a persisted IVF-PQ index by asymmetric distance (ADC): probe
@@ -752,36 +752,31 @@ object Similarity {
     val rawPath = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
     val hasRaw = rawPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(rawPath)
+    // ONE assignment pass, pinned for the batch: the sidecar and codes
+    // writes both consume it, and pinning (batch-sized frame) beats
+    // either recomputing the centroid cross-join per write or reading
+    // the whole ever-growing sidecar store back per micro-batch just to
+    // recover rows this frame already holds (floats roundtrip parquet
+    // bit-exactly — the sidecar spec pins it — so codes from the
+    // in-memory frame equal codes from a read-back, no drift window)
     val assigned = nearestCellAssignment(spark, dir, embeddings)
-    if (hasRaw) {
-      // no-drift chain, sidecar-first: raw ← assignment; codes ← the
-      // JUST-WRITTEN raw partition (one assignment pass total, and the
-      // codes quantize exactly the floats a re-rank will read back)
-      writeIngestPartition(assigned, ingestBatch, s"$dir/assigned_raw")
-      writeIngestPartition(
-        spark.read.parquet(s"$dir/assigned_raw")
-          .filter(col("ingest_batch") === ingestBatch)
-          .select(col("vec_id"), col("label"),
-            call_function("graft_pq_encode",
-              col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-            col("list_id")),
-        ingestBatch, s"$dir/assigned_pq")
-    } else {
-      writeIngestPartition(
-        assigned
-          .select(col("vec_id"), col("label"),
-            call_function("graft_pq_encode",
-              col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-            col("list_id")),
-        ingestBatch, s"$dir/assigned_pq")
-    }
-    // both PQ stores advance in step: the packed increment derives from
-    // the just-written codes partition (one encode pass, stores cannot
-    // drift — the build's discipline)
-    writeIngestPartition(
-      packedFromCodes(spark.read.parquet(s"$dir/assigned_pq")
-        .filter(col("ingest_batch") === ingestBatch)),
-      ingestBatch, s"$dir/assigned_pq_packed")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      if (hasRaw)
+        writeIngestPartition(assigned, ingestBatch, s"$dir/assigned_raw")
+      val codes = assigned.select(col("vec_id"), col("label"),
+        call_function("graft_pq_encode",
+          col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+        col("list_id"))
+      writeIngestPartition(codes, ingestBatch, s"$dir/assigned_pq")
+      // both PQ stores advance in step, derived from the SAME pinned
+      // assignment (encode and pack are pure functions of the floats,
+      // so the stores cannot drift; a read-back of the just-written
+      // partition would re-pay full-store partition discovery on every
+      // micro-batch of a long-running stream)
+      writeIngestPartition(packedFromCodes(codes),
+        ingestBatch, s"$dir/assigned_pq_packed")
+    } finally assigned.unpersist(blocking = true)
   }
 
   /** The ONE codes→packed projection (build and ingest share it). */

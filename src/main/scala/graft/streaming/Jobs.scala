@@ -206,7 +206,10 @@ object Jobs {
     * (the folded history lives only in the invisible `.compact_tmp`)
     * and silently re-admit duplicates; since every ingest_batch-writing
     * body calls this guard first, recovery rides the guard's listing.
-    * Cost when nothing is pending: one fs.exists.
+    * Cost when nothing is pending: two directory listings per root
+    * (cell detection + partition ids) and one .compact_tmp probe —
+    * constant per batch, vs the former full-store schema inference +
+    * partition discovery.
     */
   private[streaming] def requireMonotoneIngest(
       spark: SparkSession, dir: String, target: Long): Unit = {
@@ -418,11 +421,7 @@ object Jobs {
       body: (DataFrame, Long) => Unit)(batch: DataFrame, batchId: Long): Unit = {
     require(every > 0, s"compaction cadence must be positive (got $every)")
     val spark = batch.sparkSession
-    dirs.foreach { d =>
-      val root = new org.apache.hadoop.fs.Path(d)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) resolvePending(fs, root)
-    }
+    resolvePendingAt(spark, dirs: _*)
     body(batch, batchId)
     if ((batchId + 1) % every == 0)
       dirs.foreach { d =>
@@ -1626,8 +1625,11 @@ object Jobs {
         // compaction BEFORE the assignment reads/writes the store —
         // unconditionally, NOT gated on the cadence being re-enabled
         // this run (a resume without compactEvery after a mid-compaction
-        // crash must still see the folded history, not the gapped store)
-        resolvePendingPq(spark, indexDir)
+        // crash must still see the folded history, not the gapped
+        // store). assigned_pq itself is resolved by the monotone guard
+        // below; only its two derived siblings need probing here.
+        resolvePendingPq(spark, indexDir,
+          only = Seq("assigned_pq_packed", "assigned_raw"))
         // F7-style empty-batch guard; +1 keeps batch 0 clear of the
         // initial build's partition
         if (!batch.isEmpty) {
@@ -1660,9 +1662,16 @@ object Jobs {
       (if (fs.exists(raw)) Seq("assigned_raw") else Nil)
   }
 
-  /** [[resolvePending]] over every cell of every nested PQ store. */
-  private def resolvePendingPq(spark: SparkSession, indexDir: String): Unit =
-    pqStores(spark, indexDir).foreach { store =>
+  /** [[resolvePending]] over every cell of the nested PQ stores in
+    * `only` (defaults to all present). The ingest stream passes the
+    * stores its [[requireMonotoneIngest]] guard does NOT already
+    * resolve, so nothing is probed twice per batch.
+    */
+  private def resolvePendingPq(
+      spark: SparkSession, indexDir: String,
+      only: Seq[String] = Nil): Unit =
+    (if (only.nonEmpty) only.filter(pqStores(spark, indexDir).contains)
+     else pqStores(spark, indexDir)).foreach { store =>
       val root = new org.apache.hadoop.fs.Path(s"$indexDir/$store")
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(root))

@@ -36,21 +36,21 @@ object ProfileClf {
 
     val toks = split(lower(col("text")), "\\s+")
     val kernel = call_function("graft_quality_margin", toks, lit(QualityClf.modelSpec))
-    val wLit = typedLit(QualityClf.weights.toSeq)
+    // THE pinned twin (QualityClf.hofMargin — same definition the
+    // bit-equality spec asserts), so this measurement cannot drift
+    // from the contract it claims to time
+    val hof = QualityClf.hofMargin(toks)
+    // hash only, no table lookup: isolates md5+conv from element_at
     def bucketOf(c: Column) =
       (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % QualityClf.B).cast("int")
-    def wOf(c: Column) = element_at(wLit, bucketOf(c) + 1)
-    def hofFeats(weight: Column => Column) = {
-      val uw = transform(toks, t => weight(t))
+    val hashOnly = {
+      val uw = transform(toks, t => bucketOf(t).cast("double"))
       val bw = transform(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        (t, i) => weight(concat(t, lit("_"), element_at(toks, i + 2))))
+        (t, i) => bucketOf(concat(t, lit("_"), element_at(toks, i + 2))).cast("double"))
       val f = concat(uw, bw)
       lit(QualityClf.bias) + aggregate(f, lit(0.0), (acc, x) => acc + x) / size(f)
     }
-    val hof = hofFeats(wOf)
-    // hash only, no table lookup: isolates md5+conv from element_at
-    val hashOnly = hofFeats(c => bucketOf(c).cast("double"))
 
     def time(name: String, c: Column): Unit = {
       val secs = (1 to 3).map { _ =>

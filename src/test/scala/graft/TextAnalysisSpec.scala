@@ -193,20 +193,9 @@ class TextAnalysisSpec extends SparkSpec {
       2L -> "Mixed CASE tokens   and   odd    spacing here",
       3L -> "one",
       4L -> "punctuation, heavy! text? with; symbols... everywhere")
-    val wLit = org.apache.spark.sql.functions.typedLit(QualityClf.weights.toSeq)
     val toks = split(lower(col("text")), "\\s+")
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      (conv(substring(md5(c), 1, 15), 16, 10).cast("long") % QualityClf.B).cast("int")
-    def wOf(c: org.apache.spark.sql.Column) = element_at(wLit, bucketOf(c) + 1)
     val hof = docs
-      .withColumn("uw", transform(toks, t => wOf(t)))
-      .withColumn("bw", transform(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        (t, i) => wOf(concat(t, lit("_"), element_at(toks, i + 2)))))
-      .withColumn("f", concat(col("uw"), col("bw")))
-      .select(col("doc_id"),
-        (lit(QualityClf.bias) +
-          aggregate(col("f"), lit(0.0), (acc, x) => acc + x) / size(col("f"))).as("m"))
+      .select(col("doc_id"), QualityClf.hofMargin(toks).as("m"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val kernel = docs.select(col("doc_id"),
       call_function("graft_quality_margin", toks, lit(QualityClf.modelSpec)).as("m"))
