@@ -1497,6 +1497,202 @@ object Similarity {
        |WHERE neg_rank <= 5 ORDER BY anchor_id, neg_rank""".stripMargin)(
     (s, d) => hardNegatives(Tables.embeddings(s, d)).orderBy("anchor_id", "neg_rank"))
 
+  // ------------------------------------------------------ learned domains
+
+  /** Committed corpus-domain centroids — unsupervised mixture control
+    * for a corpus with NO provenance column (the 100 TB reality: the
+    * `source`-stratified mixing rows need a label the bytes rarely
+    * carry; these domains are learned from the embeddings themselves).
+    * DATA, not code: emitted by the deterministic
+    * `sbt "runMain graft.tools.DomainTrain"` (full-dim Lloyd's k-means,
+    * spread seeding by vec_id rank, lowest-id tie-break, 6-decimal
+    * rounding — the PqTrain discipline), so the Scala literal, the
+    * assignment arithmetic, and the DuckDB VALUES list parse identical
+    * doubles. K=8 fits the fixture; production commits a bigger table,
+    * the operators are table-size-agnostic.
+    */
+  val domainCentroids: Array[Array[Double]] = Array(
+    Array(-0.017834, -0.003864, 0.032788, -0.02381, -0.009658, -0.042518, -0.029225, 0.024658,
+      0.043254, 0.025847, -0.011097, 0.0079, 0.013377, -0.044045, 0.03126, -0.03028,
+      0.006704, 0.031052, 0.012159, -0.008523, -0.033257, 0.005578, 0.028394, -0.040023,
+      0.006883, 0.042418, 0.03722, -0.039854, -0.011924, 0.04561, 0.007935, 0.092019,
+      0.014973, -0.043396, -0.027683, -0.001448, -0.043832, 0.010168, -0.025704, -0.013771,
+      0.005643, -0.019958, -0.02768, 0.016828, 0.01554, 0.052703, 0.03915, 0.005202,
+      -0.039785, -0.080066, 0.001986, 0.042936, 0.041087, -0.011086, -0.019479, 0.041312,
+      0.013349, -0.001863, -0.040841, -0.062429, -0.010484, 0.023429, -0.006939, -0.031686),
+    Array(0.009533, -0.023237, 0.011066, 0.032362, 0.040446, 0.007866, -0.010747, 0.001686,
+      0.02007, -0.051983, 0.04513, 0.030402, 0.014035, 0.04843, -0.07905, 0.080654,
+      0.002, 0.016432, -0.056679, -0.054921, -0.004989, -0.009269, 0.006057, -0.091716,
+      -0.008218, -0.012959, -0.059083, 0.009421, 0.036106, -0.018767, 0.05543, -0.034426,
+      -0.010216, -0.044701, -0.053304, 0.001289, 0.012554, -0.013547, -0.0051, 0.019592,
+      0.029721, 0.006296, 0.02386, 7.59E-4, -0.060368, 0.037864, 0.047891, 0.043473,
+      -0.00923, -0.020527, 7.61E-4, 0.035386, 0.038619, 0.076687, 0.052868, 0.003648,
+      -0.034414, 0.012606, 0.001695, -0.004989, 0.014923, -0.008918, 0.04817, 0.027656),
+    Array(-0.008985, -0.030115, 0.04784, 0.035076, -0.006991, -0.032097, 0.011456, 0.083625,
+      -0.032816, 0.077247, -0.016418, 0.047717, 0.013798, 0.00286, 0.049571, 0.029197,
+      0.024839, -0.013928, 0.015755, 0.015146, 0.004028, -0.007952, -0.013013, -0.001588,
+      0.002881, 0.003677, 0.001333, 0.047704, -0.045683, -0.031785, 0.017087, -0.047936,
+      0.037171, 0.017362, -0.006848, 0.079232, 0.006477, -0.035311, -0.024013, -0.035355,
+      0.028007, -0.009278, -0.023366, -0.010073, -0.02775, -0.070134, -0.046771, 0.008282,
+      0.021779, 0.018699, 0.038808, 0.019027, 0.006123, 0.024303, 0.048469, -0.022155,
+      -0.009504, 0.015734, -0.016532, -0.003056, -0.009023, 0.005435, -0.072731, -0.035082),
+    Array(0.036854, -0.021081, -0.024413, 0.034425, -0.096136, -0.017482, -0.013371, -0.069712,
+      -0.01925, -0.003281, 0.001948, -0.018562, -0.0637, 0.005671, -0.03876, -0.020801,
+      -0.013095, -0.013762, -0.022299, 0.009411, 0.007011, 0.041475, -0.018325, 0.088359,
+      -0.00114, 0.002299, -0.007843, -0.013964, 0.02095, 0.014127, -0.002596, -0.030227,
+      -0.007345, -0.039022, 0.014975, 0.008205, -3.76E-4, -0.079349, -0.00142, 0.044855,
+      0.049998, 0.053965, 0.088365, 0.015989, -0.018943, 0.010226, 0.038466, -0.040337,
+      0.035033, 0.033067, 0.013173, -0.024455, 0.04069, -0.045546, -0.028787, 0.015999,
+      -9.69E-4, -0.007547, 0.002983, 0.005273, -0.033816, 0.013092, 0.010493, 0.002934),
+    Array(0.027881, -0.034805, -0.001769, -0.035452, 0.045931, 0.023697, -0.067022, -0.013782,
+      0.02849, 0.025298, 0.005692, -0.027301, 0.023471, -0.018899, 0.013206, 0.019315,
+      0.034314, 0.042375, 0.038273, 0.041353, -0.016068, -0.00802, -0.005087, -0.009485,
+      -0.041604, -0.0013, -0.014776, 0.005069, 0.016956, -0.028992, 0.004431, -0.022982,
+      -0.007094, 0.039683, 0.081221, -0.053205, -0.01445, 0.025827, -0.012407, -0.013261,
+      -0.042344, -0.01961, 0.016634, 7.6E-4, 0.002215, 0.012883, -0.067524, 0.041178,
+      -0.012148, -0.007386, -0.015422, -0.033532, 0.001601, -0.018291, 0.036201, -0.003033,
+      -0.024659, 0.03345, 0.04633, -0.019182, -0.052244, -0.008409, 0.040671, -0.020402),
+    Array(-0.038331, 0.037829, -0.005436, -0.061856, -0.015857, 0.0384, 0.007139, 0.009657,
+      0.010004, -0.065585, -0.041527, 0.003505, -0.023805, 0.026784, -0.04124, -0.012972,
+      0.038474, -0.028177, 0.038344, 0.011048, 0.001926, 0.043016, 0.077894, -0.030936,
+      0.017538, 0.038006, -0.039747, -0.019325, -0.017149, -0.022091, -0.064469, 0.024365,
+      -0.008431, -0.001477, -0.047247, -0.007631, 0.059769, 0.051815, 0.063934, -0.028894,
+      -8.38E-4, 0.050167, -0.033637, -0.042703, -0.032645, 5.33E-4, 0.003344, -0.060305,
+      0.031921, -0.039068, -0.037819, -5.68E-4, -0.021978, -0.029603, -0.008676, -0.079034,
+      0.021556, -0.013019, -0.003392, 0.021985, -0.021445, 0.079322, -0.008588, -0.006903),
+    Array(0.036128, 0.059992, 0.009315, 0.026659, 0.043215, 0.009217, -0.03518, 0.048273,
+      -0.050282, -0.065745, 0.015478, -0.051432, -0.06484, -0.0738, -0.013531, -6.38E-4,
+      -0.066723, 0.014066, 0.010785, -0.012432, -0.007236, -0.010747, 0.009942, 0.02959,
+      -0.006372, -0.002564, 0.054036, 0.001943, 0.004182, 0.025407, -0.003113, -0.011858,
+      0.004081, 0.004578, 0.030178, 0.003394, -0.045343, 0.036492, 0.005368, 0.029542,
+      -0.045058, -0.058929, 0.008405, -0.004793, -0.049755, 0.015831, -6.59E-4, 0.054204,
+      0.003563, 0.029853, 0.065592, -0.029503, -0.052117, -0.015214, -0.021184, -0.029682,
+      0.093255, 2.2E-4, -0.015705, 0.046565, 0.027256, -0.039288, -0.006342, 0.039204),
+    Array(-0.028871, 0.003798, -0.044381, -0.035518, 0.060127, 0.081303, 0.007262, -0.015045,
+      -0.032054, 0.002222, 0.047927, 0.030147, 0.033935, 0.078725, 0.0337, -0.013402,
+      -0.0123, -0.019831, -0.048921, -0.00749, 0.024952, -0.019665, -0.032289, -0.005561,
+      0.025174, 0.030657, 0.002289, 0.083084, -0.007338, 0.018161, 0.015545, -0.021596,
+      0.033138, -0.001525, 0.017609, -0.011628, 0.003383, -0.006397, 0.015863, 0.001363,
+      -0.025489, -0.070561, -0.039327, 0.006524, 0.049365, -0.024849, 0.008289, -0.021667,
+      -0.038762, -0.007164, 0.008752, -0.020709, -0.002582, -0.010536, -0.030974, 0.017195,
+      -0.001541, -0.066225, -0.018738, -0.024037, 0.08885, -0.011225, -0.012112, -0.055186),
+  )
+
+  private def duckDomainValues: String =
+    domainCentroids.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.mkString(", ")}])"
+    }.mkString(", ")
+
+  /** The committed-centroid assignment + its DuckDB replay, shared by
+    * both domain rows: d2 = e·e − 2·e·c + c·c with every dot the same
+    * sequential double fold on both engines ([[dot]]/[[duckDot]] — the
+    * bit-parity every cosine row already proves), lowest (d2, domain)
+    * wins. Ends in `dom_assigned(vec_id, label, domain)`.
+    */
+  private def duckDomainAssigned: String =
+    s"""dom_cents(domain, cent) AS (SELECT * FROM (VALUES $duckDomainValues) t),
+       |dom_d2 AS (
+       |  SELECT e.vec_id, e.label, c.domain,
+       |         ${duckDot("e.embedding", "e.embedding")}
+       |         - 2 * ${duckDot("e.embedding", "c.cent")}
+       |         + ${duckDot("c.cent", "c.cent")} AS d2
+       |  FROM embeddings e CROSS JOIN dom_cents c),
+       |dom_assigned AS (
+       |  SELECT vec_id, label, domain FROM (
+       |    SELECT vec_id, label, domain,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, domain) AS rn
+       |    FROM dom_d2) WHERE rn = 1)""".stripMargin
+
+  /** Domain of every vector under the committed centroids: one scan,
+    * an 8-row broadcast, the shared |e−c|² expansion (d2 = e·e − 2·e·c
+    * + c·c, each dot the codegen'd graft_dot), lowest (d2, domain)
+    * wins — [[nearestCellAssignment]]'s relational argmin against a
+    * COMMITTED table instead of a fitted store, which is what makes
+    * the result a pure function of (corpus, table) and therefore
+    * DuckDB-replayable.
+    */
+  def assignDomains(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = domainCentroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("domain", "centroid")
+      .withColumn("cc", dot("centroid", "centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("domain"))
+    embeddings
+      .withColumn("ee", dot("embedding", "embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("ee") - lit(2.0) * dot("embedding", "centroid") + col("cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("domain"))
+  }
+
+  /** Learned-domain mixture report: how the corpus distributes over the
+    * committed domains — the number a mixture-controlled training run
+    * watches (drift here = the corpus composition moved; retrain the
+    * domain table or adjust quotas). One scan + an 8-row aggregate.
+    */
+  val domainMixtureQuery = QueryDef(
+    "sim_domain_mixture",
+    s"""WITH $duckDomainAssigned,
+       |tot AS (SELECT count(*) AS n FROM dom_assigned)
+       |SELECT domain, count(*) AS n_vecs,
+       |       floor(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot) * 1e6 + 0.5) / 1e6 AS share
+       |FROM dom_assigned GROUP BY domain ORDER BY domain""".stripMargin)(
+    (s, d) => {
+      val assigned = assignDomains(Tables.embeddings(s, d))
+      val tot = assigned.agg(count(lit(1)).cast("double").as("n"))
+      assigned.groupBy("domain").agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_vecs"),
+          (floor(col("n_vecs") / col("n") * 1e6 + 0.5) / 1e6).as("share"))
+        .orderBy("domain")
+    })
+
+  /** Temperature-rebalanced sampling over the LEARNED domains — the
+    * [[graft.ops.Coverage.temperatureTakeSample]] quota-and-take
+    * discipline (alpha=0.5 flattening, 10-decimal share stabilization,
+    * md5 rank order: content-deterministic under any file layout) with
+    * the committed-centroid domain as the stratum key instead of a
+    * provenance column. THE unsupervised mixture-control operator:
+    * upweight rare corpus regions without knowing what they are.
+    */
+  val domainRebalanceQuery = QueryDef(
+    "sim_domain_rebalance",
+    s"""WITH $duckDomainAssigned,
+       |counts AS (
+       |  SELECT domain, count(*) AS n_k, pow(count(*), 0.5) AS w_k
+       |  FROM dom_assigned GROUP BY domain),
+       |quota AS (
+       |  SELECT domain,
+       |         least(n_k, CAST(floor(200.0 * (floor(w_k / (SELECT sum(w_k) FROM counts) * 1e10 + 0.5) / 1e10) + 0.5) AS BIGINT)) AS take_k
+       |  FROM counts),
+       |ranked AS (
+       |  SELECT vec_id, domain,
+       |         row_number() OVER (PARTITION BY domain ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+       |  FROM dom_assigned)
+       |SELECT r.vec_id, r.domain FROM ranked r JOIN quota q ON r.domain = q.domain
+       |WHERE r.rn <= q.take_k
+       |ORDER BY vec_id""".stripMargin)(
+    (s, d) => {
+      val assigned = assignDomains(Tables.embeddings(s, d))
+      val counts = assigned.groupBy("domain").agg(count(lit(1)).as("n_k"))
+        .withColumn("w_k", pow(col("n_k").cast("double"), 0.5))
+      val z = counts.agg(sum(col("w_k")).as("z"))
+      val share = floor(col("w_k") / col("z") * 1e10 + 0.5) / 1e10
+      val quota = counts.crossJoin(broadcast(z))
+        .select(col("domain"),
+          least(col("n_k"), floor(lit(200.0) * share + 0.5).cast("long")).as("take_k"))
+      val w = Window.partitionBy("domain").orderBy(md5(col("vec_id").cast("string")))
+      assigned
+        .withColumn("rn", row_number().over(w))
+        .join(broadcast(quota), "domain")
+        .filter(col("rn") <= col("take_k"))
+        .select(col("vec_id"), col("domain"))
+        .orderBy("vec_id")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
@@ -1504,5 +1700,5 @@ object Similarity {
       annIvfPqRerankFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
-      hardNegativesQuery)
+      hardNegativesQuery, domainMixtureQuery, domainRebalanceQuery)
 }

@@ -549,6 +549,40 @@ class SimilaritySpec extends SparkSpec {
       .values.flatten.forall(_ == CompactionOutcome.NothingToDo))
   }
 
+  test("learned domains: committed-centroid argmin, exhaustive mixture, flattened rebalance") {
+    // assignment equals an independent driver-side argmin over the
+    // committed table ((e-c)^2 directly, not the relational expansion —
+    // same winner because ties are broken on domain id and the fixture
+    // has none at double precision)
+    val cents = Similarity.domainCentroids
+    val got = Similarity.assignDomains(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sq(a: Array[Double], c: Array[Double]) =
+      a.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.foreach { case (v, e) =>
+      val best = cents.indices.minBy(k => (sq(e, cents(k)), k))
+      assert(got(v) == best, s"vec $v: ${got(v)} vs $best")
+    }
+    // every vector lands in exactly one domain; the mixture conserves
+    val mix = Similarity.domainMixtureQuery.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(mix.map(_._2).sum == emb.count())
+    assert(math.abs(mix.map(_._3).sum - 1.0) < 1e-4)
+    // rebalance: per-domain quota respected, and the take FLATTENS the
+    // mixture (alpha=0.5): the max/min domain share of the SAMPLE is
+    // strictly closer to 1 than the corpus's
+    val nBy = mix.map(m => m._1 -> m._2.toDouble).toMap
+    val reb = Similarity.domainRebalanceQuery.fn(spark, "/root/testdata/sf0.001")
+      .groupBy("domain").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    reb.foreach { case (d, n) => assert(n <= nBy(d)) }
+    def spread(m: Map[Int, Double]) = m.values.max / m.values.min
+    assert(spread(reb) < spread(nBy),
+      s"rebalance did not flatten: ${spread(reb)} vs ${spread(nBy)}")
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
