@@ -1603,29 +1603,33 @@ object Similarity {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, domain) AS rn
        |    FROM dom_d2) WHERE rn = 1)""".stripMargin
 
-  /** Domain of every vector under the committed centroids: one scan,
-    * an 8-row broadcast, the shared |e−c|² expansion (d2 = e·e − 2·e·c
-    * + c·c, each dot the codegen'd graft_dot), lowest (d2, domain)
-    * wins — [[nearestCellAssignment]]'s relational argmin against a
-    * COMMITTED table instead of a fitted store, which is what makes
-    * the result a pure function of (corpus, table) and therefore
-    * DuckDB-replayable.
+  /** Domain of every vector under the committed centroids: ZERO-shuffle
+    * scan-side argmin — the K centroids ride the plan as literals, d2_k
+    * = e·e − 2·e·c_k + c_k·c_k per row (each dot the codegen'd
+    * graft_dot; c_k·c_k is a driver-side left-fold over the committed
+    * doubles, the same sequential order as duckDot), and the winner is
+    * `least(struct(d2_k, k)...)` — struct ordering IS the (d2, domain)
+    * tie-break, evaluated inside whole-stage codegen. Contrast
+    * [[nearestCellAssignment]] (fitted store, K× row blowup + window):
+    * against a COMMITTED table the argmin needs no join and no
+    * exchange at all, so at 100 TB this runs at parquet scan speed —
+    * and the committed table is what makes the result a pure function
+    * of (corpus, table) and therefore DuckDB-replayable.
     */
   def assignDomains(embeddings: DataFrame): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = domainCentroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("domain", "centroid")
-      .withColumn("cc", dot("centroid", "centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("domain"))
+    val ee = dot("embedding", "embedding")
+    val cand = domainCentroids.zipWithIndex.map { case (c, k) =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      struct(
+        (ee - lit(2.0) * call_function("graft_dot",
+          col("embedding"), typedLit(c.toSeq)) + lit(cc)).as("d2"),
+        lit(k).as("domain"))
+    }
     embeddings
-      .withColumn("ee", dot("embedding", "embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2",
-        col("ee") - lit(2.0) * dot("embedding", "centroid") + col("cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("domain"))
+      .withColumn("best", least(cand: _*))
+      .select(col("vec_id"), col("label"), col("best.domain").as("domain"))
   }
 
   /** Learned-domain mixture report: how the corpus distributes over the

@@ -174,6 +174,17 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("domain assignment is scan-side: zero exchanges, zero windows, zero joins") {
+    // the committed-table argmin must stay a projection (least over
+    // literal-centroid structs inside WSCG) — a window or join here
+    // would shuffle the full corpus to pick among 8 literals
+    val plan = graft.ops.Similarity.assignDomains(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"domain argmin shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"domain argmin windows:\n$plan")
+    assert(!plan.contains("Join"), s"domain argmin joins:\n$plan")
+  }
+
   test("audit stage filters read the cached scored frame, never re-score") {
     // The rejection audit necessarily scores PER DOC (each raw doc needs
     // its own verdict), so it cannot use curate's dedup-first pushdown
