@@ -240,7 +240,12 @@ object QualityClf {
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       (t, i) => wOf(concat(t, lit("_"), element_at(toks, i + 2))))
     val f = concat(uw, bw)
-    lit(bias) + aggregate(f, lit(0.0), (acc, x) => acc + x) / size(f)
+    // Empty feature set: the kernel (and Scorer.margin) return the bare
+    // bias, but aggregate(...)/size(f) would evaluate 0.0/0 -> NULL —
+    // unreachable from split() output today, yet the twin contract is
+    // bit-equality on EVERY input, so pin the branch.
+    when(size(f) === 0, lit(bias))
+      .otherwise(lit(bias) + aggregate(f, lit(0.0), (acc, x) => acc + x) / size(f))
   }
 }
 

@@ -620,7 +620,20 @@ object Similarity {
       if (rawSidecar) {
         writeStatic(assigned, "assigned_raw")
         spark.read.parquet(s"$dir/assigned_raw")
-      } else assigned
+      } else {
+        // Every sidecar consumer (queryIvfPq's rerank gate,
+        // assignToPqIndex's hasRaw, Jobs.pqStores) detects the sidecar
+        // purely by existence — a codes-only rebuild in place over a
+        // previously sidecar'd index must therefore REMOVE the stale
+        // raw store, or re-rank would filter old-quantizer cell
+        // assignments by the new probe cells and silently return wrong
+        // rows. Mirror of the static-overwrite truncation the written
+        // stores get.
+        val stale = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale)) fs.delete(stale, true)
+        assigned
+      }
     writeStatic(
       codesSource.select(col("vec_id"), col("label"),
         call_function("graft_pq_encode",
@@ -663,6 +676,14 @@ object Similarity {
       excludeVecId: Long = -1L,
       packed: Boolean = false,
       rerank: Int = 0): DataFrame = {
+    // The exact-rank stage can only emit rows from the rerank-sized
+    // candidate pool: 0 < rerank < k would silently starve limit(k)
+    // with no error. The reference refine stage always shortlists
+    // >= k (Jégou et al. §V uses multiples of k), so demand it.
+    require(rerank <= 0 || rerank >= k,
+      s"rerank=$rerank must be >= k=$k (the refine shortlist feeds the " +
+        "final top-k; a smaller pool silently truncates results) — " +
+        "use rerank=0 for pure ADC scores")
     import org.apache.spark.ml.linalg.Vectors
     val coder = new graft.functions.Pq.Coder(graft.functions.Pq.codebookSpec)
     val (dotLut, nrmLut) = coder.luts(queryVec)

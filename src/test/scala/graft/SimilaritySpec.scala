@@ -249,6 +249,22 @@ class SimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.queryIvfPq(spark, bare, q, k = 20, nprobe = 8, rerank = 80))
     assert(e.getMessage.contains("codes-only"), e.getMessage)
+    // 0 < rerank < k would starve limit(k) from a pool smaller than k —
+    // rejected up front, never a silent short result
+    val eStarve = intercept[IllegalArgumentException](
+      Similarity.queryIvfPq(spark, dir, q, k = 20, nprobe = 8, rerank = 5))
+    assert(eStarve.getMessage.contains("rerank"), eStarve.getMessage)
+    // codes-only REBUILD IN PLACE over a sidecar'd index must truncate
+    // the stale raw store: its embeddings and cell assignments come
+    // from the OLD quantizer fit, and every sidecar consumer detects it
+    // purely by existence — left behind, re-rank would silently return
+    // wrong rows filtered by the new probe cells
+    Similarity.buildIvfPqIndex(emb, dir, nlist = 8, rawSidecar = false)
+    val rawDir = new java.io.File(s"$dir/assigned_raw")
+    assert(!rawDir.exists(), "stale assigned_raw sidecar survived a codes-only rebuild")
+    val eBare = intercept[IllegalArgumentException](
+      Similarity.queryIvfPq(spark, dir, q, k = 20, nprobe = 8, rerank = 80))
+    assert(eBare.getMessage.contains("codes-only"), eBare.getMessage)
   }
 
   test("pq pack/unpack: bit-exact roundtrip, pinned layout, loud errors") {

@@ -201,6 +201,18 @@ class TextAnalysisSpec extends SparkSpec {
       call_function("graft_quality_margin", toks, lit(QualityClf.modelSpec)).as("m"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(kernel == hof, s"kernel $kernel vs hof $hof") // BIT equality
+    // empty feature set: unreachable from split() output (it yields
+    // [""]), but the twin contract is EVERY input — both sides must
+    // return the bare bias, not NULL from a 0.0/0 division
+    val emptyToks = array().cast("array<string>")
+    val emptyRow = docsOf(9L -> "ignored").select(
+      QualityClf.hofMargin(emptyToks).as("hof"),
+      call_function("graft_quality_margin",
+        emptyToks, lit(QualityClf.modelSpec)).as("kernel")).head()
+    assert(!emptyRow.isNullAt(0) && emptyRow.getDouble(0) == QualityClf.bias,
+      s"hof empty-array margin ${emptyRow.get(0)}")
+    assert(emptyRow.getDouble(1) == QualityClf.bias,
+      s"kernel empty-array margin ${emptyRow.get(1)}")
     // malformed specs are analysis-time errors, not executor crashes
     def call(spec: String) = docs.select(call_function("graft_quality_margin",
       toks, lit(spec))).collect()
