@@ -1619,8 +1619,8 @@ object Similarity {
        |         + ${duckDot("c.cent", "c.cent")} AS d2
        |  FROM embeddings e CROSS JOIN dom_cents c),
        |dom_assigned AS (
-       |  SELECT vec_id, label, domain FROM (
-       |    SELECT vec_id, label, domain,
+       |  SELECT vec_id, label, domain, d2 FROM (
+       |    SELECT vec_id, label, domain, d2,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, domain) AS rn
        |    FROM dom_d2) WHERE rn = 1)""".stripMargin
 
@@ -1637,9 +1637,14 @@ object Similarity {
     * and the committed table is what makes the result a pure function
     * of (corpus, table) and therefore DuckDB-replayable.
     */
-  def assignDomains(embeddings: DataFrame): DataFrame = {
+  /** The per-centroid (d2, domain) candidate structs over `embedding` —
+    * ONE spelling of the committed-table argmin arithmetic, shared by
+    * [[assignDomains]] and [[semDeDup]] so the two can never disagree
+    * on which domain a vector lands in.
+    */
+  private def domainCandidates: Seq[Column] = {
     val ee = dot("embedding", "embedding")
-    val cand = domainCentroids.zipWithIndex.map { case (c, k) =>
+    domainCentroids.zipWithIndex.map { case (c, k) =>
       var cc = 0.0
       var i = 0
       while (i < c.length) { cc += c(i) * c(i); i += 1 }
@@ -1648,10 +1653,12 @@ object Similarity {
           col("embedding"), typedLit(c.toSeq)) + lit(cc)).as("d2"),
         lit(k).as("domain"))
     }
-    embeddings
-      .withColumn("best", least(cand: _*))
-      .select(col("vec_id"), col("label"), col("best.domain").as("domain"))
   }
+
+  def assignDomains(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("best", least(domainCandidates: _*))
+      .select(col("vec_id"), col("label"), col("best.domain").as("domain"))
 
   /** Learned-domain mixture report: how the corpus distributes over the
     * committed domains — the number a mixture-controlled training run
@@ -1718,6 +1725,128 @@ object Similarity {
         .orderBy("vec_id")
     })
 
+  // ------------------------------------------------------------ SemDeDup
+
+  /** One-scan projection behind [[semDeDup]]: the committed-centroid
+    * argmin ([[domainCandidates]] — same structs as [[assignDomains]])
+    * plus the vector itself, its norm, and its OWN-centroid distance
+    * `d2` — everything the pair stage and the keep-rule need, computed
+    * scan-side with zero exchanges.
+    */
+  private def domainAssignedD2(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("best", least(domainCandidates: _*))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best.domain").as("domain"), col("best.d2").as("d2"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+
+  /** Dropped vec_ids under the SemDeDup keep-rule: within a domain,
+    * every ε-close pair eliminates its member CLOSER to the centroid
+    * (larger-d2 survives; tie → lower vec_id survives). A vector is
+    * dropped iff it loses ANY pair — survivors are the local d2-maxima
+    * of the ε-neighborhood graph, which never drops a vector unless an
+    * ε-close, more-centroid-distant neighbor exists. (Per-component
+    * keep-one would additionally drop chain members that are NOT
+    * ε-close to the survivor — this rule is the tighter one, and it is
+    * one deterministic relational pass instead of a transitive closure.)
+    */
+  private def semDeDupDroppedIds(assigned: DataFrame, eps: Double): DataFrame = {
+    val l = assigned.select(col("domain"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("nrm").as("na"), col("d2").as("da"))
+    val r = assigned.select(col("domain"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"), col("d2").as("db"))
+    l.join(r, Seq("domain"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
+      .filter(col("cos_sim") >= eps)
+      .select(when(col("da") > col("db"), col("vec_b"))
+        .when(col("da") < col("db"), col("vec_a"))
+        .otherwise(col("vec_b")).as("vec_id"))
+      .distinct()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings and removing ε-close pairs
+    * WITHIN each cluster — the quadratic all-pairs cost is bounded to
+    * Σ|cluster|², which is the paper's entire scaling argument: grow
+    * the cluster count with the corpus (they run 50k clusters at web
+    * scale; the committed table here is the 8-domain fixture fit) and
+    * within-cluster pairing stays tractable while cross-cluster pairs
+    * — overwhelmingly non-duplicates — are never materialized.
+    * Representative choice follows the paper: among duplicates, KEEP
+    * the vector farthest from its centroid (diversity-preserving
+    * low-centroid-similarity keep, §4), here made deterministic with a
+    * lowest-vec_id tie-break.
+    *
+    * Unlike [[cosineNearDupPairs]] (fitted LSH buckets) this blocks on
+    * the COMMITTED domain table, so the full pipeline — assignment,
+    * pairing, keep-rule — is a pure function of (corpus, table) and
+    * DuckDB replays it exactly: the only hash-verified near-dup
+    * REMOVAL operator in the embedding family. At scale the domain
+    * join shuffles on the cluster key (parallelism = cluster count —
+    * another reason the table must grow with the corpus) and the
+    * drop-set anti-join is output-sized.
+    */
+  def semDeDup(embeddings: DataFrame, eps: Double = 0.3): DataFrame = {
+    val assigned = domainAssignedD2(embeddings)
+    assigned
+      .join(semDeDupDroppedIds(assigned, eps), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("domain"))
+  }
+
+  /** The SemDeDup pipeline in DuckDB: committed-centroid assignment
+    * (shared [[duckDomainAssigned]] CTE, now carrying d2), per-domain
+    * pair elimination, identical keep-rule CASE.
+    */
+  private def duckSemDeDup(eps: Double): String =
+    s"""$duckDomainAssigned,
+       |sd_vecs AS (
+       |  SELECT a.vec_id, a.label, a.domain, a.d2, e.embedding,
+       |         sqrt(${duckDot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM dom_assigned a JOIN embeddings e ON a.vec_id = e.vec_id),
+       |sd_dropped AS (
+       |  SELECT DISTINCT CASE WHEN a.d2 > b.d2 THEN b.vec_id
+       |                       WHEN a.d2 < b.d2 THEN a.vec_id
+       |                       ELSE b.vec_id END AS vec_id
+       |  FROM sd_vecs a JOIN sd_vecs b
+       |    ON a.domain = b.domain AND a.vec_id < b.vec_id
+       |  WHERE round(${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= $eps)""".stripMargin
+
+  val semDeDupQuery = QueryDef(
+    "sim_semdedup",
+    s"""WITH ${duckSemDeDup(0.3)}
+       |SELECT v.vec_id, v.label, v.domain FROM sd_vecs v
+       |WHERE v.vec_id NOT IN (SELECT vec_id FROM sd_dropped)
+       |ORDER BY v.vec_id""".stripMargin)(
+    (s, d) => semDeDup(Tables.embeddings(s, d), eps = 0.3).orderBy("vec_id"))
+
+  /** Per-domain removal accounting — the number a curation run watches
+    * to see WHERE semantic redundancy concentrates (a domain shedding
+    * most of its mass is template boilerplate; near-zero removal means
+    * the threshold is below that domain's natural spread).
+    */
+  val semDeDupStatsQuery = QueryDef(
+    "sim_semdedup_stats",
+    s"""WITH ${duckSemDeDup(0.3)}
+       |SELECT v.domain, count(*) AS n_vecs,
+       |       count(*) - count(d.vec_id) AS n_kept,
+       |       count(d.vec_id) AS n_dropped
+       |FROM sd_vecs v LEFT JOIN sd_dropped d ON v.vec_id = d.vec_id
+       |GROUP BY v.domain ORDER BY v.domain""".stripMargin)(
+    (s, d) => {
+      val assigned = domainAssignedD2(Tables.embeddings(s, d))
+      val dropped = semDeDupDroppedIds(assigned, eps = 0.3)
+        .withColumn("is_dropped", lit(1L))
+      assigned.select("vec_id", "domain")
+        .join(dropped, Seq("vec_id"), "left")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+        .select(col("domain"), col("n_vecs"),
+          (col("n_vecs") - col("n_dropped")).as("n_kept"), col("n_dropped"))
+        .orderBy("domain")
+    })
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
@@ -1725,5 +1854,6 @@ object Similarity {
       annIvfPqRerankFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
-      hardNegativesQuery, domainMixtureQuery, domainRebalanceQuery)
+      hardNegativesQuery, domainMixtureQuery, domainRebalanceQuery,
+      semDeDupQuery, semDeDupStatsQuery)
 }

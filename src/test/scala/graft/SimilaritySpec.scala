@@ -599,6 +599,68 @@ class SimilaritySpec extends SparkSpec {
       s"rebalance did not flatten: ${spread(reb)} vs ${spread(nBy)}")
   }
 
+  test("semdedup: independent replay, tie keeps lowest id, eps monotone, stats conserve") {
+    // full-pipeline replay in plain Scala: committed-centroid argmin
+    // (the operator's exact ee - 2e·c + cc spelling), per-domain pairs,
+    // round-6 cosine, keep-the-farther-from-centroid rule
+    val cents = Similarity.domainCentroids
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def foldC(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val assign = vecs.map { case (v, e) =>
+      val ee = dotF(e, e)
+      v -> cents.indices.map { k =>
+        val c = cents(k); var cc = 0.0; var i = 0
+        while (i < c.length) { cc += c(i) * c(i); i += 1 }
+        (ee - 2.0 * foldC(e, c) + cc, k)
+      }.min
+    }
+    val nrm = vecs.map { case (v, e) => v -> math.sqrt(dotF(e, e)) }
+    val ids = vecs.keys.toSeq.sorted
+    def droppedAt(eps: Double): Set[Long] = {
+      val out = scala.collection.mutable.Set[Long]()
+      for { a <- ids; b <- ids if a < b && assign(a)._2 == assign(b)._2 } {
+        val cs = round6(dotF(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+        if (cs >= eps) {
+          val (da, db) = (assign(a)._1, assign(b)._1)
+          out += (if (da > db) b else if (da < db) a else b)
+        }
+      }
+      out.toSet
+    }
+    val expect = ids.toSet -- droppedAt(0.3)
+    val got = Similarity.semDeDup(emb, eps = 0.3).collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"survivors ${got.size} vs replay ${expect.size}")
+    assert(got.size < ids.size, "threshold dropped nothing — fixture degenerate")
+    // stats row partitions the corpus and agrees with the survivor frame
+    val stats = Similarity.semDeDupStatsQuery.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats.map(_._2).sum == ids.size)
+    assert(stats.map(_._3).sum == got.size)
+    stats.foreach { case (d, n, k, dr) => assert(k + dr == n, s"domain $d") }
+    // eps monotone: a higher threshold can only keep more
+    val gotHi = Similarity.semDeDup(emb, eps = 0.45).collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(gotHi))
+    // planted EXACT duplicate of vec 0 under a higher id: same domain,
+    // equal d2 -> the tie branch keeps the LOWER id, and an identical
+    // twin never changes any other vector's verdict
+    val dupId = 9000L
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(dupId)))
+    val surv = Similarity.semDeDup(planted, eps = 0.3).collect().map(_.getLong(0)).toSet
+    assert(!surv.contains(dupId), "planted duplicate with higher id survived the tie-break")
+    assert((surv - dupId) == got, "identical twin changed another vector's verdict")
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
