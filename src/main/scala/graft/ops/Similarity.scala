@@ -1794,6 +1794,33 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("domain"))
   }
 
+  /** Scan-side (vec_id, label, embedding, domain, nrm) projection the
+    * incremental gate streams and stores — [[domainCandidates]] argmin
+    * plus the norm, zero exchanges, the [[withNorm]] shape with the
+    * committed domain attached.
+    */
+  private[graft] def domainWithNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("best", least(domainCandidates: _*))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best.domain").as("domain"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+
+  /** Batch-vs-history ε-match behind the streaming SemDeDup gate:
+    * vec_ids of batch vectors ε-close (same round-6 cosine spelling as
+    * [[semDeDup]], so the threshold means the same thing on both
+    * surfaces) to ANY already-admitted store vector of the same domain.
+    * The micro-batch side is broadcast into the store scan — per-batch
+    * history IO is domain-filtered and never shuffles the store.
+    */
+  private[graft] def semDeDupGateDropped(
+      batch: DataFrame, store: DataFrame, eps: Double): DataFrame =
+    broadcast(batch.select(col("vec_id"), col("domain"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+      .join(store, Seq("domain"))
+      .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
+      .select("vec_id").distinct()
+
   /** The SemDeDup pipeline in DuckDB: committed-centroid assignment
     * (shared [[duckDomainAssigned]] CTE, now carrying d2), per-domain
     * pair elimination, identical keep-rule CASE.

@@ -704,6 +704,113 @@ object Jobs {
     }
   }
 
+  /** Streaming SemDeDup gate — [[graft.ops.Similarity.semDeDup]]'s
+    * ε-closeness lifted onto micro-batches under FIRST-ARRIVAL-WINS
+    * semantics: each batch's vectors are committed-table
+    * domain-assigned scan-side, compared against the persisted
+    * admitted-vector store WITHIN their domain only, dropped if ε-close
+    * to anything already admitted, and survivors extend the store.
+    * (The batch operator's farthest-from-centroid keep-rule needs the
+    * whole corpus at once; a stream cannot retract an admission, so the
+    * gate's contract is the near-dup gates': "not similar to anything
+    * ALREADY ADMITTED". Within-batch semantic dups intentionally pass —
+    * run [[graft.ops.Similarity.semDeDup]] upstream of the stream, or
+    * seed with it via [[seedSemDeDupStore]], if intra-batch redundancy
+    * matters.)
+    *
+    * Store layout is FLAT `ingest_batch=N` with `domain` as a DATA
+    * column sorted within partitions — deliberately NOT a partition
+    * key: at production cluster counts (SemDeDup runs 50k) a
+    * domain-partitioned store would mint nlist directories per
+    * micro-batch (the small-files explosion compaction exists to
+    * fight), while domain-sorted files give the same skipping through
+    * parquet row-group min/max stats against the pushed
+    * `domain IN (batch's domains)` filter. Same read-below /
+    * overwrite-own-partition replay idempotence and
+    * [[requireMonotoneIngest]] guard as the other gates.
+    */
+  def semDeDupGateBatch(storeDir: String, outDir: String, eps: Double = 0.3)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    requireMonotoneIngest(spark, outDir, batchId)
+    resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
+    val assigned = graft.ops.Similarity.domainWithNorm(batch).cache()
+    try {
+      // the batch's domain set is cluster-count-bounded driver metadata;
+      // it prunes the history read before the per-domain ε-join
+      val doms = assigned.select("domain").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val dropped =
+        if (storeNonEmpty(spark, storeDir))
+          graft.ops.Similarity.semDeDupGateDropped(
+            assigned,
+            spark.read.parquet(storeDir)
+              .filter(col("ingest_batch") < batchId &&
+                col("domain").isin(doms: _*))
+              .select("domain", "embedding", "nrm"),
+            eps)
+        else spark.range(0).select(col("id").as("vec_id"))
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .withColumn("ingest_batch", lit(batchId))
+        .sortWithinPartitions("domain")
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(outDir)
+      // the store extends from the WRITTEN output (one verdict, no
+      // recompute drift; floats roundtrip parquet bit-exactly)
+      spark.read.parquet(outDir)
+        .filter(col("ingest_batch") === batchId)
+        .select("vec_id", "domain", "embedding", "nrm", "ingest_batch")
+        .sortWithinPartitions("domain")
+        .write.mode("overwrite").partitionBy("ingest_batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(storeDir)
+    } finally assigned.unpersist(blocking = true)
+  }
+
+  /** [[seedDedupStore]] for the SemDeDup gate: bootstrap the admitted
+    * store with the BATCH operator's survivors over an existing corpus
+    * — history arrives already semantically deduped under the
+    * farthest-from-centroid keep-rule, and the stream's first batch is
+    * gated against it. Seed keyed `ingest_batch = -1` like every other
+    * seed; re-seeding refused once a batch has run.
+    */
+  def seedSemDeDupStore(
+      corpus: DataFrame, storeDir: String, eps: Double = 0.3): Unit = {
+    val spark = corpus.sparkSession
+    requireSeedable(spark, storeDir)
+    clearSeedPartition(spark, storeDir)
+    graft.ops.Similarity.domainWithNorm(corpus)
+      .join(graft.ops.Similarity.semDeDup(corpus, eps).select("vec_id"),
+        Seq("vec_id"))
+      .select("vec_id", "domain", "embedding", "nrm")
+      .withColumn("ingest_batch", lit(-1L))
+      .sortWithinPartitions("domain")
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(storeDir)
+  }
+
+  /** The [[semDeDupGateBatch]] body behind a streaming query. `vecs`
+    * must carry `vec_id`, `label`, `embedding`.
+    */
+  def startSemDeDupGate(
+      vecs: DataFrame,
+      storeDir: String,
+      outDir: String,
+      checkpointDir: String,
+      eps: Double = 0.3,
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery =
+    vecs.writeStream
+      .queryName("semdedup_gate")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(maybeAutoCompact(Seq(storeDir, outDir), compactEvery)(
+        semDeDupGateBatch(storeDir, outDir, eps)))
+      .start()
+
   /** Build the persisted benchmark shingle index the streaming
     * decontamination gate probes: distinct (bench_doc, shh) shingle
     * hashes with stop-shingles removed at BUILD time (shingles in more

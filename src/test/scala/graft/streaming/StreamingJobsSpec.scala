@@ -574,6 +574,71 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
   }
 
+  test("semdedup gate stream: eps-close to admitted history dropped, within-batch passes, replay-safe, seedable") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val store = tmpDir("sdgate-store"); val out = tmpDir("sdgate-out")
+    // 64-dim-agnostic vectors (graft_dot folds min length vs the
+    // committed centroids, so assignment stays deterministic): u is the
+    // base direction, uNear a small nudge (cos ~0.999), w orthogonal
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val uNear = Seq(1.0, 0.05, 0.0, 0.0)
+    val w = Seq(0.0, 0.0, 1.0, 0.0)
+    val wNear = Seq(0.0, 0.0, 1.0, 0.05)
+    // precondition of the scenario: the nudges do not move the domain
+    val doms = graft.ops.Similarity
+      .assignDomains(Seq(Emb(1, "a", u), Emb(2, "b", uNear),
+        Emb(3, "c", w), Emb(4, "d", wNear)).toDF())
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(doms(1L) == doms(2L) && doms(3L) == doms(4L),
+      s"fixture nudge crossed a domain: $doms")
+    val ms = MemoryStream[Emb](spark)(org.apache.spark.sql.Encoders.product[Emb])
+    val q = Jobs.startSemDeDupGate(ms.toDF(), store, out,
+      tmpDir("sdgate-ckpt"), eps = 0.9, queryTrigger = Trigger.ProcessingTime(0))
+    // Batch 0: store empty, everything passes — including two exact
+    // copies in ONE batch (within-batch dups are not the gate's contract)
+    ms.addData(Emb(1, "a", u), Emb(2, "a2", u))
+    q.processAllAvailable()
+    // Batch 1: eps-close to admitted history dropped; orthogonal passes
+    val b1 = Seq(Emb(10, "dup", uNear), Emb(11, "fresh", w))
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    // Batch 2: eps-close to BATCH 1's admission is now history too
+    ms.addData(Emb(20, "dup2", wNear))
+    q.processAllAvailable()
+    q.stop()
+    def admitted() = spark.read.parquet(out)
+      .select("vec_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted() == Map(1L -> 0, 2L -> 0, 11L -> 1), s"got ${admitted()}")
+    // store rows are exactly the admissions, vectors + norms intact
+    val stored = spark.read.parquet(store)
+      .select("vec_id").as[Long].collect().toSet
+    assert(stored == Set(1L, 2L, 11L))
+    // replay idempotence: re-running the last-committed batch body sees
+    // only read-below history and overwrites its own partition
+    Jobs.semDeDupGateBatch(store, out, eps = 0.9)(b1.toDF(), 1L)
+    assert(admitted() == Map(1L -> 0, 2L -> 0, 11L -> 1),
+      s"replay changed output: ${admitted()}")
+    assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
+
+    // seeding: the store bootstraps with the BATCH operator's survivors
+    // (corpus internal dup collapses), and batch 0 gates against it
+    val sstore = tmpDir("sdseed-store"); val sout = tmpDir("sdseed-out")
+    val corpus = Seq(Emb(100, "c", u), Emb(101, "cdup", u), Emb(102, "c2", w)).toDF()
+    Jobs.seedSemDeDupStore(corpus, sstore, eps = 0.9)
+    val seeded = spark.read.parquet(sstore).select("vec_id").as[Long].collect().toSet
+    assert(seeded.size == 2 && seeded.contains(102L),
+      s"seed did not collapse the corpus dup: $seeded")
+    Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
+      Seq(Emb(5, "dup", uNear), Emb(6, "fresh", Seq(0.0, 1.0, 0.0, 0.0))).toDF(), 0L)
+    val sAdmitted = spark.read.parquet(sout).select("vec_id").as[Long].collect().toSet
+    assert(sAdmitted == Set(6L), s"got $sAdmitted")
+    // re-seeding after a batch has run is refused
+    val ex = intercept[IllegalArgumentException](
+      Jobs.seedSemDeDupStore(corpus, sstore, eps = 0.9))
+    assert(ex.getMessage.contains("cannot seed"))
+  }
+
   test("decontamination gate stream: benchmark-leaking docs dropped across batches, replay-safe") {
     import spark.implicits._
     val store = tmpDir("decon-store"); val out = tmpDir("decon-out")
