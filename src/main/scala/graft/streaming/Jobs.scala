@@ -737,6 +737,16 @@ object Jobs {
     resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
     val assigned = graft.ops.Similarity.domainWithNorm(batch).cache()
     try {
+      // NULL or zero-norm embeddings cannot be scored: their cosine is
+      // NULL, so they would be admitted now and NEVER match anything
+      // later — silent permanent store pollution. Refuse loudly (the
+      // audit stream's batch-validation discipline); the check reads
+      // the batch-sized cache, not the store.
+      require(assigned.filter(col("domain").isNull || col("nrm").isNull ||
+          col("nrm") <= 0).isEmpty,
+        "batch carries NULL or zero-norm embeddings — the gate cannot " +
+          "score them and an admitted unscoreable vector never matches " +
+          "anything later; filter or fix them upstream")
       // the batch's domain set is cluster-count-bounded driver metadata;
       // it prunes the history read before the per-domain ε-join
       val doms = assigned.select("domain").distinct()

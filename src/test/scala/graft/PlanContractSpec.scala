@@ -185,6 +185,25 @@ class PlanContractSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"domain argmin joins:\n$plan")
   }
 
+  test("semdedup pairs never window; the gate broadcasts the batch, never shuffles history") {
+    // batch operator: the keep-rule is a per-pair CASE resolved in the
+    // join projection — a Window (rank within neighborhoods) would add
+    // a second corpus shuffle for nothing
+    val sd = graft.ops.Similarity.semDeDup(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!sd.contains("Window"), s"semdedup windows:\n$sd")
+    // streaming gate: the admitted store is the unbounded side — it
+    // must be scanned once behind a broadcast of the micro-batch, never
+    // sort-merge shuffled (at k× history that shuffle IS the bill)
+    val assigned = graft.ops.Similarity.domainWithNorm(Tables.embeddings(spark, sf))
+    val gate = graft.ops.Similarity.semDeDupGateDropped(
+        assigned.limit(50),
+        assigned.select(col("domain"), col("embedding"), col("nrm")), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(gate.contains("BroadcastHashJoin"), s"gate join not broadcast:\n$gate")
+    assert(!gate.contains("SortMergeJoin"), s"gate shuffles history:\n$gate")
+  }
+
   test("audit stage filters read the cached scored frame, never re-score") {
     // The rejection audit necessarily scores PER DOC (each raw doc needs
     // its own verdict), so it cannot use curate's dedup-first pushdown

@@ -637,6 +637,16 @@ class StreamingJobsSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Jobs.seedSemDeDupStore(corpus, sstore, eps = 0.9))
     assert(ex.getMessage.contains("cannot seed"))
+    // a zero-norm vector can never be matched later — refused loudly,
+    // not silently admitted into the store
+    val exZero = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
+        Seq(Emb(7, "zero", Seq(0.0, 0.0, 0.0, 0.0))).toDF(), 1L))
+    assert(exZero.getMessage.contains("zero-norm"), exZero.getMessage)
+    val exNull = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
+        Seq(Emb(8, "null", null)).toDF(), 1L))
+    assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
   }
 
   test("decontamination gate stream: benchmark-leaking docs dropped across batches, replay-safe") {
