@@ -1874,6 +1874,67 @@ object Similarity {
         .orderBy("domain")
     })
 
+  /** [[semDeDup]] over a table FITTED to the corpus — the paper's
+    * sizing rule made executable: the cluster count grows with the
+    * corpus (nlist ≈ n / target-cell-population) so the within-cell
+    * pair bill stays linear in n instead of quadratic. Same pair stage,
+    * same farthest-from-centroid keep-rule ([[semDeDupDroppedIds]] —
+    * d2 spelled exactly as the committed path: e·e − 2·e·c + c·c), but
+    * the table comes from the seed-pinned k-means fit every IVF path
+    * uses ([[fitQuantizer]]), so like the other fitted ANN rows this is
+    * engine-seeded: suite-verified, not oracle-replayed. nlist = 1
+    * degenerates to EXACT SemDeDup (a single cell makes every pair
+    * visible) — the correctness anchor SimilaritySpec replays
+    * independently against the corpus-mean centroid.
+    */
+  def semDeDupFitted(
+      embeddings: DataFrame,
+      nlist: Int = 64,
+      eps: Double = 0.3,
+      fitFraction: Double = 0.25): DataFrame = {
+    require(nlist >= 1, s"nlist=$nlist")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // MLlib KMeans requires k >= 2; k = 1 converges to the corpus mean
+    // anyway, so the exhaustive single-cell anchor computes it directly
+    // (one Summarizer aggregate, no iterations).
+    val (centRows, assignedRaw) =
+      if (nlist == 1) {
+        import org.apache.spark.ml.functions.array_to_vector
+        import org.apache.spark.ml.stat.Summarizer
+        val mean = embeddings
+          .withColumn("features",
+            array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+          .select(Summarizer.mean(col("features")).as("m"))
+          .head().getAs[org.apache.spark.ml.linalg.Vector](0).toArray
+        (Seq((0, mean)),
+          embeddings.select(col("vec_id"), col("label"), col("embedding"),
+            lit(0).as("domain")))
+      } else {
+        val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
+        (model.clusterCenters.zipWithIndex
+            .map { case (c, i) => (i, c.toArray) }.toSeq,
+          model.transform(withVec).select(col("vec_id"), col("label"),
+            col("embedding"), col("list_id").as("domain")))
+      }
+    val cents = centRows.toDF("domain", "cent")
+    val assigned = assignedRaw
+      .join(broadcast(cents), Seq("domain"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("domain"),
+        (dot("embedding", "embedding") - lit(2.0) * dot("embedding", "cent") +
+          dot("cent", "cent")).as("d2"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+    assigned
+      .join(semDeDupDroppedIds(assigned, eps), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("domain"))
+  }
+
+  /** Registered at nlist=16 on the 500-vector fixture (~31 vectors per
+    * cell — the production density the sizing rule targets).
+    */
+  val semDeDupFittedQuery = QueryDef.unverified("sim_semdedup_fitted")(
+    (s, d) => semDeDupFitted(Tables.embeddings(s, d), nlist = 16).orderBy("vec_id"))
+
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
@@ -1882,5 +1943,5 @@ object Similarity {
       annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery, domainMixtureQuery, domainRebalanceQuery,
-      semDeDupQuery, semDeDupStatsQuery)
+      semDeDupQuery, semDeDupStatsQuery, semDeDupFittedQuery)
 }

@@ -80,6 +80,13 @@ object StressSemDeDup {
 
     stage("batch_semdedup")(Similarity.semDeDup(corpus).count())
 
+    // the sizing rule applied: nlist grows with the corpus, holding the
+    // per-cell population at the fixture's n/8 = 250 — the pair bill
+    // (and so the cpu) should return to ~linear in k
+    val fittedNlist = math.max(8, (nVec / 250).toInt)
+    stage(s"batch_semdedup_fitted_nlist$fittedNlist")(
+      Similarity.semDeDupFitted(corpus, nlist = fittedNlist).count())
+
     val tmp = java.nio.file.Files.createTempDirectory("graft-stress-sd").toString
     // Batch 0 admits the whole k× corpus (store empty, within-batch
     // passes by contract) — store becomes k×-sized history.

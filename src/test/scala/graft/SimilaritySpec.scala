@@ -661,6 +661,57 @@ class SimilaritySpec extends SparkSpec {
     assert((surv - dupId) == got, "identical twin changed another vector's verdict")
   }
 
+  test("semdedup fitted: nlist=1 replays exactly as single-cell semdedup; twins collapse at any nlist") {
+    // nlist=1 with fitFraction=1.0 pins the fit: k-means k=1 converges
+    // to the corpus mean, a single cell makes EVERY pair visible, and
+    // the keep-rule reduces to local d2-maxima of the full eps-graph —
+    // all independently computable in plain Scala
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val ids = vecs.keys.toSeq.sorted
+    val dim = vecs(ids.head).length
+    val mean = Array.tabulate(dim)(i => ids.map(v => vecs(v)(i).toDouble).sum / ids.size)
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def foldC(a: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += a(i).toDouble * c(i); i += 1 }; s
+    }
+    var cc = 0.0
+    mean.foreach(x => cc += x * x)
+    val d2 = vecs.map { case (v, e) => v -> (dotF(e, e) - 2.0 * foldC(e, mean) + cc) }
+    val nrm = vecs.map { case (v, e) => v -> math.sqrt(dotF(e, e)) }
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dropped = scala.collection.mutable.Set[Long]()
+    for { a <- ids; b <- ids if a < b } {
+      val cs = round6(dotF(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+      if (cs >= 0.3)
+        dropped += (if (d2(a) > d2(b)) b else if (d2(a) < d2(b)) a else b)
+    }
+    val expect = ids.toSet -- dropped
+    val got = Similarity.semDeDupFitted(emb, nlist = 1, eps = 0.3, fitFraction = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"survivors ${got.size} vs replay ${expect.size}")
+    // at a production-shaped nlist, a planted exact twin still collapses
+    // (identical vectors share a cell and d2 exactly; tie keeps lower id)
+    // and an identical twin never changes another vector's verdict
+    val base16 = Similarity.semDeDupFitted(emb, nlist = 16)
+      .collect().map(_.getLong(0)).toSet
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(9000L)))
+    val surv16 = Similarity.semDeDupFitted(planted, nlist = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(!surv16.contains(9000L), "planted twin with higher id survived")
+    assert((surv16 - 9000L) == base16, "identical twin changed another verdict")
+    // finer blocking sees FEWER pairs: the fitted row is the scale
+    // path, never a stricter filter than the exhaustive single cell
+    assert(base16.size >= expect.size,
+      s"nlist=16 kept ${base16.size} < exhaustive ${expect.size}")
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)
