@@ -48,9 +48,9 @@ object GraftProperties extends Properties("graft") {
 
   private val fewCases = 8
 
-  private def sparkProp(gen: Gen[List[(Long, Long)]])(f: List[(Long, Long)] => Boolean): Prop = {
+  private def sparkProp[A](gen: Gen[A])(f: A => Boolean): Prop = {
     var runs = 0
-    forAll(gen) { xs => runs += 1; runs > fewCases || f(xs) }
+    forAll(gen) { (xs: A) => runs += 1; runs > fewCases || f(xs) }
   }
 
   private val eventsGen: Gen[List[(Long, Long)]] = for {
@@ -350,6 +350,59 @@ object GraftProperties extends Properties("graft") {
         Prop(math.abs(mse - ownMse) <= 1e-9) :| s"mse $mse != own-codes $ownMse"
     }
   }
+
+  private val semDedupGen: Gen[(List[(Long, List[Double])], Double)] = for {
+    n <- Gen.chooseNum(4, 25)
+    dim <- Gen.chooseNum(3, 8)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)))
+    eps <- Gen.chooseNum(0.2, 0.95)
+  } yield (vecs.zipWithIndex.map { case (v, i) =>
+    // keep every vector scoreable: a (near-)zero-norm draw gets a unit
+    // first coordinate (probability-0 edge, but property inputs must
+    // never depend on luck)
+    (i.toLong, if (v.map(math.abs).max < 1e-6) 1.0 :: v.tail else v)
+  }, eps)
+
+  property("semdedup survivors are exactly the local d2-maxima of the eps-graph") =
+    sparkProp(semDedupGen) { case (rows, eps) =>
+      import spark.implicits._
+      // independent replay of the WHOLE pipeline over random vectors of
+      // random dim: committed-centroid argmin (graft_dot folds min
+      // length; c·c is the full 64-dim driver fold), round-6 cosine,
+      // farthest-from-centroid keep with lowest-id tie
+      val cents = graft.ops.Similarity.domainCentroids
+      val vecs = rows.toMap
+      def dotMin(a: Seq[Double], b: Seq[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var s = 0.0; var i = 0
+        while (i < n) { s += a(i) * b(i); i += 1 }; s
+      }
+      val d2 = vecs.map { case (id, e) =>
+        val ee = dotMin(e, e)
+        id -> cents.indices.map { k =>
+          val c = cents(k); var cc = 0.0; var i = 0
+          while (i < c.length) { cc += c(i) * c(i); i += 1 }
+          (ee - 2.0 * dotMin(e, c.toSeq) + cc, k)
+        }.min
+      }
+      val nrm = vecs.map { case (id, e) => id -> math.sqrt(dotMin(e, e)) }
+      def round6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ids = vecs.keys.toSeq.sorted
+      val dropped = scala.collection.mutable.Set[Long]()
+      for { a <- ids; b <- ids if a < b && d2(a)._2 == d2(b)._2 } {
+        val cs = round6(dotMin(vecs(a), vecs(b)) / (nrm(a) * nrm(b)))
+        if (cs >= eps)
+          dropped += (if (d2(a)._1 > d2(b)._1) b
+            else if (d2(a)._1 < d2(b)._1) a else b)
+      }
+      val expect = ids.toSet -- dropped
+      val got = graft.ops.Similarity
+        .semDeDup(rows.toDF("vec_id", "embedding")
+          .withColumn("label", lit("p")), eps)
+        .collect().map(_.getLong(0)).toSet
+      got == expect
+    }
 
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
