@@ -1821,6 +1821,20 @@ object Similarity {
       .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
       .select("vec_id").distinct()
 
+  /** [[semDeDupGateDropped]] with match ATTRIBUTION: the store exposes
+    * its admitted ids as `adm_id` and every ε-matched batch vector
+    * comes back with its SMALLEST admitted match — what a rejection
+    * ledger renders as the drop reason. Same broadcast-batch /
+    * scan-history join shape, same round-6 cosine.
+    */
+  private[graft] def semDeDupGateMatches(
+      batch: DataFrame, store: DataFrame, eps: Double): DataFrame =
+    broadcast(batch.select(col("vec_id"), col("domain"),
+        col("embedding").as("qe"), col("nrm").as("qn")))
+      .join(store, Seq("domain"))
+      .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
+      .groupBy("vec_id").agg(min(col("adm_id")).as("matched_id"))
+
   /** The SemDeDup pipeline in DuckDB: committed-centroid assignment
     * (shared [[duckDomainAssigned]] CTE, now carrying d2), per-domain
     * pair elimination, identical keep-rule CASE.

@@ -611,13 +611,15 @@ object Jobs {
       maxBlock: Int = 64,
       lmGate: Option[AuditLmGate] = None,
       semanticGate: Option[AuditSemanticGate] = None,
-      classifierGate: Option[AuditClassifierGate] = None): Unit = {
+      classifierGate: Option[AuditClassifierGate] = None,
+      semDeDupGate: Option[AuditSemDeDupGate] = None): Unit = {
     val spark = corpus.sparkSession
-    val stores = Seq("ledger", "admitted", "hashes", "words")
+    val stores = Seq("ledger", "admitted", "hashes", "words", "vecs")
     stores.foreach(s => requireSeedable(spark, s"$storeRoot/$s"))
     stores.foreach(s => clearSeedPartition(spark, s"$storeRoot/$s"))
     auditLedgerBatch(storeRoot, gate, minTokens, minQuality, jaccardThreshold,
-      minShared, shingleSize, maxBlock, lmGate, semanticGate, classifierGate)(
+      minShared, shingleSize, maxBlock, lmGate, semanticGate, classifierGate,
+      semDeDupGate)(
       corpus, -1L)
   }
 
@@ -1411,15 +1413,34 @@ object Jobs {
     */
   final case class AuditClassifierGate(minMargin: Double = 0.0)
 
+  /** Stage-11 config for [[auditLedgerBatch]]: intra-stream SemDeDup —
+    * the [[semDeDupGateBatch]] first-arrival-wins ε-closeness check as
+    * a first-class audit stage, against a fifth persisted store
+    * (`vecs/`: admitted docs' committed-domain assignment + vector +
+    * norm). A doc whose embedding sits within `eps` cosine of ANY
+    * already-admitted doc's embedding drops with `semdup_of=` the
+    * smallest admitted match; survivors extend the store. This is the
+    * redundancy the lexical stages cannot see: near_dup (stage 6)
+    * needs shared word sets, semantic (stage 9) only guards the
+    * BENCHMARK — a paraphrased duplicate of yesterday's admitted doc
+    * passes both. Batch must carry an `embedding` column; NULL /
+    * mixed-dim / zero-norm embeddings fail the batch loudly
+    * ([[semDeDupGateBatch]]'s discipline — an unscoreable admitted
+    * vector would never match anything later).
+    */
+  final case class AuditSemDeDupGate(eps: Double = 0.3)
+
   /** Stage table of the FULLY-composed streaming audit: the batch
-    * pipeline's seven stages plus the stream-only LM and semantic
-    * gates. Streams running without those gates still report against
+    * pipeline's seven stages plus the stream-only LM, semantic,
+    * classifier, and intra-stream SemDeDup gates. Streams running
+    * without those gates still report against
     * [[graft.ops.Curation.auditStages]] (pass the right table to
     * [[auditFunnelFromStores]]).
     */
   val streamAuditStages: Seq[(Long, String)] =
     graft.ops.Curation.auditStages ++
-      Seq(8L -> "lm_gate", 9L -> "semantic", 10L -> "classifier")
+      Seq(8L -> "lm_gate", 9L -> "semantic", 10L -> "classifier",
+        11L -> "semdedup")
 
   /** Streaming REJECTION AUDIT — [[graft.ops.Curation.auditLedger]]'s
     * drop ledger lifted onto micro-batches: every doc a batch rejects
@@ -1472,33 +1493,56 @@ object Jobs {
       maxBlock: Int = 64,
       lmGate: Option[AuditLmGate] = None,
       semanticGate: Option[AuditSemanticGate] = None,
-      classifierGate: Option[AuditClassifierGate] = None)(
+      classifierGate: Option[AuditClassifierGate] = None,
+      semDeDupGate: Option[AuditSemDeDupGate] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return // F7-style empty-batch guard
     val spark = batch.sparkSession
     // ledger/ is the batch's FIRST write, so its max ingest_batch is
-    // the most-advanced of the four audit stores — the strictest guard
+    // the most-advanced of the five audit stores — the strictest guard
     requireMonotoneIngest(spark, s"$storeRoot/ledger", batchId)
-    // the three sibling stores this body reads or extends, none of
-    // which the ledger guard's resolution covers
+    // the sibling stores this body reads or extends, none of which the
+    // ledger guard's resolution covers
     resolvePendingAt(spark, s"$storeRoot/admitted",
-      s"$storeRoot/hashes", s"$storeRoot/words")
+      s"$storeRoot/hashes", s"$storeRoot/words", s"$storeRoot/vecs")
     import org.apache.spark.sql.expressions.Window
-    // the semantic contract is validated over the WHOLE batch up front,
-    // not just stage-9 survivors: a NULL or wrong-dim embedding is a
-    // data fault that must fail the batch loudly either way
+    // embedding contracts are validated over the WHOLE batch up front,
+    // not just the stage's survivors: a NULL, wrong-dim, or (for the
+    // semdedup store) zero-norm embedding is a data fault that must
+    // fail the batch loudly either way
+    if (semanticGate.isDefined || semDeDupGate.isDefined) {
+      val nulls = batch.agg(count(lit(1)).as("n"),
+        count(col("embedding")).as("nonNull")).head()
+      require(nulls.getLong(1) == nulls.getLong(0),
+        s"audit batch $batchId carries ${nulls.getLong(0) - nulls.getLong(1)} NULL " +
+          "embeddings — NULL rows cannot be scored by the embedding stages and " +
+          "would pass them unexamined; drop or fix them upstream")
+    }
     semanticGate.foreach { cfg =>
       val dims = batch.agg(
-        min(size(col("embedding"))).as("lo"), max(size(col("embedding"))).as("hi"),
-        count(lit(1)).as("n"), count(col("embedding")).as("nonNull")).head()
-      require(dims.getLong(3) == dims.getLong(2),
-        s"audit batch $batchId carries ${dims.getLong(2) - dims.getLong(3)} NULL " +
-          "embeddings — NULL rows cannot be scored by the semantic stage and " +
-          "would pass it unexamined; drop or fix them upstream")
+        min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
       require(dims.getInt(0) == cfg.benchDim && dims.getInt(1) == cfg.benchDim,
         s"audit batch $batchId carries ${dims.getInt(0)}..${dims.getInt(1)}-dim " +
           s"embeddings but the benchmark store holds ${cfg.benchDim}-dim vectors — " +
           "a mismatch would silently deflate every cosine, not error")
+    }
+    semDeDupGate.foreach { _ =>
+      // zero-norm: admitted, it would never match anything later —
+      // permanent silent store pollution (semDeDupGateBatch's
+      // contract). Mixed dims: graft_dot folds the SHORTER length, so
+      // cross-dim cosines silently deflate instead of erroring.
+      val chk = batch.agg(
+        min(graft.ops.Similarity.dot("embedding", "embedding")).as("m"),
+        min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
+      require(!chk.isNullAt(0) && chk.getDouble(0) > 0,
+        s"audit batch $batchId carries zero-norm embeddings — the semdedup " +
+          "stage cannot score them and an admitted unscoreable vector never " +
+          "matches anything later; filter or fix them upstream")
+      require(chk.getInt(1) == chk.getInt(2),
+        s"audit batch $batchId carries mixed ${chk.getInt(1)}..${chk.getInt(2)}-dim " +
+          "embeddings — cross-dim cosines silently deflate; fix upstream")
     }
     val hashDir = s"$storeRoot/hashes"
     val wordsDir = s"$storeRoot/words"
@@ -1642,14 +1686,48 @@ object Jobs {
       }
       val clfDrops = clfDropped.select(col("doc_id"), lit(10L).as("stage_idx"),
         lit("classifier").as("stage"), col("reason"))
-      val admitted = afterSem
+      val afterClf = afterSem
         .join(clfDropped.select("doc_id"), Seq("doc_id"), "left_anti")
+      // stage 11: intra-stream SemDeDup over classifier survivors —
+      // ε-closeness against the persisted admitted-vector store, the
+      // FIRST-ARRIVAL-WINS contract of the dedup stages (5/6) in
+      // embedding space; within-batch semantic dups intentionally pass
+      // (semDeDupGateBatch's contract — run the batch operator
+      // upstream if intra-batch redundancy matters)
+      val vecsDir = s"$storeRoot/vecs"
+      val sdDropped: DataFrame = semDeDupGate match {
+        case Some(cfg) if partitionedStoreNonEmpty(spark, vecsDir) =>
+          val assigned = graft.ops.Similarity.domainWithNorm(
+            afterClf.select(col("doc_id").as("vec_id"), lit("").as("label"))
+              .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
+                Seq("vec_id")))
+          // batch-domain pruning of the history read, the standalone
+          // gate's discipline (cluster-count-bounded driver metadata)
+          val doms = assigned.select("domain").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          graft.ops.Similarity.semDeDupGateMatches(
+            assigned,
+            spark.read.parquet(vecsDir)
+              .filter(col("ingest_batch") < batchId &&
+                col("domain").isin(doms: _*))
+              .select(col("doc_id").as("adm_id"), col("domain"),
+                col("embedding"), col("nrm")),
+            cfg.eps)
+            .select(col("vec_id").as("doc_id"),
+              concat(lit("semdup_of="), col("matched_id")).as("reason"))
+        case _ => noDrops
+      }
+      val sdDrops = sdDropped.select(col("doc_id"), lit(11L).as("stage_idx"),
+        lit("semdedup").as("stage"), col("reason"))
+      val admitted = afterClf
+        .join(sdDropped.select("doc_id"), Seq("doc_id"), "left_anti")
       // outputs first, stores derived from the WRITTEN output (the
       // incrementalDedupBatch discipline: one compute, and a store job
       // never reads and overwrites its own dir in one plan)
       writeOwn(
         gateDrops.unionAll(exactDrops).unionAll(nearDrops).unionAll(deconDrops)
-          .unionAll(lmDrops).unionAll(semDrops).unionAll(clfDrops),
+          .unionAll(lmDrops).unionAll(semDrops).unionAll(clfDrops)
+          .unionAll(sdDrops),
         s"$storeRoot/ledger")
       writeOwn(admitted, s"$storeRoot/admitted")
       // an all-dropped FIRST batch leaves admitted/ with no parquet files
@@ -1662,6 +1740,20 @@ object Jobs {
             col("doc_id").as("keep_doc_id")),
           hashDir)
         writeOwn(keyedWords(written), wordsDir)
+        // the semdedup history: admitted ids joined back to the batch's
+        // embeddings (the stage-9 ride-the-row discipline), committed-
+        // domain assigned so the next batch's read prunes by domain
+        semDeDupGate.foreach { _ =>
+          writeOwn(
+            graft.ops.Similarity.domainWithNorm(
+              written.select(col("doc_id").as("vec_id"), lit("").as("label"))
+                .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
+                  Seq("vec_id")))
+              .select(col("vec_id").as("doc_id"), col("domain"),
+                col("embedding"), col("nrm"))
+              .sortWithinPartitions("domain"),
+            vecsDir)
+        }
       }
     } finally scored.unpersist(blocking = true)
   }
@@ -1819,6 +1911,7 @@ object Jobs {
       embStoreDir: Option[String] = None,
       semanticThreshold: Double = 0.9,
       classifierGate: Option[AuditClassifierGate] = None,
+      semDeDupGate: Option[AuditSemDeDupGate] = None,
       queryTrigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Option[Int] = None): StreamingQuery = {
     require(benchStoreDir.isEmpty || bloomStoreDir.isEmpty,
@@ -1846,11 +1939,12 @@ object Jobs {
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
       .foreachBatch(maybeAutoCompact(
-        Seq("ledger", "admitted", "hashes", "words").map(s => s"$storeRoot/$s"),
+        Seq("ledger", "admitted", "hashes", "words", "vecs")
+          .map(s => s"$storeRoot/$s"),
         compactEvery)(
         auditLedgerBatch(storeRoot, gate, shingleSize = shingleSize,
           lmGate = lmGate, semanticGate = semanticGate,
-          classifierGate = classifierGate)))
+          classifierGate = classifierGate, semDeDupGate = semDeDupGate)))
       .start()
   }
 

@@ -172,7 +172,7 @@ class AuditStreamSpec extends SparkSpec {
     // the full stream-stage funnel telescopes over the whole history
     // (stage 10 is registered but unconfigured here — zero drops)
     val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
-    assert(funnel.length == 10)
+    assert(funnel.length == 11)
     assert(funnel.head.getAs[Long]("n_in") == train.length.toLong)
     assert(funnel.last.getAs[Long]("n_out") == 2L)
     funnel.foreach { r =>
@@ -244,7 +244,7 @@ class AuditStreamSpec extends SparkSpec {
     // doc's did not (stage 10 sits ABOVE the store writes)
     assert(spark.read.parquet(s"$root/hashes").count() == 1L)
     val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
-    assert(funnel.length == 10)
+    assert(funnel.length == 11)
     val clfRow = funnel.find(_.getAs[String]("stage") == "classifier").get
     assert(clfRow.getAs[Long]("n_dropped") == 1L && clfRow.getAs[Long]("n_out") == 1L)
     funnel.foreach { r =>
@@ -260,6 +260,80 @@ class AuditStreamSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect().toSet == ledger)
     assert(spark.read.parquet(s"$root/admitted")
       .select("doc_id").as[Long].collect().toSet == Set(highDoc))
+  }
+
+  test("semdedup gate (stage 11): eps-close to admitted history drops, within-batch passes, replay") {
+    // embedding-space intra-stream dedup: doc 10's text is unique (it
+    // passes every lexical stage) but its vector sits eps-close to
+    // admitted doc 1's — exactly the paraphrased-duplicate leak the
+    // word-set near_dup stage cannot see
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val uNear = Seq(1.0, 0.05, 0.0, 0.0)
+    val w = Seq(0.0, 0.0, 1.0, 0.0)
+    val o2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val doms = graft.ops.Similarity
+      .assignDomains(Seq(Emb(1, "a", u), Emb(2, "b", uNear)).toDF())
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(doms(1L) == doms(2L), s"fixture nudge crossed a domain: $doms")
+    val t10 = "a completely distinct essay describing columnar storage layouts " +
+      "and predicate pushdown tradeoffs across analytical engines"
+    val t11 = "another standalone passage about broadcast joins and adaptive " +
+      "query execution behavior under skewed key distributions"
+    val t12 = "yet one more independent paragraph covering watermark " +
+      "propagation rules for stateful streaming aggregation operators"
+
+    val root = tmpDir("audit11-store")
+    val ms = MemoryStream[DocEmb](spark)(org.apache.spark.sql.Encoders.product[DocEmb])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit11-ckpt"),
+      semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)),
+      queryTrigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 0: vecs store empty, both admitted; store seeds from them
+      ms.addData(DocEmb(1, base, u), DocEmb(2, fresh, w))
+      q.processAllAvailable()
+      // batch 1: doc 10 drops at stage 11 (vector twin of admitted 1);
+      // 11 admitted; 12 is a vector twin of 11 IN THE SAME BATCH and
+      // passes (within-batch dups are not the gate's contract)
+      ms.addData(DocEmb(10, t10, uNear), DocEmb(11, t11, o2), DocEmb(12, t12, o2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(ledger == Set((10L, 11L, "semdedup", "semdup_of=1")), s"ledger: $ledger")
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 11L, 12L), s"admitted: $admitted")
+    // the vecs store carries exactly the admissions, domain-assigned
+    val vecs = spark.read.parquet(s"$root/vecs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(vecs == admitted, s"vecs store: $vecs")
+    // funnel: 11 rows, semdedup accounts for the one drop, telescopes
+    val funnel = Jobs.auditFunnelFromStores(spark, root, Jobs.streamAuditStages).collect()
+    assert(funnel.length == 11)
+    val sdRow = funnel.find(_.getAs[String]("stage") == "semdedup").get
+    // the funnel spans BOTH batches: 5 docs reach stage 11, 1 drops
+    assert(sdRow.getAs[Long]("n_dropped") == 1L && sdRow.getAs[Long]("n_out") == 4L)
+    funnel.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped") == r.getAs[Long]("n_out"))
+    }
+    // replay idempotence: the last batch body re-run with the same id
+    // reads only below-1 history and overwrites its own partitions
+    Jobs.auditLedgerBatch(root,
+      semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)))(
+      Seq(DocEmb(10, t10, uNear), DocEmb(11, t11, o2), DocEmb(12, t12, o2)).toDF(), 1L)
+    assert(spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet == ledger)
+    assert(spark.read.parquet(s"$root/vecs")
+      .select("doc_id").as[Long].collect().toSet == admitted)
+    // unscoreable embeddings fail the batch loudly, never pollute
+    val exZero = intercept[IllegalArgumentException](
+      Jobs.auditLedgerBatch(root,
+        semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)))(
+        Seq(DocEmb(20, t10 + " again", Seq(0.0, 0.0, 0.0, 0.0))).toDF(), 2L))
+    assert(exZero.getMessage.contains("zero-norm"), exZero.getMessage)
   }
 
   test("bloom-gated audit equals the exact gate on a single-bench fixture (union == pair)") {
