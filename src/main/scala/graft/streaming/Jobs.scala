@@ -741,28 +741,50 @@ object Jobs {
     try {
       // NULL or zero-norm embeddings cannot be scored: their cosine is
       // NULL, so they would be admitted now and NEVER match anything
-      // later — silent permanent store pollution. Refuse loudly (the
-      // audit stream's batch-validation discipline); the check reads
-      // the batch-sized cache, not the store.
-      require(assigned.filter(col("domain").isNull || col("nrm").isNull ||
-          col("nrm") <= 0).isEmpty,
+      // later — silent permanent store pollution. Mixed dims within
+      // the batch deflate cosines silently (graft_dot folds the
+      // shorter length). Refuse both loudly (the audit stream's
+      // batch-validation discipline); ONE agg over the batch-sized
+      // cache, never the store.
+      val chk = assigned.agg(count(lit(1)).as("n"),
+        // count(nrm) skips NULLs, so nn < n detects a NULL embedding
+        // anywhere in the batch (min/max alone would skip it silently)
+        count(col("nrm")).as("nn"),
+        min(col("nrm")).as("mn"),
+        min(size(col("embedding"))).as("lo"),
+        max(size(col("embedding"))).as("hi")).head()
+      require(chk.getLong(1) == chk.getLong(0) &&
+          !chk.isNullAt(2) && chk.getDouble(2) > 0,
         "batch carries NULL or zero-norm embeddings — the gate cannot " +
           "score them and an admitted unscoreable vector never matches " +
           "anything later; filter or fix them upstream")
+      require(chk.getInt(3) == chk.getInt(4),
+        s"batch carries mixed ${chk.getInt(3)}..${chk.getInt(4)}-dim " +
+          "embeddings — cross-dim cosines silently deflate; fix upstream")
       // the batch's domain set is cluster-count-bounded driver metadata;
       // it prunes the history read before the per-domain ε-join
       val doms = assigned.select("domain").distinct()
         .collect().map(_.getInt(0)).toSeq
       val dropped =
-        if (storeNonEmpty(spark, storeDir))
-          graft.ops.Similarity.semDeDupGateDropped(
-            assigned,
-            spark.read.parquet(storeDir)
-              .filter(col("ingest_batch") < batchId &&
-                col("domain").isin(doms: _*))
-              .select("domain", "embedding", "nrm"),
-            eps)
-        else spark.range(0).select(col("id").as("vec_id"))
+        if (storeNonEmpty(spark, storeDir)) {
+          val hist = spark.read.parquet(storeDir)
+            .filter(col("ingest_batch") < batchId &&
+              col("domain").isin(doms: _*))
+            .select("domain", "embedding", "nrm")
+          // a store written at a different dim would silently deflate
+          // every cross-dim cosine instead of erroring — the
+          // loadBenchStore shingle-size lesson. One single-row read of
+          // the pruned history per batch.
+          val histDim = spark.read.parquet(storeDir)
+            .filter(col("ingest_batch") < batchId)
+            .select(size(col("embedding")).as("d")).head(1)
+          histDim.headOption.foreach(h => require(h.getInt(0) == chk.getInt(3),
+            s"batch embeddings are ${chk.getInt(3)}-dim but the admitted " +
+              s"store at $storeDir holds ${h.getInt(0)}-dim vectors — " +
+              "cross-dim cosines silently deflate; the stream and its " +
+              "store must share one embedding space"))
+          graft.ops.Similarity.semDeDupGateDropped(assigned, hist, eps)
+        } else spark.range(0).select(col("id").as("vec_id"))
       assigned.join(dropped, Seq("vec_id"), "left_anti")
         .withColumn("ingest_batch", lit(batchId))
         .sortWithinPartitions("domain")
@@ -1543,6 +1565,33 @@ object Jobs {
       require(chk.getInt(1) == chk.getInt(2),
         s"audit batch $batchId carries mixed ${chk.getInt(1)}..${chk.getInt(2)}-dim " +
           "embeddings — cross-dim cosines silently deflate; fix upstream")
+      // history-coverage contract: docs admitted BEFORE the gate was
+      // enabled carry no vectors in vecs/, so their semantic duplicates
+      // would silently pass forever. A gate must run (or be seeded)
+      // from the store's first batch. Replay of the CURRENT batch is
+      // fine: only partitions strictly below batchId count as history.
+      val admRoot = new org.apache.hadoop.fs.Path(s"$storeRoot/admitted")
+      val admFs = admRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorAdmitted =
+        if (admFs.exists(admRoot))
+          partitionIds(admFs, admRoot).keys.filter(_ < batchId).toSet
+        else Set.empty[Long]
+      val vecsRoot = new org.apache.hadoop.fs.Path(s"$storeRoot/vecs")
+      val vecsFs = vecsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vecsIds =
+        if (vecsFs.exists(vecsRoot)) partitionIds(vecsFs, vecsRoot).keys.toSet
+        else Set.empty[Long]
+      // a gate-from-start stream writes vecs whenever it writes
+      // admitted, and compaction folds the two stores' partitions in
+      // step — so any admitted history id missing from vecs means the
+      // gate was OFF for that batch
+      require(priorAdmitted.subsetOf(vecsIds),
+        s"semdedup gate enabled over admitted history the vecs store at " +
+          s"$storeRoot/vecs does not cover (admitted batches " +
+          s"${(priorAdmitted -- vecsIds).toSeq.sorted.mkString(",")} carry " +
+          "no vectors; their semantic duplicates would silently pass " +
+          "forever) — run the gate from the stream's first batch, or " +
+          "re-seed the stores with the gate configured")
     }
     val hashDir = s"$storeRoot/hashes"
     val wordsDir = s"$storeRoot/words"

@@ -334,6 +334,16 @@ class AuditStreamSpec extends SparkSpec {
         semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)))(
         Seq(DocEmb(20, t10 + " again", Seq(0.0, 0.0, 0.0, 0.0))).toDF(), 2L))
     assert(exZero.getMessage.contains("zero-norm"), exZero.getMessage)
+    // enabling the gate OVER history admitted without it is refused:
+    // those docs carry no vectors, so their semantic duplicates would
+    // silently pass forever
+    val root2 = tmpDir("audit11-late")
+    Jobs.auditLedgerBatch(root2)(Seq(DocEmb(1, base, u)).toDF(), 0L)
+    val exLate = intercept[IllegalArgumentException](
+      Jobs.auditLedgerBatch(root2,
+        semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)))(
+        Seq(DocEmb(2, fresh, w)).toDF(), 1L))
+    assert(exLate.getMessage.contains("does not cover"), exLate.getMessage)
   }
 
   test("bloom-gated audit equals the exact gate on a single-bench fixture (union == pair)") {

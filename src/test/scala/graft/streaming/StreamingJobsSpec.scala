@@ -647,6 +647,19 @@ class StreamingJobsSpec extends SparkSpec {
       Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
         Seq(Emb(8, "null", null)).toDF(), 1L))
     assert(exNull.getMessage.contains("NULL"), exNull.getMessage)
+    // a batch in a different embedding space than the store would
+    // silently deflate every cosine (graft_dot folds the shorter
+    // length) — refused loudly instead
+    val exDim = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
+        Seq(Emb(9, "sixdim", Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6))).toDF(), 1L))
+    assert(exDim.getMessage.contains("-dim"), exDim.getMessage)
+    // and mixed dims WITHIN one batch are equally refused
+    val exMix = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(sstore, sout, eps = 0.9)(
+        Seq(Emb(10, "a", Seq(1.0, 0.0, 0.0, 0.0)),
+          Emb(11, "b", Seq(1.0, 0.0, 0.0))).toDF(), 1L))
+    assert(exMix.getMessage.contains("mixed"), exMix.getMessage)
   }
 
   test("decontamination gate stream: benchmark-leaking docs dropped across batches, replay-safe") {
