@@ -78,7 +78,13 @@ object StressSemDeDup {
       .groupBy("domain").count().collect()
       .map(r => { val n = r.getLong(1); n * (n - 1) / 2 }).sum
 
-    stage("batch_semdedup")(Similarity.semDeDup(corpus).count())
+    // SPARK_GRAFT_STRESS_SKIP_COMMITTED=1 skips the fixed-table batch
+    // stage: at 100x its pair bill is 2.5 billion (~8 min wall
+    // extrapolated) — the committed 8-cell table is the WRONG table for
+    // that corpus by the sizing rule, and the fitted stage below is the
+    // path a 100x deployment actually runs
+    if (sys.env.get("SPARK_GRAFT_STRESS_SKIP_COMMITTED").isEmpty)
+      stage("batch_semdedup")(Similarity.semDeDup(corpus).count())
 
     // the sizing rule applied: nlist grows with the corpus, holding the
     // per-cell population at the fixture's n/8 = 250 — the pair bill
