@@ -1787,7 +1787,38 @@ object Similarity {
     * another reason the table must grow with the corpus) and the
     * drop-set anti-join is output-sized.
     */
+  /** The streaming gate's scoreability contract applied to the BATCH
+    * operators (and returning the batch's uniform dim): a NULL or
+    * zero-norm embedding yields a NULL/NaN cosine whose `>= eps`
+    * verdict is engine-dependent (Spark codegen says false, DuckDB's
+    * NaN-is-greatest says true) — so an unscoreable vector either
+    * silently survives every pair or spuriously eliminates in-domain
+    * neighbors, and mixed dims silently deflate every cosine
+    * (graft_dot folds the shared prefix). ONE aggregate over the
+    * corpus, refused loudly — the [[graft.streaming.Jobs.semDeDupGateBatch]]
+    * discipline, so a seeded store can never inherit a poisoned
+    * survivor set.
+    */
+  private def requireScoreable(embeddings: DataFrame, who: String): Int = {
+    val chk = embeddings.agg(count(lit(1)).as("n"),
+      // count(embedding) skips NULL arrays: nn < n detects one anywhere
+      count(col("embedding")).as("nn"),
+      min(dot("embedding", "embedding")).as("mn"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    require(chk.getLong(0) == 0 ||
+        (chk.getLong(1) == chk.getLong(0) && !chk.isNullAt(2) && chk.getDouble(2) > 0),
+      s"$who: corpus carries NULL or zero-norm embeddings — their cosines " +
+        "are unscoreable and the >= eps verdict is engine-dependent " +
+        "(silent survival or spurious elimination); filter or fix upstream")
+    require(chk.getLong(0) == 0 || chk.getInt(3) == chk.getInt(4),
+      s"$who: corpus carries mixed ${chk.getInt(3)}..${chk.getInt(4)}-dim " +
+        "embeddings — cross-dim cosines silently deflate; fix upstream")
+    if (chk.getLong(0) == 0) 0 else chk.getInt(3)
+  }
+
   def semDeDup(embeddings: DataFrame, eps: Double = 0.3): DataFrame = {
+    requireScoreable(embeddings, "semDeDup"): Unit
     val assigned = domainAssignedD2(embeddings)
     assigned
       .join(semDeDupDroppedIds(assigned, eps), Seq("vec_id"), "left_anti")
@@ -1813,10 +1844,25 @@ object Similarity {
     * The micro-batch side is broadcast into the store scan — per-batch
     * history IO is domain-filtered and never shuffles the store.
     */
+  /** Whether the micro-batch side of a gate join is safely
+    * FORCE-broadcastable: estimated in-memory bytes (dim floats + row
+    * overhead) within a fixed driver budget. Under Trigger.AvailableNow
+    * a cold-start backlog arrives as ONE arbitrarily large batch — an
+    * unconditional broadcast() hint there risks driver OOM instead of
+    * degrading to a shuffle join, so oversized batches drop the hint
+    * and let AQE size the domain-keyed join at runtime.
+    */
+  private[graft] def batchBroadcastable(rows: Long, dim: Int): Boolean =
+    rows * (dim.toLong * 4 + 48) <= (64L << 20)
+
+  private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
   private[graft] def semDeDupGateDropped(
-      batch: DataFrame, store: DataFrame, eps: Double): DataFrame =
-    broadcast(batch.select(col("vec_id"), col("domain"),
-        col("embedding").as("qe"), col("nrm").as("qn")))
+      batch: DataFrame, store: DataFrame, eps: Double,
+      hintBroadcast: Boolean = true): DataFrame =
+    maybeBroadcast(batch.select(col("vec_id"), col("domain"),
+        col("embedding").as("qe"), col("nrm").as("qn")), hintBroadcast)
       .join(store, Seq("domain"))
       .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
       .select("vec_id").distinct()
@@ -1828,9 +1874,10 @@ object Similarity {
     * scan-history join shape, same round-6 cosine.
     */
   private[graft] def semDeDupGateMatches(
-      batch: DataFrame, store: DataFrame, eps: Double): DataFrame =
-    broadcast(batch.select(col("vec_id"), col("domain"),
-        col("embedding").as("qe"), col("nrm").as("qn")))
+      batch: DataFrame, store: DataFrame, eps: Double,
+      hintBroadcast: Boolean = true): DataFrame =
+    maybeBroadcast(batch.select(col("vec_id"), col("domain"),
+        col("embedding").as("qe"), col("nrm").as("qn")), hintBroadcast)
       .join(store, Seq("domain"))
       .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
       .groupBy("vec_id").agg(min(col("adm_id")).as("matched_id"))
@@ -1875,7 +1922,9 @@ object Similarity {
        |FROM sd_vecs v LEFT JOIN sd_dropped d ON v.vec_id = d.vec_id
        |GROUP BY v.domain ORDER BY v.domain""".stripMargin)(
     (s, d) => {
-      val assigned = domainAssignedD2(Tables.embeddings(s, d))
+      val emb = Tables.embeddings(s, d)
+      requireScoreable(emb, "sim_semdedup_stats"): Unit
+      val assigned = domainAssignedD2(emb)
       val dropped = semDeDupDroppedIds(assigned, eps = 0.3)
         .withColumn("is_dropped", lit(1L))
       assigned.select("vec_id", "domain")
@@ -1907,6 +1956,7 @@ object Similarity {
       eps: Double = 0.3,
       fitFraction: Double = 0.25): DataFrame = {
     require(nlist >= 1, s"nlist=$nlist")
+    requireScoreable(embeddings, "semDeDupFitted"): Unit
     val spark = embeddings.sparkSession
     import spark.implicits._
     // MLlib KMeans requires k >= 2; k = 1 converges to the corpus mean

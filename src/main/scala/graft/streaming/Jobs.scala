@@ -773,17 +773,29 @@ object Jobs {
             .select("domain", "embedding", "nrm")
           // a store written at a different dim would silently deflate
           // every cross-dim cosine instead of erroring — the
-          // loadBenchStore shingle-size lesson. One single-row read of
-          // the pruned history per batch.
+          // loadBenchStore shingle-size lesson. min==max over the FULL
+          // pruned history (still one aggregate), not a single-row
+          // probe: a hand-seeded or externally mutated store with MIXED
+          // dims would pass a head(1) check and the non-sampled rows'
+          // cosines would silently deflate.
           val histDim = spark.read.parquet(storeDir)
             .filter(col("ingest_batch") < batchId)
-            .select(size(col("embedding")).as("d")).head(1)
-          histDim.headOption.foreach(h => require(h.getInt(0) == chk.getInt(3),
-            s"batch embeddings are ${chk.getInt(3)}-dim but the admitted " +
-              s"store at $storeDir holds ${h.getInt(0)}-dim vectors — " +
-              "cross-dim cosines silently deflate; the stream and its " +
-              "store must share one embedding space"))
-          graft.ops.Similarity.semDeDupGateDropped(assigned, hist, eps)
+            .agg(min(size(col("embedding"))).as("lo"),
+              max(size(col("embedding"))).as("hi")).head()
+          if (!histDim.isNullAt(0))
+            require(histDim.getInt(0) == chk.getInt(3) &&
+                histDim.getInt(1) == chk.getInt(3),
+              s"batch embeddings are ${chk.getInt(3)}-dim but the admitted " +
+                s"store at $storeDir holds ${histDim.getInt(0)}.." +
+                s"${histDim.getInt(1)}-dim vectors — cross-dim cosines " +
+                "silently deflate; the stream and its store must share " +
+                "one embedding space")
+          // force-broadcast only batches within the driver budget; a
+          // cold-start AvailableNow backlog arrives as ONE batch and
+          // must degrade to a shuffle join, not OOM the driver
+          graft.ops.Similarity.semDeDupGateDropped(assigned, hist, eps,
+            hintBroadcast = graft.ops.Similarity
+              .batchBroadcastable(chk.getLong(0), chk.getInt(3)))
         } else spark.range(0).select(col("id").as("vec_id"))
       assigned.join(dropped, Seq("vec_id"), "left_anti")
         .withColumn("ingest_batch", lit(batchId))
@@ -1532,14 +1544,16 @@ object Jobs {
     // not just the stage's survivors: a NULL, wrong-dim, or (for the
     // semdedup store) zero-norm embedding is a data fault that must
     // fail the batch loudly either way
-    if (semanticGate.isDefined || semDeDupGate.isDefined) {
-      val nulls = batch.agg(count(lit(1)).as("n"),
-        count(col("embedding")).as("nonNull")).head()
-      require(nulls.getLong(1) == nulls.getLong(0),
-        s"audit batch $batchId carries ${nulls.getLong(0) - nulls.getLong(1)} NULL " +
-          "embeddings — NULL rows cannot be scored by the embedding stages and " +
-          "would pass them unexamined; drop or fix them upstream")
-    }
+    val batchRows: Long =
+      if (semanticGate.isDefined || semDeDupGate.isDefined) {
+        val nulls = batch.agg(count(lit(1)).as("n"),
+          count(col("embedding")).as("nonNull")).head()
+        require(nulls.getLong(1) == nulls.getLong(0),
+          s"audit batch $batchId carries ${nulls.getLong(0) - nulls.getLong(1)} NULL " +
+            "embeddings — NULL rows cannot be scored by the embedding stages and " +
+            "would pass them unexamined; drop or fix them upstream")
+        nulls.getLong(0)
+      } else -1L
     semanticGate.foreach { cfg =>
       val dims = batch.agg(
         min(size(col("embedding"))).as("lo"),
@@ -1549,7 +1563,7 @@ object Jobs {
           s"embeddings but the benchmark store holds ${cfg.benchDim}-dim vectors — " +
           "a mismatch would silently deflate every cosine, not error")
     }
-    semDeDupGate.foreach { _ =>
+    val sdBatchDim: Int = semDeDupGate.map { _ =>
       // zero-norm: admitted, it would never match anything later —
       // permanent silent store pollution (semDeDupGateBatch's
       // contract). Mixed dims: graft_dot folds the SHORTER length, so
@@ -1592,7 +1606,8 @@ object Jobs {
           "no vectors; their semantic duplicates would silently pass " +
           "forever) — run the gate from the stream's first batch, or " +
           "re-seed the stores with the gate configured")
-    }
+      chk.getInt(1)
+    }.getOrElse(0)
     val hashDir = s"$storeRoot/hashes"
     val wordsDir = s"$storeRoot/words"
     def writeOwn(df: DataFrame, dir: String): Unit =
@@ -1761,7 +1776,12 @@ object Jobs {
                 col("domain").isin(doms: _*))
               .select(col("doc_id").as("adm_id"), col("domain"),
                 col("embedding"), col("nrm")),
-            cfg.eps)
+            cfg.eps,
+            // force-broadcast only within the driver budget (batchRows
+            // bounds the survivor count from above) — an AvailableNow
+            // cold-start backlog must degrade to a shuffle join
+            hintBroadcast = graft.ops.Similarity
+              .batchBroadcastable(batchRows, sdBatchDim))
             .select(col("vec_id").as("doc_id"),
               concat(lit("semdup_of="), col("matched_id")).as("reason"))
         case _ => noDrops

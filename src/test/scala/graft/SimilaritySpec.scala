@@ -712,6 +712,48 @@ class SimilaritySpec extends SparkSpec {
       s"nlist=16 kept ${base16.size} < exhaustive ${expect.size}")
   }
 
+  test("semdedup batch operators refuse unscoreable embeddings (the gate's contract)") {
+    // a NULL embedding's cosine is NULL and a zero-norm's is 0/0 = NaN:
+    // the >= eps verdict is engine-dependent (Spark codegen false,
+    // DuckDB NaN-greatest true), so the batch operators must refuse
+    // loudly instead of silently surviving-or-eliminating — and
+    // seedSemDeDupStore inherits the guard, so a seeded gate store can
+    // never start poisoned
+    val nullRow = spark.range(1).select(lit(9100L).as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"), lit(0).as("label"))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semDeDup(emb.unionByName(nullRow))
+    }
+    assert(e1.getMessage.contains("NULL or zero-norm"))
+    val zeroRow = spark.range(1).select(lit(9101L).as("vec_id"),
+      typedLit(Array.fill(64)(0.0f).toSeq).as("embedding"), lit(0).as("label"))
+    intercept[IllegalArgumentException] {
+      Similarity.semDeDup(emb.unionByName(zeroRow))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semDeDupFitted(emb.unionByName(zeroRow), nlist = 4)
+    }
+    // mixed dims silently deflate cross-dim cosines (graft_dot folds
+    // the shared prefix) — refused, not degraded
+    val shortRow = spark.range(1).select(lit(9102L).as("vec_id"),
+      typedLit(Seq(1.0f, 2.0f)).as("embedding"), lit(0).as("label"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semDeDup(emb.unionByName(shortRow))
+    }
+    assert(e2.getMessage.contains("mixed"))
+    // the clean fixture still passes every guard
+    assert(Similarity.semDeDup(emb).count() > 0)
+  }
+
+  test("gate broadcast hint budget: small batches hint, backlog-sized batches degrade") {
+    // 64-dim rows: ~296 B estimated each — 1k rows hint, 10M rows
+    // (an AvailableNow cold-start backlog) must NOT force-broadcast
+    assert(Similarity.batchBroadcastable(1000L, 64))
+    assert(Similarity.batchBroadcastable(200000L, 64))
+    assert(!Similarity.batchBroadcastable(10000000L, 64))
+    assert(!Similarity.batchBroadcastable(300000L, 1024))
+  }
+
   test("lsh buckets: one row per (vector, table); bucket keys within bit range") {
     val b = Similarity.lshBuckets(emb, tables = 4, bitsPerTable = 5)
     assert(b.count() == emb.count() * 4)

@@ -662,6 +662,25 @@ class StreamingJobsSpec extends SparkSpec {
     assert(exMix.getMessage.contains("mixed"), exMix.getMessage)
   }
 
+  test("semdedup gate: externally mutated store with MIXED dims is refused (full-history dim check)") {
+    import spark.implicits._
+    // seedSemDeDupStore can no longer produce this (the batch operator
+    // validates), so simulate an externally mutated store: two admitted
+    // rows at DIFFERENT dims. A single-row probe could sample the
+    // matching row and let the other's deflated cosines pass silently;
+    // the min==max aggregate over the pruned history cannot.
+    val store = tmpDir("sdmix-store"); val out = tmpDir("sdmix-out")
+    Seq((100L, "h1", 0, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+        (101L, "h2", 0, Seq(1.0, 0.0, 0.0), 1.0))
+      .toDF("vec_id", "label", "domain", "embedding", "nrm")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(store)
+    val ex = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(store, out, eps = 0.9)(
+        Seq(Emb(1, "a", Seq(1.0, 0.0, 0.0, 0.0))).toDF(), 1L))
+    assert(ex.getMessage.contains("-dim"), ex.getMessage)
+  }
+
   test("decontamination gate stream: benchmark-leaking docs dropped across batches, replay-safe") {
     import spark.implicits._
     val store = tmpDir("decon-store"); val out = tmpDir("decon-out")
