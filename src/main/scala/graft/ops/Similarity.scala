@@ -1153,8 +1153,66 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
-  val nearDupQuery = QueryDef.unverified("sim_cosine_neardup_pairs")(
+  /** The deterministic hyperplane matrix as DuckDB VALUES rows — one
+    * row per (table, bit) with its 64-dim plane. [[graft.functions.Hyperplanes]]
+    * is a pure splitmix64 stream, so the EXACT planes the native
+    * graft_hyperplane_buckets expression hashes with can be embedded in
+    * the oracle: Double.toString renders shortest-round-trip text, so
+    * the SQL literal parses back to the identical bits on DuckDB's side.
+    */
+  private def duckPlaneValues(tables: Int, bits: Int): String = {
+    val planes = graft.functions.Hyperplanes.planes(tables * bits)
+    (for { t <- 0 until tables; b <- 0 until bits } yield
+      s"($t, $b, [${planes(t * bits + b).mkString(", ")}])").mkString(", ")
+  }
+
+  /** Full DuckDB replay of [[cosineNearDupPairs]] — bucketing included:
+    * bucket key t = Σ_b (1 << b over planes with dot > 0), the exact
+    * sign rule of graft_hyperplane_buckets (acc > 0 sets the bit) over
+    * the exact committed-stream planes, then the same bucket-join →
+    * DISTINCT candidates → exact round-6 cosine verify. Every dot is
+    * the shared sequential fold ([[duckDot]]), so bucket keys — and
+    * therefore the candidate set — are bit-identical across engines:
+    * this row hash-verifies the LSH candidate plumbing itself, the one
+    * family member r17 left rows-only.
+    */
+  private def duckNearDupPairs(threshold: Double, tables: Int, bits: Int): String =
+    s"""WITH planes(tbl, bit, plane) AS (VALUES ${duckPlaneValues(tables, bits)}),
+       |buckets AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |         sum(CASE WHEN ${duckDot("e.embedding", "pl.plane")} > 0
+       |             THEN (CAST(1 AS BIGINT) << pl.bit) ELSE 0 END) AS bucket
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  GROUP BY e.vec_id, pl.tbl),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |v AS (SELECT vec_id, embedding,
+       |             sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings)
+       |SELECT c.vec_a, c.vec_b,
+       |       round(${duckDot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS cos_sim
+       |FROM cands c JOIN v va ON c.vec_a = va.vec_id JOIN v vb ON c.vec_b = vb.vec_id
+       |WHERE round(${duckDot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val nearDupQuery = QueryDef(
+    "sim_cosine_neardup_pairs",
+    duckNearDupPairs(0.45, tables = 16, bits = 8))(
     (s, d) => cosineNearDupPairs(Tables.embeddings(s, d)).orderBy("vec_a", "vec_b"))
+
+  /** The same pipeline at a looser verify threshold (0.3): the 0.45 row
+    * passes ~1 pair at the verify SF, thin evidence for the bucket
+    * plumbing — this row pushes a few hundred pairs through the
+    * identical bucket-join/distinct/verify path, so a dropped bucket,
+    * mangled key, or non-distinct candidate duplicates the hash breaks.
+    */
+  val nearDupLoQuery = QueryDef(
+    "sim_cosine_neardup_pairs_lo",
+    duckNearDupPairs(0.3, tables = 16, bits = 8))(
+    (s, d) => cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.3)
+      .orderBy("vec_a", "vec_b"))
 
   /** Exact cosine pairs within same-label blocks — the shared pair
     * pipeline behind BOTH oracle rows that need a DuckDB-replayable
@@ -2004,7 +2062,8 @@ object Similarity {
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
       annIvfPqRerankFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
-      annRecallAuditQuery, annRecallQuery, nearDupQuery, labelBlockedQuery,
+      annRecallAuditQuery, annRecallQuery, nearDupQuery, nearDupLoQuery,
+      labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
       hardNegativesQuery, domainMixtureQuery, domainRebalanceQuery,
       semDeDupQuery, semDeDupStatsQuery, semDeDupFittedQuery)
