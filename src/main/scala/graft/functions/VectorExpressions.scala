@@ -390,6 +390,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),
+    (FunctionIdentifier("graft_nearest_cell"),
+      new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+      four("graft_nearest_cell", NearestCell)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
       one("graft_simhash", e => SimhashAgg(e).toAggregateExpression())),
@@ -419,6 +422,14 @@ object GraftFunctions {
     case Seq(a, b, c) => mk(a, b, c)
     case args => throw new IllegalArgumentException(
       s"$name expects exactly 3 arguments, got ${args.length}")
+  }
+
+  private def four(
+      name: String,
+      mk: (Expression, Expression, Expression, Expression) => Expression): Builder = {
+    case Seq(a, b, c, d) => mk(a, b, c, d)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 4 arguments, got ${args.length}")
   }
 }
 

@@ -220,10 +220,20 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = embeddings.withColumn("features",
       array_to_vector(transform(col("embedding"), x => x.cast("double"))))
+    // FAISS-style fixed training budget: a coarse quantizer needs a few
+    // hundred points PER CELL, not a corpus fraction — a fraction grows
+    // the fit bill O(n·k) with the corpus (O(n²) once k ∝ n, the
+    // measured r17 wall). The effective fraction is capped so the
+    // sample targets ~256·nlist rows (5% oversample for Bernoulli
+    // variance); below the cap the caller's fitFraction semantics are
+    // untouched, so fixture-scale fits are bit-identical.
+    val corpusN = embeddings.count()
+    val cappedFraction = math.min(fitFraction,
+      256.0 * nlist * 1.05 / math.max(1L, corpusN))
     // Seed-pinned Bernoulli sample; cached so the KMeans iterations scan
     // the sample, not the corpus. limit(nlist).count() is an early-stop
     // scan (reads at most nlist rows), not a full count.
-    val sampled = withVec.sample(withReplacement = false, fitFraction, seed = 42L).cache()
+    val sampled = withVec.sample(withReplacement = false, cappedFraction, seed = 42L).cache()
     val fitData = if (sampled.limit(nlist).count() == nlist) sampled else withVec
     // 5 iterations: coarse-quantizer quality plateaus fast and each
     // iteration is a full Spark job — cell BALANCE matters more than
@@ -234,6 +244,361 @@ object Similarity {
       .fit(fitData)
     sampled.unpersist(blocking = true)
     (model, withVec)
+  }
+
+  /** A fitted HIERARCHICAL coarse quantizer: `offsets(t)`/`counts(t)`
+    * slice the flat `subCents` matrix into top cell t's children, so
+    * list_id IS the absolute sub-centroid index and two
+    * graft_nearest_cell probes (kTop, then counts(t)) assign a vector —
+    * O(√nlist) per row instead of the flat quantizer's O(nlist).
+    */
+  private[graft] final case class TwoLevelQuantizer(
+      topCents: Array[Array[Double]],
+      subCents: Array[Array[Double]],
+      offsets: Array[Int],
+      counts: Array[Int]) {
+    def nlist: Int = subCents.length
+  }
+
+  /** Largest-remainder proportional allotment of `nlist` sub-cells over
+    * the occupied top cells, min 1 per occupied cell, capped at the
+    * cell's sample population (Lloyd's cannot seat more centroids than
+    * points). Deterministic: ties nudge the lowest-index cell.
+    */
+  private[graft] def allotCells(sizes: Seq[(Int, Long)], nlist: Int): Seq[(Int, Int)] = {
+    val occupied = sizes.filter(_._2 > 0).sortBy(_._1)
+    require(occupied.nonEmpty, "allotCells: no occupied top cells")
+    val total = occupied.map(_._2).sum
+    var q = occupied.map { case (t, nt) =>
+      (t, nt, math.min(nt, math.max(1L, nlist.toLong * nt / total)).toInt)
+    }.toVector
+    val want = math.min(nlist.toLong, total).toInt
+    var diff = want - q.map(_._3).sum
+    while (diff > 0) {
+      // add to the cell with the most headroom (points beyond centroids)
+      val i = q.indices.filter(i => q(i)._3 < q(i)._2)
+        .maxBy(i => (q(i)._2 - q(i)._3, -i))
+      q = q.updated(i, (q(i)._1, q(i)._2, q(i)._3 + 1)); diff -= 1
+    }
+    while (diff < 0) {
+      // shrink the largest allotment first (never below 1)
+      val i = q.indices.filter(i => q(i)._3 > 1).maxBy(i => (q(i)._3, -i))
+      q = q.updated(i, (q(i)._1, q(i)._2, q(i)._3 - 1)); diff += 1
+    }
+    q.map(x => (x._1, x._3))
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic local Lloyd's over a bounded in-memory sample slice —
+    * the per-top-cell sub-fit of [[fitQuantizerTwoLevel]]. Points must
+    * arrive in a stable order (the caller sorts by vec_id); with the
+    * pinned splitmix64 stream the fit is then a pure function of
+    * (points, k, seed). Quality matters more than it looks: the
+    * DOWNSTREAM pair bill is Σ|cell|², so a fat cell from a weak fit
+    * costs quadratically — hence k-means++ D² seeding (robust to the
+    * exact-twin-heavy corpora a deduper sees: a duplicate of a chosen
+    * seed has D²=0 and is never drawn again) and farthest-point
+    * RESEEDING of emptied clusters (a stale kept centroid just stays
+    * empty; the reseed splits the fattest region instead).
+    */
+  private def localLloyd(
+      points: Array[Array[Double]], k0: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val k = math.min(k0, points.length)
+    val dim = points(0).length
+    var rng = seed
+    def nextDouble(): Double = {
+      rng = splitmix64(rng)
+      (rng >>> 11).toDouble / 9007199254740992.0 // 2^53
+    }
+    def sqdist(p: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < dim) { val t = p(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    // k-means++ init: first seed drawn uniformly, each next proportional
+    // to D² against the chosen set (deterministic given the stream)
+    val cents = new Array[Array[Double]](k)
+    cents(0) = points((nextDouble() * points.length).toInt.min(points.length - 1)).clone()
+    val minD2 = points.map(p => sqdist(p, cents(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD2.sum
+      val target = nextDouble() * total
+      var acc = 0.0; var pick = -1
+      var i = 0
+      while (i < points.length && pick < 0) {
+        acc += minD2(i)
+        if (acc >= target && minD2(i) > 0) pick = i
+        i += 1
+      }
+      // all-duplicate tail (total mass 0 beyond the target): fall back
+      // to the first point with positive D², else reuse point 0
+      if (pick < 0) pick = minD2.indexWhere(_ > 0) match {
+        case -1 => 0
+        case j => j
+      }
+      cents(c) = points(pick).clone()
+      var j = 0
+      while (j < points.length) {
+        val d = sqdist(points(j), cents(c))
+        if (d < minD2(j)) minD2(j) = d
+        j += 1
+      }
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k, dim)(0.0)
+      val cnts = new Array[Long](k)
+      val assign = new Array[Int](points.length)
+      val dist = new Array[Double](points.length)
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
+        var best = 0; var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < k) {
+          val d = sqdist(p, cents(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(pi) = best; dist(pi) = bestD
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        cnts(best) += 1
+        pi += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (cnts(j) > 0) {
+          var i = 0
+          while (i < dim) { cents(j)(i) = sums(j)(i) / cnts(j); i += 1 }
+        } else {
+          // reseed at the point farthest from its centroid — splits the
+          // fattest region (deterministic: first index wins ties)
+          var far = 0; var farD = -1.0
+          var p = 0
+          while (p < points.length) {
+            if (dist(p) > farD) { farD = dist(p); far = p }
+            p += 1
+          }
+          cents(j) = points(far).clone()
+          dist(far) = 0.0 // one reseed per point per iteration
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** The scale-safe coarse-quantizer fit — both FAISS answers to the
+    * O(n²) wall [[fitQuantizer]] hits when nlist grows with the corpus
+    * (SCALING.md "Where the bottleneck moves next", the r17 measured
+    * 100× bill):
+    *
+    *  1. FIXED training sample: ~`samplePerCell`·nlist rows
+    *     (seed-pinned Bernoulli), never a corpus fraction — fit cost is
+    *     a function of nlist alone.
+    *  2. TWO-LEVEL fit and assignment: kTop = ⌈√nlist⌉ top cells fit by
+    *     the distributed KMeans, then EVERY top cell's sub-cells fit in
+    *     ONE flatMapGroups pass (each group a bounded sorted slice of
+    *     the sample through deterministic local Lloyd's — kTop
+    *     parallel sub-fits in a single Spark job, not kTop driver-looped
+    *     MLlib fits), so fit cost is O(sample·√nlist·dim) per level and
+    *     corpus assignment ([[assignTwoLevel]]) probes kTop + counts(t)
+    *     ≈ 2√nlist cells per row instead of nlist.
+    *
+    * Sub-cell allotment is proportional to top-cell sample population
+    * ([[allotCells]]) — the SemDeDup sizing rule's per-cell density
+    * target applied within the hierarchy. Determinism: pinned seeds,
+    * vec_id-sorted groups, lowest-index tie-breaks throughout.
+    */
+  private[graft] def fitQuantizerTwoLevel(
+      embeddings: DataFrame,
+      nlist: Int,
+      samplePerCell: Int = 256): TwoLevelQuantizer = {
+    require(nlist >= 2, s"nlist=$nlist — use the exhaustive single cell below 2")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val n = embeddings.count()
+    require(n >= nlist,
+      s"fitQuantizerTwoLevel: corpus ($n rows) cannot seat nlist=$nlist cells")
+    val frac = math.min(1.0, samplePerCell.toDouble * nlist * 1.05 / n)
+    val sample = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .sample(withReplacement = false, frac, seed = 42L)
+      .cache()
+    try {
+      val kTop = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      val fitData = sample.withColumn("features", array_to_vector(col("emb")))
+      val topModel = new KMeans()
+        .setK(kTop).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("top")
+        .fit(fitData)
+      val sampleAssigned = topModel.transform(fitData)
+        .select(col("top"), col("vec_id"), col("emb"))
+      val sizes = sampleAssigned.groupBy("top").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      val allot = allotCells(sizes, nlist).toMap
+      val allotB = spark.sparkContext.broadcast(allot)
+      // ONE job: every occupied top cell's sub-fit runs as a group over
+      // its (bounded, ~samplePerCell·counts(t)-row) sample slice
+      val subRows = sampleAssigned.as[(Int, Long, Array[Double])]
+        .groupByKey(_._1)
+        .flatMapGroups { (top: Int, it: Iterator[(Int, Long, Array[Double])]) =>
+          val pts = it.map(r => (r._2, r._3)).toArray.sortBy(_._1).map(_._2)
+          val k = allotB.value.getOrElse(top, 1)
+          localLloyd(pts, k, iters = 10, seed = 42L + top).zipWithIndex
+            .map { case (c, s) => (top, s, c) }.iterator
+        }
+        .collect() // nlist rows — the centroid-table contract, bounded
+      allotB.destroy()
+      val byTop = subRows.groupBy(_._1).toSeq.sortBy(_._1)
+      val topCents = byTop.map { case (t, _) => topModel.clusterCenters(t).toArray }.toArray
+      val counts = byTop.map(_._2.length).toArray
+      val offsets = counts.scanLeft(0)(_ + _).init
+      val subCents = byTop.flatMap(_._2.sortBy(_._2).map(_._3)).toArray
+      TwoLevelQuantizer(topCents, subCents, offsets, counts)
+    } finally sample.unpersist(blocking = true): Unit
+  }
+
+  /** Persist a fitted [[TwoLevelQuantizer]]: `dir/top` the kTop-row
+    * top-cell table, `dir/sub` the flat sub-centroid table keyed by
+    * (list_id, top_id) — tiny by construction (nlist rows), one file
+    * each, the [[buildIvfIndex]] centroid-store discipline. A persisted
+    * table is what lets a STREAM (or any later corpus) assign under the
+    * grown nlist the sizing rule demands instead of the committed
+    * 8-cell fixture table.
+    */
+  def writeQuantizer(q: TwoLevelQuantizer, dir: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    q.topCents.zipWithIndex.map { case (c, t) => (t, c) }.toSeq
+      .toDF("top_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/top")
+    q.offsets.zip(q.counts).zipWithIndex.flatMap { case ((off, cnt), t) =>
+      (0 until cnt).map(s => (off + s, t, q.subCents(off + s)))
+    }.toSeq
+      .toDF("list_id", "top_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sub")
+  }
+
+  /** Load + validate a persisted quantizer: non-empty levels, uniform
+    * dims across BOTH tables (a mixed table silently deflates every
+    * d2 — the centroid-store guard discipline), contiguous list_ids
+    * grouped by top cell (the flat-slice layout [[assignTwoLevel]]
+    * probes), every top cell non-empty. Bounded reads: both tables are
+    * nlist-row metadata.
+    */
+  def readQuantizer(
+      spark: org.apache.spark.sql.SparkSession, dir: String): TwoLevelQuantizer = {
+    val top = spark.read.parquet(s"$dir/top")
+      .orderBy("top_id").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val sub = spark.read.parquet(s"$dir/sub")
+      .orderBy("list_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(top.nonEmpty && sub.nonEmpty,
+      s"quantizer at $dir is empty — fit and writeQuantizer first")
+    require(top.map(_._1).toSeq == top.indices,
+      s"quantizer at $dir has non-contiguous top_ids")
+    require(sub.map(_._1).toSeq == sub.indices,
+      s"quantizer at $dir has non-contiguous list_ids")
+    val dims = (top.map(_._2.length) ++ sub.map(_._3.length)).distinct
+    require(dims.length == 1,
+      s"quantizer at $dir mixes centroid dims ${dims.mkString(",")} — " +
+        "a mixed table silently deflates every distance")
+    // sub rows must be grouped by top cell in list_id order (the flat
+    // slice contract), with every top cell owning at least one sub cell
+    val groups = sub.map(_._2)
+    require(groups.toSeq == groups.sorted.toSeq,
+      s"quantizer at $dir interleaves top cells in list_id order")
+    val counts = top.indices.map(t => groups.count(_ == t)).toArray
+    require(counts.forall(_ >= 1),
+      s"quantizer at $dir has top cells with no sub cells " +
+        s"(${counts.zipWithIndex.filter(_._1 == 0).map(_._2).mkString(",")})")
+    TwoLevelQuantizer(top.map(_._2), sub.map(_._3),
+      counts.scanLeft(0)(_ + _).init, counts)
+  }
+
+  /** Two-probe scan-side assignment under a [[TwoLevelQuantizer]]:
+    * nearest of the kTop top cells, then nearest within that cell's
+    * slice of the flat sub matrix — both via the native codegen'd
+    * graft_nearest_cell (zero exchanges, zero row blowup; the matrices
+    * ride the plan as literals exactly like the committed domain
+    * table). Appends `list_id` — the absolute sub-centroid index.
+    */
+  private[graft] def assignTwoLevel(embeddings: DataFrame, q: TwoLevelQuantizer): DataFrame = {
+    val topLit = typedLit(q.topCents.map(_.toSeq).toSeq)
+    val subLit = typedLit(q.subCents.map(_.toSeq).toSeq)
+    val offLit = typedLit(q.offsets.toSeq)
+    val cntLit = typedLit(q.counts.toSeq)
+    embeddings
+      .withColumn("top_cell", call_function("graft_nearest_cell",
+        col("embedding"), topLit, lit(0), lit(q.topCents.length)))
+      .withColumn("list_id", call_function("graft_nearest_cell",
+        col("embedding"), subLit,
+        element_at(offLit, col("top_cell") + 1),
+        element_at(cntLit, col("top_cell") + 1)))
+      .drop("top_cell")
+  }
+
+  /** The gate-side assignment projection under a FITTED table — the
+    * [[domainAssignedD2]] shape (vec_id, label, embedding, domain, d2,
+    * nrm) with `domain` = the quantizer's list_id and d2 against the
+    * winning sub centroid (e·e − 2·e·c + c·c, the one spelling).
+    * Assignment is the two-probe scan-side kernel; d2 costs one
+    * broadcast join against the nlist-row centroid table.
+    */
+  private[graft] def quantizerAssignedD2(
+      embeddings: DataFrame, q: TwoLevelQuantizer): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = q.subCents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("domain", "cent")
+    assignTwoLevel(embeddings, q)
+      .withColumnRenamed("list_id", "domain")
+      .join(broadcast(cents), Seq("domain"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("domain"),
+        (dot("embedding", "embedding") - lit(2.0) * dot("embedding", "cent") +
+          dot("cent", "cent")).as("d2"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+  }
+
+  /** Content digest of the assignment table a SemDeDup store's verdicts
+    * were produced under — `None` = the committed domain table. A store
+    * gated under table A and later probed under table B would compare
+    * vectors across unrelated cell systems and silently mis-verdict;
+    * the gates stamp this digest into the store and refuse a mismatch
+    * (the loadBenchStore shingle-size lesson, applied to cells).
+    */
+  private[graft] def assignmentDigest(q: Option[TwoLevelQuantizer]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def add(a: Array[Double]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(8 * a.length)
+      a.foreach(bb.putDouble)
+      md.update(bb.array())
+    }
+    val prefix = q match {
+      case None =>
+        domainCentroids.foreach(add)
+        "committed:"
+      case Some(qq) =>
+        qq.topCents.foreach(add)
+        qq.subCents.foreach(add)
+        add(qq.offsets.map(_.toDouble))
+        "fitted:"
+    }
+    prefix + md.digest().map("%02x".format(_)).mkString
   }
 
   def annIvfTopK(
@@ -1791,7 +2156,7 @@ object Similarity {
     * `d2` — everything the pair stage and the keep-rule need, computed
     * scan-side with zero exchanges.
     */
-  private def domainAssignedD2(embeddings: DataFrame): DataFrame =
+  private[graft] def domainAssignedD2(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("best", least(domainCandidates: _*))
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -1808,7 +2173,19 @@ object Similarity {
     * ε-close to the survivor — this rule is the tighter one, and it is
     * one deterministic relational pass instead of a transitive closure.)
     */
-  private def semDeDupDroppedIds(assigned: DataFrame, eps: Double): DataFrame = {
+  private def semDeDupDroppedIds(assigned: DataFrame, eps: Double): DataFrame =
+    semDeDupPairLosses(assigned, eps).select("vec_id")
+
+  /** The keep-rule with WINNER attribution: every ε-losing vector keyed
+    * to the smallest pair-opponent that beat it — what a rejection
+    * ledger renders as the drop reason (`semdup_of=`), and the ONE
+    * spelling of the pair arithmetic [[semDeDupDroppedIds]] (the
+    * hash-verified committed rows) also flows through, so the ledger
+    * and the oracle can never drift on a verdict. Input must carry
+    * (domain, vec_id, embedding, nrm, d2) — the [[domainAssignedD2]]
+    * shape.
+    */
+  private[graft] def semDeDupPairLosses(assigned: DataFrame, eps: Double): DataFrame = {
     val l = assigned.select(col("domain"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), col("nrm").as("na"), col("d2").as("da"))
     val r = assigned.select(col("domain"), col("vec_id").as("vec_b"),
@@ -1817,10 +2194,14 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= eps)
-      .select(when(col("da") > col("db"), col("vec_b"))
-        .when(col("da") < col("db"), col("vec_a"))
-        .otherwise(col("vec_b")).as("vec_id"))
-      .distinct()
+      .select(
+        when(col("da") > col("db"), col("vec_b"))
+          .when(col("da") < col("db"), col("vec_a"))
+          .otherwise(col("vec_b")).as("vec_id"),
+        when(col("da") > col("db"), col("vec_a"))
+          .when(col("da") < col("db"), col("vec_b"))
+          .otherwise(col("vec_a")).as("winner"))
+      .groupBy("vec_id").agg(min(col("winner")).as("matched_id"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -2008,6 +2389,14 @@ object Similarity {
     * visible) — the correctness anchor SimilaritySpec replays
     * independently against the corpus-mean centroid.
     */
+  /** Above this nlist, [[semDeDupFitted]] routes through the two-level
+    * quantizer: the flat MLlib fit/assign is fine (and bit-pinned by
+    * the registered nlist=16 row) at fixture cell counts, but turns
+    * O(n²) once nlist tracks the corpus under the sizing rule — 32 is
+    * where the committed-argmin JIT cliff also lives, a natural seam.
+    */
+  private[graft] val twoLevelThreshold: Int = 32
+
   def semDeDupFitted(
       embeddings: DataFrame,
       nlist: Int = 64,
@@ -2032,6 +2421,15 @@ object Similarity {
         (Seq((0, mean)),
           embeddings.select(col("vec_id"), col("label"), col("embedding"),
             lit(0).as("domain")))
+      } else if (nlist > twoLevelThreshold) {
+        // the scale path: fixed per-cell training sample + hierarchical
+        // fit/assign keep the quantizer bill O(n·√nlist) when nlist
+        // grows with the corpus (the r17 measured wall was the flat
+        // fit/assign turning O(n²) under the sizing rule)
+        val q = fitQuantizerTwoLevel(embeddings, nlist)
+        (q.subCents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq,
+          assignTwoLevel(embeddings, q).select(col("vec_id"), col("label"),
+            col("embedding"), col("list_id").as("domain")))
       } else {
         val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
         (model.clusterCenters.zipWithIndex
@@ -2039,6 +2437,20 @@ object Similarity {
           model.transform(withVec).select(col("vec_id"), col("label"),
             col("embedding"), col("list_id").as("domain")))
       }
+    semDeDupTail(spark, centRows, assignedRaw, eps)
+  }
+
+  /** The shared fitted-SemDeDup tail: attach own-centroid d2 + norm via
+    * a broadcast of the (nlist-row) centroid table, then the one
+    * keep-rule pass — common to the flat, two-level, and pre-fit paths
+    * so the three can never drift in arithmetic.
+    */
+  private def semDeDupTail(
+      spark: org.apache.spark.sql.SparkSession,
+      centRows: Seq[(Int, Array[Double])],
+      assignedRaw: DataFrame,
+      eps: Double): DataFrame = {
+    import spark.implicits._
     val cents = centRows.toDF("domain", "cent")
     val assigned = assignedRaw
       .join(broadcast(cents), Seq("domain"))
@@ -2049,6 +2461,28 @@ object Similarity {
     assigned
       .join(semDeDupDroppedIds(assigned, eps), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"), col("domain"))
+  }
+
+  /** [[semDeDupFitted]] against a PRE-FIT quantizer — the production
+    * shape the sizing rule implies: fit the table once (offline, on a
+    * reference sample), then dedup any number of corpora/batches under
+    * the SAME cells, so verdicts are comparable across runs and the fit
+    * bill is paid once. Also what makes the twin-invariance property
+    * exactly testable: under a fixed table, adding an exact twin can
+    * never change any other vector's verdict (twins share cell and d2),
+    * whereas a refit-per-corpus resamples and may re-draw every cell
+    * boundary.
+    */
+  def semDeDupWithQuantizer(
+      embeddings: DataFrame,
+      q: TwoLevelQuantizer,
+      eps: Double = 0.3): DataFrame = {
+    requireScoreable(embeddings, "semDeDupWithQuantizer"): Unit
+    semDeDupTail(embeddings.sparkSession,
+      q.subCents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq,
+      assignTwoLevel(embeddings, q).select(col("vec_id"), col("label"),
+        col("embedding"), col("list_id").as("domain")),
+      eps)
   }
 
   /** Registered at nlist=16 on the 500-vector fixture (~31 vectors per

@@ -731,13 +731,63 @@ object Jobs {
     * overwrite-own-partition replay idempotence and
     * [[requireMonotoneIngest]] guard as the other gates.
     */
-  def semDeDupGateBatch(storeDir: String, outDir: String, eps: Double = 0.3)(
+  /** `withinBatch = true` additionally applies the BATCH operator's
+    * keep-rule INSIDE each micro-batch before the history join —
+    * ε-twins arriving in one batch admit exactly one (the
+    * farthest-from-centroid member, lowest vec_id tie-break, the
+    * [[graft.ops.Similarity.semDeDupPairLosses]] spelling) instead of
+    * all passing. Off by default: the within-batch pass is quadratic in
+    * per-(batch, domain) population, the documented first-arrival-wins
+    * contract predates it, and a pre-deduped upstream shouldn't pay the
+    * pair join — but at production batch sizes the pass closes a real
+    * redundancy leak between store syncs. Pure function of the batch →
+    * adds nothing to the replay contract.
+    */
+  /** `quantizer = Some(q)` assigns against a FITTED table
+    * ([[graft.ops.Similarity.readQuantizer]]) instead of the committed
+    * 8-cell fixture — the production stream under the sizing rule's
+    * grown nlist. The store is stamped with the assignment table's
+    * content digest on first write and every later batch must present
+    * the SAME table: verdicts produced under one cell system are
+    * meaningless probed under another, and the failure would otherwise
+    * be silent (cells just stop coinciding). Batch dim must equal the
+    * table's dim (graft_nearest_cell folds the shared prefix, so a
+    * mismatch would silently mis-assign, not error).
+    */
+  def semDeDupGateBatch(storeDir: String, outDir: String, eps: Double = 0.3,
+      withinBatch: Boolean = false,
+      quantizer: Option[graft.ops.Similarity.TwoLevelQuantizer] = None)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     requireMonotoneIngest(spark, outDir, batchId)
     resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
-    val assigned = graft.ops.Similarity.domainWithNorm(batch).cache()
+    requireSameAssignmentTable(spark, storeDir,
+      graft.ops.Similarity.assignmentDigest(quantizer))
+    quantizer.foreach { q =>
+      val tDim = q.topCents.head.length
+      val bDim = batch.select(min(size(col("embedding")))).head()
+      require(!bDim.isNullAt(0) && bDim.getInt(0) == tDim,
+        s"batch embeddings are ${if (bDim.isNullAt(0)) "NULL" else bDim.getInt(0).toString}-dim " +
+          s"but the quantizer table holds $tDim-dim centroids — " +
+          "graft_nearest_cell would fold the shared prefix and silently " +
+          "mis-assign; the stream and its table must share one space")
+    }
+    // scored carries d2 only when the intra-batch keep-rule needs it;
+    // validation below runs on the FULL batch either way (an
+    // unscoreable vector must fail loudly even if the intra pass would
+    // have dropped it — NaN cosines poison the pass itself)
+    val scored = (quantizer match {
+      case Some(q) => graft.ops.Similarity.quantizerAssignedD2(batch, q)
+      case None if withinBatch => graft.ops.Similarity.domainAssignedD2(batch)
+      case None => graft.ops.Similarity.domainWithNorm(batch)
+    }).cache()
+    val assigned =
+      if (withinBatch)
+        scored.join(graft.ops.Similarity.semDeDupPairLosses(scored, eps)
+            .select("vec_id"), Seq("vec_id"), "left_anti")
+          .select("vec_id", "label", "embedding", "domain", "nrm")
+      else scored
     try {
       // NULL or zero-norm embeddings cannot be scored: their cosine is
       // NULL, so they would be admitted now and NEVER match anything
@@ -746,7 +796,7 @@ object Jobs {
       // shorter length). Refuse both loudly (the audit stream's
       // batch-validation discipline); ONE agg over the batch-sized
       // cache, never the store.
-      val chk = assigned.agg(count(lit(1)).as("n"),
+      val chk = scored.agg(count(lit(1)).as("n"),
         // count(nrm) skips NULLs, so nn < n detects a NULL embedding
         // anywhere in the batch (min/max alone would skip it silently)
         count(col("nrm")).as("nn"),
@@ -766,7 +816,10 @@ object Jobs {
       val doms = assigned.select("domain").distinct()
         .collect().map(_.getInt(0)).toSeq
       val dropped =
-        if (storeNonEmpty(spark, storeDir)) {
+        // partition-aware probe: the store root also carries the
+        // _graft_quantizer marker FILE, which parquet readers skip but
+        // an any-file probe would count
+        if (partitionedStoreNonEmpty(spark, storeDir)) {
           val hist = spark.read.parquet(storeDir)
             .filter(col("ingest_batch") < batchId &&
               col("domain").isin(doms: _*))
@@ -812,7 +865,7 @@ object Jobs {
         .write.mode("overwrite").partitionBy("ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(storeDir)
-    } finally assigned.unpersist(blocking = true)
+    } finally scored.unpersist(blocking = true)
   }
 
   /** [[seedDedupStore]] for the SemDeDup gate: bootstrap the admitted
@@ -823,13 +876,24 @@ object Jobs {
     * seed; re-seeding refused once a batch has run.
     */
   def seedSemDeDupStore(
-      corpus: DataFrame, storeDir: String, eps: Double = 0.3): Unit = {
+      corpus: DataFrame, storeDir: String, eps: Double = 0.3,
+      quantizer: Option[graft.ops.Similarity.TwoLevelQuantizer] = None): Unit = {
     val spark = corpus.sparkSession
     requireSeedable(spark, storeDir)
     clearSeedPartition(spark, storeDir)
-    graft.ops.Similarity.domainWithNorm(corpus)
-      .join(graft.ops.Similarity.semDeDup(corpus, eps).select("vec_id"),
-        Seq("vec_id"))
+    requireSameAssignmentTable(spark, storeDir,
+      graft.ops.Similarity.assignmentDigest(quantizer))
+    val assigned = quantizer match {
+      case Some(q) =>
+        graft.ops.Similarity.quantizerAssignedD2(corpus, q)
+          .join(graft.ops.Similarity.semDeDupWithQuantizer(corpus, q, eps)
+            .select("vec_id"), Seq("vec_id"))
+      case None =>
+        graft.ops.Similarity.domainWithNorm(corpus)
+          .join(graft.ops.Similarity.semDeDup(corpus, eps).select("vec_id"),
+            Seq("vec_id"))
+    }
+    assigned
       .select("vec_id", "domain", "embedding", "nrm")
       .withColumn("ingest_batch", lit(-1L))
       .sortWithinPartitions("domain")
@@ -838,8 +902,39 @@ object Jobs {
       .parquet(storeDir)
   }
 
+  /** Stamp-or-verify the assignment-table digest of a SemDeDup store
+    * (`_graft_quantizer` marker): absent → written (first writer wins —
+    * covers pre-marker stores too), present → must equal, because a
+    * store gated under one cell system and probed under another
+    * silently mis-verdicts (cells just stop coinciding). Idempotent
+    * under replay (content-stable write).
+    */
+  private def requireSameAssignmentTable(
+      spark: SparkSession, storeDir: String, digest: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_graft_quantizer")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(stored == digest,
+        s"the SemDeDup store at $storeDir was written under assignment " +
+          s"table $stored but this gate assigns under $digest — verdicts " +
+          "across different cell systems are meaningless; point the gate " +
+          "at the store's table or start a fresh store")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(digest.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** The [[semDeDupGateBatch]] body behind a streaming query. `vecs`
     * must carry `vec_id`, `label`, `embedding`.
+    */
+  /** `quantizerDir` points at a [[graft.ops.Similarity.writeQuantizer]]
+    * table: loaded + validated ONCE per query (the loadBenchStore
+    * discipline — never per micro-batch), the stream then assigns under
+    * the fitted cells instead of the committed fixture table.
     */
   def startSemDeDupGate(
       vecs: DataFrame,
@@ -848,14 +943,19 @@ object Jobs {
       checkpointDir: String,
       eps: Double = 0.3,
       queryTrigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Option[Int] = None): StreamingQuery =
+      compactEvery: Option[Int] = None,
+      withinBatch: Boolean = false,
+      quantizerDir: Option[String] = None): StreamingQuery = {
+    val quantizer = quantizerDir.map(
+      graft.ops.Similarity.readQuantizer(vecs.sparkSession, _))
     vecs.writeStream
       .queryName("semdedup_gate")
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
       .foreachBatch(maybeAutoCompact(Seq(storeDir, outDir), compactEvery)(
-        semDeDupGateBatch(storeDir, outDir, eps)))
+        semDeDupGateBatch(storeDir, outDir, eps, withinBatch, quantizer)))
       .start()
+  }
 
   /** Build the persisted benchmark shingle index the streaming
     * decontamination gate probes: distinct (bench_doc, shh) shingle
@@ -1461,8 +1561,15 @@ object Jobs {
     * mixed-dim / zero-norm embeddings fail the batch loudly
     * ([[semDeDupGateBatch]]'s discipline — an unscoreable admitted
     * vector would never match anything later).
+    *
+    * `withinBatch = true` additionally applies the batch operator's
+    * keep-rule INSIDE each micro-batch (the [[semDeDupGateBatch]]
+    * option): ε-twins arriving together admit exactly one, the loser's
+    * ledger row carrying `semdup_of=` its surviving batch twin — the
+    * same reason spelling as a history match, mirroring exact_dup's one
+    * `duplicate_of=` spelling across its batch/store keepers.
     */
-  final case class AuditSemDeDupGate(eps: Double = 0.3)
+  final case class AuditSemDeDupGate(eps: Double = 0.3, withinBatch: Boolean = false)
 
   /** Stage table of the FULLY-composed streaming audit: the batch
     * pipeline's seven stages plus the stream-only LM, semantic,
@@ -1760,31 +1867,49 @@ object Jobs {
       // upstream if intra-batch redundancy matters)
       val vecsDir = s"$storeRoot/vecs"
       val sdDropped: DataFrame = semDeDupGate match {
-        case Some(cfg) if partitionedStoreNonEmpty(spark, vecsDir) =>
-          val assigned = graft.ops.Similarity.domainWithNorm(
+        case Some(cfg) =>
+          val assigned = graft.ops.Similarity.domainAssignedD2(
             afterClf.select(col("doc_id").as("vec_id"), lit("").as("label"))
               .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
                 Seq("vec_id")))
-          // batch-domain pruning of the history read, the standalone
-          // gate's discipline (cluster-count-bounded driver metadata)
-          val doms = assigned.select("domain").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          graft.ops.Similarity.semDeDupGateMatches(
-            assigned,
-            spark.read.parquet(vecsDir)
-              .filter(col("ingest_batch") < batchId &&
-                col("domain").isin(doms: _*))
-              .select(col("doc_id").as("adm_id"), col("domain"),
-                col("embedding"), col("nrm")),
-            cfg.eps,
-            // force-broadcast only within the driver budget (batchRows
-            // bounds the survivor count from above) — an AvailableNow
-            // cold-start backlog must degrade to a shuffle join
-            hintBroadcast = graft.ops.Similarity
-              .batchBroadcastable(batchRows, sdBatchDim))
+          val noMatches = spark.range(0).select(
+            col("id").as("vec_id"), col("id").as("matched_id"))
+          // optional intra-batch keep-rule FIRST: ε-twins arriving in
+          // one batch admit exactly one; only survivors pay the history
+          // join (a dropped twin needs no second verdict)
+          val intra =
+            if (cfg.withinBatch)
+              graft.ops.Similarity.semDeDupPairLosses(assigned, cfg.eps)
+            else noMatches
+          val survivors =
+            if (cfg.withinBatch)
+              assigned.join(intra.select("vec_id"), Seq("vec_id"), "left_anti")
+            else assigned
+          val hist =
+            if (partitionedStoreNonEmpty(spark, vecsDir)) {
+              // batch-domain pruning of the history read, the standalone
+              // gate's discipline (cluster-count-bounded driver metadata)
+              val doms = survivors.select("domain").distinct()
+                .collect().map(_.getInt(0)).toSeq
+              graft.ops.Similarity.semDeDupGateMatches(
+                survivors,
+                spark.read.parquet(vecsDir)
+                  .filter(col("ingest_batch") < batchId &&
+                    col("domain").isin(doms: _*))
+                  .select(col("doc_id").as("adm_id"), col("domain"),
+                    col("embedding"), col("nrm")),
+                cfg.eps,
+                // force-broadcast only within the driver budget
+                // (batchRows bounds the survivor count from above) — an
+                // AvailableNow cold-start backlog must degrade to a
+                // shuffle join
+                hintBroadcast = graft.ops.Similarity
+                  .batchBroadcastable(batchRows, sdBatchDim))
+            } else noMatches
+          intra.unionAll(hist)
             .select(col("vec_id").as("doc_id"),
               concat(lit("semdup_of="), col("matched_id")).as("reason"))
-        case _ => noDrops
+        case None => noDrops
       }
       val sdDrops = sdDropped.select(col("doc_id"), lit(11L).as("stage_idx"),
         lit("semdedup").as("stage"), col("reason"))

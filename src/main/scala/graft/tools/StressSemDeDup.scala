@@ -92,6 +92,23 @@ object StressSemDeDup {
     val fittedNlist = math.max(8, (nVec / 250).toInt)
     stage(s"batch_semdedup_fitted_nlist$fittedNlist")(
       Similarity.semDeDupFitted(corpus, nlist = fittedNlist).count())
+    // the r18 split: quantizer fit / corpus assignment / pair+keep as
+    // separate rows, so the coarse-quantizer bill (the r17 mapped wall)
+    // is visible apart from the inherent (linear) pair bill. Runs the
+    // same two-level path the combined row above routes through at
+    // production nlist; fit and assign are the rows the sizing-rule
+    // verdict reads.
+    if (fittedNlist > Similarity.twoLevelThreshold) {
+      var q: Similarity.TwoLevelQuantizer = null
+      stage(s"fitted2l_fit_nlist$fittedNlist") {
+        q = Similarity.fitQuantizerTwoLevel(corpus, fittedNlist)
+        q.nlist.toLong
+      }
+      stage("fitted2l_assign")(
+        Similarity.assignTwoLevel(corpus, q).count())
+      stage("fitted2l_pair_keep")(
+        Similarity.semDeDupWithQuantizer(corpus, q).count())
+    }
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-stress-sd").toString
     // Batch 0 admits the whole k× corpus (store empty, within-batch

@@ -712,6 +712,79 @@ class SimilaritySpec extends SparkSpec {
       s"nlist=16 kept ${base16.size} < exhaustive ${expect.size}")
   }
 
+  test("graft_nearest_cell matches the committed-table argmin; slices enforce bounds") {
+    // same centroids, same data: the native kernel must pick the same
+    // cell as the least(struct(d2, k)) committed argmin (lowest index
+    // on ties in both spellings)
+    val centsLit = typedLit(Similarity.domainCentroids.map(_.toSeq).toSeq)
+    val viaExpr = emb.select(col("vec_id"),
+        call_function("graft_nearest_cell", col("embedding"), centsLit,
+          lit(0), lit(Similarity.domainCentroids.length)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaStruct = Similarity.assignDomains(emb)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(viaExpr == viaStruct)
+    // a sub-slice restricts the argmin to [start, start+len) and
+    // returns the ABSOLUTE index
+    val sliced = emb.limit(50).select(
+        call_function("graft_nearest_cell", col("embedding"), centsLit,
+          lit(3), lit(2)).as("cell"))
+      .collect().map(_.getInt(0))
+    assert(sliced.forall(c => c == 3 || c == 4))
+    // out-of-range slices are a loud error, not a silent wrong argmin
+    val ex = intercept[Exception] {
+      emb.limit(1).select(call_function("graft_nearest_cell",
+        col("embedding"), centsLit, lit(6), lit(5))).collect()
+    }
+    assert(ex.getMessage.contains("outside") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("outside"),
+      s"got: ${ex.getMessage}")
+  }
+
+  test("two-level quantizer: deterministic, full coverage, twins collapse at scale nlist") {
+    val q = Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
+    // structure: offsets/counts tile the flat sub matrix exactly
+    assert(q.counts.sum == q.subCents.length)
+    assert(q.offsets.zip(q.counts).zip(q.offsets.drop(1))
+      .forall { case ((o, c), o2) => o + c == o2 })
+    assert(q.nlist <= 40 && q.nlist >= q.topCents.length)
+    // deterministic: a refit is the same quantizer bit-for-bit
+    val q2 = Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
+    assert(q.subCents.map(_.toSeq).toSeq == q2.subCents.map(_.toSeq).toSeq &&
+      q.offsets.toSeq == q2.offsets.toSeq)
+    // assignment: every vector lands in a valid absolute cell of its
+    // winning top cell's slice, twice deterministically
+    val a1 = Similarity.assignTwoLevel(emb, q)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.values.forall(c => c >= 0 && c < q.nlist))
+    assert(a1.size == emb.count())
+    val a2 = Similarity.assignTwoLevel(emb, q)
+      .select("vec_id", "list_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 == a2)
+    // under a FIXED pre-fit table (the production shape — fit once,
+    // dedup many corpora): a planted exact twin shares cell and d2 and
+    // collapses (tie keeps lower id), never changing another verdict
+    val base = Similarity.semDeDupWithQuantizer(emb, q)
+      .collect().map(_.getLong(0)).toSet
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(9000L)))
+    val surv = Similarity.semDeDupWithQuantizer(planted, q)
+      .collect().map(_.getLong(0)).toSet
+    assert(!surv.contains(9000L), "planted twin with higher id survived")
+    assert((surv - 9000L) == base, "identical twin changed another verdict")
+    // the self-fitting route at nlist > twoLevelThreshold runs the same
+    // tail; finer blocking keeps >= the exhaustive single cell
+    val routed = Similarity.semDeDupFitted(emb, nlist = 40)
+      .collect().map(_.getLong(0)).toSet
+    val exhaustive = Similarity.semDeDupFitted(emb, nlist = 1, fitFraction = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(routed.size >= exhaustive.size)
+    assert(routed == base,
+      "self-fit route disagrees with the same pre-fit quantizer's verdicts")
+  }
+
   test("semdedup batch operators refuse unscoreable embeddings (the gate's contract)") {
     // a NULL embedding's cosine is NULL and a zero-norm's is 0/0 = NaN:
     // the >= eps verdict is engine-dependent (Spark codegen false,

@@ -262,6 +262,52 @@ class AuditStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(highDoc))
   }
 
+  test("semdedup gate (stage 11) withinBatch: eps-twins in one batch admit exactly one, replay-safe") {
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val o2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val t11 = "another standalone passage about broadcast joins and adaptive " +
+      "query execution behavior under skewed key distributions"
+    val t12 = "yet one more independent paragraph covering watermark " +
+      "propagation rules for stateful streaming aggregation operators"
+    val root = tmpDir("audit11wb-store")
+    val ms = MemoryStream[DocEmb](spark)(org.apache.spark.sql.Encoders.product[DocEmb])
+    val q = Jobs.startAuditStream(ms.toDF(), root, tmpDir("audit11wb-ckpt"),
+      semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9, withinBatch = true)),
+      queryTrigger = Trigger.ProcessingTime(0))
+    try {
+      // batch 0 (vecs store EMPTY — the intra pass must still run):
+      // docs 11 and 12 are lexically distinct but EXACT vector twins in
+      // ONE batch — the keep-rule tie admits the lower id and the
+      // loser's ledger row names its surviving batch twin
+      ms.addData(DocEmb(1, base, u), DocEmb(11, t11, o2), DocEmb(12, t12, o2))
+      q.processAllAvailable()
+      // batch 1: history still gates exactly as without the option
+      ms.addData(DocEmb(20, fresh, o2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(ledger == Set(
+      (12L, 11L, "semdedup", "semdup_of=11"),
+      (20L, 11L, "semdedup", "semdup_of=11")), s"ledger: $ledger")
+    val admitted = spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 11L), s"admitted: $admitted")
+    assert(spark.read.parquet(s"$root/vecs")
+      .select("doc_id").as[Long].collect().toSet == admitted)
+    // replay idempotence: the intra pass is a pure function of the
+    // batch — re-running the last body changes nothing
+    Jobs.auditLedgerBatch(root,
+      semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9, withinBatch = true)))(
+      Seq(DocEmb(20, fresh, o2)).toDF(), 1L)
+    assert(spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet == ledger)
+    assert(spark.read.parquet(s"$root/admitted")
+      .select("doc_id").as[Long].collect().toSet == admitted)
+  }
+
   test("semdedup gate (stage 11): eps-close to admitted history drops, within-batch passes, replay") {
     // embedding-space intra-stream dedup: doc 10's text is unique (it
     // passes every lexical stage) but its vector sits eps-close to

@@ -662,6 +662,79 @@ class StreamingJobsSpec extends SparkSpec {
     assert(exMix.getMessage.contains("mixed"), exMix.getMessage)
   }
 
+  test("semdedup gate withinBatch: eps-twins in ONE batch admit exactly one; history gate unchanged") {
+    import spark.implicits._
+    val store = tmpDir("sdwb-store"); val out = tmpDir("sdwb-out")
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val uNear = Seq(1.0, 0.05, 0.0, 0.0)
+    val w = Seq(0.0, 0.0, 1.0, 0.0)
+    val ms = MemoryStream[Emb](spark)(org.apache.spark.sql.Encoders.product[Emb])
+    val q = Jobs.startSemDeDupGate(ms.toDF(), store, out,
+      tmpDir("sdwb-ckpt"), eps = 0.9, queryTrigger = Trigger.ProcessingTime(0),
+      withinBatch = true)
+    // batch 0: two EXACT twins in one batch — the keep-rule tie admits
+    // the lower id (the default contract admits both; the existing gate
+    // test pins that); the orthogonal vector is untouched
+    ms.addData(Emb(1, "a", u), Emb(2, "a2", u), Emb(3, "w", w))
+    q.processAllAvailable()
+    // batch 1: history semantics unchanged — both are eps-close to
+    // batch 0's admissions and drop
+    val b1 = Seq(Emb(10, "dup", uNear), Emb(11, "again", u))
+    ms.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    def admitted() = spark.read.parquet(out)
+      .select("vec_id", "ingest_batch").as[(Long, Int)].collect().toMap
+    assert(admitted() == Map(1L -> 0, 3L -> 0), s"got ${admitted()}")
+    assert(spark.read.parquet(store).select("vec_id").as[Long].collect().toSet
+      == Set(1L, 3L))
+    // replay idempotence: the intra pass is a pure function of the batch
+    Jobs.semDeDupGateBatch(store, out, eps = 0.9, withinBatch = true)(b1.toDF(), 1L)
+    assert(admitted() == Map(1L -> 0, 3L -> 0), s"replay changed: ${admitted()}")
+    assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
+  }
+
+  test("semdedup gate under a fitted quantizer table: roundtrip, verdicts, dim + table-identity refusals") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = graft.ops.Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
+    // persisted table roundtrips exactly (the stream loads it once)
+    val qdir = tmpDir("sdq-table")
+    graft.ops.Similarity.writeQuantizer(q, qdir, spark)
+    val q2 = graft.ops.Similarity.readQuantizer(spark, qdir)
+    assert(q2.subCents.map(_.toSeq).toSeq == q.subCents.map(_.toSeq).toSeq)
+    assert(q2.topCents.map(_.toSeq).toSeq == q.topCents.map(_.toSeq).toSeq)
+    assert(q2.offsets.toSeq == q.offsets.toSeq && q2.counts.toSeq == q.counts.toSeq)
+    // gate batches assign under the fitted cells: an exact twin of
+    // history shares its (fitted) cell and drops
+    val store = tmpDir("sdq-store"); val out = tmpDir("sdq-out")
+    val b0 = emb.filter(col("vec_id") < 10)
+    Jobs.semDeDupGateBatch(store, out, eps = 0.9, quantizer = Some(q2))(b0, 0L)
+    assert(spark.read.parquet(out).count() == 10)
+    val twin = emb.filter(col("vec_id") === 0L).withColumn("vec_id", lit(9000L))
+    Jobs.semDeDupGateBatch(store, out, eps = 0.9, quantizer = Some(q2))(twin, 1L)
+    assert(spark.read.parquet(out).filter(col("vec_id") === 9000L).isEmpty,
+      "exact twin of fitted-cell history was admitted")
+    // a batch in a different space than the table is refused loudly
+    // (graft_nearest_cell would fold the prefix and silently mis-assign)
+    val exDim = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(store, out, eps = 0.9, quantizer = Some(q2))(
+        Seq(Emb(1, "short", Seq(1.0, 0.0))).toDF(), 2L))
+    assert(exDim.getMessage.contains("-dim"), exDim.getMessage)
+    // the store is stamped with its assignment table: gating it under
+    // the COMMITTED table is refused, not silently cross-verdicted
+    val exTab = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(store, out, eps = 0.9)(b0, 2L))
+    assert(exTab.getMessage.contains("assignment"), exTab.getMessage)
+    // and a fitted-table SEED stamps the store the same way
+    val sstore = tmpDir("sdq-seed-store")
+    Jobs.seedSemDeDupStore(emb.filter(col("vec_id") < 50), sstore, eps = 0.9,
+      quantizer = Some(q2))
+    val exSeedTab = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(sstore, tmpDir("sdq-seed-out"), eps = 0.9)(b0, 0L))
+    assert(exSeedTab.getMessage.contains("assignment"), exSeedTab.getMessage)
+  }
+
   test("semdedup gate: externally mutated store with MIXED dims is refused (full-history dim check)") {
     import spark.implicits._
     // seedSemDeDupStore can no longer produce this (the batch operator
