@@ -181,6 +181,157 @@ object Pq {
       Vector(0.070146, -0.00475, -0.148093, -0.065143, 0.115895, -0.140058, -0.005164, -0.077757),
       Vector(-0.107715, -0.064365, -0.129992, 0.041008, 0.050001, 0.008727, 0.067421, -0.031942))
   )
+  /** The committed RESIDUAL codebook — classical IVFADC (Jégou et al.
+    * 2011 §IV): trained on x − c(x) offsets from the COMMITTED domain
+    * centroids (tools/PqResidualTrain; per-subspace quantization MSE
+    * 0.062 vs the raw codebook's 0.067 on the same fixture). Residuals
+    * concentrate near the origin with the coarse structure removed, so
+    * the same 4-bit budget resolves finer detail; reconstruction is
+    * c(x) + decode(code), which also restores the centroid exactly.
+    * Committed like [[codebook]] so residual codes stay a pure function
+    * of (vector, two committed tables) — the DuckDB-replayability that
+    * round 17 deliberately traded away by quantizing raw vectors is
+    * recovered by committing the coarse table too.
+    */
+  val residualCodebook: Vector[Vector[Vector[Double]]] = Vector(
+    Vector(
+      Vector(0.057066, 0.125588, -0.026027, -0.11539, 0.04222, -0.0746, -0.084466, 0.055921),
+      Vector(-0.064373, 0.005483, 0.00178, 0.044536, -0.002797, -0.130539, -0.029612, -0.1801),
+      Vector(-0.011852, -0.06882, -0.092215, -0.030161, -0.074958, -0.073005, 0.172798, 0.073813),
+      Vector(-0.149426, -0.025308, -0.039028, -0.06587, 0.093123, 0.009228, 0.07394, -0.065019),
+      Vector(-0.104347, -0.100139, 0.031652, 0.002898, -3.14E-4, 0.144538, -0.010598, 0.09184),
+      Vector(0.050727, -0.071197, 0.01927, 0.159055, -0.006654, -0.003095, -0.103736, 0.038669),
+      Vector(-0.073782, 0.054137, 0.010108, -0.012776, -0.189446, 0.059704, -0.061702, -0.009268),
+      Vector(0.091502, 0.099827, -0.15162, 0.050412, -0.08677, 0.032742, -0.021953, 0.115956),
+      Vector(0.081938, -0.11356, 0.070284, -0.070625, -0.025826, 0.014078, -0.050161, -0.099709),
+      Vector(0.054381, 0.064277, 0.122075, -0.041642, -0.034591, -0.064189, 0.105445, -0.065018),
+      Vector(-0.056194, 0.092871, 0.025024, 0.062534, 0.071816, 0.102598, -0.173025, -0.042763),
+      Vector(-0.059718, 0.002152, 0.164289, -0.025421, 0.112518, -0.105987, -0.032618, 0.014389),
+      Vector(0.040824, -0.012256, -0.093737, 0.138987, 0.039504, 0.097258, 0.060602, -0.090861),
+      Vector(0.181738, -0.012462, 0.020677, -0.055596, 0.033089, 0.033101, 0.053477, 0.138598),
+      Vector(-0.007214, 0.152428, -0.010274, -0.069357, -0.075634, 0.045294, 0.126588, 0.013923),
+      Vector(0.05353, -0.089572, -0.095589, 0.0245, 0.099883, -0.138045, -0.041622, 0.076138)),
+    Vector(
+      Vector(0.126451, 0.072726, 0.045431, -0.003878, -0.170772, 0.019719, -0.002157, -0.043279),
+      Vector(-0.117067, -0.17925, -0.079122, 0.129719, 0.019271, 0.015276, 0.034077, -0.010589),
+      Vector(-0.0159, -0.018232, -0.076618, -0.017762, 0.044708, 0.019217, -0.119847, 0.159681),
+      Vector(0.07375, -0.103245, -0.066512, -0.003907, -0.048423, -0.134595, 0.084457, -0.041264),
+      Vector(-0.081946, 0.001058, 0.013175, 0.026201, -0.082445, 0.079261, 0.12998, 0.11081),
+      Vector(-0.042402, 0.170647, -0.026323, -0.040086, 0.04211, -0.128215, 0.039821, -0.082156),
+      Vector(-0.125606, -0.0447, 0.080294, -0.03752, -0.072654, -0.041555, -0.083112, -0.096991),
+      Vector(-0.016234, 0.116887, -0.074161, 0.203191, -0.080531, -0.033276, -0.107085, -0.001392),
+      Vector(-0.024316, 0.065291, 0.006008, -0.222089, -0.00323, 0.046808, 0.004644, 0.044843),
+      Vector(0.140857, 0.026255, -0.029509, 0.022418, 0.073623, 0.035364, 0.143676, 0.053739),
+      Vector(0.029516, -9.26E-4, 0.071144, 0.105956, -0.008577, -0.128373, -0.050104, 0.063941),
+      Vector(-2.25E-4, -0.119276, -0.159652, -0.091773, -0.009913, 0.208642, 0.045931, 0.02001),
+      Vector(-0.010539, -0.117393, -0.001021, -0.014244, 0.045955, -0.001665, 0.031917, -0.218994),
+      Vector(0.085915, -0.089334, 0.103307, -0.103618, 0.096469, -0.008583, -0.026745, 0.061316),
+      Vector(-0.046331, 0.135491, 0.141353, 0.008924, 0.051329, 0.087702, -0.004397, -0.062762),
+      Vector(-0.054977, 0.061283, -0.101303, 0.092017, 0.107344, 0.112713, -0.030991, -0.045938)),
+    Vector(
+      Vector(-0.070273, 0.101696, -0.010623, 0.090883, -0.02545, -0.141866, 0.095646, -0.084088),
+      Vector(-0.122453, -0.118326, -0.061599, -0.05729, 0.051842, 0.05369, -0.042495, -0.081562),
+      Vector(0.092116, 0.03245, -0.07979, 0.074917, 0.023887, 0.093018, -0.057322, 0.119936),
+      Vector(0.047942, 0.025116, -0.093775, 0.036755, -0.103418, -0.062861, -0.095222, -0.036472),
+      Vector(0.054111, -0.141708, 0.085281, -0.08296, 0.061378, -0.002633, -0.095797, 0.02629),
+      Vector(0.105682, 0.073189, -0.010789, -0.132947, 0.073387, -0.034574, 0.05304, 0.110599),
+      Vector(0.019115, 0.013591, -0.02614, 0.139348, 0.109291, 0.032804, 0.065709, -0.043809),
+      Vector(7.31E-4, 0.141606, 0.057869, -0.114274, 0.061557, -0.023426, -0.01337, -0.112205),
+      Vector(0.001186, -0.015086, 0.191257, 0.070295, 0.019394, -0.047871, -0.073908, 0.003467),
+      Vector(-0.122657, 0.077435, 0.044974, 0.0105, -0.029497, 0.12979, -4.9E-4, -0.003009),
+      Vector(0.112397, 0.011312, 6.49E-4, -0.070788, -0.05792, 0.076316, 0.098989, -0.157933),
+      Vector(-0.054556, -0.10874, -0.015043, 0.075734, 0.027759, -0.123977, -0.02441, 0.106802),
+      Vector(0.021793, 0.002897, 0.021095, -0.102147, -0.104211, 0.064509, 0.091078, 0.17418),
+      Vector(0.097776, -0.04046, 0.088443, -0.027975, -0.223619, -0.031256, -0.035822, 0.068212),
+      Vector(-0.021809, -0.054459, -0.198442, -0.037179, 0.152978, -0.004136, 0.066004, 0.023794),
+      Vector(-0.065258, -0.133674, -0.139021, 0.077712, -0.130649, 0.03307, 0.126107, 0.068472)),
+    Vector(
+      Vector(-0.124994, 0.012957, 0.117111, 0.049418, -0.101283, 0.15761, 0.025383, -0.024859),
+      Vector(-0.053333, 0.188659, -0.006126, 0.015283, -0.004313, -0.140009, 0.079888, -0.048934),
+      Vector(0.03843, 0.012586, -0.11816, -0.066087, -0.028038, -0.037466, 0.07564, 0.11447),
+      Vector(0.015198, -0.03227, 0.123247, 0.001961, -0.061381, -0.178777, -0.090842, 0.10833),
+      Vector(-0.116981, -0.03495, -0.110008, 0.065303, -0.042131, 0.023761, -0.157645, 0.113033),
+      Vector(-0.018088, -0.071076, -0.114902, 0.130941, -0.123805, 0.044097, 0.107908, -0.054039),
+      Vector(0.144046, 0.07914, -0.012202, -0.056303, 0.009174, 0.069198, 0.125534, -0.105926),
+      Vector(-0.056959, -0.145656, 0.044226, 0.02552, 0.067281, 0.016873, 0.104247, 0.015393),
+      Vector(-0.140323, -0.057046, -0.041829, -0.169028, 0.034634, -0.049074, 0.010207, -0.060928),
+      Vector(-0.082557, 0.158425, -0.065536, -0.009746, 0.07349, 0.124532, -0.043388, 0.016304),
+      Vector(0.035175, 0.028428, -0.049782, 0.051949, -0.118968, -0.018099, -0.169547, -0.073591),
+      Vector(0.09205, 0.140221, 0.130712, -0.017569, -6.0E-6, 0.00335, -0.027125, 0.088864),
+      Vector(0.023335, -0.053726, 0.152758, -0.055957, 0.073819, 0.020889, -0.072912, -0.136803),
+      Vector(0.067548, -0.145249, -0.011638, -0.003744, -0.097205, -0.10822, 0.075746, -0.045072),
+      Vector(0.047734, -0.02126, -0.024137, 0.109701, 0.136282, -0.053793, -0.037935, 0.085399),
+      Vector(0.117096, -0.045562, -0.043985, -0.019757, 0.052438, 0.141398, -0.040014, 0.00295)),
+    Vector(
+      Vector(-0.198582, -0.077984, 0.070313, 0.033808, 0.048808, 0.021836, 0.069203, 0.036708),
+      Vector(-0.108, 0.079058, -0.037398, 0.056117, 0.044221, -0.076136, -0.068467, -0.082136),
+      Vector(-0.04421, -0.075123, -0.088005, -0.036598, -0.051453, -0.055365, 0.134632, -0.118659),
+      Vector(0.064577, -0.008718, 0.010452, 0.134552, 0.118473, -0.013181, 0.073154, 0.118251),
+      Vector(-0.002928, -0.003673, 0.103783, 0.126606, -0.053759, 0.010694, 0.011715, -0.139549),
+      Vector(0.010362, 0.08711, -0.062031, 0.035429, -0.112644, -0.05157, 0.159864, 0.052863),
+      Vector(-0.139886, 0.022881, -0.11064, 0.026391, -0.109961, 0.104446, -0.056316, 0.05814),
+      Vector(0.132423, 0.063953, -0.013863, 0.02513, 0.036895, -0.112388, -0.041923, -0.120094),
+      Vector(0.028072, -0.026328, 0.033559, 0.018314, 0.122993, 0.137269, -0.102951, -0.083195),
+      Vector(0.081688, -0.079943, -0.118879, 0.003831, -3.13E-4, 0.136373, -0.045857, 0.040228),
+      Vector(0.105697, -0.070749, 0.066264, -0.125999, 0.029991, 0.010664, 0.128192, -0.039253),
+      Vector(0.066988, 0.232826, -0.010365, 0.008327, 0.074674, 0.031891, 0.035229, 0.027765),
+      Vector(-0.078658, 0.001089, 0.040755, -0.132918, -0.100981, 5.73E-4, -0.091963, -0.070594),
+      Vector(0.031272, -0.100165, 0.057973, 0.044338, -0.082019, -0.076569, -0.043543, 0.111439),
+      Vector(-0.004331, -0.03045, -0.029976, -0.129689, 0.082227, -0.130467, -0.086825, 0.090755),
+      Vector(0.012564, 0.096969, 0.126734, 0.005436, -0.119345, 0.131329, 0.028319, 0.116988)),
+    Vector(
+      Vector(0.113275, -0.149562, -0.015852, -0.08955, -0.069742, -0.063993, 0.002842, -0.040234),
+      Vector(-0.13315, -0.035261, -0.08013, -0.078267, 0.111991, 0.080822, 0.047888, -0.044139),
+      Vector(0.109606, -0.016322, -0.01139, 0.041004, 0.096146, 0.166105, 0.020886, -0.015112),
+      Vector(0.115452, -0.033431, 0.011358, 0.170787, -0.018606, 0.043388, -0.055282, 0.121457),
+      Vector(0.00811, -0.018485, 0.161666, 0.064123, -0.084265, 0.051292, -0.086954, -0.09584),
+      Vector(0.020699, -0.095367, 0.149172, -0.094757, 0.097735, 0.019956, 0.015848, 0.03296),
+      Vector(0.02408, 0.102305, 0.09374, -0.029655, 0.035118, -0.069573, 0.138215, -0.106708),
+      Vector(-0.048921, 0.187163, -0.092113, -0.016514, 0.111876, 0.009156, -0.034086, 0.105722),
+      Vector(0.027616, 0.073501, -0.087115, -0.063, -0.132643, 0.03575, -0.054847, 0.061445),
+      Vector(0.164403, -0.008966, -0.048448, -0.097404, 0.056814, 0.109256, 0.050959, 0.133035),
+      Vector(-0.094037, 0.084333, -0.039081, -0.027812, -0.046154, -0.025972, -0.054365, -0.139485),
+      Vector(0.040357, -0.026295, -0.095444, 0.129685, -0.094784, 0.037028, 0.078862, -0.093208),
+      Vector(-0.089542, 0.040072, 0.026267, 0.03868, -0.045136, -0.149128, 0.032596, 0.100858),
+      Vector(0.071219, 0.054485, -0.058349, -0.142388, 0.055992, -0.107985, -0.048581, 0.03562),
+      Vector(-0.050782, -0.078071, -0.025269, 0.135392, 0.136022, -0.010665, 0.032788, 0.018572),
+      Vector(-0.147098, -0.083586, 0.00872, 0.043434, -0.069773, 0.047665, -0.014008, 0.029857)),
+    Vector(
+      Vector(0.105989, 0.063021, -0.049774, 0.108922, 0.01783, -0.089044, -0.020712, 0.01129),
+      Vector(-0.047803, -0.149544, 0.06081, -0.056694, -0.060104, 0.041744, -0.018758, 0.097888),
+      Vector(-0.1107, -0.024867, -0.029607, 0.047327, 0.142834, 0.018418, 0.030526, -0.013786),
+      Vector(-0.14759, 0.049597, -0.009142, 0.065442, -0.118089, 0.096311, -0.060032, -0.108503),
+      Vector(0.06473, 0.015525, 0.045277, -0.032606, -0.138495, -0.070125, -0.080242, -0.112772),
+      Vector(0.199565, -0.188757, -0.024262, 0.037458, -0.075478, 0.094508, -0.055128, 0.073461),
+      Vector(-0.005265, 0.136408, 0.103847, 0.005815, 0.059235, 0.041072, -0.040244, 0.118544),
+      Vector(0.014246, -0.076721, 0.125946, 0.114818, 0.005492, 0.089488, -0.120905, -0.110164),
+      Vector(0.125812, 0.010637, -0.012333, -0.180466, 0.022103, 0.013153, 0.004945, -0.018906),
+      Vector(-0.086731, 0.105621, -0.06205, -0.098756, 0.050529, -0.041174, 0.078532, -0.07316),
+      Vector(-0.108533, -0.011859, -0.084847, 0.10275, -0.056746, -0.093668, -0.032157, 0.07487),
+      Vector(0.083869, 0.030433, -0.115153, -0.029793, -0.020646, 0.099341, 0.100897, 0.066659),
+      Vector(-0.010586, -0.009873, 0.102413, -0.081115, 0.144921, -0.100534, -0.08218, -0.066239),
+      Vector(-0.017922, -0.117467, -0.14088, -0.08063, 0.019973, 0.00712, -0.062674, -0.017157),
+      Vector(0.029857, 0.101524, 0.035979, 0.03248, -0.076315, 0.083132, 0.116946, -0.032703),
+      Vector(0.031535, -0.084475, 0.141155, 0.043083, 0.006872, -0.067112, 0.133245, 0.013237)),
+    Vector(
+      Vector(-0.02638, -0.028791, -0.076662, -0.051076, -0.117478, 0.0157, 0.039193, -0.157848),
+      Vector(0.067449, 0.053845, 0.058541, 0.022816, -0.117489, -0.057992, -0.135307, 0.038606),
+      Vector(-0.138716, 0.055539, 0.060627, -0.048058, 0.010505, -0.018989, -0.01103, 0.132762),
+      Vector(-0.046023, 0.130813, -0.105803, 0.045253, -0.139738, 0.064883, -0.047938, 0.066831),
+      Vector(-0.006237, -0.045849, 0.068987, 0.099452, -0.040855, 0.051442, -0.101597, -0.113294),
+      Vector(-0.049297, 0.106189, -0.184944, 0.054876, 0.025504, -0.100705, 0.074367, 0.031357),
+      Vector(0.073174, -0.092686, -0.02158, -0.045994, 0.031103, 0.04277, 0.086083, 0.147968),
+      Vector(-0.004449, 0.008679, 0.07217, 0.175272, -0.036449, -0.059908, 0.075924, -0.002733),
+      Vector(0.035071, -0.092966, 0.056831, -0.030592, 0.010889, -0.155455, 0.0736, -0.129063),
+      Vector(0.022755, 0.094221, 0.132479, -0.057264, 0.074521, 0.126048, -0.033157, -0.052155),
+      Vector(0.102938, -0.064761, -0.028563, 0.072029, 0.054094, 0.168564, -0.014625, -0.001392),
+      Vector(0.078003, 0.027661, 0.049249, -0.177443, -0.083059, 0.002075, 0.014095, 0.012377),
+      Vector(0.063567, 0.067191, 0.050512, 0.062825, 0.162151, -0.090838, -0.040011, 0.081327),
+      Vector(-0.139486, -0.095343, -0.021234, -0.082233, -0.002712, -0.004982, -0.057481, 0.003515),
+      Vector(0.055243, 0.035377, -0.146764, -0.132217, 0.066424, -0.08524, -0.016984, 2.32E-4),
+      Vector(-0.085622, -0.095988, -0.098053, 0.08397, 0.045394, 0.035617, 0.131438, -0.047694))
+  )
+
   val M: Int = codebook.length
   val K: Int = codebook.head.length
   val Dsub: Int = codebook.head.head.length
@@ -195,6 +346,21 @@ object Pq {
   val codebookSpec: String =
     s"$M $K $Dsub " +
       codebook.flatMap(_.flatMap(_.map(_.toString))).mkString(" ")
+
+  /** [[codebookSpec]] for the residual codebook — same wire format, so
+    * every PQ expression accepts either table.
+    */
+  val residualCodebookSpec: String =
+    s"$M $K $Dsub " +
+      residualCodebook.flatMap(_.flatMap(_.map(_.toString))).mkString(" ")
+
+  /** [[duckCodebookValues]] for the residual codebook. */
+  def duckResidualCodebookValues: String =
+    residualCodebook.zipWithIndex.flatMap { case (cents, m) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        s"($m, $c, [${cent.mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(",\n    ")
 
   /** The codebook as a DuckDB `(m, c, cent)` VALUES list (cent a
     * DOUBLE[] literal), for the oracle's replay of encode/reconstruct.
@@ -387,6 +553,46 @@ object Pq {
           while (i < dsub) {
             dp += q(mm * dsub + i) * cb(base + i)
             nn += cb(base + i) * cb(base + i)
+            i += 1
+          }
+          dotLut(mm * k + c) = dp
+          nrmLut(mm * k + c) = nn
+          c += 1
+        }
+        mm += 1
+      }
+      (dotLut, nrmLut)
+    }
+
+    /** [[luts]] for a RESIDUAL index (IVFADC): reconstruction is
+      * cellCent + centroid, so per (m, c) the tables hold
+      * `dotLut = q_sub · (cellCent_sub + cb)` and
+      * `nrmLut = (cellCent_sub + cb)·(cellCent_sub + cb)` — the
+      * existing graft_pq_adc kernel then computes
+      * cos(q, ĉ + r̂) with NO expression change, the cell constant
+      * folded into the per-cell tables (one table pair per PROBED
+      * cell, nprobe × M × K driver doubles per query). Same
+      * left-to-right dsub fold as [[luts]] and the oracle's list_sum
+      * chains.
+      */
+    def lutsRecon(q: Array[Double], cellCent: Array[Double]): (Array[Double], Array[Double]) = {
+      require(q.length == d, s"graft_pq: query dim ${q.length} != $d")
+      require(cellCent.length == d,
+        s"graft_pq: cell centroid dim ${cellCent.length} != $d")
+      val dotLut = new Array[Double](m * k)
+      val nrmLut = new Array[Double](m * k)
+      var mm = 0
+      while (mm < m) {
+        var c = 0
+        while (c < k) {
+          val base = (mm * k + c) * dsub
+          var dp = 0.0
+          var nn = 0.0
+          var i = 0
+          while (i < dsub) {
+            val recon = cellCent(mm * dsub + i) + cb(base + i)
+            dp += q(mm * dsub + i) * recon
+            nn += recon * recon
             i += 1
           }
           dotLut(mm * k + c) = dp

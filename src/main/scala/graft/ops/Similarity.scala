@@ -850,6 +850,8 @@ object Similarity {
   // but nothing here should rely on that).
   private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val builtIvfPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtIvfPqResDom = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtIvfPqRes = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // each sfDir builds into its OWN subdirectory of the process scratch
   // root — memoizing per sfDir onto one shared dir would serve a STALE
@@ -876,6 +878,32 @@ object Similarity {
     builtIvfPq.computeIfAbsent(sfDir, { _ =>
       val dir = s"$ivfPqScratchDir/${sfDigest(sfDir)}"
       buildIvfPqIndex(Tables.embeddings(spark, sfDir), dir)
+      dir
+    })
+
+  /** The committed-domain RESIDUAL index for `sfDir` — the oracle
+    * anchor's build: coarse cells are the committed domain table, codes
+    * the committed residual codebook, so the whole store is a pure
+    * function of (corpus, two committed tables) and DuckDB replays it.
+    */
+  def ensureIvfPqResidualDomainIndex(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    builtIvfPqResDom.computeIfAbsent(sfDir, { _ =>
+      val dir = s"${processScratchDir("graft-ivfpqresdom")}/${sfDigest(sfDir)}"
+      buildIvfPqResidualDomainIndex(Tables.embeddings(spark, sfDir), dir)
+      dir
+    })
+
+  /** The FITTED residual index for `sfDir` (same seed-pinned coarse
+    * quantizer recipe as [[ensureIvfPqIndex]], residual codes) — the
+    * production IVFADC shape the recall panel compares against raw-code
+    * PQ at identical nprobe/rerank.
+    */
+  def ensureIvfPqResidualIndex(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    builtIvfPqRes.computeIfAbsent(sfDir, { _ =>
+      val dir = s"${processScratchDir("graft-ivfpqres")}/${sfDigest(sfDir)}"
+      buildIvfPqIndex(Tables.embeddings(spark, sfDir), dir, residual = true)
       dir
     })
 
@@ -953,15 +981,24 @@ object Similarity {
       dir: String,
       nlist: Int = 16,
       fitFraction: Double = 0.25,
-      rawSidecar: Boolean = true): Unit = {
+      rawSidecar: Boolean = true,
+      residual: Boolean = false): Unit = {
     val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
     val spark = embeddings.sparkSession
     import spark.implicits._
-    model.clusterCenters.zipWithIndex
+    val centsDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("list_id", "centroid")
+    centsDf
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    // residual-ness stamps the index (or a rebuild un-stamps it): every
+    // consumer detects the marker, so codes can never be mis-read under
+    // the wrong interpretation (the stale-sidecar deletion lesson)
+    val marker = residualMarker(spark, dir)
+    val markerFs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (residual) markerFs.create(marker, true).close()
+    else if (markerFs.exists(marker)) markerFs.delete(marker, false): Unit
     def writeStatic(df: DataFrame, store: String): Unit =
       df.withColumn("ingest_batch", lit(0L))
         .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
@@ -1000,7 +1037,8 @@ object Similarity {
         assigned
       }
     writeStatic(
-      codesSource.select(col("vec_id"), col("label"),
+      if (residual) residualCodes(codesSource, centsDf)
+      else codesSource.select(col("vec_id"), col("label"),
         call_function("graft_pq_encode",
           col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
         col("list_id")),
@@ -1009,6 +1047,53 @@ object Similarity {
     // vector (4 B at the committed K=16 — 64x vs the raw floats). Same
     // partitioning; derived from the JUST-WRITTEN codes table so the
     // two stores cannot drift (one encode pass total).
+    writeStatic(packedFromCodes(spark.read.parquet(s"$dir/assigned_pq")),
+      "assigned_pq_packed")
+  }
+
+  /** [[buildIvfPqIndex]] with the COMMITTED domain table as the coarse
+    * quantizer — the residual (IVFADC) layout whose every byte is a
+    * pure function of (corpus, committed domain table, committed
+    * residual codebook), which is what lets the residual fullprobe row
+    * hash-match a DuckDB replay (the round-17 design note traded
+    * residual recall away precisely because a FITTED coarse table made
+    * codes engine-seeded; committing the coarse table recovers it).
+    * Same store layout, marker, sidecar, and consumer contracts as the
+    * fitted build.
+    */
+  def buildIvfPqResidualDomainIndex(
+      embeddings: DataFrame,
+      dir: String,
+      rawSidecar: Boolean = true): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centsDf = domainCentroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+    centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val marker = residualMarker(spark, dir)
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(marker, true).close()
+    def writeStatic(df: DataFrame, store: String): Unit =
+      df.withColumn("ingest_batch", lit(0L))
+        .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+        .option("partitionOverwriteMode", "static")
+        .parquet(s"$dir/$store")
+    val assigned = embeddings
+      .withColumn("best", least(domainCandidates: _*))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("best.domain").as("list_id"))
+    val codesSource =
+      if (rawSidecar) {
+        writeStatic(assigned, "assigned_raw")
+        spark.read.parquet(s"$dir/assigned_raw")
+      } else {
+        val stale = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale)) fs.delete(stale, true)
+        assigned
+      }
+    writeStatic(residualCodes(codesSource, centsDf), "assigned_pq")
     writeStatic(packedFromCodes(spark.read.parquet(s"$dir/assigned_pq")),
       "assigned_pq_packed")
   }
@@ -1050,35 +1135,64 @@ object Similarity {
         "final top-k; a smaller pool silently truncates results) — " +
         "use rerank=0 for pure ADC scores")
     import org.apache.spark.ml.linalg.Vectors
-    val coder = new graft.functions.Pq.Coder(graft.functions.Pq.codebookSpec)
-    val (dotLut, nrmLut) = coder.luts(queryVec)
+    // residual-ness is detected from the index, never passed: codes in
+    // a residual store mean x − c(x) and scoring them raw would be
+    // silently wrong for every vector
+    val residualIdx = isResidualIndex(spark, dir)
+    val coder = new graft.functions.Pq.Coder(
+      if (residualIdx) graft.functions.Pq.residualCodebookSpec
+      else graft.functions.Pq.codebookSpec)
     // |q|: the same left-to-right full-length fold as graft_dot/list_sum
     var q2 = 0.0
     var i = 0
     while (i < queryVec.length) { q2 += queryVec(i) * queryVec(i); i += 1 }
     val qNorm = math.sqrt(q2)
     val q = Vectors.dense(queryVec)
-    val probes = loadCentroids(spark, dir)
+    val centRows = loadCentroids(spark, dir)
       .collect()
-      .map(r => (r.getInt(0), Vectors.sqdist(Vectors.dense(r.getSeq[Double](1).toArray), q)))
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val probes = centRows
+      .map { case (id, c) => (id, Vectors.sqdist(Vectors.dense(c), q)) }
       .sortBy(_._2).take(nprobe).map(_._1)
+    val store =
+      if (!packed) spark.read.parquet(s"$dir/assigned_pq")
+      else spark.read.parquet(s"$dir/assigned_pq_packed")
+        .withColumn("codes", call_function("graft_pq_unpack",
+          col("codes_packed"), lit(graft.functions.Pq.codebookSpec)))
     // the ADC kernel as a NATIVE expression, not transform/aggregate
     // HOFs: Spark's higher-order functions are interpreted
     // (CodegenFallback — the VectorExpressions lesson), so the per-row
     // lookup loop compiles instead. Same per-accumulator left-to-right
     // fold over m; LUT doubles round-trip bit-exact through
     // Double.toString in the foldable spec.
-    val adcSpec = coder.k + " " + qNorm + " " +
-      dotLut.mkString(" ") + " " + nrmLut.mkString(" ")
-    val store =
-      if (!packed) spark.read.parquet(s"$dir/assigned_pq")
-      else spark.read.parquet(s"$dir/assigned_pq_packed")
-        .withColumn("codes", call_function("graft_pq_unpack",
-          col("codes_packed"), lit(graft.functions.Pq.codebookSpec)))
-    val adc = store
-      .filter(col("list_id").isin(probes.toIndexedSeq: _*) && col("vec_id") =!= excludeVecId)
-      .select(col("vec_id"), col("label"),
-        round(call_function("graft_pq_adc", col("codes"), lit(adcSpec)), 6).as("cos_pq"))
+    val adc =
+      if (!residualIdx) {
+        val (dotLut, nrmLut) = coder.luts(queryVec)
+        val adcSpec = coder.k + " " + qNorm + " " +
+          dotLut.mkString(" ") + " " + nrmLut.mkString(" ")
+        store
+          .filter(col("list_id").isin(probes.toIndexedSeq: _*) &&
+            col("vec_id") =!= excludeVecId)
+          .select(col("vec_id"), col("label"),
+            round(call_function("graft_pq_adc", col("codes"), lit(adcSpec)), 6).as("cos_pq"))
+      } else {
+        // IVFADC scoring: reconstruction is c(cell) + r̂, so the LUT
+        // pair folds the PROBED CELL's centroid into every entry
+        // (Coder.lutsRecon) and the unchanged graft_pq_adc kernel
+        // computes cos(q, ĉ + r̂) — one partition-pruned scan per
+        // probed cell, unioned (nprobe × M × K driver doubles of lut
+        // work per query, still centroid-table-sized)
+        val centById = centRows.toMap
+        probes.toIndexedSeq.map { cell =>
+          val (dotLut, nrmLut) = coder.lutsRecon(queryVec, centById(cell))
+          val adcSpec = coder.k + " " + qNorm + " " +
+            dotLut.mkString(" ") + " " + nrmLut.mkString(" ")
+          store
+            .filter(col("list_id") === cell && col("vec_id") =!= excludeVecId)
+            .select(col("vec_id"), col("label"),
+              round(call_function("graft_pq_adc", col("codes"), lit(adcSpec)), 6).as("cos_pq"))
+        }.reduce(_ unionAll _)
+      }
     if (rerank <= 0)
       adc.orderBy(col("cos_pq").desc, col("vec_id")).limit(k)
     else {
@@ -1150,10 +1264,17 @@ object Similarity {
     try {
       if (hasRaw)
         writeIngestPartition(assigned, ingestBatch, s"$dir/assigned_raw")
-      val codes = assigned.select(col("vec_id"), col("label"),
-        call_function("graft_pq_encode",
-          col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
-        col("list_id"))
+      // a residual index encodes x − c(cell) against the residual
+      // codebook (detected, never passed — mis-encoding an ingest would
+      // corrupt the store silently); same ONE shared projection as the
+      // build, so build and ingest codes can never drift
+      val codes =
+        if (isResidualIndex(spark, dir))
+          residualCodes(assigned, loadCentroids(spark, dir))
+        else assigned.select(col("vec_id"), col("label"),
+          call_function("graft_pq_encode",
+            col("embedding"), lit(graft.functions.Pq.codebookSpec)).as("codes"),
+          col("list_id"))
       writeIngestPartition(codes, ingestBatch, s"$dir/assigned_pq")
       // both PQ stores advance in step, derived from the SAME pinned
       // assignment (encode and pack are pure functions of the floats,
@@ -1164,6 +1285,39 @@ object Similarity {
         ingestBatch, s"$dir/assigned_pq_packed")
     } finally assigned.unpersist(blocking = true)
   }
+
+  /** Residual-ness is an INDEX property, not a query option: codes in a
+    * residual store mean x − c(x), and scoring/ingesting them as raw
+    * codes would be silently, systematically wrong. The build stamps a
+    * marker file; query and ingest DETECT it, so a caller can never
+    * mismatch the interpretation.
+    */
+  private def residualMarker(
+      spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_pq_residual")
+
+  private[graft] def isResidualIndex(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = residualMarker(spark, dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The ONE residual-codes projection (build and ingest share it):
+    * r = x − c(x) elementwise against the broadcast centroid table,
+    * encoded with the committed RESIDUAL codebook (IVFADC, Jégou et
+    * al. 2011 §IV). The subtraction is one scan-side zip_with at
+    * ingest — paid once where the 32× compression happens, never on
+    * the query path.
+    */
+  private def residualCodes(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(cents.select(col("list_id"), col("centroid"))), Seq("list_id"))
+      .select(col("vec_id"), col("label"),
+        call_function("graft_pq_encode",
+          zip_with(transform(col("embedding"), x => x.cast("double")),
+            col("centroid"), (a, b) => a - b),
+          lit(graft.functions.Pq.residualCodebookSpec)).as("codes"),
+        col("list_id"))
 
   /** The ONE codes→packed projection (build and ingest share it). */
   private def packedFromCodes(codes: DataFrame): DataFrame =
@@ -1440,6 +1594,112 @@ object Similarity {
         Seq(1, 5, 10, 20))
     })
 
+  /** The IVFADC pipeline in DuckDB: committed-domain assignment
+    * ([[duckDomainAssigned]]'s dom_cents/dom_assigned), per-vector
+    * residual, per-subspace encode against the committed RESIDUAL
+    * codebook (same row_number argmin as [[duckPqAdcCtes]]),
+    * reconstruction ĉ + r̂ per subspace, then the identical
+    * dp/nn/cosine scoring — every fold the same left-to-right chain the
+    * Spark kernels run.
+    */
+  private def duckPqResidualAdcCtes: String = {
+    val dsub = graft.functions.Pq.Dsub
+    s"""$duckDomainAssigned,
+       |rcb(m, c, cent) AS (
+       |  SELECT * FROM (VALUES ${graft.functions.Pq.duckResidualCodebookValues}) t),
+       |res AS (
+       |  SELECT a.vec_id, a.label, a.domain,
+       |         list_transform(list_zip(e.embedding, dc.cent),
+       |           p -> CAST(p[1] AS DOUBLE) - p[2]) AS r
+       |  FROM dom_assigned a
+       |  JOIN embeddings e ON a.vec_id = e.vec_id
+       |  JOIN dom_cents dc ON dc.domain = a.domain),
+       |rsub AS (
+       |  SELECT r.vec_id, r.label, r.domain, cb.m, cb.c,
+       |         list_sum(list_transform(list_zip(
+       |           list_slice(r.r, cb.m * $dsub + 1, cb.m * $dsub + $dsub),
+       |           cb.cent), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+       |  FROM res r CROSS JOIN rcb cb),
+       |rcode AS (
+       |  SELECT vec_id, label, domain, m, c,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |  FROM rsub),
+       |recon AS (
+       |  SELECT ch.vec_id, ch.label, ch.m,
+       |         list_transform(list_zip(
+       |           list_slice(dc.cent, ch.m * $dsub + 1, ch.m * $dsub + $dsub),
+       |           cb.cent), p -> p[1] + p[2]) AS rec
+       |  FROM (SELECT vec_id, label, domain, m, c FROM rcode WHERE rn = 1) ch
+       |  JOIN dom_cents dc ON dc.domain = ch.domain
+       |  JOIN rcb cb ON cb.m = ch.m AND cb.c = ch.c),
+       |ms AS (SELECT unnest(generate_series(0, ${graft.functions.Pq.M - 1})) AS m),
+       |qraw AS (SELECT embedding AS q_raw FROM embeddings WHERE vec_id = 0),
+       |qsub AS (
+       |  SELECT ms.m,
+       |         list_transform(list_slice(q.q_raw,
+       |           ms.m * $dsub + 1, ms.m * $dsub + $dsub),
+       |           x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM qraw q, ms),
+       |qn AS (
+       |  SELECT sqrt(list_sum(list_transform(q_raw,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+       |  FROM qraw),
+       |parts AS (
+       |  SELECT rc.vec_id, rc.label, rc.m,
+       |         list_sum(list_transform(list_zip(qs.sub, rc.rec),
+       |           p -> p[1] * p[2])) AS dp,
+       |         list_sum(list_transform(rc.rec, x -> x * x)) AS nn
+       |  FROM recon rc JOIN qsub qs ON qs.m = rc.m),
+       |scored AS (
+       |  SELECT vec_id, label,
+       |         list_sum(list(dp ORDER BY m)) AS dpsum,
+       |         list_sum(list(nn ORDER BY m)) AS nnsum
+       |  FROM parts GROUP BY vec_id, label)""".stripMargin
+  }
+
+  /** Exhaustive-probe IVFADC against the committed-domain residual
+    * index: with every cell probed, the result is a pure function of
+    * (corpus, committed domain table, committed residual codebook), so
+    * DuckDB replays the ENTIRE residual pipeline — coarse assignment,
+    * residual, encode, ĉ + r̂ reconstruction, per-cell-LUT ADC scoring
+    * — value-for-value. A bug in the residual subtraction, the
+    * residual encode, the per-cell LUT folding, or the cell-union
+    * breaks the hash. (Raw-code PQ keeps its own fullprobe anchors;
+    * this is the IVFADC member r17 skipped as non-replayable under a
+    * fitted coarse table.)
+    */
+  lazy val annIvfPqResidualFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_residual_fullprobe",
+    s"""WITH $duckPqResidualAdcCtes
+       |SELECT s.vec_id, s.label,
+       |       round(s.dpsum / (q.qnorm * sqrt(s.nnsum)), 6) AS cos_pq
+       |FROM scored s CROSS JOIN qn q
+       |WHERE s.vec_id != 0
+       |ORDER BY cos_pq DESC, s.vec_id LIMIT 20""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfPqResidualDomainIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, nprobe = domainCentroids.length, excludeVecId = 0L)
+    })
+
+  /** The packed residual store through the identical oracle — the
+    * pack/unpack bit layout composed with residual decode, at the value
+    * level.
+    */
+  lazy val annIvfPqResidualPackedFullProbeQuery = QueryDef(
+    "sim_ann_ivfpq_residual_packed_fullprobe",
+    annIvfPqResidualFullProbeQuery.oracle.get)(
+    (s, d) => {
+      val dir = ensureIvfPqResidualDomainIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      queryIvfPq(s, dir, q, nprobe = domainCentroids.length, excludeVecId = 0L,
+        packed = true)
+    })
+
   /** Production-path ANN quality observability: recall@k of the real
     * (lossy) LSH and IVF probe paths at their registered defaults.
     * Hyperplane/KMeans internals are Spark-specific → no DuckDB oracle
@@ -1456,6 +1716,7 @@ object Similarity {
       // just the SimilaritySpec floor. Probed through the shared
       // per-process store; cos_pq is this panel's cos_sim.
       val pqDir = ensureIvfPqIndex(s, d)
+      val resDir = ensureIvfPqResidualIndex(s, d)
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       annRecallAudit(
@@ -1469,6 +1730,13 @@ object Similarity {
           // coarse-cell misses (vectors outside the probed cells)
           // remain as recall loss
           "ivfpq_rerank" -> queryIvfPq(s, pqDir, q, k = 20, nprobe = 4,
+            excludeVecId = 0L, rerank = 80),
+          // residual (IVFADC) twins at IDENTICAL nprobe/rerank on the
+          // same fitted coarse recipe: the panel's answer to "what does
+          // residual encoding buy at equal probe and refine cost"
+          "ivfpq_res" -> queryIvfPq(s, resDir, q, k = 20, nprobe = 4,
+            excludeVecId = 0L).withColumnRenamed("cos_pq", "cos_sim"),
+          "ivfpq_res_rerank" -> queryIvfPq(s, resDir, q, k = 20, nprobe = 4,
             excludeVecId = 0L, rerank = 80)),
         Seq(1, 5, 10, 20))
     })
@@ -2495,7 +2763,8 @@ object Similarity {
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
-      annIvfPqRerankFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
+      annIvfPqRerankFullProbeQuery, annIvfPqResidualFullProbeQuery,
+      annIvfPqResidualPackedFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, nearDupLoQuery,
       labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,
