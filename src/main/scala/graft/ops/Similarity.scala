@@ -667,20 +667,50 @@ object Similarity {
     * `ingest_batch` partition) against the SAME centroids — the
     * quantizer is never refit per batch.
     */
+  /** The ONE coarse fit+assign behind both persisted builds: flat
+    * MLlib below [[twoLevelThreshold]] (bit-pinning the registered
+    * nlist=16 rows), the two-level quantizer above it — at production
+    * cell counts the flat assignment is O(n·nlist) and turns O(n²)
+    * once nlist tracks the corpus (the capped r17 wall), while the
+    * two-level path assigns in O(n·√nlist) scan-side. Returns the
+    * (list_id, centroid) table and the assigned corpus. Ingest after
+    * the build assigns via the flat relational argmin over the stored
+    * table either way ([[nearestCellAssignment]] — batch-sized, exact
+    * against the same centroids; the hierarchy is a FIT/BUILD
+    * accelerator, not a changed cell system).
+    */
+  private def coarseFitAssign(
+      embeddings: DataFrame,
+      nlist: Int,
+      fitFraction: Double): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    if (nlist > twoLevelThreshold) {
+      val q = fitQuantizerTwoLevel(embeddings, nlist)
+      (q.subCents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+          .toDF("list_id", "centroid"),
+        assignTwoLevel(embeddings, q)
+          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")))
+    } else {
+      val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
+      (model.clusterCenters.zipWithIndex
+          .map { case (c, i) => (i, c.toArray) }.toSeq
+          .toDF("list_id", "centroid"),
+        model.transform(withVec)
+          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")))
+    }
+  }
+
   def buildIvfIndex(
       embeddings: DataFrame,
       dir: String,
       nlist: Int = 16,
       fitFraction: Double = 0.25): Unit = {
-    val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("list_id", "centroid")
+    val (centsDf, assigned) = coarseFitAssign(embeddings, nlist, fitFraction)
+    centsDf
       .coalesce(1) // nlist rows — one tiny file
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    model.transform(withVec).drop("features")
+    assigned
       .withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       // STATIC pinned per-write: a REBUILD must truncate the whole
@@ -983,12 +1013,8 @@ object Similarity {
       fitFraction: Double = 0.25,
       rawSidecar: Boolean = true,
       residual: Boolean = false): Unit = {
-    val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
+    val (centsDf, assigned) = coarseFitAssign(embeddings, nlist, fitFraction)
     val spark = embeddings.sparkSession
-    import spark.implicits._
-    val centsDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("list_id", "centroid")
     centsDf
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
@@ -1016,8 +1042,6 @@ object Similarity {
     // reads back. Codes-only builds (rawSidecar=false, for
     // deployments that accept ADC recall) encode from the in-memory
     // assignment directly.
-    val assigned = model.transform(withVec).drop("features")
-      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
     val codesSource =
       if (rawSidecar) {
         writeStatic(assigned, "assigned_raw")

@@ -1568,8 +1568,18 @@ object Jobs {
     * ledger row carrying `semdup_of=` its surviving batch twin — the
     * same reason spelling as a history match, mirroring exact_dup's one
     * `duplicate_of=` spelling across its batch/store keepers.
+    *
+    * `quantizer = Some(q)` assigns against a FITTED table
+    * ([[graft.ops.Similarity.readQuantizer]] — load once, pass here)
+    * instead of the committed fixture, exactly like the standalone
+    * gate: the `vecs/` store is stamped with the table's content digest
+    * and a mismatched stage is refused (verdicts across cell systems
+    * fail silently otherwise), and batch dims must equal the table's.
     */
-  final case class AuditSemDeDupGate(eps: Double = 0.3, withinBatch: Boolean = false)
+  final case class AuditSemDeDupGate(
+      eps: Double = 0.3,
+      withinBatch: Boolean = false,
+      quantizer: Option[graft.ops.Similarity.TwoLevelQuantizer] = None)
 
   /** Stage table of the FULLY-composed streaming audit: the batch
     * pipeline's seven stages plus the stream-only LM, semantic,
@@ -1670,7 +1680,13 @@ object Jobs {
           s"embeddings but the benchmark store holds ${cfg.benchDim}-dim vectors — " +
           "a mismatch would silently deflate every cosine, not error")
     }
-    val sdBatchDim: Int = semDeDupGate.map { _ =>
+    val sdBatchDim: Int = semDeDupGate.map { cfg =>
+      // the vecs store's verdicts only make sense under ONE assignment
+      // table — stamp-or-verify its digest (the standalone gate's
+      // contract), and a fitted table must share the batch's dim
+      // (graft_nearest_cell folds the shared prefix silently)
+      requireSameAssignmentTable(spark, s"$storeRoot/vecs",
+        graft.ops.Similarity.assignmentDigest(cfg.quantizer))
       // zero-norm: admitted, it would never match anything later —
       // permanent silent store pollution (semDeDupGateBatch's
       // contract). Mixed dims: graft_dot folds the SHORTER length, so
@@ -1686,6 +1702,11 @@ object Jobs {
       require(chk.getInt(1) == chk.getInt(2),
         s"audit batch $batchId carries mixed ${chk.getInt(1)}..${chk.getInt(2)}-dim " +
           "embeddings — cross-dim cosines silently deflate; fix upstream")
+      cfg.quantizer.foreach(q => require(q.topCents.head.length == chk.getInt(1),
+        s"audit batch $batchId carries ${chk.getInt(1)}-dim embeddings but the " +
+          s"quantizer table holds ${q.topCents.head.length}-dim centroids — " +
+          "graft_nearest_cell would fold the shared prefix and silently " +
+          "mis-assign; the stream and its table must share one space"))
       // history-coverage contract: docs admitted BEFORE the gate was
       // enabled carry no vectors in vecs/, so their semantic duplicates
       // would silently pass forever. A gate must run (or be seeded)
@@ -1868,10 +1889,14 @@ object Jobs {
       val vecsDir = s"$storeRoot/vecs"
       val sdDropped: DataFrame = semDeDupGate match {
         case Some(cfg) =>
-          val assigned = graft.ops.Similarity.domainAssignedD2(
-            afterClf.select(col("doc_id").as("vec_id"), lit("").as("label"))
-              .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
-                Seq("vec_id")))
+          val batchVecs = afterClf
+            .select(col("doc_id").as("vec_id"), lit("").as("label"))
+            .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
+              Seq("vec_id"))
+          val assigned = cfg.quantizer match {
+            case Some(qz) => graft.ops.Similarity.quantizerAssignedD2(batchVecs, qz)
+            case None => graft.ops.Similarity.domainAssignedD2(batchVecs)
+          }
           val noMatches = spark.range(0).select(
             col("id").as("vec_id"), col("id").as("matched_id"))
           // optional intra-batch keep-rule FIRST: ε-twins arriving in
@@ -1935,14 +1960,20 @@ object Jobs {
           hashDir)
         writeOwn(keyedWords(written), wordsDir)
         // the semdedup history: admitted ids joined back to the batch's
-        // embeddings (the stage-9 ride-the-row discipline), committed-
-        // domain assigned so the next batch's read prunes by domain
-        semDeDupGate.foreach { _ =>
+        // embeddings (the stage-9 ride-the-row discipline), assigned
+        // under the SAME table as the stage's verdicts (committed or
+        // fitted) so the next batch's read prunes by domain
+        semDeDupGate.foreach { cfg =>
+          val admVecs = written
+            .select(col("doc_id").as("vec_id"), lit("").as("label"))
+            .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
+              Seq("vec_id"))
+          val admAssigned = cfg.quantizer match {
+            case Some(qz) => graft.ops.Similarity.quantizerAssignedD2(admVecs, qz)
+            case None => graft.ops.Similarity.domainWithNorm(admVecs)
+          }
           writeOwn(
-            graft.ops.Similarity.domainWithNorm(
-              written.select(col("doc_id").as("vec_id"), lit("").as("label"))
-                .join(batch.select(col("doc_id").as("vec_id"), col("embedding")),
-                  Seq("vec_id")))
+            admAssigned
               .select(col("vec_id").as("doc_id"), col("domain"),
                 col("embedding"), col("nrm"))
               .sortWithinPartitions("domain"),

@@ -126,6 +126,33 @@ class SimilaritySpec extends SparkSpec {
     persisted.collect().foreach(r => assert(bf(r.getLong(0)) == r.getDouble(2)))
   }
 
+  test("persisted ivf index above the two-level threshold: fullprobe equals brute force exactly") {
+    // the build routes through the TWO-LEVEL quantizer above 32 cells;
+    // exhaustive probe must still equal brute force no matter what
+    // cells the hierarchy produced — the sim_ann_ivf_fullprobe trick,
+    // which hash-verifies the assign/store/probe plumbing for the
+    // scale path the registered nlist=16 rows never exercise
+    val dir = tmpDir("ivf-index-2l")
+    Similarity.buildIvfIndex(emb, dir, nlist = 40)
+    val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+    assert(nCells > Similarity.twoLevelThreshold && nCells <= 40)
+    // every stored row carries a valid cell of the written table
+    val cellIds = spark.read.parquet(s"$dir/centroids")
+      .select("list_id").collect().map(_.getInt(0)).toSet
+    val assignedCells = spark.read.parquet(s"$dir/assigned")
+      .select("list_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(assignedCells.subsetOf(cellIds))
+    assert(spark.read.parquet(s"$dir/assigned").count() == emb.count())
+    val q = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val full = Similarity
+      .queryIvfIndex(spark, dir, q, k = 20, nprobe = nCells, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val bf = Similarity.bruteForceTopK(emb, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == bf, "two-level fullprobe diverged from brute force")
+  }
+
   // ------------------------------------------------------------- ivf-pq
 
   test("pq codes are valid and survive the store roundtrip") {

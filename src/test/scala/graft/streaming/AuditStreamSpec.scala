@@ -262,6 +262,47 @@ class AuditStreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(highDoc))
   }
 
+  test("semdedup gate (stage 11) under a fitted quantizer: fitted-cell drops, table-identity refusal") {
+    import spark.implicits._
+    val u = Seq(1.0, 0.0, 0.0, 0.0)
+    val w = Seq(0.0, 0.0, 1.0, 0.0)
+    // a small fitted table over a synthetic 4-dim corpus spanning both
+    // directions — the stage then assigns under THESE cells
+    val corpus = (0 until 10).map(i => Emb(100L + i, s"u$i", Seq(1.0, 0.01 * i, 0.0, 0.0))) ++
+      (0 until 10).map(i => Emb(200L + i, s"w$i", Seq(0.0, 0.0, 1.0, 0.01 * i)))
+    val q = graft.ops.Similarity.fitQuantizerTwoLevel(corpus.toDF(), nlist = 4)
+    val t11 = "another standalone passage about broadcast joins and adaptive " +
+      "query execution behavior under skewed key distributions"
+    val root = tmpDir("audit11q-store")
+    val gate = Some(Jobs.AuditSemDeDupGate(eps = 0.9, quantizer = Some(q)))
+    Jobs.auditLedgerBatch(root, semDeDupGate = gate)(
+      Seq(DocEmb(1, base, u), DocEmb(2, fresh, w)).toDF(), 0L)
+    // doc 10 is lexically distinct but an EXACT embedding twin of
+    // admitted doc 1 — same fitted cell by construction, cos = 1
+    Jobs.auditLedgerBatch(root, semDeDupGate = gate)(
+      Seq(DocEmb(10, t11, u)).toDF(), 1L)
+    val ledger = spark.read.parquet(s"$root/ledger")
+      .select("doc_id", "stage_idx", "stage", "reason")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(ledger == Set((10L, 11L, "semdedup", "semdup_of=1")), s"ledger: $ledger")
+    // the vecs store carries the FITTED cells (valid absolute ids)
+    val doms = spark.read.parquet(s"$root/vecs")
+      .select("domain").collect().map(_.getInt(0))
+    assert(doms.forall(d => d >= 0 && d < q.nlist))
+    // running the same store under the COMMITTED table is refused —
+    // verdicts across cell systems would fail silently otherwise
+    val exTab = intercept[IllegalArgumentException](
+      Jobs.auditLedgerBatch(root,
+        semDeDupGate = Some(Jobs.AuditSemDeDupGate(eps = 0.9)))(
+        Seq(DocEmb(20, t11 + " more", w)).toDF(), 2L))
+    assert(exTab.getMessage.contains("assignment"), exTab.getMessage)
+    // and a wrong-dim batch against the fitted table is refused
+    val exDim = intercept[IllegalArgumentException](
+      Jobs.auditLedgerBatch(root, semDeDupGate = gate)(
+        Seq(DocEmb(21, t11 + " again", Seq(1.0, 0.0))).toDF(), 2L))
+    assert(exDim.getMessage.contains("-dim"), exDim.getMessage)
+  }
+
   test("semdedup gate (stage 11) withinBatch: eps-twins in one batch admit exactly one, replay-safe") {
     val u = Seq(1.0, 0.0, 0.0, 0.0)
     val o2 = Seq(0.0, 1.0, 0.0, 0.0)
