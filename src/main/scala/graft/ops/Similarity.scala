@@ -268,6 +268,12 @@ object Similarity {
   private[graft] def allotCells(sizes: Seq[(Int, Long)], nlist: Int): Seq[(Int, Int)] = {
     val occupied = sizes.filter(_._2 > 0).sortBy(_._1)
     require(occupied.nonEmpty, "allotCells: no occupied top cells")
+    // every occupied cell seats >= 1 sub-cell, so the budget must cover
+    // them (always true from fitQuantizerTwoLevel: occupied <= kTop =
+    // ceil(sqrt(nlist)) <= nlist) — refused loudly rather than letting
+    // the rebalance loop spin on an unsatisfiable floor
+    require(occupied.size <= nlist,
+      s"allotCells: ${occupied.size} occupied cells cannot seat in nlist=$nlist")
     val total = occupied.map(_._2).sum
     var q = occupied.map { case (t, nt) =>
       (t, nt, math.min(nt, math.max(1L, nlist.toLong * nt / total)).toInt)

@@ -404,6 +404,61 @@ object GraftProperties extends Properties("graft") {
       got == expect
     }
 
+  private val nearestCellGen: Gen[(List[(Long, List[Double])], List[List[Double]], Int, Int)] =
+    for {
+      dim <- Gen.chooseNum(2, 16)
+      nc <- Gen.chooseNum(2, 12)
+      cells <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)))
+      n <- Gen.chooseNum(1, 30)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)))
+      start <- Gen.chooseNum(0, nc - 1)
+      len <- Gen.chooseNum(1, nc - start)
+    } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, cells, start, len)
+
+  property("graft_nearest_cell is the argmin over the slice with lowest-index ties") =
+    sparkProp(nearestCellGen) { case (rows, cells, start, len) =>
+      import spark.implicits._
+      val got = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), call_function("graft_nearest_cell",
+          col("embedding"), typedLit(cells), lit(start), lit(len)).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      rows.forall { case (id, v) =>
+        val scored = (start until start + len).map { j =>
+          val c = cells(j)
+          var cc = 0.0; var dp = 0.0
+          var i = 0
+          while (i < c.length) { cc += c(i) * c(i); dp += c(i) * v(i); i += 1 }
+          (cc - 2.0 * dp, j)
+        }
+        got(id) == scored.min._2
+      }
+    }
+
+  property("allotCells seats min(nlist, points) with 1..cap per occupied cell") =
+    forAll(for {
+      k <- Gen.chooseNum(1, 12)
+      sizes <- Gen.listOfN(k, Gen.chooseNum(0L, 500L))
+      extra <- Gen.chooseNum(0, 52)
+    } yield (sizes.zipWithIndex.map { case (n, i) => (i, n) }, extra)) {
+      case (sizes, extra) =>
+        val occupied = sizes.filter(_._2 > 0)
+        // budget always covers the occupied floor (the fit's invariant)
+        val nlist = occupied.size + extra
+        if (occupied.isEmpty || nlist == 0) Prop.passed
+        else {
+          val allot = graft.ops.Similarity.allotCells(sizes, nlist)
+          val byCell = allot.toMap
+          val want = math.min(nlist.toLong, occupied.map(_._2).sum).toInt
+          Prop.all(
+            Prop(allot.map(_._2).sum == want) :| "seats the full budget",
+            Prop(allot.map(_._1).toSet == occupied.map(_._1).toSet) :| "occupied cells only",
+            Prop(occupied.forall { case (t, nt) =>
+              byCell(t) >= 1 && byCell(t) <= nt
+            }) :| "each cell in 1..its points",
+            Prop(allot == graft.ops.Similarity.allotCells(sizes, nlist)) :| "deterministic")
+        }
+    }
+
   property("exact dedup is idempotent: re-deduping representatives yields all-singletons") =
     sparkProp(eventsGen) { rows =>
       import spark.implicits._

@@ -113,6 +113,28 @@ class PlanContractSpec extends SparkSpec {
       s"ivf-pq probe plan touches raw embeddings:\n$plan")
   }
 
+  test("ivfadc residual probe: per-cell scans pruned, codes-only, exchange-free union") {
+    // The residual query unions one partition-pruned scan per probed
+    // cell (the cell's centroid folded into that scan's LUT literals).
+    // Contracts: every scan pruned on list_id, the plan never touches
+    // raw embeddings (PQ's memory claim survives residual encoding),
+    // and the union + top-k add NO shuffle exchange — per-query cost
+    // stays probed-cells-sized at any corpus scale.
+    val dir = graft.ops.Similarity.ensureIvfPqResidualDomainIndex(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val res = graft.ops.Similarity.queryIvfPq(spark, dir, q, k = 20,
+      nprobe = 4, excludeVecId = 0L)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no partition pruning in residual probe plan:\n$plan")
+    assert(plan.contains("codes") && !plan.contains("embedding"),
+      s"residual probe plan touches raw embeddings:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"residual probe union pays a shuffle:\n$plan")
+  }
+
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
     // mm_frame_sample fans out on metadata only — its scan must not
     // read the documents text column (ReadSchema pruned to doc_id).
