@@ -846,6 +846,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED k-NN against a persisted IVF index — the serving/graph
+    * shape every single-query probe here only simulates: a whole TABLE
+    * of queries (query_id, embedding) gets its top-k neighbors in ONE
+    * distributed plan. This is how a k-NN graph is built (queries =
+    * the corpus itself) and how offline retrieval eval runs (queries =
+    * an eval set) — per-query driver loops would be the collect()
+    * anti-pattern at either scale.
+    *
+    * Anatomy, sized for queries ≪ corpus (the serving contract):
+    *  1. PROBE RANKING is relational — queries × the broadcast
+    *     nlist-row centroid table, d2 = e·e − 2·e·c + c·c, nprobe best
+    *     cells per query via one query-keyed window. The blowup is
+    *     |Q|×nlist rows on the QUERY side only; the corpus never fans
+    *     out.
+    *  2. The probed cell set (≤ nlist driver values, collected bounded)
+    *     prunes the corpus scan at the FILE level — a batch touching p
+    *     distinct cells reads p/nlist of the store, exactly the
+    *     single-query contract, amortized.
+    *  3. The probe frame broadcasts into the pruned scan (a batch of
+    *     queries is small by contract; a corpus-sized query table
+    *     should drop the hint and let AQE shuffle on list_id), pairs
+    *     score through the one shared cosine kernel, and one
+    *     query-keyed window cuts top-k — deterministic (rounded cos
+    *     DESC, vec_id) order, every engine's tie rule here.
+    *
+    * nprobe = nlist makes the result a pure per-query brute-force
+    * top-k, which is what the hash-verified fullprobe twin replays in
+    * DuckDB (the sim_ann_ivf_fullprobe trick, batched).
+    */
+  def knnJoinIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    val cents = loadCentroids(spark, dir)
+      .withColumn("c2", dot("centroid", "centroid"))
+    val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q2", dot("q_emb", "q_emb"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cell_d2"), col("list_id"))
+    val probed = qSide
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_d2",
+        col("q2") - lit(2.0) * dot("q_emb", "centroid") + col("c2"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("list_id"))
+    // the batch's probed cells: ≤ nlist driver values — bounded like
+    // every centroid collect; they buy file-level pruning on the store
+    val probedCells = probed.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val store = spark.read.parquet(s"$dir/assigned")
+      .filter(col("list_id").isin(probedCells: _*))
+    val pairs = store
+      .join(broadcast(probed), Seq("list_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        // the ONE single-pass cosine kernel — same fold the brute-force
+        // oracle replays, so the fullprobe twin hashes
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    pairs
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "label", "cos_sim")
+  }
+
   /** Scratch dir for the registered persisted-index query: ONE fixed
     * path PER PROCESS (user + pid), deleted by a shutdown hook.
     * Within a process, overwrite semantics make re-runs replace rather
@@ -980,6 +1049,56 @@ object Similarity {
       val q = emb.filter(col("vec_id") === 0L)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       queryIvfIndex(s, dir, q, nprobe = 16, excludeVecId = 0L)
+    })
+
+  /** Exhaustive-probe batched k-NN (nprobe = nlist): each of the 8
+    * query vectors' top-10 must equal its per-query brute force exactly
+    * — same rows, same rounded cosines, same (cos DESC, vec_id) rank
+    * cuts — no matter what cells the quantizer produced. Hash-verifies
+    * the whole batched pipeline: the relational probe ranking, the
+    * cell-pruned scan, the broadcast pair join, and the per-query
+    * window cut.
+    */
+  val knnJoinFullProbeQuery = QueryDef(
+    "sim_knn_join_fullprobe",
+    s"""WITH qs AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < 8),
+       |pairs AS (
+       |  SELECT q.query_id, e.vec_id, e.label,
+       |         round(${duckCosine("e.embedding", "q.q_emb")}, 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN qs q
+       |  WHERE e.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM pairs)
+       |SELECT query_id, vec_id, label, cos_sim FROM ranked WHERE rn <= 10
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvf(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    })
+
+  /** The production probe (nprobe=4 of 16 cells) — rows-only like every
+    * lossy ANN probe, on the identical code path as the hash-verified
+    * fullprobe twin; SimilaritySpec pins its candidate discipline.
+    */
+  val knnJoinQuery = QueryDef.unverified("sim_knn_join_topk")(
+    (s, d) => {
+      val dir = ensureIvfIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvf(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
     })
 
   // ------------------------------------------------------------- ivf-pq
@@ -2792,6 +2911,7 @@ object Similarity {
   val all: Seq[QueryDef] =
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
+      knnJoinFullProbeQuery, knnJoinQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
       annIvfPqRerankFullProbeQuery, annIvfPqResidualFullProbeQuery,
       annIvfPqResidualPackedFullProbeQuery, annIvfPqQuery, pqReconMseQuery,

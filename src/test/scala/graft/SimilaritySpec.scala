@@ -153,6 +153,46 @@ class SimilaritySpec extends SparkSpec {
     assert(full == bf, "two-level fullprobe diverged from brute force")
   }
 
+  test("batched knn join: exact scores, rank dominance vs fullprobe, knn-graph over the whole corpus") {
+    val dir = tmpDir("knn-index")
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val bf = emb.select("vec_id").collect().map(_.getLong(0)).map { q =>
+      q -> Similarity.bruteForceTopK(emb, q, k = 499)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    }.toMap
+    // production probe: k rows per query, every cosine EXACT (raw
+    // embeddings scored through the shared kernel — an ANN probe may
+    // miss neighbors, it must never mis-score one)
+    val prod = Similarity.knnJoinIvf(spark, dir, queries, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(prod.groupBy(_._1).forall(_._2.length == 10))
+    prod.foreach { case (q, v, c) => assert(bf(q.toLong)(v) == c, s"q$q v$v") }
+    // rank dominance: at each rank, fullprobe's score >= the pruned
+    // probe's (more candidates can only improve a rank's best)
+    val full = Similarity.knnJoinIvf(spark, dir, queries, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val prodRanks = prod.groupBy(_._1).view.mapValues(_.map(_._3).sortBy(-_)).toMap
+    full.groupBy(_._1).foreach { case (q, rows) =>
+      rows.map(_._3).sortBy(-_).zip(prodRanks(q)).foreach { case (f, p) =>
+        assert(f >= p, s"query $q: fullprobe $f < pruned $p at same rank")
+      }
+    }
+    // and fullprobe IS per-query brute force (the oracle's claim, here
+    // against the independently computed map)
+    full.groupBy(_._1).foreach { case (q, rows) =>
+      val expect = bf(q.toLong).toSeq.sortBy { case (v, c) => (-c, v) }.take(10)
+        .map { case (v, c) => (q, v, c) }.toSet
+      assert(rows.toSet == expect, s"query $q fullprobe != brute force")
+    }
+    // knn-graph shape: the corpus queries ITSELF — one plan, 500×k rows
+    val graph = Similarity.knnJoinIvf(spark, dir,
+      emb.select(col("vec_id").as("query_id"), col("embedding")),
+      k = 5, nprobe = 8)
+    assert(graph.count() == emb.count() * 5)
+  }
+
   // ------------------------------------------------------------- ivf-pq
 
   test("pq codes are valid and survive the store roundtrip") {
