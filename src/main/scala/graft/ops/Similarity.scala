@@ -881,7 +881,8 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      hintBroadcast: Boolean = true): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
     val cents = loadCentroids(spark, dir)
       .withColumn("c2", dot("centroid", "centroid"))
@@ -902,7 +903,11 @@ object Similarity {
     val store = spark.read.parquet(s"$dir/assigned")
       .filter(col("list_id").isin(probedCells: _*))
     val pairs = store
-      .join(broadcast(probed), Seq("list_id"))
+      // serving batches broadcast (small by contract); a CORPUS-sized
+      // query table — the knn-graph build — passes hintBroadcast=false
+      // and lets AQE size the list_id-keyed join at runtime (the
+      // SemDeDup gate's cold-start-backlog discipline)
+      .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"), col("label"),
         // the ONE single-pass cosine kernel — same fold the brute-force

@@ -122,6 +122,28 @@ object StressAnn {
     stage("ivfpq_rerank_fullprobe")(count(
       Similarity.queryIvfPq(spark, s"$tmp/ivfpq_rr", q, k = 20, nprobe = 16, rerank = 80)))
 
+    // r18: the BATCHED shapes. A fixture-sized serving batch against
+    // the 16-cell index (pairs = |Q| × nprobe/nlist × corpus), then the
+    // knn-GRAPH build — corpus queries itself — against an index fitted
+    // by the SemDeDup sizing rule (nlist ∝ n holds per-query candidates
+    // at ~nprobe × 250, so graph pairs stay ~n × 1000 instead of
+    // n²·nprobe/nlist; this stage also measures the two-level build at
+    // scale, since the fitted nlist routes through it). The graph's
+    // query side is corpus-sized → hintBroadcast=false (AQE sizes the
+    // cell-keyed join).
+    val batchQ = base.select(col("vec_id").as("query_id"), col("embedding"))
+    stage("knn_join_batch_probe4")(count(
+      Similarity.knnJoinIvf(spark, s"$tmp/ivf", batchQ, k = 10, nprobe = 4)))
+    val fittedNlist = math.max(8, (nVec / 250).toInt)
+    stage(s"ivf_build_fitted_nlist$fittedNlist")({
+      Similarity.buildIvfIndex(corpus, s"$tmp/ivf_fitted", nlist = fittedNlist)
+      spark.read.parquet(s"$tmp/ivf_fitted/assigned").count()
+    })
+    stage("knn_graph_fitted_probe4")(count(
+      Similarity.knnJoinIvf(spark, s"$tmp/ivf_fitted",
+        corpus.select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, nprobe = 4, hintBroadcast = false)))
+
     println()
     println("BEGIN-ANN-SECTION")
     println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +
