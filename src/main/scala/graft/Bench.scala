@@ -368,9 +368,21 @@ object Bench {
         ("ivf_store", Seq("sim_ann_ivf_persisted"),
           () => { val dir = Similarity.ensureIvfIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
-        ("ivfpq_store", Seq("sim_ann_ivfpq", "sim_ann_recall!"),
+        // ALL build-once PQ stores belong here, not just the fitted one:
+        // rows run name-sorted, so whichever consumer happens to sort
+        // first would otherwise pay the residual-domain / fitted-residual
+        // build inside its timed window (r18: sim_ann_index_health sorts
+        // before the residual fullprobes and was about to inherit the
+        // build the fullprobe's old clean reference silently carried)
+        ("ivfpq_store",
+          Seq("sim_ann_ivfpq", "sim_ann_recall!", "sim_ann_index_health!"),
           () => { val dir = Similarity.ensureIvfPqIndex(spark, sfDir)
-            spark.read.parquet(s"$dir/centroids").limit(1) }),
+            val rdir = Similarity.ensureIvfPqResidualDomainIndex(spark, sfDir)
+            val fdir = Similarity.ensureIvfPqResidualIndex(spark, sfDir)
+            spark.read.parquet(s"$dir/centroids")
+              .unionByName(spark.read.parquet(s"$rdir/centroids"))
+              .unionByName(spark.read.parquet(s"$fdir/centroids"))
+              .limit(1) }),
         // format round-trip stores are write-once per process: build them
         // here so every timed pass (including retries) measures the same
         // read+aggregate workload — otherwise pass 1 pays the write and

@@ -773,6 +773,15 @@ object Similarity {
     cents
   }
 
+  /** Validated embedding dim of a persisted index's centroid table —
+    * what a serving stream checks its query batches against up front:
+    * graft_dot folds the shared prefix, so a wrong-dim query would
+    * SILENTLY deflate every score instead of erroring.
+    */
+  private[graft] def indexDim(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Int =
+    loadCentroids(spark, dir).select(size(col("centroid"))).head().getInt(0)
+
   /** Nearest existing cell per NEW vector — the relational argmin the
     * two ingest paths share: |e−c|² = e·e − 2·e·c + c·c over a
     * broadcast of the validated nlist-row centroid table, lowest-d2
@@ -1854,6 +1863,66 @@ object Similarity {
         packed = true)
     })
 
+  /** Index-health report over a persisted IVF-PQ store: per coarse
+    * cell — code count, measured at-rest bytes, corpus share, and skew
+    * vs the mean cell (n·nlist/total; the number that sizes the worst
+    * probe and the pair bill, and the signal a production deployment
+    * watches to decide a re-train — a cell drifting toward skew ≫ 1
+    * makes every probe that touches it pay the imbalance). EMPTY cells
+    * report too (left join from the centroid table): a dead cell is
+    * wasted nlist and a symptom of a stale quantizer. Reads ONLY the
+    * index (centroid table + packed codes store, partition-listed) —
+    * the corpus is never scanned, so at 100 TB the health check costs
+    * the index's bytes, not the data lake's.
+    */
+  def indexHealth(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cells = loadCentroids(spark, dir).select("list_id")
+    val perCell = spark.read.parquet(s"$dir/assigned_pq_packed")
+      .groupBy("list_id")
+      .agg(count(lit(1)).as("n_codes"),
+        sum(length(col("codes_packed"))).as("bytes_at_rest"))
+    val joined = cells.join(perCell, Seq("list_id"), "left")
+      .select(col("list_id"),
+        coalesce(col("n_codes"), lit(0L)).as("n_codes"),
+        coalesce(col("bytes_at_rest"), lit(0L)).as("bytes_at_rest"))
+    val tot = joined.agg(sum(col("n_codes")).cast("double").as("n_tot"),
+      count(lit(1)).cast("double").as("nlist"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n_codes"), col("bytes_at_rest"),
+        (floor(col("n_codes") / col("n_tot") * 1e6 + 0.5) / 1e6).as("share"),
+        (floor(col("n_codes") * col("nlist") / col("n_tot") * 1e6 + 0.5) / 1e6)
+          .as("skew"))
+      .orderBy("list_id")
+  }
+
+  /** [[indexHealth]] over the committed-domain residual index, whose
+    * cell layout is a pure function of (corpus, committed domain
+    * table) — so DuckDB replays the populations from the corpus via
+    * the shared assignment CTE while Spark reads them off the INDEX,
+    * and the bytes column doubles as a hash-checked proof of the
+    * at-rest size law (every packed code is ceil(M·log2(K)/8) = 4
+    * bytes). Share/skew use the [[domainMixtureQuery]] floor-rounding
+    * spelling so a last-ulp division difference can't flip a digit.
+    */
+  lazy val annIndexHealthQuery = QueryDef(
+    "sim_ann_index_health",
+    s"""WITH $duckDomainAssigned,
+       |ih_counts AS (
+       |  SELECT domain AS list_id, count(*) AS n_codes
+       |  FROM dom_assigned GROUP BY domain),
+       |ih_cells AS (
+       |  SELECT c.domain AS list_id, coalesce(n.n_codes, 0) AS n_codes
+       |  FROM dom_cents c LEFT JOIN ih_counts n ON c.domain = n.list_id),
+       |ih_tot AS (SELECT CAST(sum(n_codes) AS DOUBLE) AS n_tot,
+       |                  CAST(count(*) AS DOUBLE) AS nlist FROM ih_cells)
+       |SELECT c.list_id, c.n_codes, 4 * c.n_codes AS bytes_at_rest,
+       |       floor(c.n_codes / t.n_tot * 1e6 + 0.5) / 1e6 AS share,
+       |       floor(c.n_codes * t.nlist / t.n_tot * 1e6 + 0.5) / 1e6 AS skew
+       |FROM ih_cells c CROSS JOIN ih_tot t
+       |ORDER BY c.list_id""".stripMargin)(
+    (s, d) => indexHealth(s, ensureIvfPqResidualDomainIndex(s, d)))
+
   /** Production-path ANN quality observability: recall@k of the real
     * (lossy) LSH and IVF probe paths at their registered defaults.
     * Hyperplane/KMeans internals are Spark-specific → no DuckDB oracle
@@ -2919,7 +2988,8 @@ object Similarity {
       knnJoinFullProbeQuery, knnJoinQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
       annIvfPqRerankFullProbeQuery, annIvfPqResidualFullProbeQuery,
-      annIvfPqResidualPackedFullProbeQuery, annIvfPqQuery, pqReconMseQuery,
+      annIvfPqResidualPackedFullProbeQuery, annIndexHealthQuery,
+      annIvfPqQuery, pqReconMseQuery,
       annRecallAuditQuery, annRecallQuery, nearDupQuery, nearDupLoQuery,
       labelBlockedQuery,
       semanticDecontaminateQuery, semanticCanonicalQuery, quantizeInt8Query, dimStatsQuery,

@@ -2114,6 +2114,92 @@ object Jobs {
           .foreach(c => resolvePending(fs, c.getPath))
     }
 
+  // ---------------------------------------------------- k-NN serving
+
+  /** One serving micro-batch: validate, answer through ONE batched
+    * k-NN join ([[graft.ops.Similarity.knnJoinIvf]] — probe ranking,
+    * file-level cell pruning, one query-keyed top-k window), land the
+    * answers under the batch's own `ingest_batch` partition with
+    * dynamic overwrite — a replayed batch (checkpoint recovery)
+    * REPLACES its own answers instead of duplicating them, the store
+    * discipline every ingest path here follows.
+    *
+    * Validation is the gate discipline: a NULL or zero-norm query's
+    * cosine is NULL/NaN, so its "answers" would be an arbitrary k rows
+    * served silently — refused loudly instead; a query dim different
+    * from the index's would fold the shared prefix and silently
+    * deflate every score (the graft_dot contract), refused against the
+    * dim captured from the centroid table at stream start. The
+    * broadcast hint is budget-gated: a serving batch is small by
+    * contract, but an AvailableNow cold-start backlog arrives as ONE
+    * batch and must degrade to an AQE-sized shuffle join, not OOM the
+    * driver.
+    */
+  private[graft] def knnServeBatch(
+      indexDir: String, outDir: String, k: Int, nprobe: Int, idxDim: Int)(
+      batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val chk = batch.agg(count(lit(1)).as("n"),
+      // count(embedding) skips NULL arrays: nn < n detects one anywhere
+      count(col("embedding")).as("nn"),
+      min(graft.ops.Similarity.dot("embedding", "embedding")).as("mn"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    require(chk.getLong(1) == chk.getLong(0) &&
+        !chk.isNullAt(2) && chk.getDouble(2) > 0,
+      "query batch carries NULL or zero-norm embeddings — their cosines " +
+        "are unscoreable and the served top-k would be arbitrary rows; " +
+        "filter or fix them upstream")
+    require(chk.getInt(3) == chk.getInt(4) && chk.getInt(3) == idxDim,
+      s"query batch embeddings are ${chk.getInt(3)}..${chk.getInt(4)}-dim " +
+        s"but the index at $indexDir holds $idxDim-dim vectors — " +
+        "graft_dot folds the shared prefix, silently deflating every " +
+        "served score; the stream and its index must share one space")
+    graft.ops.Similarity.knnJoinIvf(spark, indexDir, batch, k, nprobe,
+        excludeSelf = false,
+        hintBroadcast = graft.ops.Similarity
+          .batchBroadcastable(chk.getLong(0), idxDim))
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(outDir)
+  }
+
+  /** Online ANN serving — the streaming lift of the batched k-NN join:
+    * a stream of query vectors (`query_id`, `embedding`) is answered
+    * per micro-batch against a persisted raw-IVF index, answers landing
+    * in `outDir` as (query_id, vec_id, label, cos_sim, ingest_batch).
+    * The index is build-once/serve-many ([[startPqIngestStream]] is the
+    * write side of the same store family); the centroid-table dim is
+    * captured and validated ONCE at stream start (the loadBenchStore
+    * discipline — a missing or corrupt index fails the start, not
+    * batch 0). Per batch the serve cost is the knnJoinIvf contract:
+    * probed-cell file pruning means a batch touching p distinct cells
+    * reads p/nlist of the store — at 100 TB the serving stream's IO is
+    * sized by its query batches, never by the corpus.
+    */
+  def startKnnServe(
+      queries: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpointDir: String,
+      k: Int = 10,
+      nprobe: Int = 4,
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(k >= 1 && nprobe >= 1,
+      s"k and nprobe must be >= 1 (got k=$k nprobe=$nprobe)")
+    val idxDim = graft.ops.Similarity.indexDim(queries.sparkSession, indexDir)
+    queries.writeStream
+      .queryName("knn_serve")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
+        knnServeBatch(indexDir, outDir, k, nprobe, idxDim)))
+      .start()
+  }
+
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text` (plus `embedding` when `embStoreDir` is set).
     * Every configured static store — benchmark shingles

@@ -135,6 +135,21 @@ class PlanContractSpec extends SparkSpec {
       s"residual probe union pays a shuffle:\n$plan")
   }
 
+  test("index health reads only the index: packed codes + centroids, corpus never scanned") {
+    // The health report's 100 TB claim is that it costs the INDEX's
+    // bytes (4 B/vector packed codes + the nlist-row centroid table),
+    // never the data lake's: the plan must scan the packed store and
+    // must not touch the corpus parquet or any raw embedding column
+    // anywhere (the corpus path contains "embedding", so one substring
+    // check covers both the column and the file).
+    val health = SparkEntry.queries("sim_ann_index_health")(spark, sf)
+    val plan = health.queryExecution.executedPlan.toString
+    assert(plan.contains("codes_packed"),
+      s"index health does not scan the packed codes store:\n$plan")
+    assert(!plan.contains("embedding"),
+      s"index health plan touches the corpus / raw embeddings:\n$plan")
+  }
+
   test("projection pruning reaches the scan: payload-free metadata query reads no text bytes") {
     // mm_frame_sample fans out on metadata only — its scan must not
     // read the documents text column (ReadSchema pruned to doc_id).

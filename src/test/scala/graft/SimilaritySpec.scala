@@ -1075,4 +1075,44 @@ class SimilaritySpec extends SparkSpec {
         s"anchor $anchor negatives not hardest-first: ${sims.toSeq}")
     }
   }
+
+  test("index health: populations conserve, at-rest law measured, empty cells report, skew flags the hot cell") {
+    val dir = tmpDir("ih-index")
+    Similarity.buildIvfPqResidualDomainIndex(emb, dir)
+    val rows = Similarity.indexHealth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // one row per committed cell, ordered, populations conserve the corpus
+    assert(rows.map(_._1).toSeq == Similarity.domainCentroids.indices.toSeq)
+    assert(rows.map(_._2).sum == 500L)
+    // the at-rest law, measured off the store: every packed code is
+    // ceil(M*log2(K)/8) = 4 bytes
+    rows.foreach { case (cell, n, bytes, _, _) =>
+      assert(bytes == 4L * n, s"cell $cell: $bytes bytes for $n codes")
+    }
+    // shares telescope to 1 and skew means 1 (up to the 1e-6 rounding)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._5).sum / rows.length - 1.0) < 1e-4)
+    // health must agree with the corpus-side assignment (the claim the
+    // oracle hash-checks at the registered row)
+    val byDomain = Similarity.assignDomains(emb).groupBy("domain").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (cell, n, _, _, _) =>
+      assert(byDomain.getOrElse(cell, 0L) == n, s"cell $cell: index $n vs corpus")
+    }
+    // a single-domain corpus: the other cells still REPORT (dead cells
+    // are the re-train signal), with zero counts and the hot cell at
+    // skew = nlist
+    val hot = rows.maxBy(_._2)._1
+    val oneDomain = emb.join(
+      Similarity.assignDomains(emb).filter(col("domain") === hot)
+        .select("vec_id"), Seq("vec_id"))
+    val dir2 = tmpDir("ih-index-hot")
+    Similarity.buildIvfPqResidualDomainIndex(oneDomain, dir2)
+    val rows2 = Similarity.indexHealth(spark, dir2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+    assert(rows2.length == Similarity.domainCentroids.length)
+    assert(rows2.filter(_._1 != hot).forall(t => t._2 == 0L && t._3 == 0.0))
+    assert(rows2.find(_._1 == hot).exists(_._3 ==
+      Similarity.domainCentroids.length.toDouble))
+  }
 }

@@ -19,6 +19,9 @@ case class Doc(doc_id: Long, text: String)
 /** Embedding row for the semantic-gate stream test. */
 case class Emb(vec_id: Long, label: String, embedding: Seq[Double])
 
+/** Query row for the k-NN serving stream test. */
+case class QVec(query_id: Long, embedding: Seq[Double])
+
 /** Structured-Streaming lift — parity with batch, watermark append
   * semantics, per-batch faithful mode, checkpoint recovery, empty-batch
   * marker (SURVEY.md §5 item 3).
@@ -1166,5 +1169,61 @@ class StreamingJobsSpec extends SparkSpec {
       chunkChars = 5, overlap = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(streamed == batch && batch.size == 4) // 3 chunks for doc 1, 1 for doc 2
+  }
+
+  test("knn serve stream: batch parity, per-batch partitions, replay-safe, unscoreable/wrong-dim refused") {
+    import spark.implicits._
+    val idx = tmpDir("knnserve-idx"); val out = tmpDir("knnserve-out")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.ops.Similarity.buildIvfIndex(emb, idx, nlist = 8)
+    // fixture vectors as queries (float→double widening is exact, so
+    // the stream and the batch join score identical doubles)
+    val qvecs = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => QVec(r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val ms = MemoryStream[QVec](spark)(org.apache.spark.sql.Encoders.product[QVec])
+    val q = Jobs.startKnnServe(ms.toDF(), idx, out, tmpDir("knnserve-ckpt"),
+      k = 5, nprobe = 2, queryTrigger = Trigger.ProcessingTime(0))
+    ms.addData(qvecs(0), qvecs(1))
+    q.processAllAvailable()
+    ms.addData(qvecs(2))
+    q.processAllAvailable()
+    q.stop()
+    def served() = spark.read.parquet(out)
+      .select("query_id", "vec_id", "cos_sim", "ingest_batch")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val got = served()
+    // k rows per query, batch attribution intact
+    assert(got.count(_._4 == 0L) == 10 && got.count(_._4 == 1L) == 5, s"got $got")
+    // parity: each batch's answers equal the batched k-NN join on the
+    // same query frame (the serve path adds nothing but the landing)
+    val b0 = Seq(qvecs(0), qvecs(1)).toDF()
+    val expect0 = graft.ops.Similarity
+      .knnJoinIvf(spark, idx, b0, k = 5, nprobe = 2, excludeSelf = false)
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.filter(_._4 == 0L).map(t => (t._1, t._2, t._3)) == expect0)
+    // replay idempotence: re-running batch 0's body overwrites its own
+    // partition, never duplicates it
+    Jobs.knnServeBatch(idx, out, 5, 2, 64)(b0, 0L)
+    assert(served() == got, "replay changed the served answers")
+    // empty batch is a no-op (F7 guard)
+    Jobs.knnServeBatch(idx, out, 5, 2, 64)(b0.filter(lit(false)), 9L)
+    assert(served() == got, "empty batch wrote rows")
+    // a zero-norm query's top-k would be arbitrary rows — refused
+    val exZero = intercept[IllegalArgumentException](
+      Jobs.knnServeBatch(idx, out, 5, 2, 64)(
+        Seq(QVec(90L, Seq.fill(64)(0.0))).toDF(), 2L))
+    assert(exZero.getMessage.contains("zero-norm"), exZero.getMessage)
+    // a wrong-dim query silently deflates every score — refused
+    val exDim = intercept[IllegalArgumentException](
+      Jobs.knnServeBatch(idx, out, 5, 2, 64)(
+        Seq(QVec(91L, Seq(1.0, 0.0, 0.0, 0.0))).toDF(), 2L))
+    assert(exDim.getMessage.contains("dim"), exDim.getMessage)
+    // starting against a missing index fails at START, not in batch 0
+    val exIdx = intercept[Exception](
+      Jobs.startKnnServe(ms.toDF(), tmpDir("knnserve-noidx"), out,
+        tmpDir("knnserve-ckpt2")))
+    assert(exIdx.getMessage != null)
   }
 }
