@@ -365,7 +365,8 @@ object Bench {
         // so the probe rows measure probes, and the quantizer-fit +
         // store-write cost is recorded as these warmups' seconds and
         // attributed to the consumer rows via warmup_consumers
-        ("ivf_store", Seq("sim_ann_ivf_persisted"),
+        ("ivf_store", Seq("sim_ann_ivf_persisted", "sim_knn_join_fullprobe!",
+            "sim_knn_join_topk!"),
           () => { val dir = Similarity.ensureIvfIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
         // ALL build-once PQ stores belong here, not just the fitted one:
@@ -375,7 +376,8 @@ object Bench {
         // before the residual fullprobes and was about to inherit the
         // build the fullprobe's old clean reference silently carried)
         ("ivfpq_store",
-          Seq("sim_ann_ivfpq", "sim_ann_recall!", "sim_ann_index_health!"),
+          Seq("sim_ann_ivfpq", "sim_ann_recall!", "sim_ann_index_health!",
+            "sim_knn_join_pq"),
           () => { val dir = Similarity.ensureIvfPqIndex(spark, sfDir)
             val rdir = Similarity.ensureIvfPqResidualDomainIndex(spark, sfDir)
             val fdir = Similarity.ensureIvfPqResidualIndex(spark, sfDir)

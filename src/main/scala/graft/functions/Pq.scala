@@ -603,6 +603,56 @@ object Pq {
       }
       (dotLut, nrmLut)
     }
+
+    /** Batched-ADC per-pair partials: for ONE (query, code) pair,
+      * (dpsum, nnsum) with recon_m = (cent_sub_m +) cb[m][code_m] —
+      * the identical two-level fold as [[luts]]/[[lutsRecon]] composed
+      * with the ADC table walk (inner dsub loop left-to-right, outer
+      * accumulation in m order), so a batched score bit-equals the
+      * single-query LUT path and the DuckDB list_sum replay. An EMPTY
+      * `cent` means raw reconstruction (cb only); otherwise it must be
+      * D-dim (the residual/IVFADC form). Per pair this is M×Dsub
+      * multiplies — the cost of one raw dot — but over 4-byte codes
+      * instead of D floats: batching trades the LUT's per-(query,cell)
+      * amortization for a store the size PQ promised.
+      */
+    def pair(q: ArrayData, qIsFloat: Boolean, codes: ArrayData,
+        cent: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+      require(q.numElements() == d,
+        s"graft_pq_adc_pair: query dim ${q.numElements()} != $d")
+      require(codes.numElements() == m,
+        s"graft_pq_adc_pair: ${codes.numElements()} codes for M=$m subspaces")
+      val residual = cent.numElements() != 0
+      require(!residual || cent.numElements() == d,
+        s"graft_pq_adc_pair: cell centroid dim ${cent.numElements()} != $d")
+      var dpsum = 0.0
+      var nnsum = 0.0
+      var mm = 0
+      while (mm < m) {
+        val c = codes.getInt(mm)
+        require(c >= 0 && c < k,
+          s"graft_pq_adc_pair: code $c outside [0, $k) at subspace $mm")
+        val base = (mm * k + c) * dsub
+        var dp = 0.0
+        var nn = 0.0
+        var i = 0
+        while (i < dsub) {
+          // branch, don't add 0.0: `0.0 + (-0.0)` flips a sign-of-zero
+          // and the rounded cosine could hash-diverge from the LUT path
+          val recon =
+            if (residual) cent.getDouble(mm * dsub + i) + cb(base + i)
+            else cb(base + i)
+          dp += elem(q, mm * dsub + i, qIsFloat) * recon
+          nn += recon * recon
+          i += 1
+        }
+        dpsum += dp
+        nnsum += nn
+        mm += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](dpsum, nnsum))
+    }
   }
 }
 
@@ -859,4 +909,80 @@ object PqAdcScore {
       dp / denom
     }
   }
+}
+
+/** graft_pq_adc_pair(q, codes, cent, spec) — the BATCHED ADC scoring
+  * kernel: per (query, stored-code) pair, the struct
+  * `(dp, nn)` = (Σₘ q_subₘ·reconₘ, Σₘ reconₘ·reconₘ) with
+  * reconₘ = (cent_subₘ +) cb[m][codeₘ], folded exactly like the
+  * single-query LUT path ([[Pq.Coder.luts]]/[[Pq.Coder.lutsRecon]]
+  * composed with [[PqAdcScore.Table.score]]'s m-order walk), so the
+  * relational cosine `dp / (|q| · sqrt(nn))` bit-equals the LUT probe
+  * and the DuckDB list_sum replay.
+  *
+  * Why a fourth PQ kernel: [[PqAdcScore]] amortizes one M×K table pair
+  * per (query, cell) — perfect for a single query, impossible for a
+  * BATCH of queries, where the tables would be |Q|×nprobe×M×K driver
+  * literals. Here the codebook alone rides the plan (one foldable
+  * spec, parsed once) and the query vector is a runtime column, so a
+  * whole query table joins the codes store in one compiled plan. Per
+  * pair the cost is M×Dsub multiplies — one raw dot's worth of CPU —
+  * while the scanned side stays the 4-byte packed-code store instead
+  * of D floats: the 64× at-rest/IO advantage PQ exists for, now
+  * available to the batched k-NN join.
+  *
+  * `cent` empty ⇒ raw reconstruction; D-dim ⇒ residual (IVFADC).
+  * NULL inputs → NULL row (join semantics); wrong dims, short code
+  * arrays, and out-of-range codes fail LOUDLY — silently mis-scoring a
+  * serving batch is the failure mode.
+  */
+case class PqAdcPair(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def prettyName: String = "graft_pq_adc_pair"
+  override def dataType: DataType = StructType(Seq(
+    StructField("dp", DoubleType, nullable = false),
+    StructField("nn", DoubleType, nullable = false)))
+
+  private def qIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      (second.dataType, third.dataType, fourth.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), StringType)
+            if fourth.foldable =>
+          fourth.eval() match {
+            case null => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: codebook spec must not be null")
+            case s: UTF8String if Pq.specShapeOk(s.toString) =>
+              TypeCheckResult.TypeCheckSuccess
+            case _ => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: codebook spec must be 'M K Dsub v...' with M*K*Dsub values")
+          }
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, array<int>, " +
+            "array<double>, foldable string) inputs")
+      }
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> query vector, got ${t.catalogString}")
+  }
+
+  @transient private lazy val coder: Pq.Coder =
+    new Pq.Coder(fourth.eval().asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(q: Any, codes: Any, cent: Any, spec: Any): Any =
+    coder.pair(q.asInstanceOf[ArrayData], qIsFloat,
+      codes.asInstanceOf[ArrayData], cent.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqPairCoder", coder, classOf[Pq.Coder].getName)
+    nullSafeCodeGen(ctx, ev, (q, codes, cent, _) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$ref.pair($q, $qIsFloat, $codes, $cent);")
+  }
+
+  override protected def withNewChildrenInternal(
+      e1: Expression, e2: Expression, e3: Expression, e4: Expression): Expression =
+    copy(first = e1, second = e2, third = e3, fourth = e4)
 }

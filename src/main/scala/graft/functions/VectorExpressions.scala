@@ -387,6 +387,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcScore].getName, "graft_pq_adc"),
       two("graft_pq_adc", PqAdcScore)),
+    (FunctionIdentifier("graft_pq_adc_pair"),
+      new ExpressionInfo(classOf[PqAdcPair].getName, "graft_pq_adc_pair"),
+      four("graft_pq_adc_pair", PqAdcPair)),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       three("graft_hyperplane_buckets", HyperplaneBuckets)),

@@ -929,6 +929,78 @@ object Similarity {
       .select("query_id", "vec_id", "label", "cos_sim")
   }
 
+  /** [[knnJoinIvf]] against the CODES of a persisted IVF-PQ index —
+    * batched ADC serving. The raw join serves from D floats per
+    * vector; this one scans the PQ store (or its 4-byte packed form),
+    * so at 100 TB the joined side is the ~64×-smaller index PQ exists
+    * for. Same probe ranking, file-level cell pruning, broadcast
+    * discipline, and (rounded cos DESC, vec_id) top-k rule; scoring
+    * runs through the batched graft_pq_adc_pair kernel — codebook as
+    * ONE foldable spec, query vector a runtime column — with the
+    * relational cosine `dp / (|q|·sqrt(nn))` spelled exactly like the
+    * single-query LUT probe, so the two paths bit-agree and the
+    * fullprobe twin (nprobe = nlist ⇒ cells cannot matter ⇒ pure
+    * function of codes + committed codebook) is DuckDB-replayable.
+    * Residual-ness is detected from the index marker: residual codes
+    * score with the probed cell's centroid folded into the
+    * reconstruction (IVFADC), raw codes with an empty cent array.
+    */
+  def knnJoinIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true,
+      hintBroadcast: Boolean = true,
+      packed: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    val residualIdx = isResidualIndex(spark, dir)
+    val spec =
+      if (residualIdx) graft.functions.Pq.residualCodebookSpec
+      else graft.functions.Pq.codebookSpec
+    val cents = loadCentroids(spark, dir)
+      .withColumn("c2", dot("centroid", "centroid"))
+    val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
+      .withColumn("q2", dot("q_emb", "q_emb"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("cell_d2"), col("list_id"))
+    val probed = qSide
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_d2",
+        col("q2") - lit(2.0) * dot("q_emb", "centroid") + col("c2"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), sqrt(col("q2")).as("qn"),
+        // raw codes reconstruct without the cell constant — empty cent
+        // selects the kernel's raw branch; IVFADC folds the probed
+        // cell's centroid into every reconstruction
+        (if (residualIdx) col("centroid")
+         else typedLit(Seq.empty[Double])).as("cent"),
+        col("list_id"))
+    val probedCells = probed.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val store0 = spark.read
+      .parquet(s"$dir/${if (packed) "assigned_pq_packed" else "assigned_pq"}")
+      .filter(col("list_id").isin(probedCells: _*))
+    val store =
+      if (packed) store0.withColumn("codes",
+          call_function("graft_pq_unpack", col("codes_packed"), lit(spec)))
+        .drop("codes_packed")
+      else store0
+    val pairs = store
+      .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
+      .withColumn("pp", call_function("graft_pq_adc_pair",
+        col("q_emb"), col("codes"), col("cent"), lit(spec)))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(col("pp.dp") / (col("qn") * sqrt(col("pp.nn"))), 6).as("cos_pq"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_pq").desc, col("vec_id"))
+    pairs
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "label", "cos_pq")
+  }
+
   /** Scratch dir for the registered persisted-index query: ONE fixed
     * path PER PROCESS (user + pid), deleted by a shutdown hook.
     * Within a process, overwrite semantics make re-runs replace rather
@@ -1113,6 +1185,108 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("embedding")),
         k = 10, nprobe = 4)
         .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    })
+
+  /** The batched-ADC replay: [[duckPqAdcCtes]]' encode + per-subspace
+    * partials parametrized over a query SET (the first 8 corpus
+    * vectors), grouped per (query, vector) with the identical
+    * `list_sum(list(... ORDER BY m))` m-order fold the single-query
+    * oracle uses — the SQL mirror of the graft_pq_adc_pair kernel.
+    * nprobe = nlist makes cells unobservable, so the rows are a pure
+    * function of (codes, committed codebook) like every fullprobe twin.
+    */
+  private def duckKnnPqCtes: String = {
+    import graft.functions.Pq.{Dsub, M}
+    s"""$duckPqPrelude,
+       |pq_code AS (
+       |  SELECT vec_id, label, m, c,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+       |  FROM pq_sub),
+       |ms AS (SELECT unnest(generate_series(0, ${M - 1})) AS m),
+       |kq_raw AS (SELECT vec_id AS query_id, embedding AS q_raw
+       |           FROM embeddings WHERE vec_id < 8),
+       |kq_sub AS (
+       |  SELECT q.query_id, ms.m,
+       |         list_transform(list_slice(q.q_raw,
+       |           ms.m * $Dsub + 1, ms.m * $Dsub + $Dsub),
+       |           x -> CAST(x AS DOUBLE)) AS sub
+       |  FROM kq_raw q, ms),
+       |kq_n AS (
+       |  SELECT query_id, sqrt(list_sum(list_transform(q_raw,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+       |  FROM kq_raw),
+       |kq_parts AS (
+       |  SELECT qs.query_id, ch.vec_id, ch.label, ch.m,
+       |         list_sum(list_transform(list_zip(qs.sub, cb.cent),
+       |           p -> p[1] * p[2])) AS dp,
+       |         list_sum(list_transform(cb.cent, x -> x * x)) AS nn
+       |  FROM (SELECT vec_id, label, m, c FROM pq_code WHERE rn = 1) ch
+       |  JOIN pq_cb cb ON cb.m = ch.m AND cb.c = ch.c
+       |  JOIN kq_sub qs ON qs.m = ch.m),
+       |kq_scored AS (
+       |  SELECT query_id, vec_id, label,
+       |         list_sum(list(dp ORDER BY m)) AS dpsum,
+       |         list_sum(list(nn ORDER BY m)) AS nnsum
+       |  FROM kq_parts GROUP BY query_id, vec_id, label),
+       |kq_ranked AS (
+       |  SELECT s.query_id, s.vec_id, s.label,
+       |         round(s.dpsum / (n.qnorm * sqrt(s.nnsum)), 6) AS cos_pq,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY round(s.dpsum / (n.qnorm * sqrt(s.nnsum)), 6) DESC,
+       |                    s.vec_id) AS rn
+       |  FROM kq_scored s JOIN kq_n n USING (query_id)
+       |  WHERE s.vec_id != s.query_id)""".stripMargin
+  }
+
+  private def duckKnnPqSelect: String =
+    s"""WITH $duckKnnPqCtes
+       |SELECT query_id, vec_id, label, cos_pq FROM kq_ranked WHERE rn <= 10
+       |ORDER BY query_id, cos_pq DESC, vec_id""".stripMargin
+
+  /** Batched ADC k-NN join, exhaustive probe — the first hash-verified
+    * BATCHED PQ rows: serving answers whose scanned side is the codes
+    * store, replayed value-for-value by DuckDB.
+    */
+  lazy val knnJoinPqFullProbeQuery = QueryDef(
+    "sim_knn_join_pq_fullprobe", duckKnnPqSelect)(
+    (s, d) => {
+      val dir = ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvfPq(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("cos_pq").desc, col("vec_id"))
+    })
+
+  /** The 4-byte at-rest form through the identical oracle — pack/unpack
+    * composed with batched ADC at the value level.
+    */
+  lazy val knnJoinPqPackedFullProbeQuery = QueryDef(
+    "sim_knn_join_pq_packed_fullprobe", duckKnnPqSelect)(
+    (s, d) => {
+      val dir = ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvfPq(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 16, packed = true)
+        .orderBy(col("query_id"), col("cos_pq").desc, col("vec_id"))
+    })
+
+  /** The production batched-ADC probe (nprobe=4 of 16 cells) — rows-only
+    * like every lossy ANN probe, identical code path as the two
+    * hash-verified fullprobe twins above.
+    */
+  val knnJoinPqQuery = QueryDef.unverified("sim_knn_join_pq_topk")(
+    (s, d) => {
+      val dir = ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvfPq(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("cos_pq").desc, col("vec_id"))
     })
 
   // ------------------------------------------------------------- ivf-pq
@@ -2986,6 +3160,7 @@ object Similarity {
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       knnJoinFullProbeQuery, knnJoinQuery,
+      knnJoinPqFullProbeQuery, knnJoinPqPackedFullProbeQuery, knnJoinPqQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
       annIvfPqRerankFullProbeQuery, annIvfPqResidualFullProbeQuery,
       annIvfPqResidualPackedFullProbeQuery, annIndexHealthQuery,

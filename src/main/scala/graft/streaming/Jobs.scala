@@ -2136,7 +2136,8 @@ object Jobs {
     * driver.
     */
   private[graft] def knnServeBatch(
-      indexDir: String, outDir: String, k: Int, nprobe: Int, idxDim: Int)(
+      indexDir: String, outDir: String, k: Int, nprobe: Int, idxDim: Int,
+      usePq: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -2156,10 +2157,18 @@ object Jobs {
         s"but the index at $indexDir holds $idxDim-dim vectors — " +
         "graft_dot folds the shared prefix, silently deflating every " +
         "served score; the stream and its index must share one space")
-    graft.ops.Similarity.knnJoinIvf(spark, indexDir, batch, k, nprobe,
-        excludeSelf = false,
-        hintBroadcast = graft.ops.Similarity
-          .batchBroadcastable(chk.getLong(0), idxDim))
+    val hint = graft.ops.Similarity
+      .batchBroadcastable(chk.getLong(0), idxDim)
+    val answers =
+      // PQ mode serves from the packed codes store through the batched
+      // ADC kernel — the 64×-smaller joined side; raw mode scores exact
+      // cosines off the raw store (answer column cos_pq vs cos_sim
+      // names which contract produced a stored answer)
+      if (usePq) graft.ops.Similarity.knnJoinIvfPq(spark, indexDir, batch,
+        k, nprobe, excludeSelf = false, hintBroadcast = hint, packed = true)
+      else graft.ops.Similarity.knnJoinIvf(spark, indexDir, batch, k, nprobe,
+        excludeSelf = false, hintBroadcast = hint)
+    answers
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
@@ -2168,8 +2177,13 @@ object Jobs {
 
   /** Online ANN serving — the streaming lift of the batched k-NN join:
     * a stream of query vectors (`query_id`, `embedding`) is answered
-    * per micro-batch against a persisted raw-IVF index, answers landing
+    * per micro-batch against a persisted IVF index, answers landing
     * in `outDir` as (query_id, vec_id, label, cos_sim, ingest_batch).
+    * `usePq = true` serves from an IVF-PQ index's PACKED codes store
+    * through the batched ADC kernel (answers carry `cos_pq`) — the
+    * 64×-smaller joined side that makes 100 TB serving memory-shaped
+    * like the index, at PQ's quantization accuracy; raw mode scores
+    * exact cosines off the raw store.
     * The index is build-once/serve-many ([[startPqIngestStream]] is the
     * write side of the same store family); the centroid-table dim is
     * captured and validated ONCE at stream start (the loadBenchStore
@@ -2187,7 +2201,8 @@ object Jobs {
       k: Int = 10,
       nprobe: Int = 4,
       queryTrigger: Trigger = Trigger.AvailableNow(),
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      usePq: Boolean = false): StreamingQuery = {
     require(k >= 1 && nprobe >= 1,
       s"k and nprobe must be >= 1 (got k=$k nprobe=$nprobe)")
     val idxDim = graft.ops.Similarity.indexDim(queries.sparkSession, indexDir)
@@ -2196,7 +2211,7 @@ object Jobs {
       .option("checkpointLocation", checkpointDir)
       .trigger(queryTrigger)
       .foreachBatch(maybeAutoCompact(Seq(outDir), compactEvery)(
-        knnServeBatch(indexDir, outDir, k, nprobe, idxDim)))
+        knnServeBatch(indexDir, outDir, k, nprobe, idxDim, usePq)))
       .start()
   }
 

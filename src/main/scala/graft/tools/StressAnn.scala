@@ -144,6 +144,37 @@ object StressAnn {
         corpus.select(col("vec_id").as("query_id"), col("embedding")),
         k = 5, nprobe = 4, hintBroadcast = false)))
 
+    // r18-late: the BATCHED-ADC join — same 2,000-query batch as the
+    // raw row above, joined side the PACKED codes store through
+    // graft_pq_adc_pair. The claim: same pair count, comparable CPU
+    // (one raw dot's multiplies per pair), joined-side bytes the ~64×
+    // smaller PQ store.
+    stage("knn_join_pq_batch_probe4")(count(
+      Similarity.knnJoinIvfPq(spark, s"$tmp/ivfpq", batchQ, k = 10,
+        nprobe = 4, packed = true)))
+
+    // r18-late: the SERVING STREAM — startKnnServe end-to-end over a
+    // parquet spool source, one file per micro-batch (AvailableNow +
+    // maxFilesPerTrigger=1 → 4 batches of ~500 queries). The committed
+    // claim: the stream's bill is the batched join above plus only the
+    // per-batch landing write — checkpointing and foreachBatch add no
+    // corpus-scale work.
+    stage("knn_serve_stream_4x500")({
+      val spool = s"$tmp/serve_spool"; val outD = s"$tmp/serve_out"
+      val qs = base.filter(col("vec_id") < 2000)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      (0 until 4).foreach { b =>
+        qs.filter(pmod(col("query_id"), lit(4)) === b).coalesce(1)
+          .write.mode("append").parquet(spool)
+      }
+      val stream = spark.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(spool)
+      graft.streaming.Jobs.startKnnServe(stream, s"$tmp/ivf", outD,
+          s"$tmp/serve_ck", k = 10, nprobe = 4)
+        .awaitTermination()
+      spark.read.parquet(outD).count()
+    })
+
     println()
     println("BEGIN-ANN-SECTION")
     println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +

@@ -135,6 +135,24 @@ class PlanContractSpec extends SparkSpec {
       s"residual probe union pays a shuffle:\n$plan")
   }
 
+  test("batched ADC join scans codes with cell pruning; raw embeddings only on the query side") {
+    // The batched PQ join's memory claim: the JOINED (corpus) side is
+    // the codes store, partition-pruned to the batch's probed cells.
+    // The query side legitimately reads raw embeddings (they ARE the
+    // queries), so the contract is scoped to the store scan: a codes
+    // scan exists, it carries list_id partition filters, and the raw
+    // assigned/sidecar stores never appear.
+    val pq = SparkEntry.queries("sim_knn_join_pq_topk")(spark, sf)
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("codes"),
+      s"batched ADC join does not scan a codes store:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"no cell pruning in the batched ADC join plan:\n$plan")
+    assert(!plan.contains("assigned_raw") &&
+        !plan.contains("/assigned]") && !plan.contains("/assigned/"),
+      s"batched ADC join touches a raw vector store:\n$plan")
+  }
+
   test("index health reads only the index: packed codes + centroids, corpus never scanned") {
     // The health report's 100 TB claim is that it costs the INDEX's
     // bytes (4 B/vector packed codes + the nlist-row centroid table),

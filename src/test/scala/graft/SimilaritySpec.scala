@@ -193,6 +193,59 @@ class SimilaritySpec extends SparkSpec {
     assert(graph.count() == emb.count() * 5)
   }
 
+  test("batched ADC knn join: bit-equals the single-query LUT path, packed parity, residual detection") {
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // RAW-codes index: the batched kernel's (dp, nn) fold must produce
+    // the LUT probe's exact doubles — same top-k, same rounded cosines
+    val dir = tmpDir("knnpq-index")
+    Similarity.buildIvfPqIndex(emb, dir, nlist = 8)
+    val q0raw = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("cos_pq").desc, col("vec_id"))
+      .select("vec_id", "cos_pq")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lut = rows(Similarity.queryIvfPq(spark, dir, q0raw, k = 20,
+      nprobe = 8, excludeVecId = 0L))
+    val batched = rows(Similarity.knnJoinIvfPq(spark, dir, q0, k = 20, nprobe = 8))
+    assert(batched == lut, "batched ADC diverged from the LUT probe")
+    // the 4-byte at-rest form scores identically
+    val packed = rows(Similarity.knnJoinIvfPq(spark, dir, q0, k = 20,
+      nprobe = 8, packed = true))
+    assert(packed == lut, "packed batched ADC diverged")
+    // RESIDUAL index: detected from the marker, cell centroid folded
+    // into every reconstruction — again bit-equal to the LUT path
+    val rdir = tmpDir("knnpq-res-index")
+    Similarity.buildIvfPqResidualDomainIndex(emb, rdir)
+    val nCells = Similarity.domainCentroids.length
+    val lutRes = rows(Similarity.queryIvfPq(spark, rdir, q0raw, k = 20,
+      nprobe = nCells, excludeVecId = 0L))
+    val batchedRes = rows(Similarity.knnJoinIvfPq(spark, rdir, q0, k = 20,
+      nprobe = nCells))
+    assert(batchedRes == lutRes, "batched residual ADC diverged from the LUT probe")
+    // a whole query table in one plan: k rows per query, pruned probe
+    // scores are a subset quality-wise (rank dominance vs fullprobe)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val prod = Similarity.knnJoinIvfPq(spark, dir, queries, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(prod.groupBy(_._1).forall(_._2.length == 10))
+    val full = Similarity.knnJoinIvfPq(spark, dir, queries, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val prodRanks = prod.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(-_)).toMap
+    full.groupBy(_._1).foreach { case (q, rs) =>
+      rs.map(_._2).sortBy(-_).zip(prodRanks(q)).foreach { case (f, p) =>
+        assert(f >= p, s"query $q: fullprobe $f < pruned $p at same rank")
+      }
+    }
+    // a wrong-dim query must fail LOUDLY, never silently mis-score
+    val badQ = Seq((99L, Array(1.0f, 2.0f))).toDF("query_id", "embedding")
+    val ex = intercept[Exception](
+      Similarity.knnJoinIvfPq(spark, dir, badQ, k = 3, nprobe = 8).collect())
+    assert(ex.getMessage != null)
+  }
+
   // ------------------------------------------------------------- ivf-pq
 
   test("pq codes are valid and survive the store roundtrip") {

@@ -1225,5 +1225,19 @@ class StreamingJobsSpec extends SparkSpec {
       Jobs.startKnnServe(ms.toDF(), tmpDir("knnserve-noidx"), out,
         tmpDir("knnserve-ckpt2")))
     assert(exIdx.getMessage != null)
+    // PQ mode: serves from the packed codes store through the batched
+    // ADC kernel, parity with the batch knnJoinIvfPq on the same frame
+    val pqIdx = tmpDir("knnserve-pqidx"); val pqOut = tmpDir("knnserve-pqout")
+    graft.ops.Similarity.buildIvfPqIndex(emb, pqIdx, nlist = 8)
+    Jobs.knnServeBatch(pqIdx, pqOut, 5, 2, 64, usePq = true)(b0, 0L)
+    val servedPq = spark.read.parquet(pqOut)
+      .select("query_id", "vec_id", "cos_pq")
+      .as[(Long, Long, Double)].collect().toSet
+    val expectPq = graft.ops.Similarity
+      .knnJoinIvfPq(spark, pqIdx, b0, k = 5, nprobe = 2,
+        excludeSelf = false, packed = true)
+      .select("query_id", "vec_id", "cos_pq")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(servedPq == expectPq, "PQ serve diverged from the batched ADC join")
   }
 }
