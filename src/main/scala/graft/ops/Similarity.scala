@@ -953,8 +953,15 @@ object Similarity {
       nprobe: Int = 4,
       excludeSelf: Boolean = true,
       hintBroadcast: Boolean = true,
-      packed: Boolean = false): DataFrame = {
+      packed: Boolean = false,
+      rerank: Int = 0): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    // queryIvfPq's refine contract, batched: a shortlist smaller than k
+    // silently starves the final top-k
+    require(rerank <= 0 || rerank >= k,
+      s"rerank=$rerank must be >= k=$k (the refine shortlist feeds the " +
+        "final top-k; a smaller pool silently starves it) — " +
+        "use rerank=0 for pure ADC scores")
     val residualIdx = isResidualIndex(spark, dir)
     val spec =
       if (residualIdx) graft.functions.Pq.residualCodebookSpec
@@ -995,10 +1002,45 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("label"),
         round(col("pp.dp") / (col("qn") * sqrt(col("pp.nn"))), 6).as("cos_pq"))
     val rankW = Window.partitionBy("query_id").orderBy(col("cos_pq").desc, col("vec_id"))
-    pairs
-      .withColumn("rn", row_number().over(rankW))
-      .filter(col("rn") <= k)
-      .select("query_id", "vec_id", "label", "cos_pq")
+    if (rerank <= 0)
+      pairs
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= k)
+        .select("query_id", "vec_id", "label", "cos_pq")
+    else {
+      // Batched two-stage refine (queryIvfPq rerank>0, per-query): ADC
+      // shortlists each query's probed cells to `rerank` candidates via
+      // ONE query-keyed window, then ONLY those (query, candidate)
+      // pairs score exactly against the raw sidecar — pruned to the
+      // batch's probed cells at the FILE level, the candidate frame
+      // (|Q|·rerank rows) on the broadcast side. Per-batch raw IO is
+      // probed-cells-sized, never corpus-sized, and exact scores use
+      // the one shared cosine kernel, directly comparable to every
+      // exact row in the library.
+      val rawPath = new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")
+      require(rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(rawPath),
+        s"re-rank requested but the index at $dir was built codes-only " +
+          "(no assigned_raw sidecar) — rebuild with rawSidecar=true, or " +
+          "join with rerank=0 for pure ADC scores")
+      val cands = pairs
+        .withColumn("crn", row_number().over(rankW))
+        .filter(col("crn") <= rerank)
+        .select(col("query_id"), col("vec_id"))
+      val qFrame = qSide.select(col("query_id"), col("q_emb"))
+      val exact = spark.read.parquet(s"$dir/assigned_raw")
+        .filter(col("list_id").isin(probedCells: _*))
+        .join(maybeBroadcast(cands, hintBroadcast), Seq("vec_id"))
+        .join(maybeBroadcast(qFrame, hintBroadcast), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      val exactW = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      exact
+        .withColumn("rn", row_number().over(exactW))
+        .filter(col("rn") <= k)
+        .select("query_id", "vec_id", "label", "cos_sim")
+    }
   }
 
   /** Scratch dir for the registered persisted-index query: ONE fixed
@@ -1272,6 +1314,39 @@ object Similarity {
           .select(col("vec_id").as("query_id"), col("embedding")),
         k = 10, nprobe = 16, packed = true)
         .orderBy(col("query_id"), col("cos_pq").desc, col("vec_id"))
+    })
+
+  /** Batched two-stage refine, exhaustive probe: ADC shortlists every
+    * query to 40 candidates, the raw sidecar re-ranks them exactly —
+    * both stages per query, the whole pipeline a pure function of
+    * (corpus, committed codebook) at nprobe = nlist, so DuckDB replays
+    * shortlist AND exact stage value-for-value.
+    */
+  lazy val knnJoinPqRerankFullProbeQuery = QueryDef(
+    "sim_knn_join_pq_rerank_fullprobe",
+    s"""WITH $duckKnnPqCtes,
+       |kq_cand AS (SELECT query_id, vec_id FROM kq_ranked WHERE rn <= 40),
+       |kq_exact AS (
+       |  SELECT c.query_id, b.vec_id, b.label,
+       |         round(${duckCosine("b.embedding", "q.q_raw")}, 6) AS cos_sim
+       |  FROM kq_cand c
+       |  JOIN embeddings b ON b.vec_id = c.vec_id
+       |  JOIN kq_raw q ON q.query_id = c.query_id),
+       |kq_rr AS (
+       |  SELECT query_id, vec_id, label, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM kq_exact)
+       |SELECT query_id, vec_id, label, cos_sim FROM kq_rr WHERE rn <= 10
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfPqIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      knnJoinIvfPq(s, dir,
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, nprobe = 16, rerank = 40)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
     })
 
   /** The production batched-ADC probe (nprobe=4 of 16 cells) — rows-only
@@ -3160,7 +3235,8 @@ object Similarity {
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       knnJoinFullProbeQuery, knnJoinQuery,
-      knnJoinPqFullProbeQuery, knnJoinPqPackedFullProbeQuery, knnJoinPqQuery,
+      knnJoinPqFullProbeQuery, knnJoinPqPackedFullProbeQuery,
+      knnJoinPqRerankFullProbeQuery, knnJoinPqQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
       annIvfPqRerankFullProbeQuery, annIvfPqResidualFullProbeQuery,
       annIvfPqResidualPackedFullProbeQuery, annIndexHealthQuery,

@@ -244,6 +244,26 @@ class SimilaritySpec extends SparkSpec {
     val ex = intercept[Exception](
       Similarity.knnJoinIvfPq(spark, dir, badQ, k = 3, nprobe = 8).collect())
     assert(ex.getMessage != null)
+    // batched two-stage refine: single-query batched rerank bit-equals
+    // queryIvfPq's refine stage (exact cos_sim values, same order)
+    def rrRows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .select("vec_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val lutRr = rrRows(Similarity.queryIvfPq(spark, dir, q0raw, k = 20,
+      nprobe = 8, excludeVecId = 0L, rerank = 40))
+    val batchedRr = rrRows(Similarity.knnJoinIvfPq(spark, dir, q0, k = 20,
+      nprobe = 8, rerank = 40))
+    assert(batchedRr == lutRr, "batched refine diverged from the LUT refine")
+    // refusals: a shortlist smaller than k, and a codes-only index
+    val exRr = intercept[IllegalArgumentException](
+      Similarity.knnJoinIvfPq(spark, dir, q0, k = 10, nprobe = 8, rerank = 5))
+    assert(exRr.getMessage.contains("rerank"), exRr.getMessage)
+    val codesOnly = tmpDir("knnpq-codesonly")
+    Similarity.buildIvfPqIndex(emb, codesOnly, nlist = 8, rawSidecar = false)
+    val exSidecar = intercept[IllegalArgumentException](
+      Similarity.knnJoinIvfPq(spark, codesOnly, q0, k = 10, nprobe = 8, rerank = 40))
+    assert(exSidecar.getMessage.contains("codes-only"), exSidecar.getMessage)
   }
 
   // ------------------------------------------------------------- ivf-pq
