@@ -153,6 +153,14 @@ object StressAnn {
       Similarity.knnJoinIvfPq(spark, s"$tmp/ivfpq", batchQ, k = 10,
         nprobe = 4, packed = true)))
 
+    // r18-late: the batched two-stage refine — ADC shortlist to 80 per
+    // query, exact re-rank against the sidecar-carrying index. The
+    // claim: refine adds only |Q|*rerank exact pairs (cells-pruned raw
+    // reads), not a corpus-scale stage.
+    stage("knn_join_pq_rerank_batch")(count(
+      Similarity.knnJoinIvfPq(spark, s"$tmp/ivfpq_rr", batchQ, k = 10,
+        nprobe = 4, rerank = 80)))
+
     // r18-late: the SERVING STREAM — startKnnServe end-to-end over a
     // parquet spool source, one file per micro-batch (AvailableNow +
     // maxFilesPerTrigger=1 → 4 batches of ~500 queries). The committed
