@@ -144,6 +144,20 @@ object StressAnn {
         corpus.select(col("vec_id").as("query_id"), col("embedding")),
         k = 5, nprobe = 4, hintBroadcast = false)))
 
+    // r18-late: the 100 TB graph recipe — same sizing-rule nlist, but
+    // the joined side is the PACKED codes store (codes-only IO at
+    // graph scale) and the per-node answers refine exactly against the
+    // sidecar. Pair bill unchanged (~n × nprobe × 250); joined bytes
+    // collapse ~48×.
+    stage(s"ivfpq_build_fitted_nlist$fittedNlist")({
+      Similarity.buildIvfPqIndex(corpus, s"$tmp/ivfpq_fitted", nlist = fittedNlist)
+      spark.read.parquet(s"$tmp/ivfpq_fitted/assigned_pq").count()
+    })
+    stage("knn_graph_pq_fitted_rerank")(count(
+      Similarity.knnJoinIvfPq(spark, s"$tmp/ivfpq_fitted",
+        corpus.select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, nprobe = 4, hintBroadcast = false, packed = true, rerank = 20)))
+
     // r18-late: the BATCHED-ADC join — same 2,000-query batch as the
     // raw row above, joined side the PACKED codes store through
     // graft_pq_adc_pair. The claim: same pair count, comparable CPU
