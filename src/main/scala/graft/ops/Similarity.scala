@@ -2127,10 +2127,23 @@ object Similarity {
   def indexHealth(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val cells = loadCentroids(spark, dir).select("list_id")
-    val perCell = spark.read.parquet(s"$dir/assigned_pq_packed")
+    // PQ index → the packed store (true at-rest bytes); raw IVF index
+    // → the assigned store, bytes = stored embedding width (elements ×
+    // 4-byte floats). Same report either way: the health check follows
+    // the index's own storage form.
+    val packedPath = new org.apache.hadoop.fs.Path(s"$dir/assigned_pq_packed")
+    val hasPacked = packedPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(packedPath)
+    val perCell =
+      (if (hasPacked)
+        spark.read.parquet(s"$dir/assigned_pq_packed")
+          .withColumn("row_bytes", length(col("codes_packed")).cast("long"))
+      else
+        spark.read.parquet(s"$dir/assigned")
+          .withColumn("row_bytes", size(col("embedding")).cast("long") * 4L))
       .groupBy("list_id")
       .agg(count(lit(1)).as("n_codes"),
-        sum(length(col("codes_packed"))).as("bytes_at_rest"))
+        sum(col("row_bytes")).as("bytes_at_rest"))
     val joined = cells.join(perCell, Seq("list_id"), "left")
       .select(col("list_id"),
         coalesce(col("n_codes"), lit(0L)).as("n_codes"),

@@ -1187,5 +1187,15 @@ class SimilaritySpec extends SparkSpec {
     assert(rows2.filter(_._1 != hot).forall(t => t._2 == 0L && t._3 == 0.0))
     assert(rows2.find(_._1 == hot).exists(_._3 ==
       Similarity.domainCentroids.length.toDouble))
+    // a RAW IVF index health-checks off its assigned store: same
+    // populations, bytes = elements × 4-byte floats
+    val rawDir = tmpDir("ih-raw-index")
+    Similarity.buildIvfIndex(emb, rawDir, nlist = 8)
+    val rawRows = Similarity.indexHealth(spark, rawDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rawRows.map(_._2).sum == 500L)
+    rawRows.foreach { case (cell, n, bytes) =>
+      assert(bytes == n * 64L * 4L, s"cell $cell: $bytes bytes for $n raw rows")
+    }
   }
 }
