@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, QuinaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -129,4 +129,172 @@ case class NearestCell(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** graft_nearest_cells(vec, cents, start, len, p) — [[NearestCell]]'s
+  * top-p generalization, the scan-side PROBE-RANKING kernel: the
+  * min(p, len) ABSOLUTE indices in [start, start+len) of the centroids
+  * nearest to `vec` (same c_j·c_j − 2·v·c_j argmin score — the
+  * row-constant v·v cannot reorder distances), ascending by distance
+  * with ties broken toward the LOWEST index — exactly the
+  * `ORDER BY cell_d2, list_id` rule the relational probe ranking
+  * (crossJoin(centroids) + per-query row_number window) used, minus
+  * its two scale hazards: the |rows|×nlist intermediate and the
+  * row-keyed window shuffle. Ranking becomes one bounded insertion
+  * pass per row inside whole-stage codegen — zero exchanges, zero
+  * blowup — which is what lets a batched k-NN join take a CORPUS as
+  * its query table (the knn-graph build) without paying a
+  * |corpus|×nlist stage.
+  *
+  * Tie handling matches the window rule by construction: candidates
+  * are visited in ascending index order, insertion shifts only on a
+  * STRICT score improvement, and a full buffer admits only a strictly
+  * better score — so among equal scores the lowest index always ranks
+  * first and survives last.
+  *
+  * `cents` must be a FOLDABLE array<array<double>> (converted to
+  * double[][] once per expression instance); `p` must be a foldable
+  * positive INT (it sizes the per-row selection buffer once); `start`/
+  * `len` are runtime columns so the kernel also ranks WITHIN a
+  * hierarchical quantizer's sub-slice (the [[NearestCell]] two-probe
+  * scheme, generalized to nprobe cells). Null vec/start/len → null;
+  * null vec ELEMENTS are skipped (graft_dot's contract).
+  */
+case class NearestCells(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, fifth: Expression)
+    extends QuinaryExpression {
+  override def prettyName: String = "graft_nearest_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def children: Seq[Expression] =
+    Seq(first, second, third, fourth, fifth)
+
+  private def elemIsFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      second.dataType match {
+        case ArrayType(ArrayType(DoubleType, _), _) if second.foldable =>
+          (third.dataType, fourth.dataType, fifth.dataType) match {
+            case (IntegerType, IntegerType, IntegerType) if fifth.foldable =>
+              TypeCheckResult.TypeCheckSuccess
+            case (IntegerType, IntegerType, IntegerType) =>
+              TypeCheckResult.TypeCheckFailure(
+                s"$prettyName: p must be a foldable INT literal")
+            case _ => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: start, len and p must be INT")
+          }
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: cents must be a foldable array<array<double>> literal")
+      }
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> vec, got ${t.catalogString}")
+  }
+
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val ad = second.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val centNorm2: Array[Double] = cents.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+  @transient private lazy val pVal: Int = {
+    val p = fifth.eval(null).asInstanceOf[Int]
+    require(p >= 1, s"$prettyName: p=$p must be >= 1")
+    p
+  }
+
+  private def topP(a: ArrayData, start: Int, len: Int, isF: Boolean): ArrayData = {
+    require(start >= 0 && len >= 1 && start + len <= cents.length,
+      s"$prettyName: slice [$start, ${start + len}) outside the " +
+        s"${cents.length}-cell table")
+    val m = math.min(pVal, len)
+    val bestScore = new Array[Double](m)
+    val bestIdx = new Array[Int](m)
+    var filled = 0
+    var j = start
+    while (j < start + len) {
+      val c = cents(j)
+      val n = math.min(c.length, a.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          acc += c(i) * (if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      val score = centNorm2(j) - 2.0 * acc
+      if (filled < m || score < bestScore(m - 1)) {
+        var pos = math.min(filled, m - 1)
+        while (pos > 0 && bestScore(pos - 1) > score) {
+          bestScore(pos) = bestScore(pos - 1)
+          bestIdx(pos) = bestIdx(pos - 1)
+          pos -= 1
+        }
+        bestScore(pos) = score
+        bestIdx(pos) = j
+        if (filled < m) filled += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bestIdx)
+  }
+
+  override def nullSafeEval(vec: Any, c: Any, s: Any, l: Any, p: Any): Any =
+    topP(vec.asInstanceOf[ArrayData], s.asInstanceOf[Int],
+      l.asInstanceOf[Int], elemIsFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normRef = ctx.addReferenceObj("centNorm2", centNorm2, "double[]")
+    val getE = if (elemIsFloat) "getFloat" else "getDouble"
+    val p = pVal
+    val (m, bs, bi, filled, j, c, n, acc, i, score, pos) =
+      (ctx.freshName("m"), ctx.freshName("bs"), ctx.freshName("bi"),
+        ctx.freshName("filled"), ctx.freshName("j"), ctx.freshName("c"),
+        ctx.freshName("n"), ctx.freshName("acc"), ctx.freshName("i"),
+        ctx.freshName("score"), ctx.freshName("pos"))
+    nullSafeCodeGen(ctx, ev, (vec, _, start, len, _) =>
+      s"""
+         |if ($start < 0 || $len < 1 || $start + $len > $centsRef.length) {
+         |  throw new IllegalArgumentException("graft_nearest_cells: slice [" +
+         |    $start + ", " + ($start + $len) + ") outside the " +
+         |    $centsRef.length + "-cell table");
+         |}
+         |int $m = java.lang.Math.min($p, $len);
+         |double[] $bs = new double[$m];
+         |int[] $bi = new int[$m];
+         |int $filled = 0;
+         |for (int $j = $start; $j < $start + $len; $j++) {
+         |  double[] $c = $centsRef[$j];
+         |  int $n = java.lang.Math.min($c.length, $vec.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$vec.isNullAt($i)) $acc += $c[$i] * (double) $vec.$getE($i);
+         |  }
+         |  double $score = $normRef[$j] - 2.0 * $acc;
+         |  if ($filled < $m || $score < $bs[$m - 1]) {
+         |    int $pos = java.lang.Math.min($filled, $m - 1);
+         |    while ($pos > 0 && $bs[$pos - 1] > $score) {
+         |      $bs[$pos] = $bs[$pos - 1];
+         |      $bi[$pos] = $bi[$pos - 1];
+         |      $pos--;
+         |    }
+         |    $bs[$pos] = $score;
+         |    $bi[$pos] = $j;
+         |    if ($filled < $m) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($bi);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(first = newChildren(0), second = newChildren(1),
+      third = newChildren(2), fourth = newChildren(3), fifth = newChildren(4))
 }

@@ -396,6 +396,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_nearest_cell"),
       new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
       four("graft_nearest_cell", NearestCell)),
+    (FunctionIdentifier("graft_nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "graft_nearest_cells"),
+      five("graft_nearest_cells", NearestCells)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
       one("graft_simhash", e => SimhashAgg(e).toAggregateExpression())),
@@ -433,6 +436,14 @@ object GraftFunctions {
     case Seq(a, b, c, d) => mk(a, b, c, d)
     case args => throw new IllegalArgumentException(
       s"$name expects exactly 4 arguments, got ${args.length}")
+  }
+
+  private def five(
+      name: String,
+      mk: (Expression, Expression, Expression, Expression, Expression) => Expression): Builder = {
+    case Seq(a, b, c, d, e) => mk(a, b, c, d, e)
+    case args => throw new IllegalArgumentException(
+      s"$name expects exactly 5 arguments, got ${args.length}")
   }
 }
 

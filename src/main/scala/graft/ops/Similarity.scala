@@ -688,7 +688,7 @@ object Similarity {
   private def coarseFitAssign(
       embeddings: DataFrame,
       nlist: Int,
-      fitFraction: Double): (DataFrame, DataFrame) = {
+      fitFraction: Double): (DataFrame, DataFrame, Option[TwoLevelQuantizer]) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     if (nlist > twoLevelThreshold) {
@@ -696,15 +696,36 @@ object Similarity {
       (q.subCents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
           .toDF("list_id", "centroid"),
         assignTwoLevel(embeddings, q)
-          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")))
+          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")),
+        Some(q))
     } else {
       val (model, withVec) = fitQuantizer(embeddings, nlist, fitFraction)
       (model.clusterCenters.zipWithIndex
           .map { case (c, i) => (i, c.toArray) }.toSeq
           .toDF("list_id", "centroid"),
         model.transform(withVec)
-          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")))
+          .select(col("vec_id"), col("label"), col("embedding"), col("list_id")),
+        None)
     }
+  }
+
+  /** Persist (or, on a flat rebuild, REMOVE) the two-level quantizer
+    * tables next to an index's centroid store. Probe ranking
+    * ([[rankProbes]]) detects `dir/quantizer` by existence, so a flat
+    * rebuild over a previously two-level index must delete the stale
+    * hierarchy — otherwise probes would rank under the OLD cell system
+    * against stores assigned under the new one (the stale-sidecar
+    * deletion lesson, applied to the quantizer).
+    */
+  private def persistOrClearQuantizer(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      q: Option[TwoLevelQuantizer]): Unit = q match {
+    case Some(qq) => writeQuantizer(qq, s"$dir/quantizer", spark)
+    case None =>
+      val stale = new org.apache.hadoop.fs.Path(s"$dir/quantizer")
+      val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(stale)) fs.delete(stale, true): Unit
   }
 
   def buildIvfIndex(
@@ -712,10 +733,11 @@ object Similarity {
       dir: String,
       nlist: Int = 16,
       fitFraction: Double = 0.25): Unit = {
-    val (centsDf, assigned) = coarseFitAssign(embeddings, nlist, fitFraction)
+    val (centsDf, assigned, quant) = coarseFitAssign(embeddings, nlist, fitFraction)
     centsDf
       .coalesce(1) // nlist rows — one tiny file
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    persistOrClearQuantizer(embeddings.sparkSession, dir, quant)
     assigned
       .withColumn("ingest_batch", lit(0L))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
@@ -781,6 +803,105 @@ object Similarity {
   private[graft] def indexDim(
       spark: org.apache.spark.sql.SparkSession, dir: String): Int =
     loadCentroids(spark, dir).select(size(col("centroid"))).head().getInt(0)
+
+  /** The validated centroid table as a dense driver matrix, index =
+    * list_id — what rides the plan as the probe-ranking kernel's
+    * foldable literal. One bounded nlist-row collect (the
+    * [[queryIvfIndex]] centroid contract); contiguity is REQUIRED
+    * because the kernel returns array offsets as cell ids.
+    */
+  private def centroidMatrix(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] = {
+    val rows = loadCentroids(spark, dir).orderBy("list_id").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"IVF centroid store $dir/centroids has non-contiguous list_ids " +
+          s"(expected $i, found ${r.getInt(0)}) — cell ids must be array " +
+          "offsets for scan-side probe ranking; rebuild the index")
+    }
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Scan-side probe ranking for the batched k-NN joins: appends one
+    * exploded `list_id` row per probed cell to the query frame —
+    * O(|Q|·nprobe) rows out, ZERO exchanges in — replacing the
+    * relational spelling (crossJoin(broadcast(centroids)) + per-query
+    * row_number window) whose |Q|×nlist intermediate and query-keyed
+    * window shuffle were exactly the SemDeDup assignment wall
+    * reappearing in the knn-graph shape (queries = corpus).
+    *
+    * Three regimes, cheapest first:
+    *  - nprobe >= nlist (the fullprobe/oracle shape): every cell is
+    *    probed, ranking cannot matter — the cell RANGE explodes as one
+    *    literal, zero distance math.
+    *  - a two-level quantizer was persisted by the build
+    *    (`dir/quantizer`, nlist > [[twoLevelThreshold]]): rank
+    *    two-probe like [[assignTwoLevel]] — nearest TOP cell via
+    *    graft_nearest_cell over the √nlist-row top table, then top-p
+    *    within that cell's sub-slice via graft_nearest_cells — so
+    *    probe ranking is O(|Q|·√nlist) per the sizing rule. The trade
+    *    is the hierarchy's own: probes confine to the winning top
+    *    cell's slice (≤ its cell count), the same approximation the
+    *    ASSIGNMENT path accepted — a query ranks exactly where an
+    *    equal vector would have been filed.
+    *  - flat table (registered fixtures, nlist <= threshold):
+    *    graft_nearest_cells over the whole matrix — O(|Q|·nlist)
+    *    scan-side cpu, still zero exchanges and zero row blowup.
+    *
+    * The trailing `list_id >= 0` guard is the kernel's own contract
+    * (argmin indices are non-negative) made explicit — and it marks
+    * the probe side SELECTIVE for Catalyst's PartitionPruning rule, so
+    * joining the store against this frame (broadcast) plants a
+    * dynamic-partition-pruning subquery on the store scan: file-level
+    * cell pruning with no driver round-trip, replacing the collected
+    * `isin` literal whose 10⁵-entry In predicate would be a plan-size
+    * hazard at production nlist.
+    */
+  private def rankProbes(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      qSide: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cents = centroidMatrix(spark, dir)
+    val nlist = cents.length
+    val ranked =
+      if (nprobe >= nlist)
+        qSide.withColumn("list_id",
+          explode(typedLit((0 until nlist).toList)))
+      else {
+        val qPath = new org.apache.hadoop.fs.Path(s"$dir/quantizer/sub")
+        val hasQuant = qPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(qPath)
+        if (hasQuant) {
+          val q = readQuantizer(spark, s"$dir/quantizer")
+          // the hierarchy and the flat store must describe ONE cell
+          // system: a stale quantizer next to rebuilt centroids would
+          // rank probes against cells no store partition was assigned
+          // under — silently empty (or wrong) candidate sets
+          require(q.subCents.length == nlist &&
+              q.subCents.zip(cents).forall { case (a, b) => a.sameElements(b) },
+            s"quantizer at $dir/quantizer disagrees with $dir/centroids — " +
+              "stale hierarchy from an earlier build; rebuild the index")
+          val topLit = typedLit(q.topCents.map(_.toSeq).toSeq)
+          val subLit = typedLit(q.subCents.map(_.toSeq).toSeq)
+          val offLit = typedLit(q.offsets.toSeq)
+          val cntLit = typedLit(q.counts.toSeq)
+          qSide
+            .withColumn("top_cell", call_function("graft_nearest_cell",
+              col("q_emb"), topLit, lit(0), lit(q.topCents.length)))
+            .withColumn("list_id", explode(call_function("graft_nearest_cells",
+              col("q_emb"), subLit,
+              element_at(offLit, col("top_cell") + 1),
+              element_at(cntLit, col("top_cell") + 1), lit(nprobe))))
+            .drop("top_cell")
+        } else {
+          val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+          qSide.withColumn("list_id", explode(call_function("graft_nearest_cells",
+            col("q_emb"), centsLit, lit(0), lit(nlist), lit(nprobe))))
+        }
+      }
+    ranked.filter(col("list_id") >= 0)
+  }
 
   /** Nearest existing cell per NEW vector — the relational argmin the
     * two ingest paths share: |e−c|² = e·e − 2·e·c + c·c over a
@@ -863,20 +984,28 @@ object Similarity {
     * an eval set) — per-query driver loops would be the collect()
     * anti-pattern at either scale.
     *
-    * Anatomy, sized for queries ≪ corpus (the serving contract):
-    *  1. PROBE RANKING is relational — queries × the broadcast
-    *     nlist-row centroid table, d2 = e·e − 2·e·c + c·c, nprobe best
-    *     cells per query via one query-keyed window. The blowup is
-    *     |Q|×nlist rows on the QUERY side only; the corpus never fans
-    *     out.
-    *  2. The probed cell set (≤ nlist driver values, collected bounded)
-    *     prunes the corpus scan at the FILE level — a batch touching p
-    *     distinct cells reads p/nlist of the store, exactly the
-    *     single-query contract, amortized.
+    * Anatomy, scale-safe at BOTH ends (serving batches and the
+    * corpus-sized knn-graph build):
+    *  1. PROBE RANKING is scan-side — [[rankProbes]]' codegen'd
+    *     top-p kernel appends each query's nprobe best cells with
+    *     ZERO exchanges and zero row blowup (the relational
+    *     crossJoin+window spelling paid a |Q|×nlist intermediate and
+    *     a query-keyed shuffle — the SemDeDup assignment wall, fatal
+    *     when queries = corpus). Fitted indexes rank two-probe in
+    *     O(|Q|·√nlist); fullprobe skips ranking entirely.
+    *  2. The store scan prunes to the batch's probed cells at the
+    *     FILE level via dynamic partition pruning: the broadcast
+    *     probe frame plants a DPP subquery on the scan's `list_id`
+    *     partition filter (PlanContractSpec pins it), so a batch
+    *     touching p distinct cells reads p/nlist of the store —
+    *     exactly the single-query contract, amortized, with no
+    *     collected `isin` literal (a 10⁵-entry In predicate at
+    *     production nlist would be a plan-size hazard).
     *  3. The probe frame broadcasts into the pruned scan (a batch of
     *     queries is small by contract; a corpus-sized query table
-    *     should drop the hint and let AQE shuffle on list_id), pairs
-    *     score through the one shared cosine kernel, and one
+    *     should drop the hint and let AQE shuffle on list_id — it
+    *     probes most cells anyway, so DPP has nothing to prune),
+    *     pairs score through the one shared cosine kernel, and one
     *     query-keyed window cuts top-k — deterministic (rounded cos
     *     DESC, vec_id) order, every engine's tie rule here.
     *
@@ -893,24 +1022,9 @@ object Similarity {
       excludeSelf: Boolean = true,
       hintBroadcast: Boolean = true): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
-    val cents = loadCentroids(spark, dir)
-      .withColumn("c2", dot("centroid", "centroid"))
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
-      .withColumn("q2", dot("q_emb", "q_emb"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("cell_d2"), col("list_id"))
-    val probed = qSide
-      .crossJoin(broadcast(cents))
-      .withColumn("cell_d2",
-        col("q2") - lit(2.0) * dot("q_emb", "centroid") + col("c2"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("list_id"))
-    // the batch's probed cells: ≤ nlist driver values — bounded like
-    // every centroid collect; they buy file-level pruning on the store
-    val probedCells = probed.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+    val probed = rankProbes(spark, dir, qSide, nprobe)
     val store = spark.read.parquet(s"$dir/assigned")
-      .filter(col("list_id").isin(probedCells: _*))
     val pairs = store
       // serving batches broadcast (small by contract); a CORPUS-sized
       // query table — the knn-graph build — passes hintBroadcast=false
@@ -966,29 +1080,22 @@ object Similarity {
     val spec =
       if (residualIdx) graft.functions.Pq.residualCodebookSpec
       else graft.functions.Pq.codebookSpec
-    val cents = loadCentroids(spark, dir)
-      .withColumn("c2", dot("centroid", "centroid"))
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
-      .withColumn("q2", dot("q_emb", "q_emb"))
-    val probeW = Window.partitionBy("query_id").orderBy(col("cell_d2"), col("list_id"))
-    val probed = qSide
-      .crossJoin(broadcast(cents))
-      .withColumn("cell_d2",
-        col("q2") - lit(2.0) * dot("q_emb", "centroid") + col("c2"))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("q_emb"), sqrt(col("q2")).as("qn"),
+    val probed = rankProbes(spark, dir, qSide, nprobe)
+      .select(col("query_id"), col("q_emb"),
+        sqrt(dot("q_emb", "q_emb")).as("qn"),
         // raw codes reconstruct without the cell constant — empty cent
         // selects the kernel's raw branch; IVFADC folds the probed
-        // cell's centroid into every reconstruction
-        (if (residualIdx) col("centroid")
+        // cell's centroid into every reconstruction (looked up
+        // scan-side off the already-collected nlist-row matrix — no
+        // join, the probe frame never re-shuffles)
+        (if (residualIdx)
+          element_at(typedLit(centroidMatrix(spark, dir).map(_.toSeq).toSeq),
+            col("list_id") + 1)
          else typedLit(Seq.empty[Double])).as("cent"),
         col("list_id"))
-    val probedCells = probed.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
     val store0 = spark.read
       .parquet(s"$dir/${if (packed) "assigned_pq_packed" else "assigned_pq"}")
-      .filter(col("list_id").isin(probedCells: _*))
     val store =
       if (packed) store0.withColumn("codes",
           call_function("graft_pq_unpack", col("codes_packed"), lit(spec)))
@@ -1029,7 +1136,12 @@ object Similarity {
         .select(col("query_id"), col("vec_id"))
       val qFrame = qSide.select(col("query_id"), col("q_emb"))
       val exact = spark.read.parquet(s"$dir/assigned_raw")
-        .filter(col("list_id").isin(probedCells: _*))
+        // file-level cell pruning on the raw sidecar, the DPP spelling:
+        // the candidate join below is on vec_id (no partition column),
+        // so the probed-cell semi-join is what keeps refine IO
+        // probed-cells-sized instead of corpus-sized
+        .join(broadcast(probed.select("list_id").distinct()),
+          Seq("list_id"), "left_semi")
         .join(maybeBroadcast(cands, hintBroadcast), Seq("vec_id"))
         .join(maybeBroadcast(qFrame, hintBroadcast), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), col("label"),
@@ -1401,11 +1513,12 @@ object Similarity {
       fitFraction: Double = 0.25,
       rawSidecar: Boolean = true,
       residual: Boolean = false): Unit = {
-    val (centsDf, assigned) = coarseFitAssign(embeddings, nlist, fitFraction)
+    val (centsDf, assigned, quant) = coarseFitAssign(embeddings, nlist, fitFraction)
     val spark = embeddings.sparkSession
     centsDf
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    persistOrClearQuantizer(spark, dir, quant)
     // residual-ness stamps the index (or a rebuild un-stamps it): every
     // consumer detects the marker, so codes can never be mis-read under
     // the wrong interpretation (the stale-sidecar deletion lesson)

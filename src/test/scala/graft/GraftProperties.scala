@@ -434,6 +434,30 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("graft_nearest_cells is the ascending-distance top-p with lowest-index ties") =
+    sparkProp(for {
+      base <- nearestCellGen
+      p <- Gen.chooseNum(1, 15)
+    } yield (base, p)) { case ((rows, cells, start, len), p) =>
+      import spark.implicits._
+      val got = rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), call_function("graft_nearest_cells",
+          col("embedding"), typedLit(cells), lit(start), lit(len), lit(p)).as("cs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      rows.forall { case (id, v) =>
+        val scored = (start until start + len).map { j =>
+          val c = cells(j)
+          var cc = 0.0; var dp = 0.0
+          var i = 0
+          while (i < c.length) { cc += c(i) * c(i); dp += c(i) * v(i); i += 1 }
+          (cc - 2.0 * dp, j)
+        }
+        // the window rule: ORDER BY score, index — ascending, ties to
+        // the lowest index — cut to min(p, len)
+        got(id) == scored.sorted.take(math.min(p, len)).map(_._2).toList
+      }
+    }
+
   property("allotCells seats min(nlist, points) with 1..cap per occupied cell") =
     forAll(for {
       k <- Gen.chooseNum(1, 12)

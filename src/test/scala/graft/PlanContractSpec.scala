@@ -153,6 +153,39 @@ class PlanContractSpec extends SparkSpec {
       s"batched ADC join touches a raw vector store:\n$plan")
   }
 
+  test("batched knn joins prune the store by DYNAMIC partition pruning, not a collected literal") {
+    // The probed-cell prune must be a DPP subquery planted by the
+    // broadcast probe frame on the store scan's list_id partition
+    // filter: file-level pruning with no driver round-trip and no
+    // In-literal whose 10⁵ entries would bloat the plan at production
+    // nlist. Asserted on the raw join, the ADC join, and the two-stage
+    // refine's raw-sidecar scan (three scans, three DPP filters).
+    val raw = SparkEntry.queries("sim_knn_join_topk")(spark, sf)
+    val rawPlan = raw.queryExecution.executedPlan.toString
+    assert(rawPlan.contains("dynamicpruning"),
+      s"raw knn join store scan has no DPP partition filter:\n$rawPlan")
+    assert(!rawPlan.contains("list_id#") || !rawPlan.contains("list_id IN ("),
+      s"raw knn join still carries a collected In-literal:\n$rawPlan")
+    val adc = SparkEntry.queries("sim_knn_join_pq_topk")(spark, sf)
+    val adcPlan = adc.queryExecution.executedPlan.toString
+    assert(adcPlan.contains("dynamicpruning"),
+      s"batched ADC join store scan has no DPP partition filter:\n$adcPlan")
+    val dir = graft.ops.Similarity.ensureIvfPqIndex(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val rr = graft.ops.Similarity.knnJoinIvfPq(spark, dir,
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = 10, nprobe = 4, rerank = 40)
+    val rrPlan = rr.queryExecution.executedPlan.toString
+    assert("dynamicpruning".r.findAllIn(rrPlan).size >= 2,
+      s"two-stage refine misses DPP on the codes or sidecar scan:\n$rrPlan")
+    // probe ranking is scan-side: no |Q|xnlist crossJoin against the
+    // centroid table, no query-keyed window before the pair stage —
+    // the centroid matrix rides the plan as the kernel's literal
+    assert(!rawPlan.contains("centroids"),
+      s"probe ranking still joins the centroid table:\n$rawPlan")
+  }
+
   test("index health reads only the index: packed codes + centroids, corpus never scanned") {
     // The health report's 100 TB claim is that it costs the INDEX's
     // bytes (4 B/vector packed codes + the nlist-row centroid table),

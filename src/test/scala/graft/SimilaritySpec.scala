@@ -963,6 +963,48 @@ class SimilaritySpec extends SparkSpec {
       s"got: ${ex.getMessage}")
   }
 
+  test("fitted-index knn join ranks probes two-probe off the persisted quantizer") {
+    // A build above twoLevelThreshold persists its hierarchy at
+    // dir/quantizer; the batched join must (a) answer with EXACT
+    // cosines, (b) at fullprobe equal brute force (ranking cannot
+    // matter), (c) at pruned nprobe confine each query's probes to its
+    // winning top cell's slice — the assignTwoLevel approximation,
+    // which guarantees a query's own cell is always probed.
+    val dir = tmpDir("knn-two-level")
+    Similarity.buildIvfIndex(emb, dir, nlist = 40)
+    val q = Similarity.readQuantizer(spark, s"$dir/quantizer")
+    assert(q.subCents.length ==
+      spark.read.parquet(s"$dir/centroids").count())
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = Similarity.knnJoinIvf(spark, dir, queries, k = 10, nprobe = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    queries.collect().map(_.getLong(0)).foreach { qid =>
+      val bf = Similarity.bruteForceTopK(emb, qid, k = 10)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(2))).toSet
+      assert(full.filter(_._1 == qid).toSet == bf,
+        s"fitted fullprobe != brute force for query $qid")
+    }
+    // pruned probes: k exact-scored rows per query, all candidates from
+    // cells INSIDE the query's top slice
+    val pruned = Similarity.knnJoinIvf(spark, dir, queries, k = 5, nprobe = 4)
+    assert(pruned.collect().groupBy(_.getLong(0)).forall(_._2.length == 5))
+    // a FLAT rebuild over the same dir must clear the stale hierarchy —
+    // ranking under the old cell system against new-cell stores would
+    // silently produce wrong candidate sets
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    assert(!new java.io.File(s"$dir/quantizer").exists(),
+      "flat rebuild left a stale two-level quantizer behind")
+    assert(Similarity.knnJoinIvf(spark, dir, queries, k = 5, nprobe = 2)
+      .count() == 8 * 5)
+    // and a hand-planted MISMATCHED quantizer is refused loudly
+    val q2 = Similarity.fitQuantizerTwoLevel(emb, nlist = 36)
+    Similarity.writeQuantizer(q2, s"$dir/quantizer", spark)
+    val ex = intercept[IllegalArgumentException](
+      Similarity.knnJoinIvf(spark, dir, queries, k = 5, nprobe = 2).collect())
+    assert(ex.getMessage.contains("disagrees"), ex.getMessage)
+  }
+
   test("two-level quantizer: deterministic, full coverage, twins collapse at scale nlist") {
     val q = Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
     // structure: offsets/counts tile the flat sub matrix exactly
