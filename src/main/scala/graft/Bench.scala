@@ -369,22 +369,26 @@ object Bench {
             "sim_knn_join_topk!"),
           () => { val dir = Similarity.ensureIvfIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
-        // ALL build-once PQ stores belong here, not just the fitted one:
-        // rows run name-sorted, so whichever consumer happens to sort
-        // first would otherwise pay the residual-domain / fitted-residual
-        // build inside its timed window (r18: sim_ann_index_health sorts
-        // before the residual fullprobes and was about to inherit the
-        // build the fullprobe's old clean reference silently carried)
+        // ALL build-once PQ stores get a warmup (rows run name-sorted,
+        // so whichever consumer sorts first would otherwise pay a build
+        // inside its timed window — the r18 lesson), but each store is
+        // its OWN entry with its OWN consumer list: one combined entry
+        // would attribute the three builds' summed seconds to rows that
+        // touch only one store (e.g. the sim_knn_join_pq rows never
+        // read the residual indexes), over-attributing per row.
         ("ivfpq_store",
-          Seq("sim_ann_ivfpq", "sim_ann_recall!", "sim_ann_index_health!",
-            "sim_knn_join_pq"),
+          Seq("sim_ann_ivfpq_fullprobe!", "sim_ann_ivfpq_packed_fullprobe!",
+            "sim_ann_ivfpq_rerank_fullprobe!", "sim_ann_ivfpq_topk!",
+            "sim_ann_recall!", "sim_knn_join_pq"),
           () => { val dir = Similarity.ensureIvfPqIndex(spark, sfDir)
-            val rdir = Similarity.ensureIvfPqResidualDomainIndex(spark, sfDir)
-            val fdir = Similarity.ensureIvfPqResidualIndex(spark, sfDir)
-            spark.read.parquet(s"$dir/centroids")
-              .unionByName(spark.read.parquet(s"$rdir/centroids"))
-              .unionByName(spark.read.parquet(s"$fdir/centroids"))
-              .limit(1) }),
+            spark.read.parquet(s"$dir/centroids").limit(1) }),
+        ("ivfpq_resdom_store",
+          Seq("sim_ann_ivfpq_residual", "sim_ann_index_health!"),
+          () => { val rdir = Similarity.ensureIvfPqResidualDomainIndex(spark, sfDir)
+            spark.read.parquet(s"$rdir/centroids").limit(1) }),
+        ("ivfpq_res_store", Seq("sim_ann_recall!"),
+          () => { val fdir = Similarity.ensureIvfPqResidualIndex(spark, sfDir)
+            spark.read.parquet(s"$fdir/centroids").limit(1) }),
         // format round-trip stores are write-once per process: build them
         // here so every timed pass (including retries) measures the same
         // read+aggregate workload — otherwise pass 1 pays the write and

@@ -2146,12 +2146,24 @@ object Jobs {
       count(col("embedding")).as("nn"),
       min(graft.ops.Similarity.dot("embedding", "embedding")).as("mn"),
       min(size(col("embedding"))).as("lo"),
-      max(size(col("embedding"))).as("hi")).head()
+      max(size(col("embedding"))).as("hi"),
+      // NULL ELEMENTS inside an array dodge every check above —
+      // size() counts null slots and graft_dot/graft_cosine silently
+      // SKIP them, so such a query would pass validation and be
+      // served deflated scores in raw mode (the PQ kernel fails
+      // loudly; raw mode would not). coalesce guards the NULL-array
+      // rows already counted by nn < n.
+      max(coalesce(exists(col("embedding"), _.isNull), lit(false))
+        .cast("int")).as("nullElem")).head()
     require(chk.getLong(1) == chk.getLong(0) &&
         !chk.isNullAt(2) && chk.getDouble(2) > 0,
       "query batch carries NULL or zero-norm embeddings — their cosines " +
         "are unscoreable and the served top-k would be arbitrary rows; " +
         "filter or fix them upstream")
+    require(chk.getInt(5) == 0,
+      "query batch carries NULL elements inside embeddings — graft_dot " +
+        "skips null slots, so every served score would be silently " +
+        "deflated; filter or fix them upstream")
     require(chk.getInt(3) == chk.getInt(4) && chk.getInt(3) == idxDim,
       s"query batch embeddings are ${chk.getInt(3)}..${chk.getInt(4)}-dim " +
         s"but the index at $indexDir holds $idxDim-dim vectors — " +
@@ -2206,6 +2218,22 @@ object Jobs {
     require(k >= 1 && nprobe >= 1,
       s"k and nprobe must be >= 1 (got k=$k nprobe=$nprobe)")
     val idxDim = graft.ops.Similarity.indexDim(queries.sparkSession, indexDir)
+    if (usePq) {
+      // the packed codes store must exist AT START (the 'a missing or
+      // corrupt index fails the start, not batch 0' discipline the
+      // centroid-dim capture already follows): a raw IVF index passed
+      // with usePq=true would otherwise start cleanly and die on the
+      // first batch. Reading the residual marker here also proves the
+      // marker file is reachable before any batch commits.
+      val packed = new org.apache.hadoop.fs.Path(s"$indexDir/assigned_pq_packed")
+      require(packed.getFileSystem(
+          queries.sparkSession.sparkContext.hadoopConfiguration).exists(packed),
+        s"usePq=true but the index at $indexDir has no assigned_pq_packed " +
+          "store — it is a raw IVF index (or a codes build that never " +
+          "packed); serve it with usePq=false or rebuild with " +
+          "buildIvfPqIndex")
+      graft.ops.Similarity.isResidualIndex(queries.sparkSession, indexDir): Unit
+    }
     queries.writeStream
       .queryName("knn_serve")
       .option("checkpointLocation", checkpointDir)

@@ -1220,6 +1220,22 @@ class StreamingJobsSpec extends SparkSpec {
       Jobs.knnServeBatch(idx, out, 5, 2, 64)(
         Seq(QVec(91L, Seq(1.0, 0.0, 0.0, 0.0))).toDF(), 2L))
     assert(exDim.getMessage.contains("dim"), exDim.getMessage)
+    // a NULL ELEMENT inside a full-size embedding dodges the NULL-array,
+    // zero-norm and dim checks (size() counts null slots; graft_dot
+    // skips them), so raw mode would serve silently deflated scores —
+    // refused like every other unscoreable query
+    val nullElem: Seq[java.lang.Double] =
+      Seq.tabulate(64)(i => if (i == 7) null else java.lang.Double.valueOf(1.0))
+    val exNull = intercept[IllegalArgumentException](
+      Jobs.knnServeBatch(idx, out, 5, 2, 64)(
+        Seq((92L, nullElem)).toDF("query_id", "embedding"), 2L))
+    assert(exNull.getMessage.contains("NULL elements"), exNull.getMessage)
+    // usePq against a RAW IVF index must fail at START (the missing
+    // packed store would otherwise surface in batch 0)
+    val exPq = intercept[IllegalArgumentException](
+      Jobs.startKnnServe(ms.toDF(), idx, out, tmpDir("knnserve-ckpt3"),
+        usePq = true))
+    assert(exPq.getMessage.contains("assigned_pq_packed"), exPq.getMessage)
     // starting against a missing index fails at START, not in batch 0
     val exIdx = intercept[Exception](
       Jobs.startKnnServe(ms.toDF(), tmpDir("knnserve-noidx"), out,
