@@ -366,7 +366,7 @@ object Bench {
         // store-write cost is recorded as these warmups' seconds and
         // attributed to the consumer rows via warmup_consumers
         ("ivf_store", Seq("sim_ann_ivf_persisted", "sim_knn_join_fullprobe!",
-            "sim_knn_join_topk!"),
+            "sim_knn_join_topk!", "sim_knn_graph"),
           () => { val dir = Similarity.ensureIvfIndex(spark, sfDir)
             spark.read.parquet(s"$dir/centroids").limit(1) }),
         // ALL build-once PQ stores get a warmup (rows run name-sorted,

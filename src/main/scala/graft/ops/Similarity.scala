@@ -1476,6 +1476,56 @@ object Similarity {
         .orderBy(col("query_id"), col("cos_pq").desc, col("vec_id"))
     })
 
+  /** The k-NN GRAPH build, exhaustive probe — the corpus queries
+    * ITSELF through [[knnJoinIvf]] (hintBroadcast=false: a corpus-sized
+    * query table must shuffle on list_id under AQE, never force a
+    * broadcast), every vector's top-3 neighbors in ONE distributed
+    * plan. nprobe = nlist makes the graph a pure function of the
+    * corpus — DuckDB replays it as the all-pairs window — so the row
+    * hash-verifies the graph shape END TO END: scan-side probe
+    * ranking over a corpus-sized query table, the non-broadcast
+    * cell-keyed pair join, and the per-node top-k cut. This is the
+    * registered anchor for the knn-graph scaladoc claim (semantic
+    * clustering, graph-based dedup, link prediction all start here).
+    */
+  val knnGraphFullProbeQuery = QueryDef(
+    "sim_knn_graph_fullprobe",
+    s"""WITH pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id, e.label,
+       |         round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE e.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, label, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM pairs)
+       |SELECT query_id, vec_id, label, cos_sim FROM ranked WHERE rn <= 3
+       |ORDER BY query_id, cos_sim DESC, vec_id""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfIndex(s, d)
+      knnJoinIvf(s, dir,
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 3, nprobe = 16, hintBroadcast = false)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    })
+
+  /** The production graph shape (nprobe=4 of 16) — rows-only like
+    * every lossy ANN probe, identical code path as the hash-verified
+    * fullprobe graph above; SimilaritySpec pins exactness of every
+    * reported score.
+    */
+  val knnGraphQuery = QueryDef.unverified("sim_knn_graph_topk")(
+    (s, d) => {
+      val dir = ensureIvfIndex(s, d)
+      knnJoinIvf(s, dir,
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 3, nprobe = 4, hintBroadcast = false)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+    })
+
   // ------------------------------------------------------------- ivf-pq
 
   /** Build a persisted IVF-PQ index: the [[buildIvfIndex]] layout with
@@ -3361,6 +3411,7 @@ object Similarity {
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       knnJoinFullProbeQuery, knnJoinQuery,
+      knnGraphFullProbeQuery, knnGraphQuery,
       knnJoinPqFullProbeQuery, knnJoinPqPackedFullProbeQuery,
       knnJoinPqRerankFullProbeQuery, knnJoinPqQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,
