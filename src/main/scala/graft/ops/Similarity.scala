@@ -737,6 +737,7 @@ object Similarity {
     centsDf
       .coalesce(1) // nlist rows — one tiny file
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    stampCellsDigest(embeddings.sparkSession, dir)
     persistOrClearQuantizer(embeddings.sparkSession, dir, quant)
     assigned
       .withColumn("ingest_batch", lit(0L))
@@ -775,24 +776,86 @@ object Similarity {
     */
   private def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // a swap in progress (or one that died mid-way) must refuse every
+    // reader rather than let a probe mix the OLD cell system's
+    // centroids with the NEW system's stores — the rebuildIndex
+    // marker discipline
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$rebuildingMarkerName")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(marker),
+      s"index at $dir is mid-rebuild (swap in progress, or a swap that " +
+        "failed and left the marker) — retry after rebuildIndex completes, " +
+        "or rebuild again")
     val cents = spark.read.parquet(s"$dir/centroids")
-    val d = cents.agg(
-      min(size(col("centroid"))).as("lo"), max(size(col("centroid"))).as("hi"),
-      count(lit(1)).as("n"), count(col("centroid")).as("nonNull"),
-      countDistinct(col("list_id")).as("nIds")).head()
-    require(d.getLong(2) > 0,
+    // validation is driver-side over ONE bounded collect (nlist rows —
+    // the centroid-table contract): same guards as ever, plus the
+    // content digest stamped by the builds
+    val rows = cents.collect()
+    require(rows.nonEmpty,
       s"IVF centroid store $dir/centroids is empty — build it with buildIvfIndex")
-    require(d.getLong(3) == d.getLong(2),
-      s"IVF centroid store $dir/centroids has ${d.getLong(2) - d.getLong(3)} NULL " +
+    val nulls = rows.count(_.isNullAt(1))
+    require(nulls == 0,
+      s"IVF centroid store $dir/centroids has $nulls NULL " +
         "centroid(s) — rebuild it; NULL cells cannot place or probe anything")
-    require(d.getInt(0) == d.getInt(1),
-      s"IVF centroid store $dir/centroids is heterogeneous: ${d.getInt(0)}..${d.getInt(1)} " +
+    val dims = rows.filter(!_.isNullAt(1)).map(_.getSeq[Double](1).length).distinct
+    require(dims.length == 1,
+      s"IVF centroid store $dir/centroids is heterogeneous: ${dims.min}..${dims.max} " +
         "dims — a mixed quantizer would silently skew every distance; rebuild it")
-    require(d.getLong(4) == d.getLong(2),
+    val ids = rows.map(_.getInt(0))
+    require(ids.distinct.length == ids.length,
       s"IVF centroid store $dir/centroids has duplicate list_id(s) " +
-        s"(${d.getLong(2)} rows, ${d.getLong(4)} distinct ids) — a duplicate cell " +
+        s"(${ids.length} rows, ${ids.distinct.length} distinct ids) — a duplicate cell " +
         "double-assigns on ingest and double-reads on probe; rebuild it")
+    // digest refusal (the writeQuantizer assignment-digest discipline,
+    // applied to the index): builds stamp the centroid matrix's sha
+    // next to the store, so a hand-copied or half-swapped centroid
+    // table from ANOTHER cell system is refused instead of silently
+    // probing stores assigned under different cells. Pre-digest stores
+    // (no stamp file) pass — existence is the opt-in.
+    val stamp = new org.apache.hadoop.fs.Path(s"$dir/$cellsDigestName")
+    if (fs.exists(stamp)) {
+      val in = fs.open(stamp)
+      val want = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val got = cellsDigest(
+        rows.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+      require(want == got,
+        s"centroid table at $dir/centroids does not match its stamped " +
+          "digest — a mixed cell system (half-swapped rebuild or a " +
+          "hand-copied store); rebuild the index")
+    }
     cents
+  }
+
+  private[graft] val rebuildingMarkerName = "_graft_rebuilding"
+  private[graft] val cellsDigestName = "_graft_cells_digest"
+
+  /** SHA-256 over the list_id-ordered centroid matrix — the content
+    * identity of a cell system (the [[assignmentDigest]] spelling,
+    * applied to a persisted index's coarse table).
+    */
+  private[graft] def cellsDigest(cents: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    cents.foreach { c =>
+      val bb = java.nio.ByteBuffer.allocate(8 * c.length)
+      c.foreach(bb.putDouble)
+      md.update(bb.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Stamp the JUST-WRITTEN centroid store's digest next to it — read
+    * back from parquet (doubles round-trip bit-exactly) so the stamp
+    * certifies the stored bytes, not an in-memory copy.
+    */
+  private def stampCellsDigest(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val m = spark.read.parquet(s"$dir/centroids").orderBy("list_id")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$cellsDigestName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(cellsDigest(m).getBytes("UTF-8")) finally out.close()
   }
 
   /** Validated embedding dim of a persisted index's centroid table —
@@ -1568,6 +1631,7 @@ object Similarity {
     centsDf
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    stampCellsDigest(spark, dir)
     persistOrClearQuantizer(spark, dir, quant)
     // residual-ness stamps the index (or a rebuild un-stamps it): every
     // consumer detects the marker, so codes can never be mis-read under
@@ -1646,6 +1710,7 @@ object Similarity {
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("list_id", "centroid")
     centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    stampCellsDigest(spark, dir)
     val marker = residualMarker(spark, dir)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()
@@ -2319,6 +2384,106 @@ object Similarity {
         (floor(col("n_codes") * col("nlist") / col("n_tot") * 1e6 + 0.5) / 1e6)
           .as("skew"))
       .orderBy("list_id")
+  }
+
+  /** Rebuild a persisted index IN PLACE from its own stored vectors —
+    * the maintenance recipe [[indexHealth]]'s skew/dead-cell signal
+    * exists to trigger. The refit routes through [[coarseFitAssign]]
+    * (two-level above [[twoLevelThreshold]], the same build path as
+    * day one), and the swap is marker-guarded:
+    *
+    *  1. the new index builds COMPLETELY under `dir/.rebuild` (a
+    *     dot-dir, invisible to every parquet listing of the live
+    *     stores) while the old index keeps serving;
+    *  2. the `_graft_rebuilding` marker goes down, every store swaps
+    *     by rename (old deleted, staged moved in), the marker lifts
+    *     on success — readers ([[loadCentroids]], hence every probe,
+    *     join, ingest, serve batch and health check) REFUSE while the
+    *     marker is present, so no reader can pair the old system's
+    *     centroids with the new system's stores; a swap that dies
+    *     mid-way leaves the marker (and the refusal) in place rather
+    *     than exposing a half-index;
+    *  3. the fresh build's `_graft_cells_digest` stamp travels with
+    *     the swap, so even a reader that raced past the marker check
+    *     refuses a centroid table that doesn't match its stamp.
+    *
+    * Raw IVF indexes refit from `dir/assigned`; PQ indexes from the
+    * `assigned_raw` sidecar (codes cannot be refit — a codes-only
+    * index is refused loudly: rebuild it from the corpus instead).
+    * Residual-ness is preserved via the marker. All ingest batches
+    * fold into the rebuilt `ingest_batch=0` partition — the rebuild
+    * IS the new epoch. `nlist = 0` keeps the current cell count;
+    * pass the sizing rule's value to grow it with the corpus.
+    */
+  def rebuildIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      nlist: Int = 0): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isPq = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assigned_pq_packed"))
+    val srcStore =
+      if (!isPq) s"$dir/assigned"
+      else {
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assigned_raw")),
+          s"index at $dir is codes-only — PQ codes cannot be refit into " +
+            "new cells (the raw vectors are gone); rebuild from the corpus " +
+            "with buildIvfPqIndex, or build future indexes with " +
+            "rawSidecar=true to make them rebuildable")
+        s"$dir/assigned_raw"
+      }
+    val residual = isResidualIndex(spark, dir)
+    val targetNlist =
+      if (nlist > 0) nlist
+      else spark.read.parquet(s"$dir/centroids").count().toInt
+    val vectors = spark.read.parquet(srcStore)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val staging = s"$dir/.rebuild"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true): Unit
+    // build completely BEFORE the swap: every action below reads the
+    // live stores and writes only under the staging dot-dir
+    if (isPq)
+      buildIvfPqIndex(vectors, staging, nlist = targetNlist,
+        rawSidecar = true, residual = residual)
+    else buildIvfIndex(vectors, staging, nlist = targetNlist)
+    // the swap window: marker down -> rename stores -> marker up.
+    // Failure anywhere leaves the marker, so readers refuse a
+    // half-swapped index instead of mixing cell systems.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$rebuildingMarkerName")
+    fs.create(marker, true).close()
+    val parts = Seq("centroids", cellsDigestName, "quantizer", "assigned",
+      "assigned_raw", "assigned_pq", "assigned_pq_packed", "_graft_pq_residual")
+    parts.foreach { s =>
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      if (fs.exists(old)) fs.delete(old, true): Unit
+      val fresh = new org.apache.hadoop.fs.Path(s"$staging/$s")
+      if (fs.exists(fresh)) { fs.rename(fresh, old): Unit }
+    }
+    fs.delete(stagingPath, true): Unit
+    fs.delete(marker, false): Unit
+  }
+
+  /** The re-train trigger: read [[indexHealth]]'s report (index bytes
+    * only — the corpus is never scanned to DECIDE), and rebuild in
+    * place when the worst cell's skew exceeds `maxSkew` or more than
+    * `maxDeadFrac` of cells are dead. Returns whether a rebuild ran.
+    * Thresholds are the production knobs: skew ≫ 1 makes every probe
+    * touching that cell pay the imbalance; dead cells are wasted nlist
+    * and the signature of a stale quantizer under drift.
+    */
+  def rebuildIfUnhealthy(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      maxSkew: Double = 4.0,
+      maxDeadFrac: Double = 0.25,
+      nlist: Int = 0): Boolean = {
+    val h = indexHealth(spark, dir).agg(
+      max(col("skew")).as("worst"),
+      avg((col("n_codes") === 0L).cast("double")).as("dead")).head()
+    val unhealthy = h.getDouble(0) > maxSkew || h.getDouble(1) > maxDeadFrac
+    if (unhealthy) rebuildIndex(spark, dir, nlist)
+    unhealthy
   }
 
   /** [[indexHealth]] over the committed-domain residual index, whose

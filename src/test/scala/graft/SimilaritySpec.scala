@@ -1005,6 +1005,83 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("disagrees"), ex.getMessage)
   }
 
+  test("rebuildIfUnhealthy: skew triggers a marker-guarded in-place rebuild; readers refuse mid-swap and mixed cells") {
+    val dir = tmpDir("rebuild-idx")
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def fullprobe() = Similarity
+      .knnJoinIvf(spark, dir, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val before = fullprobe()
+    // a healthy index is a no-op
+    assert(!Similarity.rebuildIfUnhealthy(spark, dir, maxSkew = 7.9,
+      maxDeadFrac = 0.5))
+    assert(fullprobe() == before)
+    // poison: pile every vector into cell 0 (skew 8, 7/8 cells dead) —
+    // the stale-quantizer-under-drift signature, synthesized
+    val poisoned = spark.read.parquet(s"$dir/assigned")
+      .withColumn("list_id", lit(0))
+    poisoned.write.mode("overwrite").partitionBy("list_id", "ingest_batch")
+      .option("partitionOverwriteMode", "static").parquet(s"$dir/assigned.tmp")
+    val fsP = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(fsP, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/assigned.tmp"), fsP)
+    // mid-swap: the marker alone refuses EVERY reader, loudly
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$dir/${Similarity.rebuildingMarkerName}")
+    fs.create(marker, true).close()
+    val exMid = intercept[IllegalArgumentException](fullprobe())
+    assert(exMid.getMessage.contains("mid-rebuild"), exMid.getMessage)
+    fs.delete(marker, false)
+    // the skew triggers the rebuild; the refit re-seats every vector,
+    // and at fullprobe (cells cannot matter) the answers are IDENTICAL
+    // to the pre-poison graph — the swap changed the cell system, not
+    // one served score
+    assert(Similarity.rebuildIfUnhealthy(spark, dir, maxSkew = 7.9,
+      maxDeadFrac = 0.5))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/${Similarity.cellsDigestName}")), "rebuild lost the digest stamp")
+    assert(!fs.exists(marker), "rebuild left the marker down")
+    assert(fullprobe() == before, "rebuild changed fullprobe answers")
+    // and the index is healthy again at the same thresholds
+    assert(!Similarity.rebuildIfUnhealthy(spark, dir, maxSkew = 7.9,
+      maxDeadFrac = 0.5))
+    // mixed cell systems refuse: hand-copy ANOTHER index's centroid
+    // table over this one — the digest stamp catches what the marker
+    // cannot (no swap in progress, just a wrong table)
+    val other = tmpDir("rebuild-other")
+    Similarity.buildIvfIndex(emb.limit(200), other, nlist = 4)
+    val centP = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    fs.delete(centP, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$other/centroids"), fs, centP,
+      false, spark.sparkContext.hadoopConfiguration)
+    val exMix = intercept[IllegalArgumentException](fullprobe())
+    assert(exMix.getMessage.contains("digest"), exMix.getMessage)
+    // a codes-only PQ index cannot refit — refused loudly
+    val co = tmpDir("rebuild-codesonly")
+    Similarity.buildIvfPqIndex(emb, co, nlist = 8, rawSidecar = false)
+    val exCo = intercept[IllegalArgumentException](
+      Similarity.rebuildIndex(spark, co))
+    assert(exCo.getMessage.contains("codes-only"), exCo.getMessage)
+    // a PQ index WITH its sidecar rebuilds end to end (stores swapped
+    // as one epoch, ADC answers still served)
+    val pq = tmpDir("rebuild-pq")
+    Similarity.buildIvfPqIndex(emb, pq, nlist = 8)
+    val pqBefore = Similarity
+      .knnJoinIvfPq(spark, pq, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    Similarity.rebuildIndex(spark, pq)
+    val pqAfter = Similarity
+      .knnJoinIvfPq(spark, pq, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(pqAfter == pqBefore,
+      "PQ rebuild changed fullprobe ADC answers (codes are a pure " +
+        "function of the committed codebook; cells cannot matter)")
+  }
+
   test("two-level quantizer: deterministic, full coverage, twins collapse at scale nlist") {
     val q = Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
     // structure: offsets/counts tile the flat sub matrix exactly

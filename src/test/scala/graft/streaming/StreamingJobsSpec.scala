@@ -1236,6 +1236,19 @@ class StreamingJobsSpec extends SparkSpec {
       Jobs.startKnnServe(ms.toDF(), idx, out, tmpDir("knnserve-ckpt3"),
         usePq = true))
     assert(exPq.getMessage.contains("assigned_pq_packed"), exPq.getMessage)
+    // a serving batch REFUSES while the index is mid-rebuild (the
+    // rebuildIndex marker), and resumes with identical answers once the
+    // marker lifts — no batch can mix cell systems
+    val markerP = new org.apache.hadoop.fs.Path(
+      s"$idx/${graft.ops.Similarity.rebuildingMarkerName}")
+    val mfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mfs.create(markerP, true).close()
+    val exSwap = intercept[IllegalArgumentException](
+      Jobs.knnServeBatch(idx, out, 5, 2, 64)(b0, 0L))
+    assert(exSwap.getMessage.contains("mid-rebuild"), exSwap.getMessage)
+    mfs.delete(markerP, false)
+    Jobs.knnServeBatch(idx, out, 5, 2, 64)(b0, 0L)
+    assert(served() == got, "post-swap replay changed the served answers")
     // starting against a missing index fails at START, not in batch 0
     val exIdx = intercept[Exception](
       Jobs.startKnnServe(ms.toDF(), tmpDir("knnserve-noidx"), out,
