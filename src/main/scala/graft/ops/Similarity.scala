@@ -3382,7 +3382,14 @@ object Similarity {
       batch: DataFrame, store: DataFrame, eps: Double,
       hintBroadcast: Boolean = true): DataFrame =
     maybeBroadcast(batch.select(col("vec_id"), col("domain"),
-        col("embedding").as("qe"), col("nrm").as("qn")), hintBroadcast)
+        col("embedding").as("qe"), col("nrm").as("qn"))
+        // the argmin contract (domains are non-negative cell indices)
+        // made explicit — and it marks the batch side SELECTIVE for
+        // Catalyst's PartitionPruning, so when the store scan is
+        // domain-partitioned (the streaming gate's admitted store) this
+        // join plants a DPP subquery on it: per-batch history IO prunes
+        // to the batch's domains at the FILE level, no domain literal
+        .filter(col("domain") >= 0), hintBroadcast)
       .join(store, Seq("domain"))
       .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
       .select("vec_id").distinct()
@@ -3397,7 +3404,10 @@ object Similarity {
       batch: DataFrame, store: DataFrame, eps: Double,
       hintBroadcast: Boolean = true): DataFrame =
     maybeBroadcast(batch.select(col("vec_id"), col("domain"),
-        col("embedding").as("qe"), col("nrm").as("qn")), hintBroadcast)
+        col("embedding").as("qe"), col("nrm").as("qn"))
+        // selective-marking filter for DPP on a domain-partitioned
+        // store scan — see [[semDeDupGateDropped]]
+        .filter(col("domain") >= 0), hintBroadcast)
       .join(store, Seq("domain"))
       .filter(round(dot("qe", "embedding") / (col("qn") * col("nrm")), 6) >= eps)
       .groupBy("vec_id").agg(min(col("adm_id")).as("matched_id"))

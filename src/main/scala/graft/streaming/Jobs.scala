@@ -211,17 +211,31 @@ object Jobs {
     * constant per batch, vs the former full-store schema inference +
     * partition discovery.
     */
+  /** First-level CELL partition dirs of a nested store — `list_id=L`
+    * (the IVF-PQ ANN stores) or `domain=D` (the SemDeDup admitted
+    * stores, domain-partitioned since r19 so the per-batch history
+    * read prunes cells at the FILE level via DPP). Empty for flat
+    * `ingest_batch=N` stores; every ingest-store helper keys its
+    * nested-vs-flat behavior on this one probe.
+    */
+  private def cellDirs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(root).collect {
+      case s if s.isDirectory && (s.getPath.getName.startsWith("list_id=") ||
+          s.getPath.getName.startsWith("domain=")) => s.getPath
+    }.toSeq
+
   private[streaming] def requireMonotoneIngest(
       spark: SparkSession, dir: String, target: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) {
-      // nested (IVF-PQ) stores key cells as list_id=L/ingest_batch=N;
-      // flat stores key ingest_batch=N directly — the guard serves both
-      val cells = fs.listStatus(root)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
-        .map(_.getPath)
-      val roots = if (cells.nonEmpty) cells.toSeq else Seq(root)
+      // nested stores key cells as list_id=L/ or domain=D/ above
+      // ingest_batch=N; flat stores key ingest_batch=N directly — the
+      // guard serves all three
+      val cells = cellDirs(fs, root)
+      val roots = if (cells.nonEmpty) cells else Seq(root)
       roots.foreach(r => resolvePending(fs, r))
       roots.flatMap(r => partitionIds(fs, r).keys).maxOption.foreach { maxExisting =>
         require(target >= maxExisting,
@@ -244,7 +258,12 @@ object Jobs {
     dirs.foreach { d =>
       val root = new org.apache.hadoop.fs.Path(d)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(root)) resolvePending(fs, root)
+      if (fs.exists(root)) {
+        // nested stores compact (and therefore crash) per cell
+        val cells = cellDirs(fs, root)
+        (if (cells.nonEmpty) cells else Seq(root))
+          .foreach(r => resolvePending(fs, r))
+      }
     }
 
   /** Outcome of [[compactIngestStore]] — one action per call. */
@@ -317,7 +336,31 @@ object Jobs {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no store at $dir")
-    compactOneRoot(spark, fs, root, boundaryOverride = None, targetFiles)
+    val cells = cellDirs(fs, root)
+    if (cells.isEmpty)
+      compactOneRoot(spark, fs, root, boundaryOverride = None, targetFiles)
+    else {
+      // a CELL-partitioned store (domain=D/ingest_batch=N — the
+      // SemDeDup admitted store) compacts per cell against the GLOBAL
+      // max ingest id, exactly the [[compactPqIngestStore]] protocol:
+      // a replay of the live batch may dynamic-overwrite its
+      // (cell, max) partition in ANY cell, so no cell may fold id
+      // `max` into its history even when that cell's local max is
+      // lower. Report the roll-up of the per-cell outcomes.
+      val globalMax = cells.flatMap(c => partitionIds(fs, c).keys).maxOption
+      val outcomes = cells.sortBy(_.getName).map(c =>
+        compactOneRoot(spark, fs, c, boundaryOverride = globalMax, targetFiles))
+      outcomes.collectFirst { case r: CompactionOutcome.RolledForward => r }
+        .getOrElse {
+          val merged = outcomes.collect { case c: CompactionOutcome.Compacted => c }
+          if (merged.isEmpty) CompactionOutcome.NothingToDo
+          else CompactionOutcome.Compacted(
+            merged.map(_.compactedKey).max,
+            merged.map(_.partitionsMerged).sum,
+            merged.map(_.dataFilesBefore).sum,
+            merged.map(_.dataFilesAfter).sum)
+        }
+    }
   }
 
   /** [[compactIngestStore]] for the NESTED IVF-PQ ANN stores
@@ -565,12 +608,15 @@ object Jobs {
   private def requireSeedable(spark: SparkSession, dir: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root))
-      partitionIds(fs, root).keys.maxOption.foreach(maxExisting =>
+    if (fs.exists(root)) {
+      val cells = cellDirs(fs, root)
+      val roots = if (cells.nonEmpty) cells else Seq(root)
+      roots.flatMap(r => partitionIds(fs, r).keys).maxOption.foreach(maxExisting =>
         require(maxExisting <= -1L,
           s"cannot seed $dir: a stream already wrote batches up to $maxExisting — " +
             "re-seeding now would retroactively change the history a replayed " +
             "batch sees; seed only before the first batch, or start a new store"))
+    }
   }
 
   /** Pre-write clear of the seed's own partition (the seedAuditStores
@@ -580,9 +626,16 @@ object Jobs {
     * asked to replace.
     */
   private def clearSeedPartition(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/ingest_batch=-1")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) require(fs.delete(p, true), s"could not clear seed $p")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flat stores hold the seed at root/ingest_batch=-1; cell-partitioned
+    // stores hold one seed partition PER cell (domain=D/ingest_batch=-1)
+    val roots =
+      if (fs.exists(root)) cellDirs(fs, root) :+ root else Seq(root)
+    roots.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r, "ingest_batch=-1")
+      if (fs.exists(p)) require(fs.delete(p, true), s"could not clear seed $p")
+    }
   }
 
   /** [[seedDedupStore]] for the streaming rejection audit: bootstraps
@@ -811,18 +864,19 @@ object Jobs {
       require(chk.getInt(3) == chk.getInt(4),
         s"batch carries mixed ${chk.getInt(3)}..${chk.getInt(4)}-dim " +
           "embeddings — cross-dim cosines silently deflate; fix upstream")
-      // the batch's domain set is cluster-count-bounded driver metadata;
-      // it prunes the history read before the per-domain ε-join
-      val doms = assigned.select("domain").distinct()
-        .collect().map(_.getInt(0)).toSeq
       val dropped =
         // partition-aware probe: the store root also carries the
         // _graft_quantizer marker FILE, which parquet readers skip but
         // an any-file probe would count
         if (partitionedStoreNonEmpty(spark, storeDir)) {
+          // the store is domain-partitioned, so the batch's domain set
+          // prunes the history read at the FILE level via the dynamic
+          // partition pruning the gate join itself plants (the knnJoinIvf
+          // DPP discipline) — no collected domain literal whose In
+          // predicate would bloat the plan at production nlist, and no
+          // driver round-trip
           val hist = spark.read.parquet(storeDir)
-            .filter(col("ingest_batch") < batchId &&
-              col("domain").isin(doms: _*))
+            .filter(col("ingest_batch") < batchId)
             .select("domain", "embedding", "nrm")
           // a store written at a different dim would silently deflate
           // every cross-dim cosine instead of erroring — the
@@ -857,12 +911,16 @@ object Jobs {
         .option("partitionOverwriteMode", "dynamic")
         .parquet(outDir)
       // the store extends from the WRITTEN output (one verdict, no
-      // recompute drift; floats roundtrip parquet bit-exactly)
+      // recompute drift; floats roundtrip parquet bit-exactly). The
+      // store — unlike the output — is DOMAIN-partitioned (domain=D/
+      // ingest_batch=N, the nested IVF-store layout): the next batch's
+      // history read then prunes to ITS domains at the file level via
+      // the gate join's DPP, so per-batch history IO is sized by the
+      // batch's domain set, never the admitted corpus
       spark.read.parquet(outDir)
         .filter(col("ingest_batch") === batchId)
         .select("vec_id", "domain", "embedding", "nrm", "ingest_batch")
-        .sortWithinPartitions("domain")
-        .write.mode("overwrite").partitionBy("ingest_batch")
+        .write.mode("overwrite").partitionBy("domain", "ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(storeDir)
     } finally scored.unpersist(blocking = true)
@@ -896,8 +954,7 @@ object Jobs {
     assigned
       .select("vec_id", "domain", "embedding", "nrm")
       .withColumn("ingest_batch", lit(-1L))
-      .sortWithinPartitions("domain")
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      .write.mode("overwrite").partitionBy("domain", "ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(storeDir)
   }
@@ -1721,8 +1778,13 @@ object Jobs {
       val vecsRoot = new org.apache.hadoop.fs.Path(s"$storeRoot/vecs")
       val vecsFs = vecsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val vecsIds =
-        if (vecsFs.exists(vecsRoot)) partitionIds(vecsFs, vecsRoot).keys.toSet
-        else Set.empty[Long]
+        if (vecsFs.exists(vecsRoot)) {
+          // the vecs store is domain-partitioned: ingest ids live one
+          // level down, under each domain cell
+          val cells = cellDirs(vecsFs, vecsRoot)
+          (if (cells.nonEmpty) cells else Seq(vecsRoot))
+            .flatMap(r => partitionIds(vecsFs, r).keys).toSet
+        } else Set.empty[Long]
       // a gate-from-start stream writes vecs whenever it writes
       // admitted, and compaction folds the two stores' partitions in
       // step — so any admitted history id missing from vecs means the
@@ -1913,14 +1975,14 @@ object Jobs {
           val hist =
             if (partitionedStoreNonEmpty(spark, vecsDir)) {
               // batch-domain pruning of the history read, the standalone
-              // gate's discipline (cluster-count-bounded driver metadata)
-              val doms = survivors.select("domain").distinct()
-                .collect().map(_.getInt(0)).toSeq
+              // gate's discipline: the vecs store is domain-partitioned
+              // and the gate join plants DPP on its scan — file-level
+              // pruning with no collected domain literal and no driver
+              // round-trip
               graft.ops.Similarity.semDeDupGateMatches(
                 survivors,
                 spark.read.parquet(vecsDir)
-                  .filter(col("ingest_batch") < batchId &&
-                    col("domain").isin(doms: _*))
+                  .filter(col("ingest_batch") < batchId)
                   .select(col("doc_id").as("adm_id"), col("domain"),
                     col("embedding"), col("nrm")),
                 cfg.eps,
@@ -1962,7 +2024,9 @@ object Jobs {
         // the semdedup history: admitted ids joined back to the batch's
         // embeddings (the stage-9 ride-the-row discipline), assigned
         // under the SAME table as the stage's verdicts (committed or
-        // fitted) so the next batch's read prunes by domain
+        // fitted). DOMAIN-partitioned like the standalone gate's store,
+        // so the next batch's history read prunes to its domains at the
+        // file level via the gate join's DPP
         semDeDupGate.foreach { cfg =>
           val admVecs = written
             .select(col("doc_id").as("vec_id"), lit("").as("label"))
@@ -1972,12 +2036,13 @@ object Jobs {
             case Some(qz) => graft.ops.Similarity.quantizerAssignedD2(admVecs, qz)
             case None => graft.ops.Similarity.domainWithNorm(admVecs)
           }
-          writeOwn(
-            admAssigned
-              .select(col("vec_id").as("doc_id"), col("domain"),
-                col("embedding"), col("nrm"))
-              .sortWithinPartitions("domain"),
-            vecsDir)
+          admAssigned
+            .select(col("vec_id").as("doc_id"), col("domain"),
+              col("embedding"), col("nrm"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").partitionBy("domain", "ingest_batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(vecsDir)
         }
       }
     } finally scored.unpersist(blocking = true)

@@ -290,6 +290,24 @@ class PlanContractSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(gate.contains("BroadcastHashJoin"), s"gate join not broadcast:\n$gate")
     assert(!gate.contains("SortMergeJoin"), s"gate shuffles history:\n$gate")
+    // against the FILE-BACKED admitted store (domain=D/ingest_batch=N,
+    // the r19 layout): the gate join must plant a DPP subquery on the
+    // history scan — per-batch IO prunes to the batch's domains at the
+    // file level with no collected domain literal
+    val storeDir = tmpDir("plan-sd-store")
+    assigned.limit(200)
+      .select(col("vec_id"), col("domain"), col("embedding"), col("nrm"))
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite").partitionBy("domain", "ingest_batch")
+      .parquet(storeDir)
+    val gateFs = graft.ops.Similarity.semDeDupGateDropped(
+        assigned.limit(50),
+        spark.read.parquet(storeDir)
+          .filter(col("ingest_batch") < 1L)
+          .select(col("domain"), col("embedding"), col("nrm")), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(gateFs.contains("dynamicpruning"),
+      s"gate history scan has no DPP partition filter:\n$gateFs")
   }
 
   test("audit stage filters read the cached scored frame, never re-score") {
