@@ -313,7 +313,7 @@ object Similarity {
     * RESEEDING of emptied clusters (a stale kept centroid just stays
     * empty; the reseed splits the fattest region instead).
     */
-  private def localLloyd(
+  private[graft] def localLloyd(
       points: Array[Array[Double]], k0: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val k = math.min(k0, points.length)
     val dim = points(0).length
