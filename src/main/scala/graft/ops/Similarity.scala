@@ -920,7 +920,7 @@ object Similarity {
     * `isin` literal whose 10⁵-entry In predicate would be a plan-size
     * hazard at production nlist.
     */
-  private def rankProbes(
+  private[graft] def rankProbes(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       qSide: DataFrame,

@@ -144,6 +144,23 @@ object StressAnn {
         corpus.select(col("vec_id").as("query_id"), col("embedding")),
         k = 5, nprobe = 4, hintBroadcast = false)))
 
+    // r19: the PROBE STAGE alone at corpus-sized Q — the stage the r18
+    // relational spelling paid as a |Q|×nlist crossJoin + query-keyed
+    // window (quadratic rows once nlist tracks the corpus). Now it is
+    // the scan-side graft_nearest_cells kernel: zero exchanges (watch
+    // the shuffle column), zero blowup (rows out = n·nprobe), cpu
+    // O(n·√nlist) on the fitted index (two-probe through the persisted
+    // quantizer) and O(n·nlist) on the flat 16-cell index — both flat
+    // in memory at any |Q|.
+    stage(s"probe_rank_fitted_corpusQ_nlist$fittedNlist")(count(
+      Similarity.rankProbes(spark, s"$tmp/ivf_fitted",
+        corpus.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), nprobe = 4)))
+    stage("probe_rank_flat16_corpusQ")(count(
+      Similarity.rankProbes(spark, s"$tmp/ivf",
+        corpus.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb")), nprobe = 4)))
+
     // r18-late: the 100 TB graph recipe — same sizing-rule nlist, but
     // the joined side is the PACKED codes store (codes-only IO at
     // graph scale) and the per-node answers refine exactly against the
