@@ -1144,19 +1144,24 @@ object Similarity {
       if (residualIdx) graft.functions.Pq.residualCodebookSpec
       else graft.functions.Pq.codebookSpec
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
-    val probed = rankProbes(spark, dir, qSide, nprobe)
-      .select(col("query_id"), col("q_emb"),
-        sqrt(dot("q_emb", "q_emb")).as("qn"),
-        // raw codes reconstruct without the cell constant — empty cent
-        // selects the kernel's raw branch; IVFADC folds the probed
-        // cell's centroid into every reconstruction (looked up
-        // scan-side off the already-collected nlist-row matrix — no
-        // join, the probe frame never re-shuffles)
-        (if (residualIdx)
-          element_at(typedLit(centroidMatrix(spark, dir).map(_.toSeq).toSeq),
-            col("list_id") + 1)
-         else typedLit(Seq.empty[Double])).as("cent"),
-        col("list_id"))
+    val probed0 = rankProbes(spark, dir, qSide, nprobe)
+      .withColumn("qn", sqrt(dot("q_emb", "q_emb")))
+    val probed =
+      // raw codes reconstruct without the cell constant — empty cent
+      // selects the kernel's raw branch; IVFADC folds the probed
+      // cell's centroid into every reconstruction, attached via a
+      // broadcast join against the nlist-row centroid table (an
+      // element_at over the full matrix as a plan literal would be
+      // the same plan-size hazard at production nlist that the
+      // collected isin was; a broadcast of nlist rows is not)
+      (if (residualIdx)
+        probed0.join(
+          broadcast(loadCentroids(spark, dir)
+            .select(col("list_id"), col("centroid").as("cent"))),
+          Seq("list_id"))
+      else probed0.withColumn("cent", typedLit(Seq.empty[Double])))
+        .select(col("query_id"), col("q_emb"), col("qn"), col("cent"),
+          col("list_id"))
     val store0 = spark.read
       .parquet(s"$dir/${if (packed) "assigned_pq_packed" else "assigned_pq"}")
     val store =
