@@ -1075,6 +1075,14 @@ object Similarity {
     * nprobe = nlist makes the result a pure per-query brute-force
     * top-k, which is what the hash-verified fullprobe twin replays in
     * DuckDB (the sim_ann_ivf_fullprobe trick, batched).
+    *
+    * Unscoreable queries: a NULL-embedding query ranks no cells
+    * (graft_nearest_cells is null-intolerant) and therefore returns NO
+    * answer rows — absent, never k arbitrary rows. The SERVING surface
+    * refuses such batches loudly up front ([[graft.streaming.Jobs]]
+    * knnServeBatch's gate, including NULL elements inside arrays);
+    * batch callers that need the loud contract should run the same
+    * gate first.
     */
   def knnJoinIvf(
       spark: org.apache.spark.sql.SparkSession,
