@@ -924,13 +924,29 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       qSide: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    rankProbesMat(spark, dir, qSide, nprobe)._1
+
+  /** [[rankProbes]] plus the validated centroid matrix it already
+    * collected — so callers that also need the centroids (the IVFADC
+    * cent lookup) don't pay a second store read + digest pass.
+    */
+  private def rankProbesMat(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      qSide: DataFrame,
+      nprobe: Int): (DataFrame, Array[Array[Double]]) = {
     val cents = centroidMatrix(spark, dir)
     val nlist = cents.length
     val ranked =
       if (nprobe >= nlist)
-        qSide.withColumn("list_id",
-          explode(typedLit((0 until nlist).toList)))
+        // a NULL-embedding query must stay ABSENT here too (the kernel
+        // branches below drop it via null-intolerance; a bare range
+        // explode would hand it every cell and serve k NULL-cosine
+        // rows — the arbitrary answer the contract refuses)
+        qSide.filter(col("q_emb").isNotNull)
+          .withColumn("list_id",
+            explode(typedLit((0 until nlist).toList)))
       else {
         val qPath = new org.apache.hadoop.fs.Path(s"$dir/quantizer/sub")
         val hasQuant = qPath
@@ -963,7 +979,7 @@ object Similarity {
             col("q_emb"), centsLit, lit(0), lit(nlist), lit(nprobe))))
         }
       }
-    ranked.filter(col("list_id") >= 0)
+    (ranked.filter(col("list_id") >= 0), cents)
   }
 
   /** Nearest existing cell per NEW vector — the relational argmin the
@@ -1095,7 +1111,8 @@ object Similarity {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
     val probed = rankProbes(spark, dir, qSide, nprobe)
-    val store = spark.read.parquet(s"$dir/assigned")
+    val store = pruneToCells(spark.read.parquet(s"$dir/assigned"),
+      probed, hintBroadcast)
     val pairs = store
       // serving batches broadcast (small by contract); a CORPUS-sized
       // query table — the knn-graph build — passes hintBroadcast=false
@@ -1152,26 +1169,34 @@ object Similarity {
       if (residualIdx) graft.functions.Pq.residualCodebookSpec
       else graft.functions.Pq.codebookSpec
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
-    val probed0 = rankProbes(spark, dir, qSide, nprobe)
-      .withColumn("qn", sqrt(dot("q_emb", "q_emb")))
+    val (ranked, centsMat) = rankProbesMat(spark, dir, qSide, nprobe)
+    val probed0 = ranked.withColumn("qn", sqrt(dot("q_emb", "q_emb")))
     val probed =
       // raw codes reconstruct without the cell constant — empty cent
       // selects the kernel's raw branch; IVFADC folds the probed
       // cell's centroid into every reconstruction, attached via a
-      // broadcast join against the nlist-row centroid table (an
-      // element_at over the full matrix as a plan literal would be
+      // broadcast join against the nlist-row centroid frame built from
+      // the matrix rankProbesMat already collected and digest-verified
+      // (an element_at over the full matrix as a plan literal would be
       // the same plan-size hazard at production nlist that the
-      // collected isin was; a broadcast of nlist rows is not)
-      (if (residualIdx)
+      // collected isin was; a broadcast of nlist rows is not — and a
+      // second loadCentroids read/collect/digest per call would be
+      // redundant driver IO on every serving micro-batch)
+      (if (residualIdx) {
+        import spark.implicits._
         probed0.join(
-          broadcast(loadCentroids(spark, dir)
-            .select(col("list_id"), col("centroid").as("cent"))),
+          broadcast(centsMat.zipWithIndex
+            .map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("list_id", "cent")),
           Seq("list_id"))
+      }
       else probed0.withColumn("cent", typedLit(Seq.empty[Double])))
         .select(col("query_id"), col("q_emb"), col("qn"), col("cent"),
           col("list_id"))
-    val store0 = spark.read
-      .parquet(s"$dir/${if (packed) "assigned_pq_packed" else "assigned_pq"}")
+    val store0 = pruneToCells(
+      spark.read
+        .parquet(s"$dir/${if (packed) "assigned_pq_packed" else "assigned_pq"}"),
+      probed, hintBroadcast)
     val store =
       if (packed) store0.withColumn("codes",
           call_function("graft_pq_unpack", col("codes_packed"), lit(spec)))
@@ -2403,22 +2428,45 @@ object Similarity {
     * the maintenance recipe [[indexHealth]]'s skew/dead-cell signal
     * exists to trigger. The refit routes through [[coarseFitAssign]]
     * (two-level above [[twoLevelThreshold]], the same build path as
-    * day one), and the swap is marker-guarded:
+    * day one), and the swap is the ROLL-FORWARD protocol the store
+    * compactions use (resolvePending's _TARGET_ discipline):
     *
     *  1. the new index builds COMPLETELY under `dir/.rebuild` (a
     *     dot-dir, invisible to every parquet listing of the live
-    *     stores) while the old index keeps serving;
+    *     stores) while the old index keeps serving; stores the fresh
+    *     build does NOT produce get an explicit `_DELETE_*` tombstone
+    *     in staging, then the `_SWAP_READY` marker commits the staged
+    *     epoch — deletes of live stores NEVER happen before it exists;
     *  2. the `_graft_rebuilding` marker goes down, every store swaps
-    *     by rename (old deleted, staged moved in), the marker lifts
-    *     on success — readers ([[loadCentroids]], hence every probe,
-    *     join, ingest, serve batch and health check) REFUSE while the
-    *     marker is present, so no reader can pair the old system's
-    *     centroids with the new system's stores; a swap that dies
-    *     mid-way leaves the marker (and the refusal) in place rather
-    *     than exposing a half-index;
+    *     (staged present → delete old, rename staged in; tombstone →
+    *     delete old), the marker lifts on success. Readers
+    *     ([[loadCentroids]], hence every probe, join, ingest, serve
+    *     batch and health check) REFUSE while the marker is present; a
+    *     swap that dies mid-way leaves BOTH markers, and the next
+    *     rebuildIndex call ROLLS IT FORWARD (the per-store swap is
+    *     idempotent: a store already renamed in has no staged copy
+    *     left and is skipped) instead of re-fitting from half-deleted
+    *     sources. An UNCOMMITTED staging (no `_SWAP_READY`) is
+    *     discarded — the live stores are still intact by (1). Every
+    *     delete/rename is require()d: a false return stops the swap
+    *     with the refusal marker still protecting readers, never
+    *     silently;
     *  3. the fresh build's `_graft_cells_digest` stamp travels with
-    *     the swap, so even a reader that raced past the marker check
-    *     refuses a centroid table that doesn't match its stamp.
+    *     the swap. Note the enforcement boundary honestly: the marker
+    *     and digest are checked when a plan is BUILT (loadCentroids);
+    *     a plan built before the swap and executed after can still
+    *     scan the new store against the old probe literals — Spark
+    *     cannot re-validate a running plan. In practice the exposure
+    *     is one in-flight query: the serving stream re-plans every
+    *     micro-batch, so its next batch either refuses (mid-swap) or
+    *     serves the new epoch;
+    *  4. INGEST FENCING: the staged build snapshots the source store
+    *     at read time, so ingest batches landing during the (long)
+    *     build window would be silently dropped by the swap. The swap
+    *     therefore compares the source store's partition listing
+    *     before/after the build and ABORTS loudly (staging discarded,
+    *     live index untouched) if ingest advanced — quiesce ingest
+    *     streams around a rebuild, as with any re-epoch.
     *
     * Raw IVF indexes refit from `dir/assigned`; PQ indexes from the
     * `assigned_raw` sidecar (codes cannot be refit — a codes-only
@@ -2434,6 +2482,22 @@ object Similarity {
       nlist: Int = 0): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = s"$dir/.rebuild"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val ready = new org.apache.hadoop.fs.Path(s"$staging/_SWAP_READY")
+    if (fs.exists(stagingPath)) {
+      if (fs.exists(ready)) {
+        // a committed staged epoch from a swap that died mid-way: the
+        // live stores may already be half-deleted and the staged copy
+        // is the only complete one — ROLL IT FORWARD, never re-fit
+        swapStagedIndex(fs, dir, staging)
+        return
+      }
+      // uncommitted staging: the build never finished, live stores are
+      // untouched — discard and build fresh
+      require(fs.delete(stagingPath, true),
+        s"could not clear stale staging $staging")
+    }
     val isPq = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/assigned_pq_packed"))
     val srcStore =
       if (!isPq) s"$dir/assigned"
@@ -2451,30 +2515,81 @@ object Similarity {
       else spark.read.parquet(s"$dir/centroids").count().toInt
     val vectors = spark.read.parquet(srcStore)
       .select(col("vec_id"), col("label"), col("embedding"))
-    val staging = s"$dir/.rebuild"
-    val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    if (fs.exists(stagingPath)) fs.delete(stagingPath, true): Unit
+    // ingest-fence snapshot: the set of partition dirs the build reads
+    def srcListing(): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(srcStore)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val parent = it.next().getPath.getParent.toString
+          if (parent.contains("ingest_batch=")) b += parent
+        }
+        b.result()
+      }
+    }
+    val srcBefore = srcListing()
     // build completely BEFORE the swap: every action below reads the
     // live stores and writes only under the staging dot-dir
     if (isPq)
       buildIvfPqIndex(vectors, staging, nlist = targetNlist,
         rawSidecar = true, residual = residual)
     else buildIvfIndex(vectors, staging, nlist = targetNlist)
-    // the swap window: marker down -> rename stores -> marker up.
-    // Failure anywhere leaves the marker, so readers refuse a
-    // half-swapped index instead of mixing cell systems.
+    // tombstones for stores the fresh build did not produce (e.g. the
+    // quantizer on a flat rebuild, a residual marker on a raw one) —
+    // the idempotent swap needs them to distinguish "delete the stale
+    // old store" from "already renamed in by an earlier attempt"
+    rebuildParts.foreach { s =>
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$staging/$s")))
+        fs.create(new org.apache.hadoop.fs.Path(s"$staging/_DELETE_$s"), true)
+          .close()
+    }
+    // ingest fence: abort (live index untouched — no marker is up yet)
+    // rather than silently dropping batches ingested during the build
+    if (srcListing() != srcBefore) {
+      require(fs.delete(stagingPath, true),
+        s"could not discard staging $staging after an aborted rebuild")
+      throw new IllegalStateException(
+        s"ingest advanced under $srcStore while the rebuild was staging — " +
+          "the swap would silently drop the new batches; quiesce ingest " +
+          "streams around rebuildIndex and re-run")
+    }
+    fs.create(ready, true).close() // the commit point: deletes may now run
+    swapStagedIndex(fs, dir, staging)
+  }
+
+  /** Every store/marker a rebuild may need to swap or tombstone. */
+  private val rebuildParts = Seq("centroids", cellsDigestName, "quantizer",
+    "assigned", "assigned_raw", "assigned_pq", "assigned_pq_packed",
+    "_graft_pq_residual")
+
+  /** The idempotent marker-guarded swap of a COMMITTED staged epoch
+    * (`_SWAP_READY` present) into the live index dir — see
+    * [[rebuildIndex]] step 2. Safe to re-run after a crash at any
+    * point: staged-present stores swap, tombstoned stores delete,
+    * already-swapped stores no-op.
+    */
+  private def swapStagedIndex(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, staging: String): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/$rebuildingMarkerName")
     fs.create(marker, true).close()
-    val parts = Seq("centroids", cellsDigestName, "quantizer", "assigned",
-      "assigned_raw", "assigned_pq", "assigned_pq_packed", "_graft_pq_residual")
-    parts.foreach { s =>
+    rebuildParts.foreach { s =>
       val old = new org.apache.hadoop.fs.Path(s"$dir/$s")
-      if (fs.exists(old)) fs.delete(old, true): Unit
       val fresh = new org.apache.hadoop.fs.Path(s"$staging/$s")
-      if (fs.exists(fresh)) { fs.rename(fresh, old): Unit }
+      if (fs.exists(fresh)) {
+        if (fs.exists(old))
+          require(fs.delete(old, true), s"could not delete $old for the swap")
+        require(fs.rename(fresh, old), s"could not rename $fresh to $old")
+      } else if (fs.exists(new org.apache.hadoop.fs.Path(s"$staging/_DELETE_$s"))) {
+        if (fs.exists(old))
+          require(fs.delete(old, true), s"could not delete stale $old")
+      }
     }
-    fs.delete(stagingPath, true): Unit
-    fs.delete(marker, false): Unit
+    require(fs.delete(new org.apache.hadoop.fs.Path(staging), true),
+      s"could not remove staging $staging after the swap")
+    require(fs.delete(marker, false),
+      s"could not lift the rebuild marker $marker")
   }
 
   /** The re-train trigger: read [[indexHealth]]'s report (index bytes
@@ -3390,6 +3505,27 @@ object Similarity {
 
   private def maybeBroadcast(df: DataFrame, hint: Boolean): DataFrame =
     if (hint) broadcast(df) else df
+
+  /** File-level cell pruning for a `list_id`-partitioned store scan,
+    * in BOTH join regimes of the batched k-NN joins:
+    *
+    *  - hintBroadcast = true (serving batches): the pair join itself
+    *    broadcasts the probe frame, so Catalyst plants its DPP
+    *    subquery on this scan — nothing to add;
+    *  - hintBroadcast = false (cold-start backlog, knn-graph): the
+    *    pair join is shuffle-sized and DPP's default
+    *    reuseBroadcastOnly finds no broadcast to reuse — the scan
+    *    would silently read the WHOLE store. The probed-CELL frame is
+    *    nlist-bounded after distinct (unlike the query frame), so
+    *    force-broadcast a semi-join against it: DPP fires off that
+    *    broadcast and file pruning survives every pair-join strategy,
+    *    still with no driver round-trip and no In-literal.
+    */
+  private def pruneToCells(
+      store: DataFrame, probed: DataFrame, hintBroadcast: Boolean): DataFrame =
+    if (hintBroadcast) store
+    else store.join(broadcast(probed.select("list_id").distinct()),
+      Seq("list_id"), "left_semi")
 
   private[graft] def semDeDupGateDropped(
       batch: DataFrame, store: DataFrame, eps: Double,

@@ -350,16 +350,19 @@ object Jobs {
       val globalMax = cells.flatMap(c => partitionIds(fs, c).keys).maxOption
       val outcomes = cells.sortBy(_.getName).map(c =>
         compactOneRoot(spark, fs, c, boundaryOverride = globalMax, targetFiles))
-      outcomes.collectFirst { case r: CompactionOutcome.RolledForward => r }
-        .getOrElse {
-          val merged = outcomes.collect { case c: CompactionOutcome.Compacted => c }
-          if (merged.isEmpty) CompactionOutcome.NothingToDo
-          else CompactionOutcome.Compacted(
-            merged.map(_.compactedKey).max,
-            merged.map(_.partitionsMerged).sum,
-            merged.map(_.dataFilesBefore).sum,
-            merged.map(_.dataFilesAfter).sum)
-        }
+      val merged = outcomes.collect { case c: CompactionOutcome.Compacted => c }
+      if (merged.nonEmpty)
+        // real merge work happened this call — report it even if some
+        // OTHER cell only rolled a crashed attempt forward
+        // (RolledForward's "did nothing else" contract is per ROOT;
+        // prioritizing it here would hide this call's merges)
+        CompactionOutcome.Compacted(
+          merged.map(_.compactedKey).max,
+          merged.map(_.partitionsMerged).sum,
+          merged.map(_.dataFilesBefore).sum,
+          merged.map(_.dataFilesAfter).sum)
+      else outcomes.collectFirst { case r: CompactionOutcome.RolledForward => r }
+        .getOrElse(CompactionOutcome.NothingToDo)
     }
   }
 
@@ -815,6 +818,7 @@ object Jobs {
     val spark = batch.sparkSession
     requireMonotoneIngest(spark, outDir, batchId)
     resolvePendingAt(spark, storeDir) // the read-store, guarded by neither
+    requireDomainLayout(spark, storeDir)
     requireSameAssignmentTable(spark, storeDir,
       graft.ops.Similarity.assignmentDigest(quantizer))
     quantizer.foreach { q =>
@@ -966,6 +970,31 @@ object Jobs {
     * silently mis-verdicts (cells just stop coinciding). Idempotent
     * under replay (content-stable write).
     */
+  /** Refuse a SemDeDup admitted store written under the pre-r19 FLAT
+    * layout (root-level `ingest_batch=N` dirs). The r19 layout nests
+    * domain=D above ingest_batch=N for file-level DPP pruning; writing
+    * the new layout NEXT TO old flat partitions would (a) blind the
+    * monotone-ingest guard to the old history (cell detection looks
+    * one level down) and then (b) fail every later history read with
+    * parquet's conflicting-directory-structures error — batches could
+    * be admitted against missing history before the read ever crashes.
+    * Loud and early instead: re-seed into a fresh store, or migrate by
+    * rewriting the old rows partitioned by (domain, ingest_batch).
+    */
+  private def requireDomainLayout(spark: SparkSession, storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val flat = partitionIds(fs, root)
+      require(flat.isEmpty,
+        s"the SemDeDup store at $storeDir was written under the pre-r19 " +
+          s"FLAT layout (root-level ingest batches ${flat.keys.toSeq.sorted.mkString(",")}); " +
+          "this gate writes the domain-partitioned layout and mixing the " +
+          "two corrupts partition discovery — re-seed a fresh store, or " +
+          "migrate by rewriting the old rows partitionBy(domain, ingest_batch)")
+    }
+  }
+
   private def requireSameAssignmentTable(
       spark: SparkSession, storeDir: String, digest: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$storeDir/_graft_quantizer")
@@ -1742,6 +1771,7 @@ object Jobs {
       // table — stamp-or-verify its digest (the standalone gate's
       // contract), and a fitted table must share the batch's dim
       // (graft_nearest_cell folds the shared prefix silently)
+      requireDomainLayout(spark, s"$storeRoot/vecs")
       requireSameAssignmentTable(spark, s"$storeRoot/vecs",
         graft.ops.Similarity.assignmentDigest(cfg.quantizer))
       // zero-norm: admitted, it would never match anything later —

@@ -184,6 +184,15 @@ class PlanContractSpec extends SparkSpec {
     // the centroid matrix rides the plan as the kernel's literal
     assert(!rawPlan.contains("centroids"),
       s"probe ranking still joins the centroid table:\n$rawPlan")
+    // NON-BROADCAST regime (knn-graph / cold-start backlog): the pair
+    // join is shuffle-sized, so no broadcast exists for DPP to reuse —
+    // pruning must come from the forced-broadcast semi-join against the
+    // nlist-bounded probed-cell frame instead; without it this scan
+    // silently reads the whole store
+    val graph = SparkEntry.queries("sim_knn_graph_topk")(spark, sf)
+    val graphPlan = graph.queryExecution.executedPlan.toString
+    assert(graphPlan.contains("dynamicpruning"),
+      s"non-broadcast knn-graph store scan has no DPP partition filter:\n$graphPlan")
   }
 
   test("index health reads only the index: packed codes + centroids, corpus never scanned") {

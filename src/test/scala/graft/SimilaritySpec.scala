@@ -1082,6 +1082,49 @@ class SimilaritySpec extends SparkSpec {
         "function of the committed codebook; cells cannot matter)")
   }
 
+  test("rebuild swap crash rolls FORWARD: a committed staging completes, an uncommitted one is discarded") {
+    val dir = tmpDir("rebuild-rollfwd")
+    Similarity.buildIvfIndex(emb, dir, nlist = 8)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def fullprobe() = Similarity
+      .knnJoinIvf(spark, dir, queries, k = 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val before = fullprobe()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate a swap that died mid-way: a COMPLETE staged epoch
+    // (fresh build + tombstones for stores it did not produce +
+    // _SWAP_READY), the live assigned store already deleted, the
+    // rebuilding marker still down — the worst crash point
+    Similarity.buildIvfIndex(emb, s"$dir/.rebuild", nlist = 8)
+    Seq("quantizer", "assigned_raw", "assigned_pq", "assigned_pq_packed",
+      "_graft_pq_residual").foreach(s =>
+      fs.create(p(s"$dir/.rebuild/_DELETE_$s"), true).close())
+    fs.create(p(s"$dir/.rebuild/_SWAP_READY"), true).close()
+    fs.create(p(s"$dir/${Similarity.rebuildingMarkerName}"), true).close()
+    assert(fs.delete(p(s"$dir/assigned"), true))
+    // readers refuse while the marker is down
+    val exMid = intercept[IllegalArgumentException](fullprobe())
+    assert(exMid.getMessage.contains("mid-rebuild"), exMid.getMessage)
+    // the recovery path the error message prescribes: rebuild again —
+    // which must ROLL THE COMMITTED STAGING FORWARD (the staged copy is
+    // the only complete one), never discard it and refit from the
+    // half-deleted live stores
+    Similarity.rebuildIndex(spark, dir)
+    assert(!fs.exists(p(s"$dir/.rebuild")), "staging left behind")
+    assert(!fs.exists(p(s"$dir/${Similarity.rebuildingMarkerName}")),
+      "marker left down after a completed roll-forward")
+    assert(fullprobe() == before, "roll-forward changed fullprobe answers")
+    // an UNCOMMITTED staging (no _SWAP_READY — the build itself died)
+    // is discarded and the rebuild refits: live stores were untouched
+    fs.mkdirs(p(s"$dir/.rebuild/garbage"))
+    Similarity.rebuildIndex(spark, dir)
+    assert(!fs.exists(p(s"$dir/.rebuild")))
+    assert(fullprobe() == before, "fresh rebuild changed fullprobe answers")
+  }
+
   test("two-level quantizer: deterministic, full coverage, twins collapse at scale nlist") {
     val q = Similarity.fitQuantizerTwoLevel(emb, nlist = 40)
     // structure: offsets/counts tile the flat sub matrix exactly

@@ -577,6 +577,21 @@ class StreamingJobsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "leaked cache entries")
   }
 
+  test("semdedup gate refuses a pre-r19 FLAT-layout store loudly, before any write") {
+    import spark.implicits._
+    val store = tmpDir("sdgate-flat-store")
+    // a store written under the OLD layout: root-level ingest_batch=N
+    Seq((1L, 0, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "domain", "embedding", "nrm")
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(store)
+    val b = Seq((2L, "x", Seq(1.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Jobs.semDeDupGateBatch(store, tmpDir("sdgate-flat-out"), eps = 0.9)(b, 1L))
+    assert(ex.getMessage.contains("FLAT layout"), ex.getMessage)
+  }
+
   test("semdedup gate stream: eps-close to admitted history dropped, within-batch passes, replay-safe, seedable") {
     import spark.implicits._
     spark.catalog.clearCache()
@@ -750,7 +765,7 @@ class StreamingJobsSpec extends SparkSpec {
         (101L, "h2", 0, Seq(1.0, 0.0, 0.0), 1.0))
       .toDF("vec_id", "label", "domain", "embedding", "nrm")
       .withColumn("ingest_batch", lit(0L))
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(store)
+      .write.mode("overwrite").partitionBy("domain", "ingest_batch").parquet(store)
     val ex = intercept[IllegalArgumentException](
       Jobs.semDeDupGateBatch(store, out, eps = 0.9)(
         Seq(Emb(1, "a", Seq(1.0, 0.0, 0.0, 0.0))).toDF(), 1L))
