@@ -1627,6 +1627,114 @@ object Similarity {
         .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
     })
 
+  /** SEMANTIC FAMILIES over a persisted index — the composite the k-NN
+    * graph exists to feed: mutual-kNN edges (a in b's top-k AND b in
+    * a's top-k, cosine ≥ `minCos` — one-sided edges are hub
+    * attraction and would chain unrelated families), then connected
+    * components through the ONE shared label-propagation loop
+    * ([[graft.ops.Dedup.nearDupClusters]] — the near-dup family
+    * machinery, reused verbatim so the two family systems cannot
+    * drift in semantics). Every corpus vector comes back with its
+    * `family` (component-min vec_id; singletons label themselves) and
+    * `n_members` — the embedding-space sibling of the near-dup family
+    * split: leakage-free train/val/test by SEMANTIC family,
+    * family-stratified sampling, and family-granular semantic dedup
+    * all start from this frame.
+    *
+    * Scale shape: the graph build is [[knnJoinIvf]]'s contract
+    * (scan-side probe ranking, cell-pruned store, n·k edges out);
+    * mutuality is ONE aggregation over the directed edges (count = 2
+    * on the sorted pair — no self-join, the graph is never evaluated
+    * twice); propagation is one broadcast-ish join + grouped min per
+    * round, rounds bounded by family DIAMETER (semantic families are
+    * near-cliques in practice; `maxIter` caps pathological chains and
+    * under-iteration warns loudly inside the shared loop).
+    */
+  def knnGraphFamilies(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      embeddings: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 4,
+      minCos: Double = 0.3,
+      hintBroadcast: Boolean = false,
+      maxIter: Int = 200): DataFrame = {
+    val knn = knnJoinIvf(spark, dir,
+      embeddings.select(col("vec_id").as("query_id"), col("embedding")),
+      k = k, nprobe = nprobe, excludeSelf = true,
+      hintBroadcast = hintBroadcast)
+      .filter(col("cos_sim") >= minCos)
+    val mutual = knn
+      .select(least(col("query_id"), col("vec_id")).as("doc_a"),
+        greatest(col("query_id"), col("vec_id")).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cnt"))
+      // a directed edge appears at most once per side (top-k ids are
+      // distinct), so cnt = 2 ⇔ both directions exist ⇔ mutual
+      .filter(col("cnt") === 2)
+      .select("doc_a", "doc_b")
+    val labels = graft.ops.Dedup.nearDupClusters(mutual, maxIter = maxIter)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("n"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("family", coalesce(col("cluster"), col("vec_id")))
+      .join(sizes.withColumnRenamed("cluster", "family"), Seq("family"), "left")
+      .select(col("vec_id"), col("label"), col("family"),
+        coalesce(col("n"), lit(1L)).as("n_members"))
+  }
+
+  /** The family frame at fullprobe — mutual edges, components, sizes
+    * and singleton handling are then a pure function of the corpus, so
+    * DuckDB replays the WHOLE composite (all-pairs top-3 window →
+    * mutual-pair aggregation → recursive transitive closure →
+    * component-min labels) value-for-value. This is the first
+    * hash-verified GRAPH-CLUSTERING row: it pins the propagation
+    * loop's fixed point against an exact closure, not just a spec.
+    */
+  val knnGraphFamiliesQuery = QueryDef(
+    "sim_knn_graph_families",
+    s"""WITH RECURSIVE gf_pairs AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |         round(${duckCosine("e.embedding", "q.embedding")}, 6) AS cos_sim
+       |  FROM embeddings e CROSS JOIN embeddings q
+       |  WHERE e.vec_id != q.vec_id),
+       |gf_ranked AS (
+       |  SELECT query_id, vec_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, vec_id) AS rn
+       |  FROM gf_pairs),
+       |gf_dir AS (
+       |  SELECT query_id, vec_id FROM gf_ranked
+       |  WHERE rn <= 3 AND cos_sim >= 0.3),
+       |gf_mut AS (
+       |  SELECT least(query_id, vec_id) AS doc_a,
+       |         greatest(query_id, vec_id) AS doc_b
+       |  FROM gf_dir GROUP BY 1, 2 HAVING count(*) = 2),
+       |gf_edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM gf_mut
+       |  UNION SELECT doc_b, doc_a FROM gf_mut),
+       |gf_reach AS (
+       |  SELECT src, dst FROM gf_edges
+       |  UNION
+       |  SELECT r.src, e2.dst FROM gf_reach r JOIN gf_edges e2 ON r.dst = e2.src),
+       |gf_labels AS (
+       |  SELECT src AS vec_id, least(src, min(dst)) AS family
+       |  FROM gf_reach GROUP BY src),
+       |gf_sizes AS (SELECT family, count(*) AS n FROM gf_labels GROUP BY family)
+       |SELECT b.vec_id, b.label,
+       |       coalesce(l.family, b.vec_id) AS family,
+       |       coalesce(s.n, 1) AS n_members
+       |FROM embeddings b
+       |LEFT JOIN gf_labels l ON b.vec_id = l.vec_id
+       |LEFT JOIN gf_sizes s ON coalesce(l.family, b.vec_id) = s.family
+       |ORDER BY b.vec_id""".stripMargin)(
+    (s, d) => {
+      val dir = ensureIvfIndex(s, d)
+      knnGraphFamilies(s, dir, Tables.embeddings(s, d),
+        k = 3, nprobe = 16, minCos = 0.3)
+        .orderBy("vec_id")
+    })
+
   // ------------------------------------------------------------- ivf-pq
 
   /** Build a persisted IVF-PQ index: the [[buildIvfIndex]] layout with
@@ -3735,7 +3843,7 @@ object Similarity {
     Seq(bruteForceQuery, annQuery, annLshFullProbeQuery, annIvfQuery, annIvfFullProbeQuery,
       annIvfPersistedQuery, annIvfPersistedFullProbeQuery,
       knnJoinFullProbeQuery, knnJoinQuery,
-      knnGraphFullProbeQuery, knnGraphQuery,
+      knnGraphFullProbeQuery, knnGraphQuery, knnGraphFamiliesQuery,
       knnJoinPqFullProbeQuery, knnJoinPqPackedFullProbeQuery,
       knnJoinPqRerankFullProbeQuery, knnJoinPqQuery,
       annIvfPqFullProbeQuery, annIvfPqPackedFullProbeQuery,

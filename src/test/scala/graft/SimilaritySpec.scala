@@ -1082,6 +1082,33 @@ class SimilaritySpec extends SparkSpec {
         "function of the committed codebook; cells cannot matter)")
   }
 
+  test("knn-graph families: mutual edges only, singletons label themselves, component-min family") {
+    import spark.implicits._
+    // 2-D unit vectors at chosen angles so top-1 edges are fully
+    // determined: a(0°)↔b(5°) is MUTUAL; d(40°)'s top-1 is b but b's
+    // is a (one-sided — must NOT merge d into the family); e(90°)'s
+    // top-1 is d, also one-sided. Expected: {a,b} one family labeled
+    // by the min id, d and e singletons labeling themselves.
+    def v(deg: Double) = Seq(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val emb4 = Seq((0L, "a", v(0)), (1L, "b", v(5)),
+      (2L, "d", v(40)), (3L, "e", v(90)))
+      .toDF("vec_id", "label", "embedding")
+    val dir = tmpDir("knn-fam-idx")
+    Similarity.buildIvfIndex(emb4, dir, nlist = 2, fitFraction = 1.0)
+    val fams = Similarity.knnGraphFamilies(spark, dir, emb4,
+        k = 1, nprobe = 2, minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(fams == Set((0L, 0L, 2L), (1L, 0L, 2L), (2L, 2L, 1L), (3L, 3L, 1L)),
+      s"got $fams")
+    // minCos gates the edge: above cos(5°) even the mutual pair splits
+    val strict = Similarity.knnGraphFamilies(spark, dir, emb4,
+        k = 1, nprobe = 2, minCos = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(strict == Set((0L, 0L, 1L), (1L, 1L, 1L), (2L, 2L, 1L), (3L, 3L, 1L)),
+      s"got $strict")
+  }
+
   test("rebuild swap crash rolls FORWARD: a committed staging completes, an uncommitted one is discarded") {
     val dir = tmpDir("rebuild-rollfwd")
     Similarity.buildIvfIndex(emb, dir, nlist = 8)
