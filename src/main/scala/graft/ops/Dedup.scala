@@ -1227,25 +1227,23 @@ object Dedup {
     * loop saves. Edges are hash-partitioned by dst before caching, so the
     * per-iteration join reuses that partitioning and only the (small)
     * label frame shuffles each round.
-    * Iteration count is bounded by component DIAMETER, and LSH/blocked
-    * near-dup graphs are near-cliques (every member pairs with most
-    * others), so 2-4 iterations converge in practice; `maxIter` caps
-    * pathological chains. Convergence is detected by the monotone label
-    * sum (min-propagation only ever lowers labels), costing one tiny
-    * aggregate per iteration instead of a change-count join.
-    *
-    * Per-iteration action budget: each round's label frame is
-    * `persist`ed and the convergence-sum action is what materializes it
-    * — ONE job per round where a `localCheckpoint` + separate sum ran
-    * two (measured ~0.3 s/round of pure scheduling overhead at
-    * local[32]; on a cluster the saved job is a full scheduling
-    * round-trip). Previous rounds' caches are freed as soon as their
-    * successor is materialized. persist alone does not truncate
-    * LINEAGE, so every 4th round still `localCheckpoint`s: analyzed
-    * plans otherwise grow by one join+union per round and planning cost
-    * creeps into the loop (the blocks themselves are cached, only the
-    * plan tree grows). 4 covers the common near-clique convergence
-    * (1-2 rounds) with zero checkpoints inside the loop.
+    * Iteration count: LSH/blocked near-dup graphs are near-cliques
+    * (every member pairs with most others), so rounds 1-2 converge in
+    * practice and run the ONE-job-per-round shape (the persist's
+    * materializing action IS the convergence sum). A graph still
+    * iterating at round 3 is chain/filament-shaped (the mutual-kNN
+    * semantic graphs), where plain propagation pays component
+    * DIAMETER rounds — so round 3 on adds POINTER HALVING
+    * (label(v) ← label(label(v))), collapsing the remaining rounds to
+    * O(log diameter) for one extra label-sized join + checkpoint job
+    * per round; `maxIter` caps pathology and under-iteration warns
+    * loudly below. Convergence is detected by the monotone label sum
+    * (both steps only ever lower labels), one tiny aggregate per
+    * round instead of a change-count join. Previous rounds' caches
+    * are freed as soon as their successor materializes; plan depth
+    * stays bounded because halved rounds root at a checkpointed leaf
+    * (a NESTED plan referenced twice per round would double per round
+    * and explode Catalyst's re-analysis — measured before the leaf).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1272,14 +1270,48 @@ object Dedup {
     while (!converged && i < maxIter) {
       // union the node's own label in, so one grouped min covers
       // "me and my neighbors" without a second join
-      var next = edges
+      val propagated = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster")), "dst")
         .select(col("src").as("doc_id"), col("cluster"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      if (i % 4 == 3) next = next.localCheckpoint() // truncate plan growth
-      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
+      // POINTER HALVING (r19), from round 3 on: jump to my label's own
+      // label. Neighbor propagation alone moves the component min ONE
+      // hop per round — exactly right for the near-clique graphs
+      // LSH/blocked dedup emit (they converge in rounds 1-2, which
+      // therefore stay the old one-job shape and pay nothing), but a
+      // mutual-kNN semantic graph is chain/filament-shaped and would
+      // pay DIAMETER rounds; still iterating at round 3 is the signal.
+      // Halving squares the reach per round (label(v) <-
+      // label(label(v))), so rounds are O(log diameter) — the classic
+      // CC-on-MapReduce result — for one extra LABEL-sized join.
+      // Two implementation constraints, both measured the hard way:
+      //  - the halving step references `propagated` TWICE, so it must
+      //    be a CHECKPOINTED LEAF — a nested logical plan would double
+      //    per round and Catalyst's re-analysis explodes exponentially
+      //    (rounds of 3.9s → 8.6s → 127s on a 2,000-node graph);
+      //  - a label is always a vertex id present in the frame, so the
+      //    jump lookup hits by construction; min-monotonicity (labels
+      //    only ever decrease, per vertex) and the component-min fixed
+      //    point are unchanged — every hash-verified clustering row
+      //    re-verifies against the same exact closure.
+      val (next0, leaf) =
+        if (i < 2) (propagated, None)
+        else {
+          val l = propagated.localCheckpoint(eager = true)
+          (l.as("lbl")
+            .join(l.select(col("doc_id").as("cluster"), col("cluster").as("jump")),
+              Seq("cluster"), "left")
+            .select(col("doc_id"),
+              coalesce(col("jump"), col("cluster")).as("cluster")),
+            Some(l))
+        }
+      // rounds 1-2 nest at most two plain rounds of plan; round 3+
+      // roots at the checkpointed leaf — plan depth is bounded without
+      // the old every-4th-round truncation checkpoint
+      val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(next)
+      leaf.foreach(_.unpersist(blocking = false)) // next is materialized
       labels.unpersist(blocking = false)
       labels = next
       converged = s == prevSum
