@@ -680,10 +680,10 @@ object Similarity {
     * once nlist tracks the corpus (the capped r17 wall), while the
     * two-level path assigns in O(n·√nlist) scan-side. Returns the
     * (list_id, centroid) table and the assigned corpus. Ingest after
-    * the build assigns via the flat relational argmin over the stored
-    * table either way ([[nearestCellAssignment]] — batch-sized, exact
-    * against the same centroids; the hierarchy is a FIT/BUILD
-    * accelerator, not a changed cell system).
+    * the build assigns through the SAME regime the build used
+    * ([[nearestCellAssignment]] — flat kernel argmin below the
+    * threshold, two-probe under the persisted quantizer above it), so
+    * a new vector always files where an equal build-time vector did.
     */
   private def coarseFitAssign(
       embeddings: DataFrame,
@@ -759,9 +759,10 @@ object Similarity {
     * is the initial build): re-running the SAME id replaces that
     * ingest's partitions (replay idempotence), while reusing an id
     * across DIFFERENT batches would silently replace the earlier one.
-    * The assignment is relational: |e−c|² = e·e − 2·e·c + c·c over a
-    * broadcast of the nlist-row centroid table, every dot through the
-    * native codegen'd graft_dot — no per-row MLlib model, no UDF.
+    * Assignment is scan-side through the codegen'd graft_nearest_cell
+    * kernel ([[nearestCellAssignment]] — zero exchanges, zero row
+    * blowup, two-probe under a fitted quantizer) — no per-row MLlib
+    * model, no UDF, no |batch|×nlist intermediate.
     */
   /** Read + validate the persisted centroid table (`dir/centroids`) —
     * the same two-aggregate guard discipline as the benchmark embedding
@@ -904,9 +905,17 @@ object Similarity {
     *    within that cell's sub-slice via graft_nearest_cells — so
     *    probe ranking is O(|Q|·√nlist) per the sizing rule. The trade
     *    is the hierarchy's own: probes confine to the winning top
-    *    cell's slice (≤ its cell count), the same approximation the
-    *    ASSIGNMENT path accepted — a query ranks exactly where an
-    *    equal vector would have been filed.
+    *    cell's slice, the same approximation the ASSIGNMENT path
+    *    accepted — a query ranks exactly where an equal vector would
+    *    have been filed. The probe BUDGET is never silently truncated,
+    *    though: a query whose winning slice holds fewer than nprobe
+    *    sub-cells spills to ranking over the whole sub matrix (a
+    *    per-row CASE — only the affected rows pay the O(nlist) arm),
+    *    so nprobe probed cells is a hard contract in both regimes.
+    *    This batched ranking still DIVERGES from [[queryIvfIndex]]'s
+    *    exact flat ranking at the same (dir, nprobe) whenever the
+    *    slice covers the budget: the single-query path ranks all
+    *    nlist cells exactly, the batched path trusts the hierarchy.
     *  - flat table (registered fixtures, nlist <= threshold):
     *    graft_nearest_cells over the whole matrix — O(|Q|·nlist)
     *    scan-side cpu, still zero exchanges and zero row blowup.
@@ -965,13 +974,24 @@ object Similarity {
           val subLit = typedLit(q.subCents.map(_.toSeq).toSeq)
           val offLit = typedLit(q.offsets.toSeq)
           val cntLit = typedLit(q.counts.toSeq)
+          val sliceRank = call_function("graft_nearest_cells",
+            col("q_emb"), subLit,
+            element_at(offLit, col("top_cell") + 1),
+            element_at(cntLit, col("top_cell") + 1), lit(nprobe))
+          // budget contract: a slice smaller than nprobe would silently
+          // cap the probed set below what the knob promises (recall
+          // drops with no signal) — those rows spill to full-matrix
+          // ranking; when no slice is undersized the CASE is omitted
+          // entirely so the common plan stays the pure two-probe shape
+          val ranked =
+            if (q.counts.min >= nprobe) sliceRank
+            else when(element_at(cntLit, col("top_cell") + 1) >= nprobe,
+              sliceRank).otherwise(call_function("graft_nearest_cells",
+                col("q_emb"), subLit, lit(0), lit(nlist), lit(nprobe)))
           qSide
             .withColumn("top_cell", call_function("graft_nearest_cell",
               col("q_emb"), topLit, lit(0), lit(q.topCents.length)))
-            .withColumn("list_id", explode(call_function("graft_nearest_cells",
-              col("q_emb"), subLit,
-              element_at(offLit, col("top_cell") + 1),
-              element_at(cntLit, col("top_cell") + 1), lit(nprobe))))
+            .withColumn("list_id", explode(ranked))
             .drop("top_cell")
         } else {
           val centsLit = typedLit(cents.map(_.toSeq).toSeq)
@@ -982,26 +1002,66 @@ object Similarity {
     (ranked.filter(col("list_id") >= 0), cents)
   }
 
-  /** Nearest existing cell per NEW vector — the relational argmin the
-    * two ingest paths share: |e−c|² = e·e − 2·e·c + c·c over a
-    * broadcast of the validated nlist-row centroid table, lowest-d2
-    * (then lowest list_id) wins. One definition so the raw and PQ
-    * ingests can never drift in assignment semantics.
+  /** Nearest existing cell per NEW vector — the scan-side argmin the
+    * two ingest paths share, one definition so the raw and PQ ingests
+    * can never drift in assignment semantics.
+    *
+    * Both regimes assign through the codegen'd graft_nearest_cell
+    * kernel (||e−c||² argmin with the lowest-list_id tie-break —
+    * identical semantics to the retired relational spelling, whose
+    * crossJoin(broadcast(cents)) + per-vec_id row_number window paid a
+    * |batch|×nlist intermediate and a by-vector shuffle; batch-sized
+    * by contract for serving streams, but an AvailableNow cold-start
+    * backlog arrives as ONE unbounded batch, and at production
+    * nlist = 10⁵ that blowup is the SemDeDup/probe-ranking wall a
+    * third time — this was its last appearance in the library):
+    *  - a persisted two-level quantizer (`dir/quantizer`, builds above
+    *    [[twoLevelThreshold]]) assigns two-probe like the BUILD did
+    *    ([[assignTwoLevel]], O(|batch|·√nlist)) — a new vector files
+    *    exactly where an equal vector was filed at build time, which
+    *    is also where [[rankProbes]] sends an equal query;
+    *  - a flat table (≤ threshold, the registered nlist=16 fixtures)
+    *    assigns exact over the whole matrix, O(|batch|·nlist)
+    *    scan-side with ZERO exchanges and zero row blowup.
+    *
+    * NULL embeddings are refused loudly (one bounded count over the
+    * batch): the kernel's NULL list_id would otherwise file them into
+    * a default partition no probe ever reads — silently lost vectors
+    * (the old relational spelling was worse still: NULL d2 sorted
+    * first and filed them into cell 0 as unfindable garbage).
     */
   private def nearestCellAssignment(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       embeddings: DataFrame): DataFrame = {
-    val cents = loadCentroids(spark, dir)
-      .withColumn("c2", dot("centroid", "centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("list_id"))
-    embeddings
-      .withColumn("e2", dot("embedding", "embedding"))
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", col("e2") - lit(2.0) * dot("embedding", "centroid") + col("c2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
+    val cents = centroidMatrix(spark, dir)
+    val nlist = cents.length
+    val nulls = embeddings
+      .agg(count(lit(1)).as("n"), count(col("embedding")).as("nn")).head()
+    require(nulls.getLong(0) == nulls.getLong(1),
+      s"ingest batch carries ${nulls.getLong(0) - nulls.getLong(1)} NULL " +
+        "embeddings — a NULL vector cannot be assigned a cell and would be " +
+        "unreachable by every probe; drop or fix the rows before ingest")
+    val qPath = new org.apache.hadoop.fs.Path(s"$dir/quantizer/sub")
+    val hasQuant = qPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(qPath)
+    val assigned =
+      if (hasQuant) {
+        val q = readQuantizer(spark, s"$dir/quantizer")
+        // same one-cell-system guard as rankProbesMat: a stale hierarchy
+        // next to rebuilt centroids would file new vectors under cells
+        // the store's partitions were never assigned from
+        require(q.subCents.length == nlist &&
+            q.subCents.zip(cents).forall { case (a, b) => a.sameElements(b) },
+          s"quantizer at $dir/quantizer disagrees with $dir/centroids — " +
+            "stale hierarchy from an earlier build; rebuild the index")
+        assignTwoLevel(embeddings, q)
+      } else {
+        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+        embeddings.withColumn("list_id", call_function("graft_nearest_cell",
+          col("embedding"), centsLit, lit(0), lit(nlist)))
+      }
+    assigned.select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
 
   /** The replay-idempotent ingest write (r15, the incrementalDedupBatch
@@ -1032,6 +1092,13 @@ object Similarity {
     * documented IVF contract), then exact cosine top-k over ONLY those
     * cells' partitions. The `list_id IN (...)` filter is a partition
     * filter on the read — unprobed cells are never opened.
+    *
+    * Probe-set note: this single-query path ranks ALL nlist cells
+    * exactly. On a fitted (two-level) index the batched path
+    * ([[rankProbes]]) ranks within the winning top cell's slice
+    * instead, so the two can probe DIFFERENT cell sets at the same
+    * (dir, nprobe) — the hierarchy's deliberate approximation, not a
+    * bug; both honor the full nprobe budget.
     */
   def queryIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1857,6 +1924,11 @@ object Similarity {
       .toDF("list_id", "centroid")
     centsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     stampCellsDigest(spark, dir)
+    // same stale-sidecar discipline as the other two build sites: a
+    // quantizer left by a prior two-level build at this dir describes a
+    // DIFFERENT cell system, and every pruned-probe query would fail
+    // the 'quantizer disagrees' require until the dir was hand-deleted
+    persistOrClearQuantizer(spark, dir, None)
     val marker = residualMarker(spark, dir)
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .create(marker, true).close()
@@ -2570,11 +2642,17 @@ object Similarity {
     *     serves the new epoch;
     *  4. INGEST FENCING: the staged build snapshots the source store
     *     at read time, so ingest batches landing during the (long)
-    *     build window would be silently dropped by the swap. The swap
-    *     therefore compares the source store's partition listing
-    *     before/after the build and ABORTS loudly (staging discarded,
-    *     live index untouched) if ingest advanced — quiesce ingest
-    *     streams around a rebuild, as with any re-epoch.
+    *     build window would be silently dropped by the swap. The
+    *     refusal marker therefore goes up BEFORE the final fence
+    *     compare — ingests starting from then on refuse loudly at
+    *     loadCentroids — and the compare of the source store's
+    *     partition listing against the build-time snapshot ABORTS
+    *     loudly (staging discarded, marker lifted, live index
+    *     untouched) if ingest advanced during the build. Residual
+    *     exposure: a batch already past its loadCentroids check when
+    *     the marker went up can still commit after the compare —
+    *     quiesce ingest streams around a rebuild (defense-in-depth,
+    *     no longer the only guard).
     *
     * Raw IVF indexes refit from `dir/assigned`; PQ indexes from the
     * `assigned_raw` sidecar (codes cannot be refit — a codes-only
@@ -2653,11 +2731,23 @@ object Similarity {
         fs.create(new org.apache.hadoop.fs.Path(s"$staging/_DELETE_$s"), true)
           .close()
     }
-    // ingest fence: abort (live index untouched — no marker is up yet)
-    // rather than silently dropping batches ingested during the build
+    // FENCE ORDER MATTERS: the refusal marker goes up BEFORE the final
+    // listing compare, so an ingest that starts after this point
+    // refuses loudly at loadCentroids instead of committing into the
+    // window between the compare and the swap's deletes (check-then-
+    // commit would silently delete such a batch). A batch already past
+    // its loadCentroids check can still land in the window — the fence
+    // compare below catches it if it commits before the compare; the
+    // documented quiesce advice covers the one-in-flight residue as
+    // defense-in-depth rather than as the only guard.
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$rebuildingMarkerName")
+    fs.create(marker, true).close()
     if (srcListing() != srcBefore) {
+      // abort: live index untouched; lift the marker so readers resume
       require(fs.delete(stagingPath, true),
         s"could not discard staging $staging after an aborted rebuild")
+      require(fs.delete(marker, false),
+        s"could not lift the rebuild marker $marker after an aborted rebuild")
       throw new IllegalStateException(
         s"ingest advanced under $srcStore while the rebuild was staging — " +
           "the swap would silently drop the new batches; quiesce ingest " +

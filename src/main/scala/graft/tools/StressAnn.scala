@@ -214,6 +214,32 @@ object StressAnn {
       spark.read.parquet(outD).count()
     })
 
+    // r20: the INGEST ASSIGNMENT stage at a backlog-sized batch — the
+    // path an AvailableNow cold-start hits as ONE unbounded batch
+    // (startPqIngestStream via assignToPqIndex). The retired spelling
+    // paid a |batch|×nlist crossJoin + per-vec_id row_number window
+    // here (the probe-ranking wall's third appearance); assignment now
+    // rides the same scan-side graft_nearest_cell kernel as probe
+    // ranking — zero shuffle from the assignment itself (the residual
+    // shuffle column is the partitioned store WRITE), cpu O(n·√nlist)
+    // two-probe on the fitted index, O(n·nlist) on the flat one. These
+    // run LAST: they append corpus-sized ingest partitions the earlier
+    // probe stages must not see.
+    stage(s"ingest_assign_fitted_corpus_nlist$fittedNlist")({
+      Similarity.assignToIndex(spark, s"$tmp/ivf_fitted",
+        corpus.select((col("vec_id") + lit(nVec)).as("vec_id"),
+          col("label"), col("embedding")), ingestBatch = 1L)
+      spark.read.parquet(s"$tmp/ivf_fitted/assigned")
+        .filter(col("ingest_batch") === 1L).count()
+    })
+    stage("ingest_assign_flat16_corpus")({
+      Similarity.assignToIndex(spark, s"$tmp/ivf",
+        corpus.select((col("vec_id") + lit(nVec)).as("vec_id"),
+          col("label"), col("embedding")), ingestBatch = 1L)
+      spark.read.parquet(s"$tmp/ivf/assigned")
+        .filter(col("ingest_batch") === 1L).count()
+    })
+
     println()
     println("BEGIN-ANN-SECTION")
     println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +

@@ -1387,4 +1387,83 @@ class SimilaritySpec extends SparkSpec {
       assert(bytes == n * 64L * 4L, s"cell $cell: $bytes bytes for $n raw rows")
     }
   }
+
+  test("two-level ingest files a new vector exactly where the build filed its equal") {
+    // ingest assignment must use the SAME regime the build used: under
+    // a fitted quantizer, re-ingesting the build's own vectors (fresh
+    // ids) must reproduce every build-time cell — a flat-exact ingest
+    // here could file a vector where no equal query ever probes
+    val dir = tmpDir("ingest-two-level")
+    val seed = emb.filter(col("vec_id") < 400)
+    Similarity.buildIvfIndex(seed, dir, nlist = 40)
+    assert(new java.io.File(s"$dir/quantizer").exists(),
+      "fixture must exercise the fitted regime")
+    Similarity.assignToIndex(spark, dir,
+      seed.withColumn("vec_id", col("vec_id") + 10000L), ingestBatch = 1L)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val build = assigned.filter(col("ingest_batch") === 0L)
+      .select(col("vec_id"), col("list_id").as("cell_build"))
+    val ingest = assigned.filter(col("ingest_batch") === 1L)
+      .select((col("vec_id") - 10000L).as("vec_id"),
+        col("list_id").as("cell_ingest"))
+    assert(ingest.count() == 400L)
+    val drift = build.join(ingest, "vec_id")
+      .filter(col("cell_build") =!= col("cell_ingest")).count()
+    assert(drift == 0L, s"$drift vectors ingested into a different cell " +
+      "than their build-time copies")
+  }
+
+  test("ingest refuses NULL embeddings loudly instead of losing them") {
+    val dir = tmpDir("ingest-null")
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 100), dir, nlist = 8)
+    val bad = Seq(
+      (9001L, "x", Some(Seq.fill(64)(1.0f))),
+      (9002L, "y", Option.empty[Seq[Float]])
+    ).toDF("vec_id", "label", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.assignToIndex(spark, dir, bad, ingestBatch = 1L))
+    assert(ex.getMessage.contains("NULL"), ex.getMessage)
+    // the PQ ingest shares the assignment, so it refuses identically
+    val pqDir = tmpDir("ingest-null-pq")
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") < 100), pqDir, nlist = 8)
+    val ex2 = intercept[IllegalArgumentException](
+      Similarity.assignToPqIndex(spark, pqDir, bad, ingestBatch = 1L))
+    assert(ex2.getMessage.contains("NULL"), ex2.getMessage)
+  }
+
+  test("batched probe ranking honors the nprobe budget when a slice is undersized") {
+    // a fitted index whose top slices hold fewer than nprobe sub-cells
+    // must SPILL to full-matrix ranking, not silently cap the budget —
+    // the probed set then equals the exact flat top-nprobe
+    val dir = tmpDir("probe-spill")
+    Similarity.buildIvfIndex(emb, dir, nlist = 40)
+    val q = Similarity.readQuantizer(spark, s"$dir/quantizer")
+    val nprobe = q.counts.max + 2 // every slice undersized -> all rows spill
+    assert(nprobe < 40, s"fixture degenerate: counts=${q.counts.mkString(",")}")
+    val qSide = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probed = Similarity.rankProbes(spark, dir, qSide, nprobe)
+      .select("query_id", "list_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    assert(probed.values.forall(_.size == nprobe),
+      s"budget not honored: ${probed.map { case (k, v) => s"$k->${v.size}" }}")
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(e: Array[Double], c: Array[Double]) =
+      e.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    qSide.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val e = r.getSeq[Float](1).map(_.toDouble).toArray
+      val exact = cents.toSeq.map { case (id, c) => (sq(e, c), id) }
+        .sortBy(identity).take(nprobe).map(_._2).toSet
+      assert(probed(qid) == exact,
+        s"query $qid spilled probes ${probed(qid)} != exact flat $exact")
+    }
+    // and a budget the slices can cover stays confined to the winning
+    // slice (the hierarchy's deliberate approximation, unchanged)
+    val small = Similarity.rankProbes(spark, dir, qSide, 1)
+      .select("query_id", "list_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    assert(small.values.forall(_.size == 1))
+  }
 }
