@@ -1802,6 +1802,135 @@ object Similarity {
         .orderBy("vec_id")
     })
 
+  /** INCREMENTAL family assignment — the streaming lift of
+    * [[knnGraphFamilies]] under the gates' FIRST-ARRIVAL-WINS
+    * contract: a batch of NEW vectors is labeled against the admitted
+    * members already filed in the index at `dir`, without ever
+    * retracting an admitted label. Per batch vector v, mutual-kNN
+    * edges are evaluated in the scope S = admitted ∪ batch:
+    *
+    *  1. v's directed top-k over S = rank(index candidates via the
+    *     [[rankProbes]]/cell-pruned-store recipe ∪ within-batch exact
+    *     pairs), cosine ≥ minCos AFTER the rank — the batch operator's
+    *     exact spelling;
+    *  2. the REVERSE direction for an admitted neighbor m recomputes
+    *     m's top-k over S (m's index candidates ∪ m×batch pairs — m's
+    *     embedding rides along from step 1's candidate rows, so no
+    *     store re-fetch); for a batch neighbor w, step 1 already IS
+    *     w's top-k over S;
+    *  3. mutual admitted edges collapse to (v, family(m)) anchors,
+    *     mutual batch edges keep (v, w); components run through the
+    *     ONE shared label-propagation loop
+    *     ([[graft.ops.Dedup.nearDupClusters]]) — so a batch vector
+    *     joins the smallest anchored family in its component, else
+    *     the component-min batch id, else its own id (singleton).
+    *
+    * Divergence from the batch operator, stated honestly: admitted
+    * labels never change, so (a) a new vector mutually tied to TWO
+    * existing families joins the smaller id and the larger family is
+    * NOT merged, and (b) an early vector's top-k was ranked over the
+    * smaller corpus of its arrival time. When families are
+    * minCos-separated near-cliques no wider than k+1 — the regime the
+    * operator exists for — both effects vanish and the incremental
+    * labels EQUAL [[knnGraphFamilies]] on the union under ascending
+    * vec_id arrival (spec-pinned). Scale shape: every stage is sized
+    * by |batch| (candidates n·nprobe, within-batch pairs |batch|²
+    * behind the [[batchBroadcastable]] require — a backlog-sized
+    * corpus should seed via [[knnGraphFamilies]] instead, the
+    * documented seed path), and the store scans prune to probed cells
+    * at the file level in both join regimes.
+    *
+    * `maxIngest` bounds the index partitions read (`ingest_batch <
+    * maxIngest`) so a replayed streaming batch never sees its own
+    * crashed attempt's rows; batch callers leave the default.
+    */
+  def assignFamiliesBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      families: DataFrame,
+      batch: DataFrame,
+      k: Int = 3,
+      nprobe: Int = 4,
+      minCos: Double = 0.3,
+      hintBroadcast: Boolean = true,
+      maxIter: Int = 200,
+      maxIngest: Long = Long.MaxValue): DataFrame = {
+    require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    val nDim = batch.agg(count(lit(1)).as("n"),
+      min(size(col("embedding"))).as("dim")).head()
+    require(nDim.isNullAt(1) || batchBroadcastable(nDim.getLong(0), nDim.getInt(1)),
+      s"batch of ${nDim.getLong(0)} vectors exceeds the within-batch " +
+        "mutual-kNN budget (the batch×batch pair stage is quadratic by " +
+        "definition); seed a corpus this size with knnGraphFamilies + " +
+        "seedFamilyStore instead of streaming it as one batch")
+    val qSide = batch.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val bEmb = broadcast(batch.select(col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb")))
+    def storeRead(): DataFrame = spark.read.parquet(s"$dir/assigned")
+      .filter(col("ingest_batch") < maxIngest)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+    def rankTopK(pairs: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_sim").desc, col("nb_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k && col("cos_sim") >= minCos)
+        .drop("rn")
+    }
+    // 1. v's top-k over S: index candidates (member embedding KEPT for
+    //    the reverse pass) ∪ within-batch exact pairs
+    val probed = rankProbes(spark, dir, qSide, nprobe)
+    val pairsA = pruneToCells(storeRead(), probed, hintBroadcast)
+      .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
+      .select(col("query_id"), col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"),
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"),
+        lit(false).as("nb_new"))
+    val pairsB = qSide.crossJoin(bEmb)
+      .filter(col("nb_id") =!= col("query_id"))
+      .select(col("query_id"), col("nb_id"), col("nb_emb"),
+        round(cosine("nb_emb", "q_emb"), 6).as("cos_sim"),
+        lit(true).as("nb_new"))
+    val topB = rankTopK(pairsA.unionByName(pairsB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      // 2. reverse direction for the admitted neighbors that appeared:
+      //    Ms is |batch|·k-bounded, its embeddings already in hand
+      val ms = topB.filter(!col("nb_new"))
+        .select(col("nb_id").as("query_id"), col("nb_emb").as("q_emb"))
+        .distinct()
+      val probedM = rankProbes(spark, dir, ms, nprobe)
+      val pairsMA = pruneToCells(storeRead(), probedM, hintBroadcast)
+        .join(maybeBroadcast(probedM, hintBroadcast), Seq("list_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nb_id"),
+          round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      val pairsMB = ms.crossJoin(bEmb)
+        .select(col("query_id"), col("nb_id"),
+          round(cosine("nb_emb", "q_emb"), 6).as("cos_sim"))
+      val topM = rankTopK(pairsMA.unionByName(pairsMB))
+      // 3. mutual edges; admitted neighbors collapse to family anchors
+      val vToM = topB.filter(!col("nb_new"))
+        .select(col("query_id").as("v"), col("nb_id").as("m"))
+      val mToV = topM.select(col("nb_id").as("v"), col("query_id").as("m"))
+      val e1 = vToM.join(mToV, Seq("v", "m"))
+        .join(families.select(col("vec_id").as("m"), col("family")), Seq("m"))
+        .select(col("v").as("doc_a"), col("family").as("doc_b"))
+      val bDir = topB.filter(col("nb_new"))
+        .select(least(col("query_id"), col("nb_id")).as("doc_a"),
+          greatest(col("query_id"), col("nb_id")).as("doc_b"))
+      val e2 = bDir.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 2).select("doc_a", "doc_b")
+      val labels = graft.ops.Dedup
+        .nearDupClusters(e1.unionByName(e2), maxIter = maxIter)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+      batch.select(col("vec_id"), col("label"))
+        .join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("cluster"), col("vec_id")).as("family"))
+    } finally topB.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------- ivf-pq
 
   /** Build a persisted IVF-PQ index: the [[buildIvfIndex]] layout with

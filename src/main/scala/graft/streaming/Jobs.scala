@@ -2338,6 +2338,140 @@ object Jobs {
       .start()
   }
 
+  /** Bootstrap the family-assignment stream: build the IVF index over
+    * the seed corpus and file every seed vector's family from the
+    * BATCH operator ([[graft.ops.Similarity.knnGraphFamilies]]) at
+    * `ingest_batch = -1` — history arrives labeled exactly as the
+    * batch semantics define, and the stream's first batch assigns
+    * against it. Same seed discipline as every other gate: refused
+    * once a batch has run, seed partition cleared before the write.
+    */
+  def seedFamilyStore(
+      corpus: DataFrame,
+      indexDir: String,
+      familiesDir: String,
+      nlist: Int = 16,
+      k: Int = 3,
+      nprobe: Int = 4,
+      minCos: Double = 0.3): Unit = {
+    val spark = corpus.sparkSession
+    requireSeedable(spark, familiesDir)
+    clearSeedPartition(spark, familiesDir)
+    graft.ops.Similarity.buildIvfIndex(corpus, indexDir, nlist = nlist)
+    graft.ops.Similarity.knnGraphFamilies(spark, indexDir, corpus,
+        k = k, nprobe = nprobe, minCos = minCos)
+      .select(col("vec_id"), col("label"), col("family"))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(familiesDir)
+  }
+
+  /** Per-batch body of [[startFamilyAssign]] — the incremental family
+    * lift ([[graft.ops.Similarity.assignFamiliesBatch]]) wired into the
+    * gates' replay discipline: batch labels land under their OWN
+    * `ingest_batch` partition of the family store (dynamic overwrite —
+    * at-least-once replay replaces, never double-appends), the family
+    * history a batch reads excludes its own id (`ingest_batch <
+    * batchId`, so a crashed attempt's rows are invisible to its
+    * replay), and the batch's vectors then file into the index via
+    * [[graft.ops.Similarity.assignToIndex]] at `batchId + 1` (the
+    * pq-ingest partition contract) so the NEXT batch sees them as
+    * admitted members. The index reads inside the assignment are
+    * bounded the same way (`ingest_batch < batchId + 1`). A crash
+    * between the two writes replays cleanly: the monotone guard admits
+    * a same-id retry and both writes are own-partition overwrites.
+    */
+  private[graft] def familyAssignBatch(
+      indexDir: String, familiesDir: String, k: Int, nprobe: Int,
+      minCos: Double, idxDim: Int)(batch: DataFrame, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    requireMonotoneIngest(spark, familiesDir, batchId)
+    requireMonotoneIngest(spark, s"$indexDir/assigned", batchId + 1)
+    // knnServeBatch's validation discipline: an unscoreable vector
+    // would be filed as a silent singleton (NULL cosines rank nowhere)
+    // and poison the store permanently — refuse the batch loudly
+    val chk = batch.agg(count(lit(1)).as("n"),
+      count(col("embedding")).as("nn"),
+      min(graft.ops.Similarity.dot("embedding", "embedding")).as("mn"),
+      min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi"),
+      max(coalesce(exists(col("embedding"), _.isNull), lit(false))
+        .cast("int")).as("nullElem")).head()
+    require(chk.getLong(1) == chk.getLong(0) &&
+        !chk.isNullAt(2) && chk.getDouble(2) > 0,
+      "batch carries NULL or zero-norm embeddings — their cosines are " +
+        "unscoreable and the assigned family would be an arbitrary " +
+        "permanent singleton; filter or fix them upstream")
+    require(chk.getInt(5) == 0,
+      "batch carries NULL elements inside embeddings — graft_dot skips " +
+        "null slots, silently deflating every edge cosine; fix upstream")
+    require(chk.getInt(3) == chk.getInt(4) && chk.getInt(3) == idxDim,
+      s"batch embeddings are ${chk.getInt(3)}..${chk.getInt(4)}-dim but " +
+        s"the index at $indexDir holds $idxDim-dim vectors — cross-dim " +
+        "cosines silently deflate; the stream and its index must share " +
+        "one embedding space")
+    val families = spark.read.parquet(familiesDir)
+      .filter(col("ingest_batch") < batchId)
+      .select("vec_id", "family")
+    val out = graft.ops.Similarity.assignFamiliesBatch(spark, indexDir,
+      families, batch, k = k, nprobe = nprobe, minCos = minCos,
+      hintBroadcast = graft.ops.Similarity
+        .batchBroadcastable(chk.getLong(0), idxDim),
+      maxIngest = batchId + 1)
+    out.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(familiesDir)
+    graft.ops.Similarity.assignToIndex(spark, indexDir, batch,
+      ingestBatch = batchId + 1)
+  }
+
+  /** Streaming FAMILY ASSIGNMENT — completes the index lifecycle:
+    * [[startPqIngestStream]] files new vectors, [[startKnnServe]]
+    * answers queries, and this stream gives every newly ingested
+    * vector its SEMANTIC FAMILY (the [[graft.ops.Similarity
+    * .knnGraphFamilies]] label the leakage-free family split consumes)
+    * without re-running the batch graph build. Per micro-batch:
+    * mutual-kNN edges against the admitted members in the index at
+    * `indexDir` (and within the batch), components through the shared
+    * label-propagation loop, labels landing in `familiesDir` under
+    * first-arrival-wins (an admitted label never changes; a vector
+    * mutually tied to two families joins the smaller id — the stream
+    * never merges existing families). Seed with [[seedFamilyStore]];
+    * the stream refuses an unseeded store at START, not batch 0.
+    * Batch cost is the knnJoinIvf contract (probed-cell file pruning,
+    * |batch|-sized joins) plus the within-batch pair stage — backlog
+    * corpora seed via the batch operator, they don't stream.
+    */
+  def startFamilyAssign(
+      vectors: DataFrame,
+      indexDir: String,
+      familiesDir: String,
+      checkpointDir: String,
+      k: Int = 3,
+      nprobe: Int = 4,
+      minCos: Double = 0.3,
+      queryTrigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Option[Int] = None): StreamingQuery = {
+    require(k >= 1 && nprobe >= 1,
+      s"k and nprobe must be >= 1 (got k=$k nprobe=$nprobe)")
+    val spark = vectors.sparkSession
+    val idxDim = graft.ops.Similarity.indexDim(spark, indexDir)
+    require(storeNonEmpty(spark, familiesDir),
+      s"family store at $familiesDir is empty — seed it with " +
+        "seedFamilyStore (the stream assigns against admitted members " +
+        "and cannot bootstrap itself)")
+    vectors.writeStream
+      .queryName("family_assign")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(queryTrigger)
+      .foreachBatch(maybeAutoCompact(Seq(familiesDir), compactEvery)(
+        familyAssignBatch(indexDir, familiesDir, k, nprobe, minCos, idxDim)))
+      .start()
+  }
+
   /** [[auditLedgerBatch]] behind a streaming query; `docs` must carry
     * `doc_id` and `text` (plus `embedding` when `embStoreDir` is set).
     * Every configured static store — benchmark shingles
