@@ -175,10 +175,16 @@ object Bench {
     // keeps the complete suite — no rows are dropped unilaterally.
     val tier = sys.env.getOrElse("SPARK_GRAFT_BENCH_TIER", "full")
     val tierTwinSuffixes = Seq("_sha", "_fullprobe", "_take")
+    // fullprobe-CLASS rows that don't carry the suffix: the recall
+    // audit's rank-join panel and the families composite, which runs
+    // the graph at nprobe = nlist BY DESIGN so DuckDB's recursive
+    // closure can replay it — the pruned production graph build is the
+    // sim_knn_graph_topk row the production tier keeps
+    val tierTwinNames = Set("sim_ann_recall_audit", "sim_knn_graph_families")
     val selected = tier match {
       case "full" => selectedAll
       case "production" => selectedAll.filterNot { case (n, _) =>
-        tierTwinSuffixes.exists(n.endsWith) || n == "sim_ann_recall_audit" }
+        tierTwinSuffixes.exists(n.endsWith) || tierTwinNames(n) }
       case other => throw new IllegalArgumentException(
         s"SPARK_GRAFT_BENCH_TIER must be 'full' or 'production', got '$other'")
     }

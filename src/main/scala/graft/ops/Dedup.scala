@@ -1245,7 +1245,16 @@ object Dedup {
     * (a NESTED plan referenced twice per round would double per round
     * and explode Catalyst's re-analysis — measured before the leaf).
     */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    nearDupClustersCounted(pairs, maxIter)._1
+
+  /** [[nearDupClusters]] plus the ROUND COUNT the loop actually ran —
+    * the observable the pointer-halving complexity claim is pinned on
+    * (DedupSpec asserts O(log diameter) rounds on a worst-case path
+    * graph, not just correct labels).
+    */
+  private[graft] def nearDupClustersCounted(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -1347,7 +1356,7 @@ object Dedup {
     // (or a long-lived caller) frees it.
     val out = labels.localCheckpoint(eager = true)
     labels.unpersist(blocking = false)
-    out
+    (out, i)
   }
 
   /** Canonical survivors after near-dup clustering: every doc outside the

@@ -1731,14 +1731,8 @@ object Similarity {
       k = k, nprobe = nprobe, excludeSelf = true,
       hintBroadcast = hintBroadcast)
       .filter(col("cos_sim") >= minCos)
-    val mutual = knn
-      .select(least(col("query_id"), col("vec_id")).as("doc_a"),
-        greatest(col("query_id"), col("vec_id")).as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cnt"))
-      // a directed edge appears at most once per side (top-k ids are
-      // distinct), so cnt = 2 ⇔ both directions exist ⇔ mutual
-      .filter(col("cnt") === 2)
-      .select("doc_a", "doc_b")
+    val mutual = mutualKnnEdges(
+      knn.select(col("query_id").as("src_id"), col("vec_id").as("dst_id")))
     val labels = graft.ops.Dedup.nearDupClusters(mutual, maxIter = maxIter)
       .select(col("doc_id").as("vec_id"), col("cluster"))
     val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("n"))
@@ -1801,6 +1795,23 @@ object Similarity {
         k = 3, nprobe = 16, minCos = 0.3)
         .orderBy("vec_id")
     })
+
+  /** Undirected MUTUAL edges from a directed top-k edge frame
+    * (`src_id`, `dst_id`) — the ONE aggregation both family systems
+    * share: sort each directed edge into canonical (doc_a ≤ doc_b)
+    * order and keep pairs seen from BOTH sides. A directed edge
+    * appears at most once per side (top-k ids are distinct), so
+    * cnt = 2 ⇔ both directions exist ⇔ mutual. Scale shape: no
+    * self-join — the graph is aggregated once, ONE exchange on the
+    * sorted pair key (PlanContractSpec pins it).
+    */
+  private[graft] def mutualKnnEdges(directed: DataFrame): DataFrame =
+    directed
+      .select(least(col("src_id"), col("dst_id")).as("doc_a"),
+        greatest(col("src_id"), col("dst_id")).as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === 2)
+      .select("doc_a", "doc_b")
 
   /** INCREMENTAL family assignment — the streaming lift of
     * [[knnGraphFamilies]] under the gates' FIRST-ARRIVAL-WINS
@@ -1916,11 +1927,8 @@ object Similarity {
       val e1 = vToM.join(mToV, Seq("v", "m"))
         .join(families.select(col("vec_id").as("m"), col("family")), Seq("m"))
         .select(col("v").as("doc_a"), col("family").as("doc_b"))
-      val bDir = topB.filter(col("nb_new"))
-        .select(least(col("query_id"), col("nb_id")).as("doc_a"),
-          greatest(col("query_id"), col("nb_id")).as("doc_b"))
-      val e2 = bDir.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") === 2).select("doc_a", "doc_b")
+      val e2 = mutualKnnEdges(topB.filter(col("nb_new"))
+        .select(col("query_id").as("src_id"), col("nb_id").as("dst_id")))
       val labels = graft.ops.Dedup
         .nearDupClusters(e1.unionByName(e2), maxIter = maxIter)
         .select(col("doc_id").as("vec_id"), col("cluster"))

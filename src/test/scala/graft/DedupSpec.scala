@@ -334,6 +334,28 @@ class DedupSpec extends SparkSpec {
     assert(clusters.size == 20 && clusters.values.forall(_ == 0L))
   }
 
+  test("pointer halving: path-graph ROUND COUNT is O(log diameter), not O(diameter)") {
+    // A 256-node path has diameter 255: plain min-propagation moves the
+    // component min ONE hop per round (~254 rounds — it could not even
+    // converge inside maxIter=40 here). Pointer halving from round 3
+    // roughly doubles the label's reach per round: 2 plain rounds +
+    // ~log2(255) halved rounds + the convergence-confirming round.
+    // Assert the measured ROUND COUNT, not just the labels — a
+    // regression to one-hop propagation would still label correctly
+    // on small graphs and only explode in production round counts.
+    val n = 256
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val (labels, rounds) = Dedup.nearDupClustersCounted(pairs, maxIter = 40)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"labels wrong: ${got.toSeq.sortBy(_._1).take(10)}...")
+    assert(rounds <= 20,
+      s"a ${n - 1}-diameter path should converge in O(log n) ~ 12 rounds " +
+        s"under pointer halving; measured $rounds (one-hop propagation " +
+        "regression?)")
+  }
+
   test("shingling handles docs shorter than the shingle size") {
     val tiny = Seq((0L, "one two", "en", "s", 7L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(Dedup.minhashSignatures(tiny).isEmpty) // filtered, not crashed

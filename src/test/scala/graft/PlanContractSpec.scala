@@ -510,4 +510,33 @@ class PlanContractSpec extends SparkSpec {
       "Exchange".r.findAllIn(sh).size == 1,
       s"shuffle shards should shuffle once, on shard:\n$sh")
   }
+
+  test("families' mutual-edge aggregation pays ONE exchange over the directed graph") {
+    // sim_knn_graph_families' plan story has two halves: the mutual
+    // aggregation (pinned here — the graph is aggregated ONCE, never
+    // self-joined, so mutuality adds exactly one pair-keyed exchange
+    // to the directed knn plan) and the propagation loop (pinned by
+    // DedupSpec's round-count property — the loop runs actions
+    // internally, so the registered query's final plan cannot carry
+    // it; its labels frame is a checkpointed leaf by design).
+    val dir = graft.ops.Similarity.ensureIvfIndex(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val directed = graft.ops.Similarity.knnJoinIvf(spark, dir,
+      emb.select(col("vec_id").as("query_id"), col("embedding")),
+      k = 3, nprobe = 4, hintBroadcast = false)
+      .filter(col("cos_sim") >= 0.3)
+      .select(col("query_id").as("src_id"), col("vec_id").as("dst_id"))
+    val edges = graft.ops.Similarity.mutualKnnEdges(directed)
+    val pDir = directed.queryExecution.executedPlan.toString
+    val pEdges = edges.queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(pEdges) == exchanges(pDir) + 1,
+      s"mutual aggregation should add exactly ONE exchange " +
+        s"(${exchanges(pDir)} -> ${exchanges(pEdges)}); a self-joined " +
+        s"spelling doubles the graph's own exchanges:\n$pEdges")
+    assert("hashpartitioning\\(doc_a".r.findAllIn(pEdges).size == 1,
+      s"want one pair-keyed exchange for the mutual agg:\n$pEdges")
+    assert(!pEdges.contains("CartesianProduct"),
+      s"mutual aggregation plans a cartesian:\n$pEdges")
+  }
 }
