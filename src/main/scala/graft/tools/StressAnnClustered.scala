@@ -93,6 +93,7 @@ object StressAnnClustered {
     println()
     println("| sigma | nprobe | raw adc r@10 | res adc r@10 | raw adc r@20 | res adc r@20 |")
     println("|---|---|---|---|---|---|")
+    val refineLines = scala.collection.mutable.ArrayBuffer.empty[String]
 
     for (sigma <- Seq(0.15, 0.35, 0.7, 1.0)) {
       val sigmaKey = (sigma * 100).toInt
@@ -161,7 +162,9 @@ object StressAnnClustered {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       exact.count(): Unit
 
-      def recallAt(nprobe: Int, residual: Boolean, at: Int): Double = {
+      // ADC shortlist to `depth` per query — the shared first stage of
+      // both the ADC-only recall and the two-stage refine
+      def adcShortlist(nprobe: Int, residual: Boolean, depth: Int): DataFrame = {
         val centsLit = typedLit(cents.map(_.toSeq).toSeq)
         val probed = queries
           .withColumn("list_id", explode(call_function("graft_nearest_cells",
@@ -180,12 +183,26 @@ object StressAnnClustered {
               (sqrt(Similarity.dot("q_emb", "q_emb")) * sqrt(col("pp.nn"))))
               .as("cos_pq"))
         val w = Window.partitionBy("query_id").orderBy(col("cos_pq").desc, col("vec_id"))
-        val got = pairs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= at)
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= depth)
           .select("query_id", "vec_id")
-        val hits = got.join(exact.filter(col("rn") <= at), Seq("query_id", "vec_id"))
-          .count()
-        hits.toDouble / (nQueries.toLong * at)
+      }
+      def recallOf(got: DataFrame, at: Int): Double =
+        got.join(exact.filter(col("rn") <= at), Seq("query_id", "vec_id"))
+          .count().toDouble / (nQueries.toLong * at)
+      def recallAt(nprobe: Int, residual: Boolean, at: Int): Double =
+        recallOf(adcShortlist(nprobe, residual, at), at)
+      // the PRODUCTION recipe: ADC shortlist to `rerank`, exact-cosine
+      // re-rank of only those candidates (queryIvfPq's two-stage shape)
+      def recallRefined(nprobe: Int, residual: Boolean, rerank: Int, at: Int): Double = {
+        val refined = adcShortlist(nprobe, residual, rerank)
+          .join(corpus, Seq("vec_id"))
+          .join(broadcast(queries), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            round(Similarity.cosine("embedding", "q_emb"), 6).as("cos"))
+        val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+        recallOf(refined.withColumn("rn2", row_number().over(w2))
+          .filter(col("rn2") <= at).select("query_id", "vec_id"), at)
       }
 
       for (nprobe <- Seq(4, 8)) {
@@ -195,9 +212,24 @@ object StressAnnClustered {
         val r20res = recallAt(nprobe, residual = true, at = 20)
         println(f"| $sigma%.2f | $nprobe | $r10raw%.3f | $r10res%.3f " +
           f"| $r20raw%.3f | $r20res%.3f |")
+        val rr = 80
+        refineLines += f"| $sigma%.2f | $nprobe | $rr " +
+          f"| ${recallRefined(nprobe, residual = false, rr, at = 10)}%.3f " +
+          f"| ${recallRefined(nprobe, residual = true, rr, at = 10)}%.3f " +
+          f"| ${recallRefined(nprobe, residual = false, rr, at = 20)}%.3f " +
+          f"| ${recallRefined(nprobe, residual = true, rr, at = 20)}%.3f |"
       }
       Seq(corpus, store, queries, exact).foreach(_.unpersist(blocking = true))
     }
+    println()
+    println("Two-stage refine at identical settings (ADC shortlist to rerank, " +
+      "exact re-rank of only those candidates — the queryIvfPq production " +
+      "recipe): the absolute recalls a deployment should size from.")
+    println()
+    println("| sigma | nprobe | rerank | raw+refine r@10 | res+refine r@10 " +
+      "| raw+refine r@20 | res+refine r@20 |")
+    println("|---|---|---|---|---|---|---|")
+    refineLines.foreach(println)
     println("END-IVFADC-CLUSTERED")
     spark.stop()
   }
