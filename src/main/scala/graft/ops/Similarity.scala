@@ -741,6 +741,14 @@ object Similarity {
     persistOrClearQuantizer(embeddings.sparkSession, dir, quant)
     assigned
       .withColumn("ingest_batch", lit(0L))
+      // cluster rows by cell BEFORE the partitioned write: without it
+      // every task opens a writer for every cell it touches — tasks ×
+      // nlist files (measured: the nlist=240 build spent ~100 cpu-s on
+      // ~7,700 tiny files; at production nlist=10⁵ that is millions of
+      // files per write). One shuffle of the written bytes buys file
+      // count ≈ nlist, and every probe after that reads one file per
+      // cell instead of one per (task, cell).
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       // STATIC pinned per-write: a REBUILD must truncate the whole
       // table including stale ingest_batch>0 partitions assigned under
@@ -1073,6 +1081,12 @@ object Similarity {
     */
   private def writeIngestPartition(df: DataFrame, ingestBatch: Long, path: String): Unit =
     df.withColumn("ingest_batch", lit(ingestBatch))
+      // cluster by cell before the write (the buildIvfIndex rationale):
+      // file count per ingest batch ≈ cells touched, not tasks × cells
+      // — a long-running stream would otherwise compound the
+      // small-files explosion every micro-batch, which is exactly the
+      // garbage compaction exists to fold
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
@@ -1992,6 +2006,8 @@ object Similarity {
     else if (markerFs.exists(marker)) markerFs.delete(marker, false): Unit
     def writeStatic(df: DataFrame, store: String): Unit =
       df.withColumn("ingest_batch", lit(0L))
+        // cluster by cell before the write (the buildIvfIndex rationale)
+        .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
         // static pinned: rebuild truncates stale ingest partitions (see
         // buildIvfIndex)
@@ -2071,6 +2087,8 @@ object Similarity {
       .create(marker, true).close()
     def writeStatic(df: DataFrame, store: String): Unit =
       df.withColumn("ingest_batch", lit(0L))
+        // cluster by cell before the write (the buildIvfIndex rationale)
+        .repartition(col("list_id"))
         .write.mode("overwrite").partitionBy("list_id", "ingest_batch")
         .option("partitionOverwriteMode", "static")
         .parquet(s"$dir/$store")

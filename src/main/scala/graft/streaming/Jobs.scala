@@ -924,6 +924,11 @@ object Jobs {
       spark.read.parquet(outDir)
         .filter(col("ingest_batch") === batchId)
         .select("vec_id", "domain", "embedding", "nrm", "ingest_batch")
+        // cluster by domain before the write (the buildIvfIndex
+        // rationale): file count per batch ~ domains touched, not
+        // tasks x domains — a long-running gate would otherwise
+        // compound the small-files explosion every micro-batch
+        .repartition(col("domain"))
         .write.mode("overwrite").partitionBy("domain", "ingest_batch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(storeDir)
@@ -958,6 +963,9 @@ object Jobs {
     assigned
       .select("vec_id", "domain", "embedding", "nrm")
       .withColumn("ingest_batch", lit(-1L))
+      // the seed is CORPUS-sized: without domain clustering it writes
+      // tasks x domains files in one shot (the buildIvfIndex rationale)
+      .repartition(col("domain"))
       .write.mode("overwrite").partitionBy("domain", "ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(storeDir)
@@ -2070,6 +2078,8 @@ object Jobs {
             .select(col("vec_id").as("doc_id"), col("domain"),
               col("embedding"), col("nrm"))
             .withColumn("ingest_batch", lit(batchId))
+            // cluster by domain before the write (see the gate store)
+            .repartition(col("domain"))
             .write.mode("overwrite").partitionBy("domain", "ingest_batch")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(vecsDir)
