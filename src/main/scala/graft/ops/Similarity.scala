@@ -1839,10 +1839,13 @@ object Similarity {
     *     pairs), cosine ≥ minCos AFTER the rank — the batch operator's
     *     exact spelling;
     *  2. the REVERSE direction for an admitted neighbor m recomputes
-    *     m's top-k over S (m's index candidates ∪ m×batch pairs — m's
-    *     embedding rides along from step 1's candidate rows, so no
-    *     store re-fetch); for a batch neighbor w, step 1 already IS
-    *     w's top-k over S;
+    *     m's top-k over S — m's index candidates among the admitted,
+    *     unioned with step 1's pairs FLIPPED (the batch members whose
+    *     candidate sets contain m; zero new cosines, and a batch
+    *     member too far from m to probe its cell is absent from both
+    *     sides of the check — the forward direction's own
+    *     cell-confinement approximation, exact at fullprobe); for a
+    *     batch neighbor w, step 1 already IS w's top-k over S;
     *  3. mutual admitted edges collapse to (v, family(m)) anchors,
     *     mutual batch edges keep (v, w); components run through the
     *     ONE shared label-propagation loop
@@ -1902,37 +1905,51 @@ object Similarity {
         .filter(col("rn") <= k && col("cos_sim") >= minCos)
         .drop("rn")
     }
-    // 1. v's top-k over S: index candidates (member embedding KEPT for
-    //    the reverse pass) ∪ within-batch exact pairs
+    // 1. v's top-k over S: index candidates ∪ within-batch exact pairs.
+    //    Pair rows are SLIM (ids + cosine, never an embedding — a 256 B
+    //    vector on a pair-scale row multiplies every shuffle) and the
+    //    admitted pairs persist ONCE: the reverse pass below reuses
+    //    them flipped instead of recomputing a single cosine.
     val probed = rankProbes(spark, dir, qSide, nprobe)
     val pairsA = pruneToCells(storeRead(), probed, hintBroadcast)
       .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
       .select(col("query_id"), col("vec_id").as("nb_id"),
-        col("embedding").as("nb_emb"),
-        round(cosine("embedding", "q_emb"), 6).as("cos_sim"),
-        lit(false).as("nb_new"))
+        round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val pairsB = qSide.crossJoin(bEmb)
       .filter(col("nb_id") =!= col("query_id"))
-      .select(col("query_id"), col("nb_id"), col("nb_emb"),
-        round(cosine("nb_emb", "q_emb"), 6).as("cos_sim"),
-        lit(true).as("nb_new"))
-    val topB = rankTopK(pairsA.unionByName(pairsB))
+      .select(col("query_id"), col("nb_id"),
+        round(cosine("nb_emb", "q_emb"), 6).as("cos_sim"))
+    val topB = rankTopK(pairsA.withColumn("nb_new", lit(false))
+        .unionByName(pairsB.withColumn("nb_new", lit(true))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
-      // 2. reverse direction for the admitted neighbors that appeared:
-      //    Ms is |batch|·k-bounded, its embeddings already in hand
-      val ms = topB.filter(!col("nb_new"))
-        .select(col("nb_id").as("query_id"), col("nb_emb").as("q_emb"))
-        .distinct()
+      // 2. reverse direction for the admitted neighbors that appeared
+      //    (Ms, |batch|·k-bounded): m's top-k over S ranks m's OWN
+      //    index candidates among the admitted (embeddings fetched
+      //    from the store pruned to the batch's probed cells — every
+      //    Ms member was a candidate there) against the batch members
+      //    whose candidate sets contain m — the forward pairs FLIPPED,
+      //    zero new cosines. A batch member too far from m to probe
+      //    its cell is absent from BOTH sides of the mutual check:
+      //    the same cell-confinement approximation the forward
+      //    direction accepts, and exact at fullprobe (spec-pinned).
+      val msIds = topB.filter(!col("nb_new"))
+        .select(col("nb_id")).distinct()
+      val ms = pruneToCells(storeRead(), probed, hintBroadcast)
+        .join(broadcast(msIds.withColumnRenamed("nb_id", "vec_id")),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       val probedM = rankProbes(spark, dir, ms, nprobe)
       val pairsMA = pruneToCells(storeRead(), probedM, hintBroadcast)
         .join(maybeBroadcast(probedM, hintBroadcast), Seq("list_id"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("nb_id"),
           round(cosine("embedding", "q_emb"), 6).as("cos_sim"))
-      val pairsMB = ms.crossJoin(bEmb)
-        .select(col("query_id"), col("nb_id"),
-          round(cosine("nb_emb", "q_emb"), 6).as("cos_sim"))
+      val pairsMB = pairsA
+        .join(broadcast(msIds), Seq("nb_id"), "left_semi")
+        .select(col("nb_id").as("query_id"), col("query_id").as("nb_id"),
+          col("cos_sim"))
       val topM = rankTopK(pairsMA.unionByName(pairsMB))
       // 3. mutual edges; admitted neighbors collapse to family anchors
       val vToM = topB.filter(!col("nb_new"))
@@ -1950,7 +1967,10 @@ object Similarity {
         .join(labels, Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
           coalesce(col("cluster"), col("vec_id")).as("family"))
-    } finally topB.unpersist(blocking = false)
+    } finally {
+      topB.unpersist(blocking = false)
+      pairsA.unpersist(blocking = false)
+    }
   }
 
   // ------------------------------------------------------------- ivf-pq

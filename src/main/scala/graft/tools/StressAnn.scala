@@ -240,6 +240,32 @@ object StressAnn {
         .filter(col("ingest_batch") === 1L).count()
     })
 
+    // r20: the INCREMENTAL FAMILY lift — seed = the full batch operator
+    // (fitted build + knn graph + components, the one-time cost), then
+    // a serving-sized batch assigned incrementally. The claim: the
+    // incremental batch costs ~the 2,000-query serving join plus
+    // |batch|-sized extras — NOT a 60k-node graph rebuild, which is
+    // what completing the lifecycle without the streaming lift would
+    // pay per micro-batch.
+    stage(s"family_seed_corpus_nlist$fittedNlist")({
+      graft.streaming.Jobs.seedFamilyStore(corpus,
+        s"$tmp/fam_idx", s"$tmp/fam_store",
+        nlist = fittedNlist, k = 5, nprobe = 4, minCos = 0.3)
+      spark.read.parquet(s"$tmp/fam_store").count()
+    })
+    def familyBatch(n: Int, batchId: Long): Long = {
+      val batch = base.filter(col("vec_id") < n)
+        .select((col("vec_id") + lit(nVec * (batchId + 2))).as("vec_id"),
+          col("label"), col("embedding"))
+      graft.streaming.Jobs.familyAssignBatch(
+        s"$tmp/fam_idx", s"$tmp/fam_store", 5, 4, 0.3,
+        Similarity.indexDim(spark, s"$tmp/fam_idx"))(batch, batchId)
+      spark.read.parquet(s"$tmp/fam_store")
+        .filter(col("ingest_batch") === batchId).count()
+    }
+    stage("family_assign_batch_500")(familyBatch(500, 0L))
+    stage("family_assign_batch_2000")(familyBatch(2000, 1L))
+
     println()
     println("BEGIN-ANN-SECTION")
     println(f"Corpus: $nVec%,d vectors ($copies x shifted copies of the sf fixture), 64-dim. " +
