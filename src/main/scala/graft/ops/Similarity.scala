@@ -538,25 +538,21 @@ object Similarity {
 
   /** Two-probe scan-side assignment under a [[TwoLevelQuantizer]]:
     * nearest of the kTop top cells, then nearest within that cell's
-    * slice of the flat sub matrix — both via the native codegen'd
-    * graft_nearest_cell (zero exchanges, zero row blowup; the matrices
-    * ride the plan as literals exactly like the committed domain
-    * table). Appends `list_id` — the absolute sub-centroid index.
+    * slice of the flat sub matrix — one codegen'd off-plan kernel
+    * (graft.functions.TwoLevelNearestCell: zero exchanges, zero row
+    * blowup). The matrices travel in a cached Broadcast handle, NOT as
+    * plan literals: unlike the committed domain table (a fixed-size
+    * constant), a fitted table is O(nlist·dim) and nlist grows with
+    * the corpus — a typedLit transport would re-serialize a
+    * multi-GB payload into every fitted query/ingest/serving
+    * micro-batch plan at production nlist (the r20 verdict's last
+    * plan-payload hazard). Appends `list_id` — the absolute
+    * sub-centroid index; same argmin math and lowest-index tie-break
+    * as the literal kernel (spec-pinned equal).
     */
-  private[graft] def assignTwoLevel(embeddings: DataFrame, q: TwoLevelQuantizer): DataFrame = {
-    val topLit = typedLit(q.topCents.map(_.toSeq).toSeq)
-    val subLit = typedLit(q.subCents.map(_.toSeq).toSeq)
-    val offLit = typedLit(q.offsets.toSeq)
-    val cntLit = typedLit(q.counts.toSeq)
-    embeddings
-      .withColumn("top_cell", call_function("graft_nearest_cell",
-        col("embedding"), topLit, lit(0), lit(q.topCents.length)))
-      .withColumn("list_id", call_function("graft_nearest_cell",
-        col("embedding"), subLit,
-        element_at(offLit, col("top_cell") + 1),
-        element_at(cntLit, col("top_cell") + 1)))
-      .drop("top_cell")
-  }
+  private[graft] def assignTwoLevel(embeddings: DataFrame, q: TwoLevelQuantizer): DataFrame =
+    embeddings.withColumn("list_id", graft.functions.OffPlanKernels
+      .twoLevelCell(col("embedding"), broadcastQuant(embeddings.sparkSession, q)))
 
   /** The gate-side assignment projection under a FITTED table — the
     * [[domainAssignedD2]] shape (vec_id, label, embedding, domain, d2,
@@ -877,10 +873,10 @@ object Similarity {
     loadCentroids(spark, dir).select(size(col("centroid"))).head().getInt(0)
 
   /** The validated centroid table as a dense driver matrix, index =
-    * list_id — what rides the plan as the probe-ranking kernel's
-    * foldable literal. One bounded nlist-row collect (the
-    * [[queryIvfIndex]] centroid contract); contiguity is REQUIRED
-    * because the kernel returns array offsets as cell ids.
+    * list_id — what [[broadcastCells]] ships to executors for the
+    * off-plan probe-ranking/assignment kernels. One bounded nlist-row
+    * collect (the [[queryIvfIndex]] centroid contract); contiguity is
+    * REQUIRED because the kernel returns array offsets as cell ids.
     */
   private def centroidMatrix(
       spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] = {
@@ -893,6 +889,45 @@ object Similarity {
     }
     rows.map(_.getSeq[Double](1).toArray)
   }
+
+  // --------------------------------------------- off-plan matrix transport
+  //
+  // Per-process cache of the Broadcast handles that carry fitted
+  // centroid/quantizer matrices to executors OFF the query plan (the
+  // r20 verdict's last plan-payload scale hazard: a typedLit matrix is
+  // O(nlist·dim) serialized into EVERY fitted query/ingest/serving
+  // micro-batch plan, and nlist grows with the corpus under the sizing
+  // rule). Keyed by (applicationId, content digest): repeated calls —
+  // every serving/ingest micro-batch re-reads and re-validates the
+  // store (that driver-side digest discipline stays) — reuse ONE
+  // broadcast, so the matrix crosses the wire once per executor per
+  // process, not once per plan. A rebuilt index changes the digest and
+  // naturally gets a fresh broadcast; entries of stopped sessions are
+  // dead weight bounded by distinct (app, digest) pairs (test-scale
+  // matrices; one pair per index in production).
+  private[graft] val matBcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[graft.functions.CellMatrix]]()
+  private[graft] val quantBcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[graft.functions.QuantMatrix]]()
+
+  private def broadcastCells(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CellMatrix] =
+    matBcastCache.computeIfAbsent(
+      spark.sparkContext.applicationId + ":" + cellsDigest(cents),
+      _ => spark.sparkContext.broadcast(graft.functions.CellMatrix(cents)))
+
+  private def broadcastQuant(
+      spark: org.apache.spark.sql.SparkSession,
+      q: TwoLevelQuantizer)
+      : org.apache.spark.broadcast.Broadcast[graft.functions.QuantMatrix] =
+    quantBcastCache.computeIfAbsent(
+      spark.sparkContext.applicationId + ":" + assignmentDigest(Some(q)),
+      _ => spark.sparkContext.broadcast(graft.functions.QuantMatrix(
+        graft.functions.CellMatrix(q.topCents),
+        graft.functions.CellMatrix(q.subCents),
+        q.offsets, q.counts)))
 
   /** Scan-side probe ranking for the batched k-NN joins: appends one
     * exploded `list_id` row per probed cell to the query frame —
@@ -908,9 +943,10 @@ object Similarity {
     *    literal, zero distance math.
     *  - a two-level quantizer was persisted by the build
     *    (`dir/quantizer`, nlist > [[twoLevelThreshold]]): rank
-    *    two-probe like [[assignTwoLevel]] — nearest TOP cell via
-    *    graft_nearest_cell over the √nlist-row top table, then top-p
-    *    within that cell's sub-slice via graft_nearest_cells — so
+    *    two-probe like [[assignTwoLevel]] — nearest TOP cell over the
+    *    √nlist-row top table, then top-p within that cell's sub-slice
+    *    — one off-plan broadcast kernel (graft.functions
+    *    .TwoLevelNearestCells; the matrices never ride the plan) — so
     *    probe ranking is O(|Q|·√nlist) per the sizing rule. The trade
     *    is the hierarchy's own: probes confine to the winning top
     *    cell's slice, the same approximation the ASSIGNMENT path
@@ -925,7 +961,8 @@ object Similarity {
     *    slice covers the budget: the single-query path ranks all
     *    nlist cells exactly, the batched path trusts the hierarchy.
     *  - flat table (registered fixtures, nlist <= threshold):
-    *    graft_nearest_cells over the whole matrix — O(|Q|·nlist)
+    *    top-p over the whole matrix (graft.functions
+    *    .NearestCellsOffPlan, same off-plan transport) — O(|Q|·nlist)
     *    scan-side cpu, still zero exchanges and zero row blowup.
     *
     * The trailing `list_id >= 0` guard is the kernel's own contract
@@ -978,33 +1015,20 @@ object Similarity {
               q.subCents.zip(cents).forall { case (a, b) => a.sameElements(b) },
             s"quantizer at $dir/quantizer disagrees with $dir/centroids — " +
               "stale hierarchy from an earlier build; rebuild the index")
-          val topLit = typedLit(q.topCents.map(_.toSeq).toSeq)
-          val subLit = typedLit(q.subCents.map(_.toSeq).toSeq)
-          val offLit = typedLit(q.offsets.toSeq)
-          val cntLit = typedLit(q.counts.toSeq)
-          val sliceRank = call_function("graft_nearest_cells",
-            col("q_emb"), subLit,
-            element_at(offLit, col("top_cell") + 1),
-            element_at(cntLit, col("top_cell") + 1), lit(nprobe))
-          // budget contract: a slice smaller than nprobe would silently
-          // cap the probed set below what the knob promises (recall
-          // drops with no signal) — those rows spill to full-matrix
-          // ranking; when no slice is undersized the CASE is omitted
-          // entirely so the common plan stays the pure two-probe shape
-          val ranked =
-            if (q.counts.min >= nprobe) sliceRank
-            else when(element_at(cntLit, col("top_cell") + 1) >= nprobe,
-              sliceRank).otherwise(call_function("graft_nearest_cells",
-                col("q_emb"), subLit, lit(0), lit(nlist), lit(nprobe)))
-          qSide
-            .withColumn("top_cell", call_function("graft_nearest_cell",
-              col("q_emb"), topLit, lit(0), lit(q.topCents.length)))
-            .withColumn("list_id", explode(ranked))
-            .drop("top_cell")
+          // ONE off-plan kernel ranks two-probe (top argmin, then top-p
+          // within the winning slice), with the budget contract folded
+          // in per row: a slice smaller than nprobe would silently cap
+          // the probed set below what the knob promises (recall drops
+          // with no signal) — those rows spill to full-matrix ranking
+          // inside the kernel, so only the affected rows pay the
+          // O(nlist) arm. The matrices travel in a cached Broadcast,
+          // never as plan literals (see assignTwoLevel — the fitted
+          // table is corpus-scaling, unlike the committed constants).
+          qSide.withColumn("list_id", explode(graft.functions.OffPlanKernels
+            .twoLevelCells(col("q_emb"), broadcastQuant(spark, q), nprobe)))
         } else {
-          val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-          qSide.withColumn("list_id", explode(call_function("graft_nearest_cells",
-            col("q_emb"), centsLit, lit(0), lit(nlist), lit(nprobe))))
+          qSide.withColumn("list_id", explode(graft.functions.OffPlanKernels
+            .nearestCells(col("q_emb"), broadcastCells(spark, cents), nprobe)))
         }
       }
     (ranked.filter(col("list_id") >= 0), cents)
@@ -1014,8 +1038,9 @@ object Similarity {
     * two ingest paths share, one definition so the raw and PQ ingests
     * can never drift in assignment semantics.
     *
-    * Both regimes assign through the codegen'd graft_nearest_cell
-    * kernel (||e−c||² argmin with the lowest-list_id tie-break —
+    * Both regimes assign through the codegen'd off-plan nearest-cell
+    * kernel (||e−c||² argmin with the lowest-list_id tie-break,
+    * matrices broadcast instead of plan literals —
     * identical semantics to the retired relational spelling, whose
     * crossJoin(broadcast(cents)) + per-vec_id row_number window paid a
     * |batch|×nlist intermediate and a by-vector shuffle; batch-sized
@@ -1065,9 +1090,8 @@ object Similarity {
             "stale hierarchy from an earlier build; rebuild the index")
         assignTwoLevel(embeddings, q)
       } else {
-        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
-        embeddings.withColumn("list_id", call_function("graft_nearest_cell",
-          col("embedding"), centsLit, lit(0), lit(nlist)))
+        embeddings.withColumn("list_id", graft.functions.OffPlanKernels
+          .nearestCell(col("embedding"), broadcastCells(spark, cents)))
       }
     assigned.select(col("vec_id"), col("label"), col("embedding"), col("list_id"))
   }
