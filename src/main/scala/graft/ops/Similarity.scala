@@ -1895,7 +1895,25 @@ object Similarity {
     * `maxIngest` bounds the index partitions read (`ingest_batch <
     * maxIngest`) so a replayed streaming batch never sees its own
     * crashed attempt's rows; batch callers leave the default.
+    *
+    * `familyBuckets > 0` declares the families frame id-hash-bucketed
+    * under [[familyBucketOf]] (the seedFamilyStore layout): the anchor
+    * lookup then joins on (fam_bucket, id) with the bounded mutual
+    * frame broadcast, so a bucket-partitioned store scan prunes to the
+    * batch's touched buckets at the file level instead of reading the
+    * whole admitted history per micro-batch.
     */
+  /** The ONE id-hash bucket spelling for the family store — writer
+    * (seedFamilyStore / familyAssignBatch) and reader (the anchor join
+    * above) must agree or pruning silently drops anchors. xxhash64 is
+    * deterministic across retries (the guide's rand-repartition
+    * hazard); pmod keeps it non-negative for the `>= 0` DPP filter.
+    */
+  private[graft] def familyBucketOf(id: Column, buckets: Int): Column = {
+    require(buckets >= 1, s"familyBuckets=$buckets must be >= 1")
+    pmod(xxhash64(id), lit(buckets.toLong)).cast("int")
+  }
+
   def assignFamiliesBatch(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1906,8 +1924,13 @@ object Similarity {
       minCos: Double = 0.3,
       hintBroadcast: Boolean = true,
       maxIter: Int = 200,
-      maxIngest: Long = Long.MaxValue): DataFrame = {
+      maxIngest: Long = Long.MaxValue,
+      familyBuckets: Int = 0): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
+    require(familyBuckets <= 0 || families.columns.contains("fam_bucket"),
+      s"familyBuckets=$familyBuckets but the families frame carries no " +
+        "fam_bucket column — the store layout and the caller's bucket " +
+        "count must describe ONE bucketing (seedFamilyStore's marker)")
     val nDim = batch.agg(count(lit(1)).as("n"),
       min(size(col("embedding"))).as("dim")).head()
     require(nDim.isNullAt(1) || batchBroadcastable(nDim.getLong(0), nDim.getInt(1)),
@@ -1947,6 +1970,7 @@ object Similarity {
     val topB = rankTopK(pairsA.withColumn("nb_new", lit(false))
         .unionByName(pairsB.withColumn("nb_new", lit(true))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var mutual: DataFrame = null
     try {
       // 2. reverse direction for the admitted neighbors that appeared
       //    (Ms, |batch|·k-bounded): m's top-k over S ranks m's OWN
@@ -1975,25 +1999,74 @@ object Similarity {
         .select(col("nb_id").as("query_id"), col("query_id").as("nb_id"),
           col("cos_sim"))
       val topM = rankTopK(pairsMA.unionByName(pairsMB))
-      // 3. mutual edges; admitted neighbors collapse to family anchors
+      // 3. mutual edges; admitted neighbors collapse to family anchors.
+      //    When the store is bucket-partitioned (familyBuckets > 0, the
+      //    seedFamilyStore layout) the anchor lookup reads ONLY the
+      //    buckets holding the batch's mutual ids: the touched-bucket
+      //    set is collected driver-side — bounded by min(|batch|·k,
+      //    familyBuckets) ints, a BATCH-sized constant per the
+      //    batchBroadcastable contract, never corpus-sized (unlike the
+      //    r19 probed-cell isin this is not an nlist-scaling literal) —
+      //    and applied as a literal partition filter, so the file-level
+      //    prune is deterministic rather than left to the DPP
+      //    planner's broadcast-reuse heuristics (measured degrading to
+      //    dynamicpruningexpression(true) on exactly this join shape).
+      //    This bounds the one per-batch read that grew with the
+      //    stream's lifetime (the r20 "What's missing #3" scan).
       val vToM = topB.filter(!col("nb_new"))
         .select(col("query_id").as("v"), col("nb_id").as("m"))
       val mToV = topM.select(col("nb_id").as("v"), col("query_id").as("m"))
-      val e1 = vToM.join(mToV, Seq("v", "m"))
-        .join(families.select(col("vec_id").as("m"), col("family")), Seq("m"))
+      mutual = vToM.join(mToV, Seq("v", "m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val famSlim =
+        if (familyBuckets <= 0)
+          families.select(col("vec_id").as("m"), col("family"))
+        else {
+          val touched = mutual
+            .select(familyBucketOf(col("m"), familyBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).sorted
+          families
+            .filter(col("fam_bucket").isin(touched.toIndexedSeq: _*))
+            .select(col("vec_id").as("m"), col("family"))
+        }
+      val e1 = broadcast(mutual).join(famSlim, Seq("m"))
         .select(col("v").as("doc_a"), col("family").as("doc_b"))
       val e2 = mutualKnnEdges(topB.filter(col("nb_new"))
         .select(col("query_id").as("src_id"), col("nb_id").as("dst_id")))
+      // the ANCHORS this batch matched — |batch|·k-bounded by the same
+      // contract as the mutual frame; collected so the returned plan
+      // references only the checkpointed labels (the persisted pair
+      // frames are freed in the finally below, before the caller
+      // materializes the result)
+      val anchorIds = e1.select(col("doc_b")).distinct()
+        .collect().map(_.getLong(0))
       val labels = graft.ops.Dedup
         .nearDupClusters(e1.unionByName(e2), maxIter = maxIter)
         .select(col("doc_id").as("vec_id"), col("cluster"))
+      // anchored-family remap: label propagation picks the component
+      // MIN id, which equals the smallest anchored family id only when
+      // batch ids arrive ABOVE every admitted id. If an out-of-order
+      // batch id undercuts its component's anchor, the raw label would
+      // silently SPLIT the semantic family (batch rows filed under the
+      // new small id while the admitted members keep the old family).
+      // Remap every component that contains at least one anchor to its
+      // smallest anchored family id — a no-op under ascending arrival
+      // (the anchor already IS the component min, spec-pinned), a
+      // permanent-split fix otherwise. One |labels|-bounded aggregate.
+      import spark.implicits._
+      val anchorMin = labels
+        .join(broadcast(anchorIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .groupBy("cluster").agg(min(col("vec_id")).as("anchored"))
+      val remapped = labels.join(broadcast(anchorMin), Seq("cluster"), "left")
+        .select(col("vec_id"), coalesce(col("anchored"), col("cluster")).as("cluster"))
       batch.select(col("vec_id"), col("label"))
-        .join(labels, Seq("vec_id"), "left")
+        .join(remapped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("label"),
           coalesce(col("cluster"), col("vec_id")).as("family"))
     } finally {
       topB.unpersist(blocking = false)
       pairsA.unpersist(blocking = false)
+      if (mutual != null) mutual.unpersist(blocking = false): Unit
     }
   }
 

@@ -212,18 +212,21 @@ object Jobs {
     * partition discovery.
     */
   /** First-level CELL partition dirs of a nested store — `list_id=L`
-    * (the IVF-PQ ANN stores) or `domain=D` (the SemDeDup admitted
+    * (the IVF-PQ ANN stores), `domain=D` (the SemDeDup admitted
     * stores, domain-partitioned since r19 so the per-batch history
-    * read prunes cells at the FILE level via DPP). Empty for flat
-    * `ingest_batch=N` stores; every ingest-store helper keys its
-    * nested-vs-flat behavior on this one probe.
+    * read prunes cells at the FILE level via DPP), or `fam_bucket=B`
+    * (the family store, id-hash-bucketed since r21 for the same
+    * per-batch pruning). Empty for flat `ingest_batch=N` stores; every
+    * ingest-store helper keys its nested-vs-flat behavior on this one
+    * probe.
     */
   private def cellDirs(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
     fs.listStatus(root).collect {
       case s if s.isDirectory && (s.getPath.getName.startsWith("list_id=") ||
-          s.getPath.getName.startsWith("domain=")) => s.getPath
+          s.getPath.getName.startsWith("domain=") ||
+          s.getPath.getName.startsWith("fam_bucket=")) => s.getPath
     }.toSeq
 
   private[streaming] def requireMonotoneIngest(
@@ -2363,7 +2366,8 @@ object Jobs {
       nlist: Int = 16,
       k: Int = 3,
       nprobe: Int = 4,
-      minCos: Double = 0.3): Unit = {
+      minCos: Double = 0.3,
+      buckets: Int = 64): Unit = {
     val spark = corpus.sparkSession
     requireSeedable(spark, familiesDir)
     clearSeedPartition(spark, familiesDir)
@@ -2372,9 +2376,56 @@ object Jobs {
         k = k, nprobe = nprobe, minCos = minCos)
       .select(col("vec_id"), col("label"), col("family"))
       .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      // id-hash bucket partitioning (Similarity.familyBucketOf): the
+      // per-batch anchor lookup reads only the buckets holding the
+      // batch's mutual ids instead of the whole admitted history —
+      // the history scan was the one per-batch cost that grew without
+      // bound over the stream's life. Sizing rule: buckets ~ expected
+      // admitted rows / target bucket rows (the nlist discipline);
+      // compaction is the natural re-bucket point as the store grows.
+      // Cell-clustered-write discipline: repartition by the partition
+      // column so file count per write ~ buckets, not tasks x buckets.
+      .withColumn("fam_bucket",
+        graft.ops.Similarity.familyBucketOf(col("vec_id"), buckets))
+      .repartition(col("fam_bucket"))
+      // bucket FIRST, like the other cell-partitioned stores
+      // (list_id=/domain=): the monotone guard, seed clear, and
+      // per-cell compaction all key on the first-level cell dirs
+      .write.mode("overwrite").partitionBy("fam_bucket", "ingest_batch")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(familiesDir)
+    writeFamilyBucketsMarker(spark, familiesDir, buckets)
+  }
+
+  private val familyBucketsMarkerName = "_graft_fam_buckets"
+
+  private[graft] def writeFamilyBucketsMarker(
+      spark: org.apache.spark.sql.SparkSession,
+      familiesDir: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$familiesDir/$familyBucketsMarkerName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The store's bucket count, from the marker [[seedFamilyStore]]
+    * stamps — 0 for a pre-bucketing store (reads degrade to the full
+    * history scan, writes stay un-bucketed: one store, one layout).
+    */
+  private[streaming] def familyBucketsOf(
+      spark: org.apache.spark.sql.SparkSession, familiesDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$familiesDir/$familyBucketsMarkerName")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val b = txt.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"family-bucket marker at $p is not an int: '$txt'"))
+      require(b >= 1, s"family-bucket marker at $p holds $b (must be >= 1)")
+      b
+    }
   }
 
   /** Per-batch body of [[startFamilyAssign]] — the incremental family
@@ -2422,16 +2473,31 @@ object Jobs {
         s"the index at $indexDir holds $idxDim-dim vectors — cross-dim " +
         "cosines silently deflate; the stream and its index must share " +
         "one embedding space")
-    val families = spark.read.parquet(familiesDir)
+    // bucketed store (the seedFamilyStore marker): hand the anchor
+    // join the bucket column so the scan prunes to the mutual ids'
+    // buckets at the file level — per-batch history IO bounded by
+    // |batch|·k touched buckets, not the admitted row count
+    val famBuckets = familyBucketsOf(spark, familiesDir)
+    val families0 = spark.read.parquet(familiesDir)
       .filter(col("ingest_batch") < batchId)
-      .select("vec_id", "family")
+    val families =
+      if (famBuckets > 0) families0.select("vec_id", "family", "fam_bucket")
+      else families0.select("vec_id", "family")
     val out = graft.ops.Similarity.assignFamiliesBatch(spark, indexDir,
       families, batch, k = k, nprobe = nprobe, minCos = minCos,
       hintBroadcast = graft.ops.Similarity
         .batchBroadcastable(chk.getLong(0), idxDim),
-      maxIngest = batchId + 1)
-    out.withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite").partitionBy("ingest_batch")
+      maxIngest = batchId + 1, familyBuckets = famBuckets)
+    val outKeyed =
+      if (famBuckets > 0)
+        out.withColumn("fam_bucket",
+            graft.ops.Similarity.familyBucketOf(col("vec_id"), famBuckets))
+          .repartition(col("fam_bucket"))
+      else out
+    outKeyed.withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .partitionBy(
+        (if (famBuckets > 0) Seq("fam_bucket") else Nil) ++ Seq("ingest_batch"): _*)
       .option("partitionOverwriteMode", "dynamic")
       .parquet(familiesDir)
     graft.ops.Similarity.assignToIndex(spark, indexDir, batch,

@@ -123,6 +123,88 @@ class FamilyAssignSpec extends SparkSpec {
     assert(fams == Map(0L -> 0L, 1L -> 1L, 5L -> 0L), fams.toString)
   }
 
+  test("bucketed store: layout, marker, and file-level pruning of the anchor lookup") {
+    val indexDir = tmpDir("fam-bucket-idx")
+    val famDir = tmpDir("fam-bucket-store")
+    Jobs.seedFamilyStore(frame(0 until 6), indexDir, famDir,
+      nlist = 4, k = 3, nprobe = 4, minCos = 0.5, buckets = 8)
+    // layout: fam_bucket is the FIRST partition level (the cell-store
+    // convention every guard/compaction helper keys on) and the marker
+    // records the bucket count for readers
+    val firstLevel = new java.io.File(famDir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(firstLevel.nonEmpty && firstLevel.forall(_.startsWith("fam_bucket=")),
+      firstLevel.mkString(","))
+    assert(Jobs.familyBucketsOf(spark, famDir) == 8)
+    // run a real batch and capture every executed plan: the anchor
+    // lookup must plant a dynamic-partition-pruning subquery on the
+    // families scan (file-level pruning — the r20 unbounded-history
+    // read, bounded)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString: Unit }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Jobs.familyAssignBatch(indexDir, famDir, 3, 4, 0.5, 16)(frame(6 until 14), 0L)
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val famScans = plans.synchronized {
+      plans.filter(p => p.contains("fam_bucket") && p.contains(
+        new java.io.File(famDir).getName))
+    }
+    assert(famScans.nonEmpty, "no executed plan scanned the family store")
+    // a LITERAL In/INSET partition filter, not DPP: the adaptive
+    // planner degrades this join's DPP subquery to
+    // dynamicpruningexpression(true) (measured, tools/StressFamilyStore),
+    // so the touched-bucket set is collected (batch-bounded) and
+    // applied deterministically
+    assert(famScans.exists(p => """fam_bucket#\d+ IN""".r.findFirstIn(p).isDefined),
+      s"anchor lookup reads the family store without a bucket partition " +
+        s"filter:\n${famScans.head}")
+    // and the labels themselves are unchanged by the pruned layout
+    val fams = spark.read.parquet(famDir)
+      .select("vec_id", "family").as[(Long, Long)].collect().toMap
+    assert((0 until 14).forall(i => fams(i.toLong) == (i % 6).toLong), fams.toString)
+  }
+
+  test("anchored remap: an out-of-order batch id below its anchor joins the family instead of splitting it") {
+    val indexDir = tmpDir("fam-remap-idx")
+    val famDir = tmpDir("fam-remap-store")
+    def axis(c: Int): Seq[Float] = {
+      val a = Array.fill(16)(0.0f); a(c) = 1.0f; a.toSeq
+    }
+    // seed member id 10 -> singleton family 10
+    val seed = Seq((10L, 0, axis(0)), (11L, 1, axis(1)))
+      .toDF("vec_id", "label", "embedding")
+    Jobs.seedFamilyStore(seed, indexDir, famDir,
+      nlist = 2, k = 3, nprobe = 2, minCos = 0.5)
+    // batch id 5 UNDERCUTS the anchor id: label propagation's component
+    // min would be 5, silently splitting the family (batch row filed
+    // under 5 while member 10 keeps family 10). The anchored remap must
+    // file it under the existing family id 10.
+    val near = Seq((5L, 0, axis(0).updated(8, 0.02f)))
+      .toDF("vec_id", "label", "embedding")
+    Jobs.familyAssignBatch(indexDir, famDir, 3, 2, 0.5, 16)(near, 0L)
+    val fams = spark.read.parquet(famDir)
+      .select("vec_id", "family").as[(Long, Long)].collect().toMap
+    assert(fams == Map(10L -> 10L, 11L -> 11L, 5L -> 10L), fams.toString)
+  }
+
+  test("bucket contract: declaring buckets without the column refuses loudly") {
+    val indexDir = tmpDir("fam-nobucket-idx")
+    Similarity.buildIvfIndex(frame(0 until 6), indexDir, nlist = 4)
+    val famsPlain = Seq((0L, 0L)).toDF("vec_id", "family")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.assignFamiliesBatch(spark, indexDir, famsPlain,
+        frame(6 until 8), k = 3, nprobe = 4, minCos = 0.5, familyBuckets = 8))
+    assert(ex.getMessage.contains("fam_bucket"), ex.getMessage)
+  }
+
   test("guards: unseeded store refuses at start; NULL embeddings refuse per batch") {
     val indexDir = tmpDir("fam-guard-idx")
     val famDir = tmpDir("fam-guard-store")
