@@ -1205,6 +1205,58 @@ object Similarity {
     * batch callers that need the loud contract should run the same
     * gate first.
     */
+  /** The cell-keyed PAIR join of the batched k-NN paths, with a
+    * parallelism floor for NARROW cell spaces. The per-pair work
+    * (cosine / ADC, ~occupancy× the probe rows) happens in the STREAM
+    * stage of this join, and at small nlist nothing keeps that stage
+    * wide: the cell-key space itself caps hash parallelism
+    * (guide-§2.5's too-few-distinct-keys skew), AQE sizes post-shuffle
+    * partitions by SHUFFLE BYTES — blind to the row blowup behind the
+    * join — and when it broadcast-converts the store side (a tiny
+    * fixture store) the stream side falls back to the probe frame's
+    * SCAN parallelism: one small parquet file = one row group = ONE
+    * task computing every pair (measured: the fullprobe graph row's
+    * 4M-cosine stage on 1 task, 5.3 s wall at 5.3 s cpu on 32 cores,
+    * in ALL THREE join regimes). Fix: salt the key on the PROBE side —
+    * each probe row gets a deterministic per-query salt (xxhash64,
+    * retry-stable), store rows explode over the salt range (the store
+    * is the side AQE broadcasts here, so its ×salts copy is
+    * broadcast-sized, never shuffled) — and pin the PROBE exchange at
+    * the session's configured width (`spark.sql.shuffle.partitions`,
+    * the documented scale knob — never a hard-coded core count; an
+    * explicitly numbered repartition is exempt from AQE's byte-based
+    * coalescing AND survives its broadcast-join conversion, which is
+    * exactly why the pin must ride the stream side). The salt range is
+    * ceil(4·width / nlist) (≥4 key combos per partition slot so the
+    * hash spreads): at production nlist (≫ width under the sizing
+    * rule) it is 1 and this arm is byte-for-byte the old plan — the
+    * floor only exists when the cell count is the bottleneck. Pair SET
+    * is unchanged either way (each (store,probe) pair matches on
+    * exactly one salt; salt dropped after the join), so every
+    * hash-verified consumer is unaffected.
+    */
+  private def cellPairJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      store: DataFrame,
+      probed: DataFrame,
+      nlist: Int,
+      hintBroadcast: Boolean): DataFrame =
+    if (hintBroadcast) store.join(broadcast(probed), Seq("list_id"))
+    else {
+      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val salts = math.max(1, math.ceil(4.0 * width / math.max(nlist, 1)).toInt)
+      if (salts <= 1) store.join(probed, Seq("list_id"))
+      else
+        store
+          .withColumn("pair_salt",
+            explode(typedLit((0 until salts).toList)))
+          .join(probed.withColumn("pair_salt",
+              pmod(xxhash64(col("query_id")), lit(salts.toLong)).cast("int"))
+            .repartition(width, col("list_id"), col("pair_salt")),
+            Seq("list_id", "pair_salt"))
+          .drop("pair_salt")
+    }
+
   def knnJoinIvf(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -1215,15 +1267,14 @@ object Similarity {
       hintBroadcast: Boolean = true): DataFrame = {
     require(k >= 1 && nprobe >= 1, s"k=$k nprobe=$nprobe")
     val qSide = queries.select(col("query_id"), col("embedding").as("q_emb"))
-    val probed = rankProbes(spark, dir, qSide, nprobe)
+    val (probed, centsMat) = rankProbesMat(spark, dir, qSide, nprobe)
     val store = pruneToCells(spark.read.parquet(s"$dir/assigned"),
       probed, hintBroadcast)
-    val pairs = store
-      // serving batches broadcast (small by contract); a CORPUS-sized
-      // query table — the knn-graph build — passes hintBroadcast=false
-      // and lets AQE size the list_id-keyed join at runtime (the
-      // SemDeDup gate's cold-start-backlog discipline)
-      .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
+    // serving batches broadcast (small by contract); a CORPUS-sized
+    // query table — the knn-graph build — passes hintBroadcast=false
+    // and shuffles on the (salted when narrow) cell key — see
+    // [[cellPairJoin]]
+    val pairs = cellPairJoin(spark, store, probed, centsMat.length, hintBroadcast)
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("vec_id"), col("label"),
         // the ONE single-pass cosine kernel — same fold the brute-force
@@ -1307,8 +1358,7 @@ object Similarity {
           call_function("graft_pq_unpack", col("codes_packed"), lit(spec)))
         .drop("codes_packed")
       else store0
-    val pairs = store
-      .join(maybeBroadcast(probed, hintBroadcast), Seq("list_id"))
+    val pairs = cellPairJoin(spark, store, probed, centsMat.length, hintBroadcast)
       .filter(if (excludeSelf) col("vec_id") =!= col("query_id") else lit(true))
       .withColumn("pp", call_function("graft_pq_adc_pair",
         col("q_emb"), col("codes"), col("cent"), lit(spec)))

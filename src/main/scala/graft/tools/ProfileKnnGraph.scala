@@ -35,7 +35,18 @@ object ProfileKnnGraph {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         cpuNs.add(sc.stageInfo.taskMetrics.executorCpuTime)
         nTasks.addAndGet(sc.stageInfo.numTasks)
-        nStages.incrementAndGet(): Unit
+        nStages.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_KNN_STAGES")) {
+          val si = sc.stageInfo
+          val wall = for {
+            s <- si.submissionTime; e <- si.completionTime
+          } yield (e - s) / 1000.0
+          System.err.println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+            f"wall=${wall.getOrElse(-1.0)}%6.2f cpu=${si.taskMetrics.executorCpuTime / 1e9}%6.2f " +
+            f"shR=${si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1048576.0}%7.1fMB " +
+            f"shW=${si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1048576.0}%7.1fMB " +
+            f"${si.name.takeWhile(_ != '(').take(40)}")
+        }
       }
     })
     def stage(name: String)(body: => Unit): Unit = {
