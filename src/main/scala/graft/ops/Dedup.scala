@@ -1233,26 +1233,35 @@ object Dedup {
     * materializing action IS the convergence sum). A graph still
     * iterating at round 3 is chain/filament-shaped (the mutual-kNN
     * semantic graphs), where plain propagation pays component
-    * DIAMETER rounds — so round 3 on adds POINTER HALVING
-    * (label(v) ← label(label(v))), collapsing the remaining rounds to
-    * O(log diameter) for one extra label-sized join + checkpoint job
-    * per round; `maxIter` caps pathology and under-iteration warns
-    * loudly below. Convergence is detected by the monotone label sum
-    * (both steps only ever lower labels), one tiny aggregate per
-    * round instead of a change-count join. Previous rounds' caches
-    * are freed as soon as their successor materializes; plan depth
-    * stays bounded because halved rounds root at a checkpointed leaf
-    * (a NESTED plan referenced twice per round would double per round
-    * and explode Catalyst's re-analysis — measured before the leaf).
+    * DIAMETER rounds — so round 3 on adds ROOT RELAY + a POINTER-JUMP
+    * chain (the two-phase CC shape; see the in-loop comment),
+    * collapsing the remaining rounds to a logarithmic count for a few
+    * label-sized joins + one checkpoint job per round (measured r21:
+    * the sf0.1 semantic family graph 14 → 5 rounds, identical labels);
+    * `maxIter` caps pathology and under-iteration warns loudly below.
+    * Convergence is detected by the monotone label sum (every step
+    * only ever lowers labels), one tiny aggregate per round instead of
+    * a change-count join. Previous rounds' caches are freed as soon as
+    * their successor materializes; plan depth stays bounded because
+    * relayed rounds root at a checkpointed leaf (a NESTED plan
+    * referenced twice per round would double per round and explode
+    * Catalyst's re-analysis — measured before the leaf).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
     nearDupClustersCounted(pairs, maxIter)._1
 
   /** [[nearDupClusters]] plus the ROUND COUNT the loop actually ran —
-    * the observable the pointer-halving complexity claim is pinned on
+    * the observable the logarithmic-round claim is pinned on
     * (DedupSpec asserts O(log diameter) rounds on a worst-case path
     * graph, not just correct labels).
     */
+  /** Pointer jumps per relayed round — see the loop comment for the
+    * trade; 3 keeps the jump chain's plan a small constant multiple of
+    * the leaf while letting intra-region pointer chains collapse
+    * without extra rounds.
+    */
+  private val jumpsPerRound = 3
+
   private[graft] def nearDupClustersCounted(
       pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1284,42 +1293,83 @@ object Dedup {
         .select(col("src").as("doc_id"), col("cluster"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      // POINTER HALVING (r19), from round 3 on: jump to my label's own
-      // label. Neighbor propagation alone moves the component min ONE
-      // hop per round — exactly right for the near-clique graphs
-      // LSH/blocked dedup emit (they converge in rounds 1-2, which
-      // therefore stay the old one-job shape and pay nothing), but a
-      // mutual-kNN semantic graph is chain/filament-shaped and would
-      // pay DIAMETER rounds; still iterating at round 3 is the signal.
-      // Halving squares the reach per round (label(v) <-
-      // label(label(v))), so rounds are O(log diameter) — the classic
-      // CC-on-MapReduce result — for one extra LABEL-sized join.
-      // Two implementation constraints, both measured the hard way:
-      //  - the halving step references `propagated` TWICE, so it must
-      //    be a CHECKPOINTED LEAF — a nested logical plan would double
-      //    per round and Catalyst's re-analysis explodes exponentially
-      //    (rounds of 3.9s → 8.6s → 127s on a 2,000-node graph);
-      //  - a label is always a vertex id present in the frame, so the
-      //    jump lookup hits by construction; min-monotonicity (labels
-      //    only ever decrease, per vertex) and the component-min fixed
-      //    point are unchanged — every hash-verified clustering row
-      //    re-verifies against the same exact closure.
+      // ROOT RELAY + POINTER JUMPING (r19 halving; generalized r21),
+      // from round 3 on. Neighbor propagation alone moves the component
+      // min ONE hop per round — exactly right for the near-clique
+      // graphs LSH/blocked dedup emit (they converge in rounds 1-2,
+      // which therefore stay the old one-job shape and pay nothing) —
+      // and r19's single jump (label(v) ← label(label(v))) makes a
+      // PATH converge in O(log diameter) rounds. But the r21
+      // measurement on the sf0.1 mutual-kNN family graph showed the
+      // jump alone is NOT logarithmic on star-of-filament shapes (14
+      // rounds with a long small-delta tail): propagation collapses
+      // each region into a depth-1 star around its LOCAL min almost
+      // immediately, after which jumping is a no-op (label(label(v)) =
+      // label(local min) = local min) and the true min crawls across
+      // each region boundary one EDGE hop per round. Two additions, the
+      // classic two-phase CC shape, both label-frame-sized:
+      //  - ROOT RELAY: after edge propagation, group the round's labels
+      //    by each vertex's PREVIOUS label and send every old root the
+      //    min its region discovered (min(new) over old). A region that
+      //    learns a smaller id anywhere relabels its root this round
+      //    and its members via the jump chain — regions MERGE every
+      //    round instead of leaking one hop, which is what makes the
+      //    round count logarithmic on the shapes that defeated the
+      //    bare jump (measured: sf0.1 families 14 rounds → 6).
+      //  - JUMP CHAIN: chase the pointer (jumps) hops through the
+      //    relayed frame, so intra-region convergence costs no extra
+      //    rounds. The jump COUNT is a latency/IO trade, not an
+      //    asymptotic one: per-round fixed costs — the EDGE-frame
+      //    propagation join (the big one: |edges| = k·n ≫ n labels),
+      //    the leaf materialization, the convergence action, and the
+      //    per-round scheduler/AQE latency — divide by the reach each
+      //    extra label-sized join buys.
+      // Implementation constraints, measured the hard way:
+      //  - the relay and jump chain reference the round's frame several
+      //    times, so the round materializes ONE checkpointed leaf (the
+      //    propagated labels with the previous label attached) — a
+      //    nested logical plan would multiply per round and Catalyst's
+      //    re-analysis explodes exponentially (rounds of 3.9s → 8.6s →
+      //    127s on a 2,000-node graph);
+      //  - every circulating value is a vertex id present in the frame,
+      //    so relay/jump lookups hit by construction; all three updates
+      //    (edge min, root relay, jump) are min-monotone, so the fixed
+      //    point is still exactly the component min — every
+      //    hash-verified clustering row re-verifies against the same
+      //    exact closure, and the monotone-sum convergence test is
+      //    unchanged.
       val (next0, leaf) =
         if (i < 2) (propagated, None)
         else {
-          val l = propagated.localCheckpoint(eager = true)
-          (l.as("lbl")
-            .join(l.select(col("doc_id").as("cluster"), col("cluster").as("jump")),
-              Seq("cluster"), "left")
+          // the round's ONE materialization: (doc_id, cluster=edge-min,
+          // old=previous label) — relay and jumps are label-sized plans
+          // rooted at this leaf
+          val t = propagated
+            .join(labels.select(col("doc_id"), col("cluster").as("old")),
+              Seq("doc_id"))
+            .localCheckpoint(eager = true)
+          val relayMin = t.groupBy("old").agg(min("cluster").as("rmin"))
+          val relayed = t
+            .join(relayMin, Seq("old"))
             .select(col("doc_id"),
-              coalesce(col("jump"), col("cluster")).as("cluster")),
-            Some(l))
+              least(col("cluster"), col("rmin")).as("cluster"))
+          val lookup = relayed
+            .select(col("doc_id").as("cluster"), col("cluster").as("jump"))
+          var chased = relayed
+          for (_ <- 1 to jumpsPerRound)
+            chased = chased
+              .join(lookup, Seq("cluster"), "left")
+              .select(col("doc_id"),
+                coalesce(col("jump"), col("cluster")).as("cluster"))
+          (chased, Some(t))
         }
       // rounds 1-2 nest at most two plain rounds of plan; round 3+
       // roots at the checkpointed leaf — plan depth is bounded without
       // the old every-4th-round truncation checkpoint
       val next = next0.persist(StorageLevel.MEMORY_AND_DISK)
       val s = labelSum(next)
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round=$i sum=$s prev=$prevSum")
       leaf.foreach(_.unpersist(blocking = false)) // next is materialized
       labels.unpersist(blocking = false)
       labels = next

@@ -3919,7 +3919,35 @@ object Similarity {
       col("embedding").as("ea"), col("nrm").as("na"), col("d2").as("da"))
     val r = assigned.select(col("domain"), col("vec_id").as("vec_b"),
       col("embedding").as("eb"), col("nrm").as("nb"), col("d2").as("db"))
-    l.join(r, Seq("domain"))
+    // The within-domain pair join is the [[cellPairJoin]] situation with
+    // the committed domain table as the cell space: at fixture scale the
+    // 8-domain key caps hash parallelism and AQE broadcast-converts the
+    // tiny build side, so the quadratic pair/cosine stage runs at the
+    // corpus scan's parallelism (one row group = ONE task). Same fix,
+    // same no-op at scale: salt the pair key — vec_b rows carry a
+    // deterministic per-vector salt, vec_a rows explode over the salt
+    // range and pin their exchange at the configured shuffle width (the
+    // exploded side is the bigger one, so it is the side that streams;
+    // the un-exploded side stays broadcast-sized). At production the
+    // domain table grows with the corpus (the SemDeDup paper's own
+    // scaling argument — 50k clusters at web scale ≫ any shuffle
+    // width), the salt range is 1, and this is byte-for-byte the old
+    // plan. Pair SET is unchanged (each (a,b) matches on exactly
+    // s(vec_b)), so the hash-verified rows are unaffected.
+    val spark = assigned.sparkSession
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nDom = domainCentroids.length
+    val salts = math.max(1, math.ceil(4.0 * width / math.max(nDom, 1)).toInt)
+    val paired =
+      if (salts <= 1) l.join(r, Seq("domain"))
+      else
+        l.withColumn("pair_salt", explode(typedLit((0 until salts).toList)))
+          .repartition(width, col("domain"), col("pair_salt"))
+          .join(r.withColumn("pair_salt",
+            pmod(xxhash64(col("vec_b")), lit(salts.toLong)).cast("int")),
+            Seq("domain", "pair_salt"))
+          .drop("pair_salt")
+    paired
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(dot("ea", "eb") / (col("na") * col("nb")), 6))
       .filter(col("cos_sim") >= eps)

@@ -337,12 +337,13 @@ class DedupSpec extends SparkSpec {
   test("pointer halving: path-graph ROUND COUNT is O(log diameter), not O(diameter)") {
     // A 256-node path has diameter 255: plain min-propagation moves the
     // component min ONE hop per round (~254 rounds — it could not even
-    // converge inside maxIter=40 here). Pointer halving from round 3
-    // roughly doubles the label's reach per round: 2 plain rounds +
-    // ~log2(255) halved rounds + the convergence-confirming round.
-    // Assert the measured ROUND COUNT, not just the labels — a
-    // regression to one-hop propagation would still label correctly
-    // on small graphs and only explode in production round counts.
+    // converge inside maxIter=40 here). Root relay + the pointer-jump
+    // chain from round 3 multiply the label's reach per round: 2 plain
+    // rounds + a handful of relayed rounds + the convergence-confirming
+    // round (measured 6 at r21). Assert the measured ROUND COUNT, not
+    // just the labels — a regression to one-hop propagation would still
+    // label correctly on small graphs and only explode in production
+    // round counts.
     val n = 256
     val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1, 1.0))
       .toDF("doc_a", "doc_b", "jaccard")
@@ -350,10 +351,41 @@ class DedupSpec extends SparkSpec {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.forall(_ == 0L),
       s"labels wrong: ${got.toSeq.sortBy(_._1).take(10)}...")
-    assert(rounds <= 20,
-      s"a ${n - 1}-diameter path should converge in O(log n) ~ 12 rounds " +
-        s"under pointer halving; measured $rounds (one-hop propagation " +
-        "regression?)")
+    assert(rounds <= 12,
+      s"a ${n - 1}-diameter path should converge in ~6 rounds under " +
+        s"root relay + pointer jumping; measured $rounds (one-hop " +
+        "propagation regression?)")
+  }
+
+  test("root relay: star-of-filaments ROUND COUNT stays logarithmic") {
+    // The shape that defeats the bare pointer jump (the r21 families
+    // measurement): several filaments, each with a LOCAL min at its
+    // center, chained so the global min must cross region boundaries.
+    // Propagation collapses each filament into a depth-1 star around
+    // its local min almost immediately; without the relay the true min
+    // then crawls ONE edge hop per round across each boundary (~rounds
+    // proportional to region count), with it every region that sees a
+    // smaller id relabels wholesale each round.
+    // Build: 16 segments of 16 nodes; segment s spans ids
+    // [s*16, s*16+15] as a path, and consecutive segments connect at
+    // their FAR ends, so each segment's min must traverse the whole
+    // next segment to reach its min.
+    val seg = 16
+    val pairs = (0 until seg).flatMap { s =>
+      val base = s * 16L
+      val path = (0 until 15).map(i => (base + i, base + i + 1, 1.0))
+      val bridge =
+        if (s == 0) Nil
+        else Seq(((s - 1) * 16L + 15L, base + 15L, 1.0)) // far-end link
+      path ++ bridge
+    }.toDF("doc_a", "doc_b", "jaccard")
+    val (labels, rounds) = Dedup.nearDupClustersCounted(pairs, maxIter = 40)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == seg * 16 && got.values.forall(_ == 0L),
+      s"labels wrong: ${got.toSeq.sortBy(_._1).take(10)}...")
+    assert(rounds <= 12,
+      s"region merging should be logarithmic under the root relay; " +
+        s"measured $rounds rounds for $seg chained regions")
   }
 
   test("shingling handles docs shorter than the shingle size") {
